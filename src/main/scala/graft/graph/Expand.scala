@@ -1,0 +1,177 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pattern-expansion operators — the reference's "join layer".
+  *
+  * NornicDB executes `(a)-[r:T]->(b)` as a per-node nested loop over
+  * adjacency (`/root/reference/pkg/cypher/traversal.go:143`); here a hop is
+  * a distributed hash join `bindings ⋈ edges ⋈ nodes`, so Catalyst picks
+  * broadcast vs shuffle per side and AQE re-plans at runtime. Bindings carry
+  * one column-prefix per Cypher variable (`a_id`, `a_name`, …).
+  */
+object Expand {
+
+  sealed trait Direction
+  case object Out extends Direction
+  case object In extends Direction
+  case object Both extends Direction
+
+  /** Start a binding table: MATCH (v:Label). */
+  def scan(g: PropertyGraph, v: String, label: Option[String]): DataFrame = {
+    val base = label.map(g.nodesByLabel).getOrElse(g.nodes)
+    nodeColsOf(base, v)
+  }
+
+  /** Node columns projected into a binding under `prefix`. */
+  def nodeColsOf(nodes: DataFrame, prefix: String): DataFrame =
+    nodes.select(
+      col("id").as(s"${prefix}_id"),
+      col("labels").as(s"${prefix}_labels"),
+      col("key").as(s"${prefix}_key"),
+      col("name").as(s"${prefix}_name"),
+      col("acctbal").as(s"${prefix}_acctbal"),
+      col("mktsegment").as(s"${prefix}_mktsegment"))
+
+  /** One hop: join `bindings` (bound var `srcVar`) through edges to a new
+    * var `dstVar`. Optionally binds the relationship as `relVar` columns.
+    */
+  def expand(
+      g: PropertyGraph,
+      bindings: DataFrame,
+      srcVar: String,
+      dstVar: String,
+      relType: Option[String] = None,
+      direction: Direction = Out,
+      dstLabel: Option[String] = None,
+      relVar: Option[String] = None,
+      optional: Boolean = false): DataFrame = {
+
+    val es0 = relType.map(g.edgesByType).getOrElse(g.edges)
+    // orient edges so `from` is the bound side
+    val oriented = direction match {
+      case Out  => es0.select(col("src").as("_from"), col("dst").as("_to"),
+        col("id").as("_rid"), col("rel_type").as("_rtype"),
+        col("properties").as("_rprops"), col("weight").as("_rweight"))
+      case In   => es0.select(col("dst").as("_from"), col("src").as("_to"),
+        col("id").as("_rid"), col("rel_type").as("_rtype"),
+        col("properties").as("_rprops"), col("weight").as("_rweight"))
+      case Both => es0.select(col("src").as("_from"), col("dst").as("_to"),
+        col("id").as("_rid"), col("rel_type").as("_rtype"),
+        col("properties").as("_rprops"), col("weight").as("_rweight"))
+        .union(es0.select(col("dst").as("_from"), col("src").as("_to"),
+          col("id").as("_rid"), col("rel_type").as("_rtype"),
+          col("properties").as("_rprops"), col("weight").as("_rweight")))
+    }
+
+    val dstNodes = dstLabel.map(g.nodesByLabel).getOrElse(g.nodes)
+    val hop = oriented
+      .join(nodeColsOf(dstNodes, dstVar), col("_to") === col(s"${dstVar}_id"))
+
+    val joinType = if (optional) "left_outer" else "inner"
+    val joined = bindings.join(hop, col(s"${srcVar}_id") === col("_from"), joinType)
+
+    val withRel = relVar match {
+      case Some(r) => joined
+        .withColumn(s"${r}_id", col("_rid"))
+        .withColumn(s"${r}_type", col("_rtype"))
+        .withColumn(s"${r}_properties", col("_rprops"))
+        .withColumn(s"${r}_weight", col("_rweight"))
+      case None => joined
+    }
+    withRel.drop("_from", "_to", "_rid", "_rtype", "_rprops", "_rweight")
+  }
+
+  /** Var-length expand `[*min..max]` as an iterative frontier loop.
+    *
+    * Returns (start_id, end_id, depth) with per-depth dedup — the frontier
+    * dedup is what keeps the 100 TB case from exploding combinatorially
+    * (SURVEY §7 "hard parts"); each iteration is one self-contained shuffle
+    * and intermediate frontiers are cached + unpersisted.
+    */
+  def varLengthExpand(
+      g: PropertyGraph,
+      startIds: DataFrame, // single column `id`
+      relType: Option[String],
+      minHops: Int,
+      maxHops: Int,
+      direction: Direction = Out): DataFrame = {
+
+    val es0 = relType.map(g.edgesByType).getOrElse(g.edges)
+    val adj = (direction match {
+      case Out  => es0.select(col("src").as("_from"), col("dst").as("_to"))
+      case In   => es0.select(col("dst").as("_from"), col("src").as("_to"))
+      case Both => es0.select(col("src").as("_from"), col("dst").as("_to"))
+        .union(es0.select(col("dst").as("_from"), col("src").as("_to")))
+    }).cache()
+
+    var frontier = startIds.select(col("id").as("start_id"), col("id").as("end_id")).cache()
+    var results = Vector.empty[DataFrame]
+    var depth = 0
+    while (depth < maxHops) {
+      depth += 1
+      val next = frontier
+        .join(adj, col("end_id") === col("_from"))
+        .select(col("start_id"), col("_to").as("end_id"))
+        .distinct() // per-depth dedup: pairs, not paths
+        .cache()
+      next.count() // materialize before unpersisting parent
+      frontier.unpersist()
+      frontier = next
+      if (depth >= minHops) results = results :+ next.withColumn("depth", lit(depth))
+    }
+    adj.unpersist()
+    if (results.isEmpty) startIds.sparkSession.emptyDataFrame
+    else results.reduce(_.unionByName(_))
+  }
+
+  /** BFS shortest path length from every node in `srcIds` to every reachable
+    * node, capped at `maxHops`. Returns (start_id, end_id, length) keeping
+    * the MINIMUM length per pair (first depth at which a pair appears).
+    */
+  def shortestPaths(
+      g: PropertyGraph,
+      srcIds: DataFrame,
+      relType: Option[String],
+      maxHops: Int,
+      direction: Direction = Out): DataFrame = {
+
+    val es0 = relType.map(g.edgesByType).getOrElse(g.edges)
+    val adj = (direction match {
+      case Out  => es0.select(col("src").as("_from"), col("dst").as("_to"))
+      case In   => es0.select(col("dst").as("_from"), col("src").as("_to"))
+      case Both => es0.select(col("src").as("_from"), col("dst").as("_to"))
+        .union(es0.select(col("dst").as("_from"), col("src").as("_to")))
+    }).cache()
+
+    // visited: best-known (start,end,length); frontier: newly reached pairs
+    var visited = srcIds.select(col("id").as("start_id"), col("id").as("end_id"),
+      lit(0).as("length")).cache()
+    var frontier = visited
+    var depth = 0
+    var done = false
+    while (depth < maxHops && !done) {
+      depth += 1
+      val expanded = frontier
+        .join(adj, col("end_id") === col("_from"))
+        .select(col("start_id"), col("_to").as("end_id"))
+        .distinct()
+      val fresh = expanded
+        .join(visited.select("start_id", "end_id"), Seq("start_id", "end_id"), "left_anti")
+        .withColumn("length", lit(depth))
+        .cache()
+      val n = fresh.count()
+      if (n == 0) done = true
+      else {
+        val nv = visited.unionByName(fresh).cache()
+        nv.count()
+        visited.unpersist()
+        frontier = fresh
+        visited = nv
+      }
+    }
+    adj.unpersist()
+    visited
+  }
+}
