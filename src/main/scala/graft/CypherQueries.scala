@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.cypher.Cypher
+
+/** The Cypher query surface (SURVEY.md §2.2–§2.10) exercised END-TO-END
+  * through the string front end: every query here goes
+  * lexer → parser → AST → planner → DataFrame, with a hand-derived DuckDB
+  * SQL oracle over the raw star schema.
+  *
+  * Graph projection property map (FIXTURES.md §4): every node hoists
+  * `key` (source PK), `name`, `acctbal` (Customer.c_acctbal /
+  * Order.o_totalprice / Part.p_retailprice / Supplier.s_acctbal),
+  * `mktsegment` (Customer.c_mktsegment / Order.o_orderpriority /
+  * Part.p_brand).
+  */
+object CypherQueries {
+
+  private def cq(name: String, section: String, cypherText: String, oracle: String,
+      params: Map[String, Any] = Map.empty): (String, GQuery) =
+    name -> GQuery(
+      (s: SparkSession, d: String) => Cypher.run(GraphQueries.graph(s, d), cypherText, params),
+      Option(oracle).filter(_.nonEmpty), section)
+
+  val queries: Map[String, GQuery] = Map(
+    cq("q_cypher_match_filter", "2.2",
+      """MATCH (c:Customer)
+         WHERE c.acctbal > 5000 AND c.mktsegment = 'BUILDING'
+         RETURN c.key AS c_custkey, c.name AS c_name""",
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_acctbal > 5000 AND c_mktsegment = 'BUILDING'"""),
+
+    cq("q_cypher_expand_agg", "2.4",
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+         RETURN c.mktsegment AS segment, count(o) AS n_orders""",
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n_orders
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_mktsegment"""),
+
+    cq("q_cypher_chain_sum", "2.3",
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)-[r:CONTAINS]->(p:Part)
+         RETURN c.mktsegment AS segment, sum(r.quantity) AS total_qty""",
+      // l_quantity is integral-valued → double sum is exact in any order
+      """SELECT c_mktsegment AS segment, SUM(l_quantity) AS total_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment"""),
+
+    cq("q_cypher_optional_match", "2.3",
+      """MATCH (c:Customer)
+         OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
+         RETURN c.key AS c_custkey, count(o) AS n_orders""",
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey"""),
+
+    cq("q_cypher_string_predicates", "2.2",
+      """MATCH (p:Part)
+         WHERE p.name STARTS WITH 's' AND p.name CONTAINS 'l' AND NOT p.name ENDS WITH 'bolt'
+         RETURN p.key AS p_partkey, p.name AS p_name""",
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_name LIKE 's%' AND p_name LIKE '%l%' AND p_name NOT LIKE '%bolt'"""),
+
+    cq("q_cypher_regex", "2.2",
+      """MATCH (p:Part) WHERE p.name =~ '^(red|blue) (bolt|gear)$'
+         RETURN p.key AS p_partkey, p.name AS p_name""",
+      """SELECT p_partkey, p_name FROM part
+         WHERE regexp_matches(p_name, '^(red|blue) (bolt|gear)$')"""),
+
+    cq("q_cypher_orderby_limit", "2.6",
+      """MATCH (o:Order)
+         RETURN o.key AS o_orderkey, o.acctbal AS o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""),
+
+    cq("q_cypher_distinct_skip", "2.6",
+      """MATCH (c:Customer)
+         RETURN DISTINCT c.mktsegment AS segment
+         ORDER BY segment SKIP 1 LIMIT 3""",
+      """SELECT DISTINCT c_mktsegment AS segment FROM customer
+         ORDER BY segment LIMIT 3 OFFSET 1"""),
+
+    cq("q_cypher_with_having", "2.9",
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+         WITH c, count(o) AS n WHERE n >= 20
+         RETURN c.mktsegment AS segment, count(c) AS n_cust""",
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n_cust FROM (
+           SELECT c_custkey, c_mktsegment, COUNT(*) AS n
+           FROM customer JOIN orders ON o_custkey = c_custkey
+           GROUP BY c_custkey, c_mktsegment HAVING COUNT(*) >= 20)
+         GROUP BY c_mktsegment"""),
+
+    cq("q_cypher_unwind", "2.9",
+      """UNWIND [1, 2, 3, 4, 5] AS x RETURN x, x * x AS sq""",
+      """SELECT x, x * x AS sq FROM
+         (SELECT CAST(unnest([1,2,3,4,5]) AS BIGINT) AS x)"""),
+
+    cq("q_cypher_multi_match", "2.3",
+      """MATCH (c:Customer)-[:FROM]->(n:Nation)
+         MATCH (s:Supplier)-[:LOCATED_IN]->(n)
+         RETURN n.name AS n_name, count(*) AS n_pairs""",
+      """SELECT n_name, COUNT(*) AS n_pairs
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+           JOIN supplier ON s_nationkey = n_nationkey
+         GROUP BY n_name"""),
+
+    cq("q_cypher_var_length", "2.3",
+      """MATCH (r:Region)<-[*1..2]-(x)
+         RETURN r.name AS r_name, count(x) AS n""",
+      """SELECT r_name,
+           (SELECT COUNT(*) FROM nation n2 WHERE n2.n_regionkey = region.r_regionkey)
+         + (SELECT COUNT(*) FROM customer JOIN nation n3 ON c_nationkey = n3.n_nationkey
+            WHERE n3.n_regionkey = region.r_regionkey)
+         + (SELECT COUNT(*) FROM supplier JOIN nation n4 ON s_nationkey = n4.n_nationkey
+            WHERE n4.n_regionkey = region.r_regionkey) AS n
+         FROM region"""),
+
+    cq("q_cypher_exists", "2.3",
+      """MATCH (c:Customer)
+         WHERE EXISTS((c)-[:PLACED]->(o:Order {mktsegment: '1-URGENT'}))
+         RETURN c.key AS c_custkey""",
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"""),
+
+    cq("q_cypher_not_exists", "2.3",
+      """MATCH (c:Customer)
+         WHERE NOT EXISTS((c)-[:PLACED]->(o:Order {mktsegment: '1-URGENT'}))
+         RETURN c.key AS c_custkey""",
+      """SELECT c_custkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"""),
+
+    cq("q_cypher_case", "2.2",
+      """MATCH (o:Order)
+         RETURN CASE WHEN o.acctbal < 50000 THEN 'small'
+                     WHEN o.acctbal < 150000 THEN 'medium'
+                     ELSE 'large' END AS bucket, count(*) AS n""",
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                     WHEN o_totalprice < 150000 THEN 'medium'
+                     ELSE 'large' END AS bucket, COUNT(*) AS n
+         FROM orders GROUP BY 1"""),
+
+    cq("q_cypher_union", "2.7",
+      """MATCH (c:Customer)-[:FROM]->(n:Nation) RETURN n.key AS nationkey
+         UNION
+         MATCH (s:Supplier)-[:LOCATED_IN]->(n:Nation) RETURN n.key AS nationkey""",
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+         UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier"""),
+
+    cq("q_cypher_scalar_fns", "2.10",
+      """MATCH (c:Customer) WHERE c.key <= 100
+         RETURN c.key AS k, abs(c.acctbal) AS abs_bal,
+                toString(c.key) AS ks, toUpper(c.name) AS uname,
+                substring(c.name, 0, 8) AS sub8, size(c.name) AS name_len""",
+      """SELECT c_custkey AS k, ABS(c_acctbal) AS abs_bal,
+                CAST(c_custkey AS VARCHAR) AS ks, UPPER(c_name) AS uname,
+                substring(c_name, 1, 8) AS sub8,
+                CAST(length(c_name) AS INT) AS name_len
+         FROM customer WHERE c_custkey <= 100"""),
+
+    cq("q_cypher_entity_fns", "2.10",
+      """MATCH (c:Customer)-[r:PLACED]->(o:Order) WHERE c.key <= 10
+         RETURN id(c) AS cid, labels(c)[0] AS lbl, type(r) AS rtype, o.key AS okey""",
+      """SELECT 'Customer:' || c_custkey AS cid, 'Customer' AS lbl,
+                'PLACED' AS rtype, o_orderkey AS okey
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         WHERE c_custkey <= 10"""),
+
+    cq("q_cypher_collect", "2.4",
+      """MATCH (n:Nation)
+         RETURN n.key % 5 AS grp, sort(collect(n.name)) AS names""",
+      """SELECT CAST(n_nationkey % 5 AS BIGINT) AS grp,
+                list_sort(list(n_name)) AS names
+         FROM nation GROUP BY 1"""),
+
+    cq("q_cypher_param", "2.2",
+      """MATCH (c:Customer) WHERE c.acctbal > $minbal
+         RETURN c.key AS c_custkey""",
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 9000""",
+      params = Map("minbal" -> 9000L)),
+
+    cq("q_cypher_in_list", "2.2",
+      """MATCH (o:Order) WHERE o.mktsegment IN ['1-URGENT', '2-HIGH']
+         RETURN o.mktsegment AS pri, count(*) AS n""",
+      """SELECT o_orderpriority AS pri, COUNT(*) AS n FROM orders
+         WHERE o_orderpriority IN ('1-URGENT','2-HIGH') GROUP BY 1"""))
+}

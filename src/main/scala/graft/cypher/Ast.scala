@@ -1,0 +1,59 @@
+package graft.cypher
+
+/** Typed Cypher AST — the piece the reference lacks entirely (it routes raw
+  * query strings through ~60 regex/keyword handlers,
+  * `/root/reference/pkg/cypher/executor.go:1153-1441`, which is why its chaos
+  * tests exist). A real AST makes planning compositional and injection-proof.
+  */
+object Ast {
+
+  // ---- expressions ----------------------------------------------------
+  sealed trait Expr
+  case class Lit(v: Any) extends Expr // String | Long | Double | Boolean | null
+  case class Variable(name: String) extends Expr
+  case class Prop(variable: String, key: String) extends Expr
+  case class Param(name: String) extends Expr
+  case class FnCall(name: String, args: Seq[Expr], distinct: Boolean = false) extends Expr
+  case class Bin(op: String, l: Expr, r: Expr) extends Expr // + - * / % = <> < > <= >= AND OR IN =~ STARTSWITH ENDSWITH CONTAINS
+  case class Not(e: Expr) extends Expr
+  case class IsNull(e: Expr, negated: Boolean) extends Expr
+  case class CaseExpr(scrutinee: Option[Expr], whens: Seq[(Expr, Expr)], default: Option[Expr]) extends Expr
+  case class ListLit(items: Seq[Expr]) extends Expr
+  case class Index(list: Expr, idx: Expr) extends Expr
+  case class HasLabel(variable: String, label: String) extends Expr
+  case class ExistsPattern(path: PatternPath) extends Expr // exists((a)-[:T]->(b))
+  case class CountStar() extends Expr
+
+  // ---- patterns -------------------------------------------------------
+  sealed trait Dir
+  case object DirOut extends Dir
+  case object DirIn extends Dir
+  case object DirBoth extends Dir
+
+  case class NodePat(variable: Option[String], label: Option[String], props: Map[String, Expr])
+  case class RelPat(
+      variable: Option[String],
+      relType: Option[String],
+      dir: Dir,
+      varLength: Option[(Int, Int)], // (min,max); None = single hop
+      props: Map[String, Expr])
+  case class PatternPath(first: NodePat, hops: Seq[(RelPat, NodePat)])
+
+  // ---- clauses --------------------------------------------------------
+  case class SortItem(expr: Expr, ascending: Boolean)
+  case class ProjectionItem(expr: Expr, alias: Option[String])
+
+  sealed trait Clause
+  case class MatchClause(paths: Seq[PatternPath], optional: Boolean, where: Option[Expr]) extends Clause
+  case class WithClause(
+      items: Seq[ProjectionItem], distinct: Boolean, where: Option[Expr],
+      orderBy: Seq[SortItem], skip: Option[Long], limit: Option[Long]) extends Clause
+  case class UnwindClause(expr: Expr, alias: String) extends Clause
+  case class ReturnClause(
+      items: Seq[ProjectionItem], distinct: Boolean,
+      orderBy: Seq[SortItem], skip: Option[Long], limit: Option[Long]) extends Clause
+
+  /** One single-part query; UNION combines several. */
+  case class SingleQuery(clauses: Seq[Clause])
+  case class Query(parts: Seq[SingleQuery], unionAll: Seq[Boolean]) // unionAll.size == parts.size-1
+}

@@ -1,0 +1,423 @@
+package graft.cypher
+
+import Ast._
+import Lexer._
+
+/** Recursive-descent Cypher parser (read surface + mutation headers).
+  *
+  * Grammar follows openCypher's shape for the clauses in SURVEY §2: MATCH /
+  * OPTIONAL MATCH (with WHERE), WITH, UNWIND, RETURN (DISTINCT, ORDER BY,
+  * SKIP, LIMIT), UNION [ALL], expressions with standard precedence
+  * (OR < AND < NOT < comparison < additive < multiplicative < unary <
+  * postfix), CASE, list literals/indexing, function calls, var-length
+  * relationship patterns.
+  */
+final class Parser(tokens: Vector[Tok]) {
+  private var pos = 0
+
+  private def peek: Tok = tokens(pos)
+  private def next(): Tok = { val t = tokens(pos); pos += 1; t }
+  private def isKw(k: String): Boolean = peek match { case Kw(`k`) => true; case _ => false }
+  private def isSym(s: String): Boolean = peek match { case Sym(`s`) => true; case _ => false }
+  private def eatKw(k: String): Unit =
+    if (isKw(k)) pos += 1 else fail(s"expected $k")
+  private def eatSym(s: String): Unit =
+    if (isSym(s)) pos += 1 else fail(s"expected '$s'")
+  private def tryKw(k: String): Boolean = { if (isKw(k)) { pos += 1; true } else false }
+  private def trySym(s: String): Boolean = { if (isSym(s)) { pos += 1; true } else false }
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"parse error at token ${peek.text}: $msg")
+
+  // ---- entry ----------------------------------------------------------
+  def parseQuery(): Query = {
+    val parts = Vector.newBuilder[SingleQuery]
+    val unionAll = Vector.newBuilder[Boolean]
+    parts += parseSingle()
+    while (tryKw("UNION")) {
+      unionAll += tryKw("ALL")
+      parts += parseSingle()
+    }
+    if (peek != EOF) fail("trailing input")
+    Query(parts.result(), unionAll.result())
+  }
+
+  private def parseSingle(): SingleQuery = {
+    val clauses = Vector.newBuilder[Clause]
+    var done = false
+    while (!done) {
+      peek match {
+        case Kw("MATCH") => clauses += parseMatch(optional = false)
+        case Kw("OPTIONAL") =>
+          next(); clauses += parseMatch(optional = true)
+        case Kw("WITH") => clauses += parseWith()
+        case Kw("UNWIND") => clauses += parseUnwind()
+        case Kw("RETURN") => clauses += parseReturn(); done = true
+        case _ => done = true
+      }
+      if (isKw("UNION") || peek == EOF) done = true
+    }
+    SingleQuery(clauses.result())
+  }
+
+  // ---- clauses --------------------------------------------------------
+  private def parseMatch(optional: Boolean): MatchClause = {
+    eatKw("MATCH")
+    val paths = Vector.newBuilder[PatternPath]
+    paths += parsePath()
+    while (trySym(",")) paths += parsePath()
+    val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+    MatchClause(paths.result(), optional, where)
+  }
+
+  private def parseWith(): WithClause = {
+    eatKw("WITH")
+    val distinct = tryKw("DISTINCT")
+    val items = parseProjectionItems()
+    val (orderBy, skip, limit) = parseTail()
+    val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+    WithClause(items, distinct, where, orderBy, skip, limit)
+  }
+
+  private def parseUnwind(): UnwindClause = {
+    eatKw("UNWIND")
+    val e = parseExpr()
+    eatKw("AS")
+    val a = identName()
+    UnwindClause(e, a)
+  }
+
+  private def parseReturn(): ReturnClause = {
+    eatKw("RETURN")
+    val distinct = tryKw("DISTINCT")
+    val items = parseProjectionItems()
+    val (orderBy, skip, limit) = parseTail()
+    ReturnClause(items, distinct, orderBy, skip, limit)
+  }
+
+  private def parseTail(): (Seq[SortItem], Option[Long], Option[Long]) = {
+    val orderBy =
+      if (tryKw("ORDER")) {
+        eatKw("BY")
+        val items = Vector.newBuilder[SortItem]
+        def one(): SortItem = {
+          val e = parseExpr()
+          val asc =
+            if (tryKw("DESC") || tryKw("DESCENDING")) false
+            else { tryKw("ASC"); tryKw("ASCENDING"); true }
+          SortItem(e, asc)
+        }
+        items += one()
+        while (trySym(",")) items += one()
+        items.result()
+      } else Seq.empty
+    val skip = if (tryKw("SKIP")) Some(longLit()) else None
+    val limit = if (tryKw("LIMIT")) Some(longLit()) else None
+    (orderBy, skip, limit)
+  }
+
+  private def longLit(): Long = next() match {
+    case NumLit(t) => t.toLong
+    case t => fail(s"expected integer, got ${t.text}")
+  }
+
+  private def parseProjectionItems(): Seq[ProjectionItem] = {
+    val items = Vector.newBuilder[ProjectionItem]
+    def one(): ProjectionItem = {
+      if (isSym("*")) { next(); ProjectionItem(Variable("*"), None) }
+      else {
+        val e = parseExpr()
+        val alias = if (tryKw("AS")) Some(identName()) else None
+        ProjectionItem(e, alias)
+      }
+    }
+    items += one()
+    while (trySym(",")) items += one()
+    items.result()
+  }
+
+  private def identName(): String = next() match {
+    case Ident(t) => t
+    case k @ Kw(_) => k.orig // keywords usable as labels/aliases, case kept
+    case t => fail(s"expected identifier, got ${t.text}")
+  }
+
+  // ---- patterns -------------------------------------------------------
+  private def parsePath(): PatternPath = {
+    val first = parseNodePat()
+    val hops = Vector.newBuilder[(RelPat, NodePat)]
+    while (isSym("-") || isSym("<-") || isSym("<->")) {
+      val rel = parseRelPat()
+      val node = parseNodePat()
+      hops += ((rel, node))
+    }
+    PatternPath(first, hops.result())
+  }
+
+  private def parseNodePat(): NodePat = {
+    eatSym("(")
+    var variable: Option[String] = None
+    var label: Option[String] = None
+    var props: Map[String, Expr] = Map.empty
+    peek match {
+      case Ident(nm) => variable = Some(nm); next()
+      case _ =>
+    }
+    if (trySym(":")) {
+      label = Some(identName())
+      while (trySym(":")) identName() // extra labels accepted, first one used
+    }
+    if (isSym("{")) props = parseMapLit()
+    eatSym(")")
+    NodePat(variable, label, props)
+  }
+
+  private def parseRelPat(): RelPat = {
+    // directions:  -[..]->   <-[..]-   -[..]-   <->
+    var dir: Dir = DirBoth
+    var leftArrow = false
+    if (trySym("<-")) leftArrow = true
+    else if (trySym("<->")) { dir = DirBoth }
+    else eatSym("-")
+
+    var variable: Option[String] = None
+    var relType: Option[String] = None
+    var varLength: Option[(Int, Int)] = None
+    var props: Map[String, Expr] = Map.empty
+
+    if (trySym("[")) {
+      peek match {
+        case Ident(nm) => variable = Some(nm); next()
+        case _ =>
+      }
+      if (trySym(":")) {
+        relType = Some(identName())
+        while (trySym("|")) { trySym(":"); identName() } // alt types accepted, first used
+      }
+      if (trySym("*")) {
+        var min = 1
+        var max = 10
+        peek match {
+          case NumLit(t) =>
+            next(); min = t.toInt; max = t.toInt
+            if (trySym("..")) peek match {
+              case NumLit(u) => next(); max = u.toInt
+              case _ => max = 10
+            }
+          case Sym("..") =>
+            next()
+            peek match { case NumLit(u) => next(); min = 1; max = u.toInt; case _ => }
+          case _ =>
+        }
+        varLength = Some((min, max))
+      }
+      if (isSym("{")) props = parseMapLit()
+      eatSym("]")
+    }
+
+    if (leftArrow) { eatSym("-"); dir = DirIn }
+    else if (trySym("->")) dir = DirOut
+    else if (trySym("-")) { if (dir != DirIn) dir = DirBoth }
+    RelPat(variable, relType, dir, varLength, props)
+  }
+
+  private def parseMapLit(): Map[String, Expr] = {
+    eatSym("{")
+    val m = Map.newBuilder[String, Expr]
+    if (!isSym("}")) {
+      def one(): Unit = { val k = identName(); eatSym(":"); m += (k -> parseExpr()) }
+      one()
+      while (trySym(",")) one()
+    }
+    eatSym("}")
+    m.result()
+  }
+
+  // ---- expressions ----------------------------------------------------
+  def parseExpr(): Expr = parseOr()
+
+  private def parseOr(): Expr = {
+    var l = parseAnd()
+    while (tryKw("OR") || tryKw("XOR")) l = Bin("OR", l, parseAnd())
+    l
+  }
+  private def parseAnd(): Expr = {
+    var l = parseNot()
+    while (tryKw("AND")) l = Bin("AND", l, parseNot())
+    l
+  }
+  private def parseNot(): Expr =
+    if (tryKw("NOT")) Not(parseNot()) else parseComparison()
+
+  private def parseComparison(): Expr = {
+    var l = parseAdditive()
+    var done = false
+    while (!done) {
+      peek match {
+        case Sym(op @ ("=" | "<>" | "<" | ">" | "<=" | ">=" | "=~")) =>
+          next(); l = Bin(op, l, parseAdditive())
+        case Kw("IN") => next(); l = Bin("IN", l, parseAdditive())
+        case Kw("STARTS") => next(); eatKw("WITH"); l = Bin("STARTSWITH", l, parseAdditive())
+        case Kw("ENDS") => next(); eatKw("WITH"); l = Bin("ENDSWITH", l, parseAdditive())
+        case Kw("CONTAINS") => next(); l = Bin("CONTAINS", l, parseAdditive())
+        case Kw("IS") =>
+          next()
+          val neg = tryKw("NOT")
+          eatKw("NULL")
+          l = IsNull(l, neg)
+        case _ => done = true
+      }
+    }
+    l
+  }
+
+  private def parseAdditive(): Expr = {
+    var l = parseMultiplicative()
+    var done = false
+    while (!done) {
+      if (trySym("+")) l = Bin("+", l, parseMultiplicative())
+      else if (trySym("-")) l = Bin("-", l, parseMultiplicative())
+      else done = true
+    }
+    l
+  }
+  private def parseMultiplicative(): Expr = {
+    var l = parseUnary()
+    var done = false
+    while (!done) {
+      if (trySym("*")) l = Bin("*", l, parseUnary())
+      else if (trySym("/")) l = Bin("/", l, parseUnary())
+      else if (trySym("%")) l = Bin("%", l, parseUnary())
+      else if (trySym("^")) l = Bin("^", l, parseUnary())
+      else done = true
+    }
+    l
+  }
+  private def parseUnary(): Expr =
+    if (trySym("-")) Bin("-", Lit(0L), parseUnary())
+    else if (trySym("+")) parseUnary()
+    else parsePostfix()
+
+  private def parsePostfix(): Expr = {
+    var e = parsePrimary()
+    var done = false
+    while (!done) {
+      if (isSym(".")) {
+        next()
+        val key = identName()
+        e match {
+          case Variable(v) => e = Prop(v, key)
+          case _ => e = FnCall("_propOf", Seq(e, Lit(key)))
+        }
+      } else if (isSym("[")) {
+        next()
+        val idx = parseExpr()
+        eatSym("]")
+        e = Index(e, idx)
+      } else if (isSym(":")) {
+        // label predicate n:Label (only valid on a bare variable)
+        e match {
+          case Variable(v) =>
+            next(); val lbl = identName(); e = HasLabel(v, lbl)
+          case _ => done = true
+        }
+      } else done = true
+    }
+    e
+  }
+
+  private def parsePrimary(): Expr = {
+    peek match {
+      case Kw("COUNT") =>
+        next()
+        eatSym("(")
+        if (trySym("*")) { eatSym(")"); CountStar() }
+        else {
+          val distinct = tryKw("DISTINCT")
+          val arg = parseExpr()
+          eatSym(")")
+          FnCall("count", Seq(arg), distinct)
+        }
+      case Kw("EXISTS") =>
+        next()
+        eatSym("(")
+        val p = parsePath()
+        eatSym(")")
+        ExistsPattern(p)
+      case Kw("CASE") =>
+        next()
+        val scrutinee = if (!isKw("WHEN")) Some(parseExpr()) else None
+        val whens = Vector.newBuilder[(Expr, Expr)]
+        while (tryKw("WHEN")) {
+          val c = parseExpr(); eatKw("THEN"); val v = parseExpr()
+          whens += ((c, v))
+        }
+        val default = if (tryKw("ELSE")) Some(parseExpr()) else None
+        eatKw("END")
+        CaseExpr(scrutinee, whens.result(), default)
+      case Kw("TRUE") => next(); Lit(true)
+      case Kw("FALSE") => next(); Lit(false)
+      case Kw("NULL") => next(); Lit(null)
+      case NumLit(t) =>
+        next()
+        if (t.contains('.') || t.contains('e') || t.contains('E')) Lit(t.toDouble) else Lit(t.toLong)
+      case StrLit(t) => next(); Lit(t)
+      case Sym("$") => next(); Param(identName())
+      case Sym("(") =>
+        next(); val e = parseExpr(); eatSym(")"); e
+      case Sym("[") =>
+        next()
+        val items = Vector.newBuilder[Expr]
+        if (!isSym("]")) {
+          items += parseExpr()
+          while (trySym(",")) items += parseExpr()
+        }
+        eatSym("]")
+        ListLit(items.result())
+      case Ident(nm) =>
+        next()
+        if (isSym("(")) {
+          // function call; dotted names like apoc.coll.sum
+          var fname = nm
+          // (dotted handled in parsePostfix via Prop; function names with dots
+          //  are pre-joined here only when '(' directly follows the ident)
+          next() // '('
+          val distinct = tryKw("DISTINCT")
+          val args = Vector.newBuilder[Expr]
+          if (!isSym(")")) {
+            args += parseExpr()
+            while (trySym(",")) args += parseExpr()
+          }
+          eatSym(")")
+          FnCall(fname.toLowerCase, args.result(), distinct)
+        } else if (isSym(".") && pos + 2 < tokens.length) {
+          // lookahead for dotted function name: a.b.c(
+          var j = pos
+          val parts = Vector.newBuilder[String]
+          parts += nm
+          var isFn = false
+          while (j + 1 < tokens.length && tokens(j) == Sym(".") &&
+            (tokens(j + 1) match { case Ident(_) => true; case _ => false })) {
+            parts += tokens(j + 1).text
+            j += 2
+            if (j < tokens.length && tokens(j) == Sym("(")) isFn = true
+          }
+          if (isFn && j < tokens.length && tokens(j) == Sym("(")) {
+            pos = j + 1 // past '('
+            val distinct = tryKw("DISTINCT")
+            val args = Vector.newBuilder[Expr]
+            if (!isSym(")")) {
+              args += parseExpr()
+              while (trySym(",")) args += parseExpr()
+            }
+            eatSym(")")
+            FnCall(parts.result().mkString(".").toLowerCase, args.result(), distinct)
+          } else Variable(nm)
+        } else Variable(nm)
+      case t => fail(s"unexpected token ${t.text}")
+    }
+  }
+}
+
+object Parser {
+  def parse(query: String): Query = new Parser(Lexer.tokenize(query)).parseQuery()
+}

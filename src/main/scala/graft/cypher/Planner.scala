@@ -1,0 +1,595 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.graph.{Expand, PropertyGraph}
+import Ast._
+
+/** Plans a Cypher AST into DataFrame transformations over a PropertyGraph.
+  *
+  * Execution model (vs the reference's per-node nested loops,
+  * `/root/reference/pkg/cypher/traversal.go`): a MATCH pattern is a chain of
+  * distributed hash joins; OPTIONAL MATCH is a left-outer join on the shared
+  * variables; implicit Cypher grouping (non-aggregated RETURN items become
+  * group keys, `match_aggregation.go:10`) becomes a Catalyst hash
+  * aggregation; WITH stages are just further transformations — Catalyst
+  * fuses, reorders, and pushes filters through the whole pipeline.
+  *
+  * Variable bindings are column prefixes: node var `n` owns `n_id, n_labels,
+  * n_key, n_name, n_acctbal, n_mktsegment`; rel var `r` owns `r_id, r_type,
+  * r_properties, r_weight`; value vars own a single column.
+  */
+object Planner {
+
+  sealed trait Kind
+  case object NodeK extends Kind
+  case object RelK extends Kind
+  case object ValK extends Kind
+
+  val nodeFields: Seq[String] = Seq("id", "labels", "key", "name", "acctbal", "mktsegment")
+  val relFields: Seq[String] = Seq("id", "type", "properties", "weight")
+
+  case class Frame(df: DataFrame, kinds: Map[String, Kind]) {
+    def varCols(v: String): Seq[String] = kinds(v) match {
+      case NodeK => nodeFields.map(f => s"${v}_$f")
+      case RelK  => relFields.map(f => s"${v}_$f")
+      case ValK  => Seq(v)
+    }
+  }
+
+  private val aggFns = Set("count", "sum", "avg", "min", "max", "collect",
+    "stdev", "stdevp", "percentilecont", "percentiledisc")
+
+  private var tmpCounter = 0
+  private def fresh(): String = synchronized { tmpCounter += 1; s"__v$tmpCounter" }
+
+  // =====================================================================
+  // entry
+  // =====================================================================
+  def plan(g: PropertyGraph, q: Query, params: Map[String, Any]): DataFrame = {
+    val parts = q.parts.map(p => planSingle(g, p, params))
+    var acc = parts.head
+    for (j <- 1 until parts.size) {
+      acc = acc.unionByName(parts(j))
+      if (!q.unionAll(j - 1)) acc = acc.dropDuplicates()
+    }
+    acc
+  }
+
+  private def planSingle(g: PropertyGraph, sq: SingleQuery, params: Map[String, Any]): DataFrame = {
+    // one-row, zero-column seed so a leading UNWIND/RETURN produces rows
+    var frame = Frame(g.nodes.sparkSession.range(1).toDF().drop("id"), Map.empty)
+    var first = true
+    sq.clauses.foreach {
+      case m: MatchClause =>
+        frame = planMatch(g, if (first) None else Some(frame), m, params)
+        first = false
+      case u: UnwindClause =>
+        val c = compile(u.expr, frame, params)
+        frame = Frame(frame.df.withColumn(u.alias, explode(c)), frame.kinds + (u.alias -> ValK))
+        first = false
+      case w: WithClause =>
+        frame = project(g, frame, w.items, w.distinct, w.orderBy, w.skip, w.limit,
+          isReturn = false, where = w.where, params = params)
+      case r: ReturnClause =>
+        frame = project(g, frame, r.items, r.distinct, r.orderBy, r.skip, r.limit,
+          isReturn = true, where = None, params = params)
+    }
+    frame.df
+  }
+
+  // =====================================================================
+  // MATCH
+  // =====================================================================
+  private def planMatch(g: PropertyGraph, prev: Option[Frame], m: MatchClause,
+      params: Map[String, Any]): Frame = {
+    var frame = prev
+    m.paths.foreach { path =>
+      frame = Some(attachPath(g, frame, path, m.optional, params))
+    }
+    var f = frame.get
+    // WHERE: handle EXISTS conjuncts as semi/anti joins, rest as filter
+    m.where.foreach { w =>
+      val conjuncts = splitAnd(w)
+      conjuncts.foreach {
+        case ExistsPattern(p) =>
+          val pf = buildStandalone(g, p, params)
+          val shared = pf.kinds.keySet.intersect(f.kinds.keySet)
+            .filter(v => f.kinds(v) != ValK).toSeq.sorted
+          require(shared.nonEmpty, "EXISTS pattern must share a variable")
+          f = Frame(
+            f.df.join(idOnly(pf, shared), shared.map(v => s"${v}_id"), "left_semi"),
+            f.kinds)
+        case Not(ExistsPattern(p)) =>
+          val pf = buildStandalone(g, p, params)
+          val shared = pf.kinds.keySet.intersect(f.kinds.keySet)
+            .filter(v => f.kinds(v) != ValK).toSeq.sorted
+          require(shared.nonEmpty, "NOT EXISTS pattern must share a variable")
+          f = Frame(
+            f.df.join(idOnly(pf, shared), shared.map(v => s"${v}_id"), "left_anti"),
+            f.kinds)
+        case other =>
+          f = Frame(f.df.filter(compile(other, f, params)), f.kinds)
+      }
+    }
+    f
+  }
+
+  private def splitAnd(e: Expr): Seq[Expr] = e match {
+    case Bin("AND", l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Project a pattern frame down to the id columns of `vars` (for joins). */
+  private def idOnly(f: Frame, vars: Seq[String]): DataFrame =
+    f.df.select(vars.map(v => col(s"${v}_id")): _*).distinct()
+
+  private def attachPath(g: PropertyGraph, prev: Option[Frame], path: PatternPath,
+      optional: Boolean, params: Map[String, Any]): Frame = prev match {
+    case None =>
+      require(!optional, "OPTIONAL MATCH cannot be the first clause in this engine")
+      buildStandalone(g, path, params)
+    case Some(f) =>
+      val firstVar = path.first.variable
+      if (!optional && firstVar.exists(f.kinds.contains)) {
+        // continue expanding in place from the bound anchor
+        buildOnto(g, f, path, params)
+      } else {
+        val pf = buildStandalone(g, path, params)
+        val shared = pf.kinds.keySet.intersect(f.kinds.keySet)
+          .filter(v => pf.kinds(v) != ValK).toSeq.sorted
+        if (shared.isEmpty) {
+          require(!optional, "OPTIONAL MATCH without shared variables is unsupported")
+          Frame(f.df.crossJoin(pf.df), f.kinds ++ pf.kinds)
+        } else {
+          // drop shared non-id cols from the pattern side, join on shared ids
+          val dropCols = shared.flatMap(v => pf.varCols(v).filterNot(_.endsWith("_id")))
+          val joined = f.df.join(
+            pf.df.drop(dropCols: _*),
+            shared.map(v => s"${v}_id"),
+            if (optional) "left_outer" else "inner")
+          Frame(joined, f.kinds ++ pf.kinds)
+        }
+      }
+  }
+
+  /** Build a pattern path as its own frame, starting from a node scan. */
+  private def buildStandalone(g: PropertyGraph, path: PatternPath,
+      params: Map[String, Any]): Frame = {
+    val v0 = path.first.variable.getOrElse(fresh())
+    var f = scanNode(g, v0, path.first, params)
+    f = expandHops(g, f, v0, path.hops, params)
+    f
+  }
+
+  /** Expand a path whose first variable is already bound in `f`. */
+  private def buildOnto(g: PropertyGraph, f: Frame, path: PatternPath,
+      params: Map[String, Any]): Frame = {
+    val v0 = path.first.variable.get
+    var cur = f
+    // label/prop re-filter on the bound anchor
+    path.first.label.foreach { l =>
+      cur = Frame(cur.df.filter(array_contains(col(s"${v0}_labels"), l)), cur.kinds)
+    }
+    path.first.props.foreach { case (k, e) =>
+      cur = Frame(cur.df.filter(propCol(cur, v0, k) === compile(e, cur, params)), cur.kinds)
+    }
+    expandHops(g, cur, v0, path.hops, params)
+  }
+
+  private def expandHops(g: PropertyGraph, start: Frame, startVar: String,
+      hops: Seq[(RelPat, NodePat)], params: Map[String, Any]): Frame = {
+    var f = start
+    var cur = startVar
+    hops.foreach { case (rel, node) =>
+      val targetVar = node.variable.getOrElse(fresh())
+      val bound = f.kinds.contains(targetVar)
+      val v = if (bound) fresh() else targetVar
+      val relVar = rel.variable.filterNot(_ => rel.varLength.isDefined)
+
+      rel.varLength match {
+        case Some((minH, maxH)) =>
+          val dir = toDir(rel.dir)
+          val anchorIds = f.df.select(col(s"${cur}_id").as("id")).distinct()
+          val pairs = Expand.varLengthExpand(g, anchorIds, rel.relType, minH, maxH, dir)
+            .select(col("start_id"), col("end_id"))
+            .distinct() // pairs reachable at any depth in [min,max]
+          var df = f.df.join(pairs, col(s"${cur}_id") === col("start_id"))
+          val nodesDf = node.label.map(g.nodesByLabel).getOrElse(g.nodes)
+          df = df.join(Expand.nodeColsOf(nodesDf, v), col("end_id") === col(s"${v}_id"))
+            .drop("start_id", "end_id")
+          f = Frame(df, f.kinds + (v -> NodeK))
+        case None =>
+          val df = Expand.expand(g, f.df, cur, v, rel.relType, toDir(rel.dir),
+            node.label, relVar)
+          var kinds = f.kinds + (v -> NodeK)
+          relVar.foreach(r => kinds += (r -> RelK))
+          f = Frame(df, kinds)
+          // rel property filters
+          relVar match {
+            case Some(r) =>
+              rel.props.foreach { case (k, e) =>
+                f = Frame(f.df.filter(
+                  element_at(col(s"${r}_properties"), k).cast("double") ===
+                    compile(e, f, params).cast("double")), f.kinds)
+              }
+            case None if rel.props.nonEmpty =>
+              throw new IllegalArgumentException("relationship property filter requires a rel variable")
+            case _ =>
+          }
+      }
+      // node property filters on the new end
+      node.props.foreach { case (k, e) =>
+        f = Frame(f.df.filter(propCol(f, v, k) === compile(e, f, params)), f.kinds)
+      }
+      if (bound) {
+        // cycle: new expansion must land on the already-bound node
+        f = Frame(
+          f.df.filter(col(s"${v}_id") === col(s"${targetVar}_id"))
+            .drop(f.varCols(v): _*),
+          f.kinds - v)
+        cur = targetVar
+      } else cur = v
+    }
+    f
+  }
+
+  private def toDir(d: Dir): Expand.Direction = d match {
+    case DirOut => Expand.Out
+    case DirIn => Expand.In
+    case DirBoth => Expand.Both
+  }
+
+  private def scanNode(g: PropertyGraph, v: String, pat: NodePat,
+      params: Map[String, Any]): Frame = {
+    val base = pat.label.map(g.nodesByLabel).getOrElse(g.nodes)
+    val f0 = Frame(Expand.nodeColsOf(base, v), Map(v -> NodeK))
+    var f = f0
+    pat.props.foreach { case (k, e) =>
+      f = Frame(f.df.filter(propCol(f, v, k) === compile(e, f, params)), f.kinds)
+    }
+    f
+  }
+
+  /** Property access for a bound variable. */
+  private def propCol(f: Frame, v: String, key: String): Column = f.kinds.get(v) match {
+    case Some(NodeK) =>
+      if (nodeFields.contains(key)) col(s"${v}_$key")
+      else throw new IllegalArgumentException(s"unknown node property $key (hoisted: ${nodeFields.mkString(",")})")
+    case Some(RelK) =>
+      if (key == "weight") col(s"${v}_weight")
+      else if (key == "type") col(s"${v}_type")
+      else element_at(col(s"${v}_properties"), key).cast("double")
+    case Some(ValK) =>
+      // struct-valued value column (e.g. a node projected through WITH)
+      col(v).getField(key)
+    case None => throw new IllegalArgumentException(s"unbound variable $v")
+  }
+
+  // =====================================================================
+  // projection (WITH / RETURN) — implicit grouping
+  // =====================================================================
+  private def project(g: PropertyGraph, f: Frame, items: Seq[ProjectionItem],
+      distinct: Boolean, orderBy: Seq[SortItem], skip: Option[Long],
+      limit: Option[Long], isReturn: Boolean, where: Option[Expr],
+      params: Map[String, Any]): Frame = {
+
+    // RETURN * / WITH *: passthrough
+    if (items.size == 1 && items.head.expr == Variable("*")) {
+      var df = f.df
+      where.foreach(w => df = df.filter(compile(w, f, params)))
+      return applyTail(Frame(df, f.kinds), orderBy, skip, limit, distinct, params)
+    }
+
+    val hasAgg = items.exists(i => containsAgg(i.expr))
+
+    // classify items
+    sealed trait Out
+    case class VarOut(v: String, outName: String) extends Out // node/rel var passthrough
+    case class ExprOut(c: Column, outName: String, agg: Boolean) extends Out
+
+    val outs: Seq[Out] = items.map { it =>
+      it.expr match {
+        case Variable(v) if f.kinds.get(v).exists(k => k == NodeK || k == RelK) =>
+          VarOut(v, it.alias.getOrElse(v))
+        case e =>
+          val name = it.alias.getOrElse(autoName(e))
+          ExprOut(compile(e, f, params), name, containsAgg(e))
+      }
+    }
+
+    var outFrame: Frame =
+      if (!hasAgg) {
+        val cols = outs.flatMap {
+          case VarOut(v, out) =>
+            f.varCols(v).map(c => col(c).as(c.replaceFirst(s"^${java.util.regex.Pattern.quote(v)}_", s"${out}_")))
+          case ExprOut(c, n, _) => Seq(c.as(n))
+        }
+        val kinds = outs.map {
+          case VarOut(v, out) => out -> f.kinds(v)
+          case ExprOut(_, n, _) => n -> ValK
+        }.toMap
+        Frame(f.df.select(cols: _*), kinds)
+      } else {
+        val keyCols = outs.collect {
+          case VarOut(v, _) => f.varCols(v).map(col)
+          case ExprOut(c, n, false) => Seq(c.as(n))
+        }.flatten
+        val aggCols = outs.collect { case ExprOut(c, n, true) => c.as(n) }
+        val grouped =
+          if (keyCols.isEmpty) f.df.agg(aggCols.head, aggCols.tail: _*)
+          else f.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        // rename var prefixes to out names
+        var df = grouped
+        outs.foreach {
+          case VarOut(v, out) if v != out =>
+            f.varCols(v).foreach { c =>
+              df = df.withColumnRenamed(c, c.replaceFirst(s"^${java.util.regex.Pattern.quote(v)}_", s"${out}_"))
+            }
+          case _ =>
+        }
+        val kinds = outs.map {
+          case VarOut(v, out) => out -> f.kinds(v)
+          case ExprOut(_, n, _) => n -> ValK
+        }.toMap
+        Frame(df, kinds)
+      }
+
+    where.foreach { w =>
+      outFrame = Frame(outFrame.df.filter(compile(w, outFrame, params)), outFrame.kinds)
+    }
+
+    outFrame = applyTail(outFrame, orderBy, skip, limit, distinct, params)
+
+    if (isReturn) {
+      // entity vars become structs for user-facing output
+      val cols = outFrame.kinds.toSeq.sortBy(t => outFrame.df.columns.indexOf(firstCol(outFrame, t._1))).map {
+        case (v, NodeK) =>
+          struct(nodeFields.map(fld => col(s"${v}_$fld").as(fld)): _*).as(v)
+        case (v, RelK) =>
+          struct(relFields.map(fld => col(s"${v}_$fld").as(fld)): _*).as(v)
+        case (v, ValK) => col(v)
+      }
+      Frame(outFrame.df.select(cols: _*), outFrame.kinds.map { case (k, _) => k -> ValK })
+    } else outFrame
+  }
+
+  private def firstCol(f: Frame, v: String): String = f.varCols(v).head
+
+  private def applyTail(f0: Frame, orderBy: Seq[SortItem], skip: Option[Long],
+      limit: Option[Long], distinct: Boolean, params: Map[String, Any]): Frame = {
+    var f = f0
+    if (distinct) f = Frame(f.df.dropDuplicates(), f.kinds)
+    if (orderBy.nonEmpty) {
+      val sorts = orderBy.map { s =>
+        val c = compile(s.expr, f, params)
+        if (s.ascending) c.asc_nulls_last else c.desc_nulls_last
+      }
+      f = Frame(f.df.orderBy(sorts: _*), f.kinds)
+    }
+    skip.foreach(n => f = Frame(f.df.offset(n.toInt), f.kinds))
+    limit.foreach(n => f = Frame(f.df.limit(n.toInt), f.kinds))
+    f
+  }
+
+  private def autoName(e: Expr): String = e match {
+    case Prop(v, k) => s"${v}_$k"
+    case FnCall(n, _, _) => n.replace('.', '_')
+    case CountStar() => "count"
+    case Variable(v) => v
+    case _ => fresh()
+  }
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case CountStar() => true
+    case FnCall(n, args, _) => aggFns.contains(n) || args.exists(containsAgg)
+    case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Not(x) => containsAgg(x)
+    case IsNull(x, _) => containsAgg(x)
+    case CaseExpr(s, ws, d) =>
+      s.exists(containsAgg) || ws.exists(t => containsAgg(t._1) || containsAgg(t._2)) || d.exists(containsAgg)
+    case Index(l, i) => containsAgg(l) || containsAgg(i)
+    case ListLit(xs) => xs.exists(containsAgg)
+    case _ => false
+  }
+
+  // =====================================================================
+  // expression compiler
+  // =====================================================================
+  def compile(e: Expr, f: Frame, params: Map[String, Any]): Column = e match {
+    case Lit(null) => lit(null)
+    case Lit(v) => lit(v)
+    case Param(n) =>
+      params.get(n) match {
+        case Some(v: Seq[_]) => array(v.map(x => lit(x)): _*)
+        case Some(v) => lit(v)
+        case None => throw new IllegalArgumentException(s"missing parameter $$n")
+      }
+    case Variable(v) => f.kinds.get(v) match {
+      case Some(NodeK) => struct(nodeFields.map(fld => col(s"${v}_$fld").as(fld)): _*)
+      case Some(RelK) => struct(relFields.map(fld => col(s"${v}_$fld").as(fld)): _*)
+      case Some(ValK) => col(v)
+      case None => col(v) // let Catalyst resolve (post-projection aliases)
+    }
+    case Prop(v, k) => propCol(f, v, k)
+    case HasLabel(v, l) => array_contains(col(s"${v}_labels"), l)
+    case Not(x) => !compile(x, f, params)
+    case IsNull(x, neg) =>
+      val c = compile(x, f, params)
+      if (neg) c.isNotNull else c.isNull
+    case CaseExpr(scrutinee, whens, default) =>
+      val base = scrutinee.map(s => compile(s, f, params))
+      val branches = whens.map { case (c, v) =>
+        val cond = base match {
+          case Some(s) => s === compile(c, f, params)
+          case None => compile(c, f, params)
+        }
+        (cond, compile(v, f, params))
+      }
+      val start = when(branches.head._1, branches.head._2)
+      val chained = branches.tail.foldLeft(start) { case (acc, (c, v)) => acc.when(c, v) }
+      default.map(d => chained.otherwise(compile(d, f, params))).getOrElse(chained)
+    case ListLit(items) => array(items.map(i => compile(i, f, params)): _*)
+    case Index(l, i) =>
+      val lc = compile(l, f, params)
+      i match {
+        case Lit(n: Long) =>
+          if (n >= 0) element_at(lc, n.toInt + 1) else element_at(lc, n.toInt)
+        case _ =>
+          val ic = compile(i, f, params).cast("int")
+          when(ic >= 0, element_at(lc, ic + 1)).otherwise(element_at(lc, ic))
+      }
+    case CountStar() => count(lit(1))
+    case ExistsPattern(_) =>
+      throw new IllegalArgumentException("EXISTS pattern only supported as a top-level WHERE conjunct")
+    case Bin(op, l, r) =>
+      lazy val lc = compile(l, f, params)
+      lazy val rc = compile(r, f, params)
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+        case "%" => lc % rc
+        case "^" => pow(lc, rc)
+        case "=" => lc === rc
+        case "<>" => lc =!= rc
+        case "<" => lc < rc
+        case ">" => lc > rc
+        case "<=" => lc <= rc
+        case ">=" => lc >= rc
+        case "AND" => lc && rc
+        case "OR" => lc || rc
+        case "=~" => lc.rlike(r match {
+          case Lit(s: String) => s
+          case _ => throw new IllegalArgumentException("=~ needs a literal pattern")
+        })
+        case "STARTSWITH" => lc.startsWith(rc)
+        case "ENDSWITH" => lc.endsWith(rc)
+        case "CONTAINS" => lc.contains(rc)
+        case "IN" => r match {
+          case ListLit(items) => lc.isin(items.map { case Lit(v) => v; case other =>
+            throw new IllegalArgumentException(s"IN list must be literal, got $other") }: _*)
+          case _ => array_contains(rc, lc)
+        }
+        case other => throw new IllegalArgumentException(s"unknown operator $other")
+      }
+    case FnCall(name, args, distinct) =>
+      def a(i: Int): Column = compile(args(i), f, params)
+      // entity args to aggregates count/group by their id, not the struct —
+      // a struct of all-null fields is non-null, which would make
+      // OPTIONAL MATCH count(o) return 1 instead of 0
+      def entityOr(e: Expr): Column = e match {
+        case Variable(v) if f.kinds.get(v).exists(k => k == NodeK || k == RelK) =>
+          col(s"${v}_id")
+        case other => compile(other, f, params)
+      }
+      name match {
+        // aggregates
+        case "count" =>
+          val c0 = entityOr(args.head)
+          if (distinct) countDistinct(c0) else count(c0)
+        case "sum" => sum(a(0))
+        case "avg" => avg(a(0))
+        case "min" => min(a(0))
+        case "max" => max(a(0))
+        case "collect" => if (distinct) collect_set(a(0)) else collect_list(a(0))
+        case "stdev" => stddev_samp(a(0))
+        case "stdevp" => stddev_pop(a(0))
+        case "percentilecont" => percentile(a(0), a(1))
+        case "percentiledisc" => percentile_approx(a(0), a(1), lit(100000))
+        // entity functions
+        case "id" | "elementid" => args.head match {
+          case Variable(v) => col(s"${v}_id")
+          case other => compile(other, f, params).getField("id")
+        }
+        case "labels" => args.head match {
+          case Variable(v) => col(s"${v}_labels")
+          case other => compile(other, f, params).getField("labels")
+        }
+        case "type" => args.head match {
+          case Variable(v) => col(s"${v}_type")
+          case other => compile(other, f, params).getField("type")
+        }
+        // list functions (Catalyst HOFs). Cypher size()/length() also work
+        // on strings — dispatch on the analyzed type.
+        case "size" | "length" =>
+          val c0 = a(0)
+          val dt = f.df.select(c0).schema.head.dataType
+          if (dt == org.apache.spark.sql.types.StringType) length(c0) else size(c0)
+        case "head" => element_at(a(0), 1)
+        case "last" => element_at(a(0), -1)
+        case "tail" => slice(a(0), 2, 1000000)
+        case "reverse" => reverse(a(0))
+        case "range" =>
+          if (args.size >= 3) sequence(a(0), a(1), a(2)) else sequence(a(0), a(1))
+        case "apoc.coll.sort" | "sort" => sort_array(a(0))
+        case "apoc.coll.sum" => aggregate(a(0), lit(0.0), (acc, x) => acc + x.cast("double"))
+        case "apoc.coll.avg" =>
+          aggregate(a(0), lit(0.0), (acc, x) => acc + x.cast("double")) / size(a(0))
+        case "apoc.coll.min" => array_min(a(0))
+        case "apoc.coll.max" => array_max(a(0))
+        case "apoc.coll.contains" => array_contains(a(0), a(1))
+        case "apoc.coll.toset" | "toset" => array_distinct(a(0))
+        case "apoc.coll.flatten" => flatten(a(0))
+        case "apoc.coll.intersection" => array_intersect(a(0), a(1))
+        case "apoc.coll.subtract" => array_except(a(0), a(1))
+        case "apoc.coll.union" => array_union(a(0), a(1))
+        case "apoc.coll.indexof" => array_position(a(0), a(1)) - 1
+        case "apoc.text.join" => array_join(a(0), args(1) match { case Lit(s: String) => s; case _ => "," })
+        case "apoc.text.clean" => regexp_replace(lower(a(0)), "[^a-z0-9]", "")
+        // string functions
+        case "tolower" | "lower" => lower(a(0))
+        case "toupper" | "upper" => upper(a(0))
+        case "trim" => trim(a(0))
+        case "ltrim" => ltrim(a(0))
+        case "rtrim" => rtrim(a(0))
+        case "replace" => // replace(s, search, repl) — literal, not regex
+          regexp_replace(a(0),
+            args(1) match { case Lit(s: String) => java.util.regex.Pattern.quote(s); case _ => "" },
+            args(2) match { case Lit(s: String) => java.util.regex.Matcher.quoteReplacement(s); case _ => "" })
+        case "split" => split(a(0), args(1) match {
+          case Lit(s: String) => java.util.regex.Pattern.quote(s); case _ => "," })
+        case "substring" =>
+          // Cypher substring(s, start[, len]) is 0-based; Spark is 1-based
+          if (args.size >= 3) a(0).substr(a(1).cast("int") + 1, a(2).cast("int"))
+          else a(0).substr(a(1).cast("int") + 1, lit(1000000))
+        case "left" => a(0).substr(lit(1), a(1).cast("int"))
+        case "right" => args(1) match {
+          case Lit(n: Long) => substring(a(0), -n.toInt, n.toInt)
+          case _ => throw new IllegalArgumentException("right(s, n) needs literal n")
+        }
+        // conversion
+        case "tostring" => a(0).cast("string")
+        case "tointeger" | "toint" => a(0).cast("long")
+        case "tofloat" => a(0).cast("double")
+        case "toboolean" => a(0).cast("boolean")
+        // math
+        case "abs" => abs(a(0))
+        case "ceil" => ceil(a(0))
+        case "floor" => floor(a(0))
+        case "round" => if (args.size >= 2) round(a(0), args(1) match { case Lit(n: Long) => n.toInt; case _ => 0 }) else round(a(0))
+        case "sign" => signum(a(0))
+        case "sqrt" => sqrt(a(0))
+        case "exp" => exp(a(0))
+        case "log" => log(a(0))
+        case "log10" => log10(a(0))
+        case "sin" => sin(a(0)); case "cos" => cos(a(0)); case "tan" => tan(a(0))
+        case "asin" => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
+        case "atan2" => atan2(a(0), a(1))
+        case "pi" => lit(math.Pi)
+        case "rand" => rand()
+        case "randomuuid" | "apoc.create.uuid" => expr("uuid()")
+        case "coalesce" => coalesce(args.map(x => compile(x, f, params)): _*)
+        case "nullif" => when(a(0) === a(1), lit(null)).otherwise(a(0))
+        case "isempty" => size(a(0)) === 0
+        // higher-order list predicates
+        case "all" | "any" | "none" | "single" =>
+          throw new IllegalArgumentException(s"$name(...) list predicate: use forall/exists via the functions API")
+        case "vector.similarity.cosine" => graft.functions.VectorFns.cosineCol(a(0), a(1))
+        case "vector.similarity.euclidean" => graft.functions.VectorFns.euclideanSimCol(a(0), a(1))
+        case other =>
+          throw new IllegalArgumentException(s"unknown function $other")
+      }
+  }
+}
