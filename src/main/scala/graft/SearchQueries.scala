@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.search.{BM25, Hybrid, VectorSearch}
+
+/** Search surface (SURVEY.md §2.11): BM25 fulltext, vector top-k
+  * (brute/exact/ANN), RRF hybrid fusion.
+  */
+object SearchQueries {
+
+  private val bmTerms = Seq("spark", "table", "query")
+
+  val queries: Map[String, GQuery] = Map(
+    "q_bm25_topk" -> GQuery(
+      (s, d) => BM25.search(Tables.documents(s, d), bmTerms, 20),
+      Some(BM25.oracleSql(bmTerms, 20)), "2.11"),
+
+    "q_vector_topk" -> GQuery(
+      (s, d) => VectorSearch.bruteTopKExact(Tables.embeddings(s, d), 0L, 10),
+      Some(VectorSearch.bruteTopKExactOracle(0L, 10, 64)), "2.11"),
+
+    // fast codegen'd variant — scores are plain double HOF sums, so this is
+    // a rows-only check (ranking equivalence is asserted in ScalaTest)
+    "q_vector_topk_fast" -> GQuery(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        VectorSearch.bruteTopK(emb, emb.filter(col("vec_id") === 0L), 10)
+      },
+      None, "2.11"),
+
+    // bit-count tuned for weakly-similar corpora: P[collision] per table is
+    // (1 - θ/π)^nBits; at cosine≈0.37 (θ≈68°) 4 bits × 8 tables ⇒ ~0.73
+    // recall. High-similarity near-dup corpora would use 8–16 bits.
+    "q_vector_ann_lsh" -> GQuery(
+      (s, d) => VectorSearch.annTopK(Tables.embeddings(s, d), 0L, 10, nBits = 4, nTables = 8),
+      None, "2.11"),
+
+    "q_hybrid_rrf" -> GQuery(
+      (s, d) => {
+        val bm = BM25.search(Tables.documents(s, d), bmTerms, 100)
+        val vs = VectorSearch.bruteTopKExact(Tables.embeddings(s, d), 0L, 100)
+        Hybrid.rrf(bm, vs, "doc_id", "vec_id", 100, 10)
+      },
+      Some {
+        val bmSql = BM25.oracleSql(bmTerms, 100)
+        val vsSql = VectorSearch.bruteTopKExactOracle(0L, 100, 64)
+        s"""WITH bm AS ($bmSql),
+            bmr AS (SELECT doc_id AS id,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_text
+                    FROM bm),
+            cs AS ($vsSql),
+            csr AS (SELECT vec_id AS id,
+                      ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rank_vec
+                    FROM cs)
+            SELECT id,
+                   COALESCE(1.0 / (60 + rank_text), 0.0)
+                 + COALESCE(1.0 / (60 + rank_vec), 0.0) AS rrf
+            FROM bmr FULL OUTER JOIN csr USING (id)
+            ORDER BY rrf DESC, id LIMIT 10"""
+      }, "2.11"))
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: quality scoring,
+  * language ID (n-gram/marker heuristic), token counting, document
+  * fingerprinting. Everything is a per-row column expression or one
+  * aggregation — embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Per-doc quality features. All integer arithmetic until the final
+    * double divisions, so results are bit-stable vs a SQL oracle.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(words).as("n_words"),
+      (length(col("text")).cast("double") / size(words)).as("avg_token_len"),
+      (size(filter(words, w => w.isin(stopwords: _*))).cast("double") /
+        size(words)).as("stopword_ratio"),
+      (size(array_distinct(words)).cast("double") / size(words)).as("ttr"))
+  }
+
+  /** Marker-word language heuristic. The synthetic corpus is English-ish
+    * word soup, so this is a deterministic classifier exercising the
+    * n-gram-scoring *shape* (argmax over per-language marker counts), not a
+    * real model.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    val enScore = size(filter(words, w => w.isin("the", "a", "value", "fast")))
+    val dataScore = size(filter(words, w => w.isin("table", "query", "scan")))
+    docs.select(col("doc_id"),
+      when(enScore > dataScore, "en")
+        .when(dataScore > enScore, "dataspeak")
+        .otherwise("unknown").as("pred_lang"))
+  }
+
+  /** Token counts: whitespace tokens, regex word tokens, distinct tokens,
+    * and a BPE-ish subword estimate (ceil of chars/4 — the common
+    * chars-per-token rule of thumb, deterministic).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    docs.select(
+      col("doc_id"),
+      size(words).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+")).as("re_tokens"),
+      size(array_distinct(words)).as("distinct_tokens"),
+      ceil(length(col("text")).cast("double") / 4).cast("long").as("est_bpe_tokens"))
+  }
+
+  /** Polynomial rolling-hash fingerprint over words:
+    * h = Σ (h*31 + murmur3(word)) mod 2^31-1, computed with a HOF fold —
+    * deterministic, distributed, no UDF.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    val m = lit(2147483647L) // 2^31 - 1
+    docs.select(col("doc_id"),
+      aggregate(words, lit(0L),
+        (acc, w) => (acc * 31 + pmod(hash(w).cast("long"), m)) % m).as("fingerprint"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Reciprocal-rank-fusion hybrid search: fuse a BM25 ranking and a vector
+  * ranking with `score = Σ w / (k + rank)`, k=60 — the reference's
+  * `rrfHybridSearch` (`/root/reference/pkg/search/search.go:890`, constant
+  * at `search.go:44`). Two ranked DataFrames → row_number windows → full
+  * outer join on id → fused top-k. Window is over a single global ordering
+  * of at most `perList` rows, so the shuffle is bounded by the candidate
+  * list size, not the corpus.
+  */
+object Hybrid {
+
+  val RrfK = 60
+
+  /** rank column via deterministic (score desc, id asc) ordering. */
+  private def ranked(df: DataFrame, idCol: String, scoreCol: String, limitN: Int): DataFrame =
+    df.orderBy(col(scoreCol).desc, col(idCol).asc).limit(limitN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col(scoreCol).desc, col(idCol).asc)))
+      .select(col(idCol).as("id"), col("rank"))
+
+  /** Fuse two ranked lists (id, score) into RRF top-k. */
+  def rrf(bm25: DataFrame, vec: DataFrame, idColA: String, idColB: String,
+      perList: Int, k: Int): DataFrame = {
+    val ra = ranked(bm25, idColA, "score", perList).withColumnRenamed("rank", "rank_text")
+    val rb = ranked(vec, idColB, "cos_sim", perList).withColumnRenamed("rank", "rank_vec")
+    ra.join(rb, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("rank_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_vec")), lit(0.0)))
+      .select("id", "rrf")
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(k)
+  }
+}

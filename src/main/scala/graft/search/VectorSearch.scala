@@ -1,0 +1,123 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+
+/** Vector similarity search over an `embedding ARRAY<FLOAT>` column.
+  *
+  * Three tiers (SURVEY §2.11 `db.index.vector.queryNodes`,
+  * `/root/reference/pkg/cypher/call_vector.go:35`):
+  *  - [[bruteTopK]] — one codegen'd pass, the correctness baseline and the
+  *    honest small-k answer (the reference's own fallback path).
+  *  - [[bruteTopKExact]] — same ranking but with DECIMAL-routed accumulation
+  *    so scores hash-match a SQL oracle bit-for-bit.
+  *  - [[lshBuckets]]/[[annTopK]] — random-hyperplane LSH: candidates share a
+  *    signature bucket, so at 100 TB the probe touches one bucket's
+  *    partitions instead of the full table (the scale path; the reference
+  *    uses single-node HNSW, which does not distribute).
+  */
+object VectorSearch {
+
+  /** Fast brute-force cosine top-k (whole-stage-codegen HOFs). */
+  def bruteTopK(emb: DataFrame, queryVec: DataFrame, k: Int): DataFrame =
+    emb.crossJoin(broadcast(queryVec.select(col("embedding").as("q"))))
+      .withColumn("cos_sim", VectorFns.cosineCol(col("embedding"), col("q")))
+      .select("vec_id", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+
+  /** Σ over zip_with products routed through DECIMAL(38,18) — exact. */
+  private def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(38,18)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)"),
+      // decimal addition widens precision; pin the accumulator type
+      (acc, x) => (acc + x).cast("decimal(38,18)")).cast("double")
+
+  /** Oracle-exact brute-force cosine top-k, excluding the query row. */
+  def bruteTopKExact(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("dot", dotDec(col("embedding"), col("qe")))
+      .withColumn("na2", dotDec(col("embedding"), col("embedding")))
+      .withColumn("nb2", dotDec(col("qe"), col("qe")))
+      .withColumn("cos_sim", round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 12))
+      .select("vec_id", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def bruteTopKExactOracle(queryId: Long, k: Int, dim: Int): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId),
+        comp AS (
+          SELECT e.vec_id,
+            CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+            CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na2,
+            CAST(SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nb2
+          FROM embeddings e CROSS JOIN q CROSS JOIN generate_series(1, $dim) t(i)
+          WHERE e.vec_id <> $queryId
+          GROUP BY e.vec_id)
+        SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 12) AS cos_sim
+        FROM comp ORDER BY cos_sim DESC, vec_id LIMIT $k"""
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim). Hash-based uniform in [-1, 1] — seed-stable across runs and
+    * executors, no driver-side randomness to ship.
+    */
+  private def planeComponent(table: Int, plane: Int, i: Column): Column = {
+    val h = hash(lit(table), lit(plane), i, lit(42))
+    (h.cast("double") / lit(Int.MaxValue.toDouble))
+  }
+
+  /** nBits-bit signature for hash table `table`:
+    * bit_p = sign(Σ_i v_i · plane_{t,p,i}).
+    */
+  private def bucketExpr(table: Int, nBits: Int): Column = {
+    val sigBits: Seq[Column] = (0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with(col("embedding"),
+          transform(sequence(lit(1), size(col("embedding"))),
+            i => planeComponent(table, p, i)),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    sigBits.reduce(_ + _)
+  }
+
+  /** Single-table signature (kept for inspection/tests). */
+  def lshBuckets(emb: DataFrame, nBits: Int): DataFrame =
+    emb.withColumn("bucket", bucketExpr(0, nBits))
+
+  /** (vec_id, embedding, tbl, bucket) — one row per hash table. This is the
+    * batch-built distributed "index": written bucketed-by (tbl, bucket), a
+    * probe touches only matching buckets (OR-construction over nTables
+    * tables trades candidate count for recall, AND-over-bits for precision).
+    */
+  def lshIndex(emb: DataFrame, nBits: Int, nTables: Int): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"), bucketExpr(t, nBits).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+
+  /** ANN top-k: candidates share a bucket with the query in ANY table. */
+  def annTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int = 8,
+      nTables: Int = 4): DataFrame = {
+    val index = lshIndex(emb, nBits, nTables)
+    val qRows = index.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q"), col("tbl").as("qt"), col("bucket").as("qb"))
+    val candidates = index
+      .join(broadcast(qRows), col("tbl") === col("qt") && col("bucket") === col("qb"))
+      .filter(col("vec_id") =!= queryId)
+      .select("vec_id", "embedding", "q")
+      .dropDuplicates("vec_id")
+    candidates
+      .withColumn("cos_sim", VectorFns.cosineCol(col("embedding"), col("q")))
+      .select("vec_id", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

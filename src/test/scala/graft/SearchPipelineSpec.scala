@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, TextAnalysis}
+import graft.search.VectorSearch
+
+class SearchPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val emb = Tables.embeddings(spark, sf).cache()
+  lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("fast brute-force cosine ranking matches exact-decimal ranking") {
+    val fast = VectorSearch.bruteTopK(emb, emb.filter(col("vec_id") === 0L), 11)
+      .collect().map(_.getLong(0)).filterNot(_ == 0L).take(10)
+    val exact = VectorSearch.bruteTopKExact(emb, 0L, 10)
+      .collect().map(_.getLong(0))
+    assert(fast.toSeq == exact.toSeq)
+  }
+
+  test("LSH ANN results are a subset of the corpus with sane scores; recall@10 vs brute >= 0.3") {
+    val ann = VectorSearch.annTopK(emb, 0L, 10, nBits = 4, nTables = 6).collect()
+    val brute = VectorSearch.bruteTopKExact(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ann.nonEmpty)
+    val recall = ann.map(_.getLong(0)).count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"recall@10 = $recall") // 4-bit buckets: coarse but useful
+  }
+
+  test("minhash LSH finds the exact-duplicate pairs (jaccard 1.0)") {
+    val exactPairs = Dedup.ngramJaccardPairs(docs, 3, 0.999, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Dedup.minhashLshPairs(docs, 3, 16, 4, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs have identical signatures → every exact dup must be found
+    assert(exactPairs.subsetOf(lshPairs),
+      s"missed: ${exactPairs.diff(lshPairs)}")
+  }
+
+  test("simhash gives identical fingerprints for identical docs") {
+    val sig = Dedup.simhash(docs)
+    val joined = docs.toDF("id1", "t1", "l1", "s1", "n1")
+      .join(docs.toDF("id2", "t2", "l2", "s2", "n2"),
+        col("t1") === col("t2") && col("id1") < col("id2"))
+      .select("id1", "id2")
+    val sigMap = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    joined.collect().foreach { r =>
+      assert(sigMap(r.getLong(0)) == sigMap(r.getLong(1)))
+    }
+  }
+
+  test("fingerprint is deterministic across runs") {
+    val a = TextAnalysis.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = TextAnalysis.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("multimodal feature extraction preserves row count and byte lengths") {
+    import graft.operators.Multimodal
+    val feats = Multimodal.extractFeatures(Multimodal.withPayload(docs))
+    assert(feats.count() == docs.count())
+    val row = feats.orderBy("doc_id").collect().head
+    val text = docs.orderBy("doc_id").collect().head.getAs[String]("text")
+    assert(row.getInt(1) == text.getBytes("UTF-8").length)
+  }
+}
