@@ -1,6 +1,5 @@
 package graft
 
 /** Placeholder registries — filled in as each subsystem lands. */
-object AlgoQueries { val queries: Map[String, GQuery] = Map.empty }
 object FunctionQueries { val queries: Map[String, GQuery] = Map.empty }
 object StreamingQueries { val queries: Map[String, GQuery] = Map.empty }

@@ -1,0 +1,318 @@
+package graft.algos
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+
+/** GDS-style graph algorithms (SURVEY §2.11: `apoc.algo.*`, `gds.*`,
+  * `/root/reference/pkg/cypher/apoc_algorithms.go`, `apoc_community.go`,
+  * `fastrp.go`) as iterative DataFrame computations.
+  *
+  * Every iteration is a self-contained join + aggregation on (src → dst) —
+  * i.e. one shuffle keyed by node id — so the algorithms scale exactly like
+  * any other Spark aggregation: no driver-side graph state, frontier/rank
+  * tables are cached per step and unpersisted after. (GraphX Pregel would
+  * express the same loops; the DataFrame form keeps results in the same
+  * engine surface as every other operator and benefits from AQE.)
+  */
+object Algorithms {
+
+  // =====================================================================
+  // PageRank
+  // =====================================================================
+
+  /** Neo4j/GDS-flavored PageRank: r₀=1, rᵢ₊₁ = 0.15 + 0.85·Σ rᵢ(src)/outdeg.
+    * `exact=true` routes the per-node contribution sum through DECIMAL so
+    * ranks hash-match a SQL oracle; `exact=false` is the fast double path.
+    */
+  def pageRank(g: PropertyGraph, iters: Int, exact: Boolean = false): DataFrame = {
+    val edges = g.edges.select("src", "dst").cache()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    val nodes = g.nodes.select("id").cache()
+
+    def contribSum(c: Column): Column =
+      if (exact) sum(c.cast("decimal(28,12)")).cast("double") else sum(c)
+
+    var ranks = nodes.withColumn("r", lit(1.0))
+    for (i <- 1 to iters) {
+      val contribs = edges
+        .join(outdeg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(contribSum(col("r") / col("outdeg")).as("s"))
+      val next = nodes.join(contribs, Seq("id"), "left_outer")
+        .select(col("id"), (lit(0.15) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("r"))
+        .localCheckpoint(true) // truncate lineage: plans grow per iteration
+      ranks.unpersist()
+      ranks = next
+    }
+    edges.unpersist(); outdeg.unpersist()
+    // cross-engine double→DECIMAL conversions drift in the last bits; a
+    // 6-decimal rank is far beyond PageRank's meaningful precision and
+    // makes the result hash-stable
+    if (exact) ranks.select(col("id"), round(col("r"), 6).as("r")) else ranks
+  }
+
+  /** SQL oracle for `pageRank(exact = true)` over the TPC-H graph
+    * projection — reconstructs the same node/edge union in DuckDB.
+    */
+  def pageRankOracleSql(iters: Int): String = {
+    val nodesSql =
+      """SELECT 'Customer:' || c_custkey AS id FROM customer
+         UNION ALL SELECT 'Order:' || o_orderkey FROM orders
+         UNION ALL SELECT 'Part:' || p_partkey FROM part
+         UNION ALL SELECT 'Supplier:' || s_suppkey FROM supplier
+         UNION ALL SELECT 'Nation:' || n_nationkey FROM nation
+         UNION ALL SELECT 'Region:' || r_regionkey FROM region"""
+    val edgesSql =
+      """SELECT 'Customer:' || o_custkey AS src, 'Order:' || o_orderkey AS dst FROM orders
+         UNION ALL SELECT 'Order:' || l_orderkey, 'Part:' || l_partkey FROM lineitem
+         UNION ALL SELECT DISTINCT 'Supplier:' || l_suppkey, 'Part:' || l_partkey FROM lineitem
+         UNION ALL SELECT 'Customer:' || c_custkey, 'Nation:' || c_nationkey FROM customer
+         UNION ALL SELECT 'Supplier:' || s_suppkey, 'Nation:' || s_nationkey FROM supplier
+         UNION ALL SELECT 'Nation:' || n_nationkey, 'Region:' || n_regionkey FROM nation"""
+    def iterCte(i: Int, prev: String): String =
+      s"""r$i AS (
+            SELECT n.id, 0.15 + 0.85 * COALESCE(c.s, 0.0) AS r
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS id,
+                     CAST(SUM(CAST($prev.r / outdeg AS DECIMAL(28,12))) AS DOUBLE) AS s
+              FROM edges e
+                JOIN deg ON e.src = deg.src
+                JOIN $prev ON e.src = $prev.id
+              GROUP BY e.dst) c ON n.id = c.id)"""
+    val iterCtes = (1 to iters).map(i => iterCte(i, if (i == 1) "r0" else s"r${i - 1}"))
+    s"""WITH nodes AS ($nodesSql),
+        edges AS ($edgesSql),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM nodes),
+        ${iterCtes.mkString(",\n")}
+        SELECT id, round(r, 6) AS r FROM r$iters"""
+  }
+
+  // =====================================================================
+  // Connected components / communities
+  // =====================================================================
+
+  /** Weakly connected components by iterative min-id propagation. Returns
+    * (id, component). Converges in O(diameter) rounds; each round is one
+    * join+agg. `relType` restricts the edge set.
+    */
+  def wcc(g: PropertyGraph, relType: Option[String] = None, maxIter: Int = 20): DataFrame = {
+    val es = relType.map(g.edgesByType).getOrElse(g.edges)
+    val und = es.select(col("src").as("a"), col("dst").as("b"))
+      .union(es.select(col("dst").as("a"), col("src").as("b")))
+      .distinct().cache()
+    val nodeIds = und.select(col("a").as("id")).distinct()
+
+    var comp = nodeIds.withColumn("component", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      iter += 1
+      val neighborMin = und
+        .join(comp.withColumnRenamed("id", "b").withColumnRenamed("component", "nc"), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min("nc").as("nmin"))
+      val next = comp.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      changed = next.join(comp.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      comp.unpersist()
+      comp = next
+    }
+    und.unpersist()
+    comp
+  }
+
+  /** Synchronous label propagation: each round a node adopts the label with
+    * the highest (weight-summed) frequency among neighbors, ties broken by
+    * smallest label — deterministic, no RNG.
+    */
+  def labelPropagation(g: PropertyGraph, iters: Int,
+      relType: Option[String] = None, weighted: Boolean = false): DataFrame = {
+    val es = relType.map(g.edgesByType).getOrElse(g.edges)
+    val und = es.select(col("src").as("a"), col("dst").as("b"), col("weight"))
+      .union(es.select(col("dst").as("a"), col("src").as("b"), col("weight")))
+      .cache()
+    val nodeIds = und.select(col("a").as("id")).distinct()
+
+    var labels = nodeIds.withColumn("label", col("id")).cache()
+    for (_ <- 1 to iters) {
+      val tally = und
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a"), col("nl"))
+        .agg((if (weighted) sum("weight") else count(lit(1)).cast("double")).as("w"))
+      // argmax by (w desc, label asc): deterministic
+      val best = tally
+        .groupBy(col("a").as("id"))
+        .agg(max(struct(col("w"), col("nl"))).as("m")) // struct max: w first, but ties need asc label
+        .select(col("id"), col("m.nl").as("label"))
+      val next = labels.select("id").join(best, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      labels = next
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** One-level Louvain-style community detection: local moves where a node
+    * joins the neighboring community with maximal modularity gain,
+    * approximated by weighted-majority label adoption (synchronous rounds,
+    * deterministic tie-break) followed by a modularity score of the final
+    * partition: Q = Σ_c (in_c/m − (tot_c/2m)²).
+    */
+  def louvain(g: PropertyGraph, iters: Int, relType: Option[String] = None): (DataFrame, DataFrame) = {
+    val communities = labelPropagation(g, iters, relType, weighted = true)
+    val es = relType.map(g.edgesByType).getOrElse(g.edges)
+    val m = es.agg(sum("weight")).collect()(0).getDouble(0)
+    val withComms = es
+      .join(communities.select(col("id").as("src"), col("label").as("cs")), "src")
+      .join(communities.select(col("id").as("dst"), col("label").as("cd")), "dst")
+    val inC = withComms.filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("community")).agg(sum("weight").as("w_in"))
+    val totC = withComms.select(col("cs").as("community"), col("weight"))
+      .union(withComms.select(col("cd").as("community"), col("weight")))
+      .groupBy("community").agg(sum("weight").as("w_tot"))
+    val q = totC.join(inC, Seq("community"), "left_outer")
+      .select(sum(coalesce(col("w_in"), lit(0.0)) / m -
+        pow(col("w_tot") / (2 * m), 2)).as("modularity"))
+    (communities, q)
+  }
+
+  // =====================================================================
+  // Weighted shortest paths (Bellman-Ford rounds)
+  // =====================================================================
+
+  /** Single-source weighted shortest distances, `rounds` relaxations.
+    * Each round: dist' = min(dist, min over in-edges (dist(src)+weight)).
+    * min over doubles is order-insensitive → oracle-exact.
+    */
+  def dijkstra(g: PropertyGraph, sourceId: String, rounds: Int): DataFrame = {
+    val edges = g.edges.select("src", "dst", "weight").cache()
+    var dist = g.nodes.filter(col("id") === sourceId)
+      .select(col("id"), lit(0.0).as("dist")).cache()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist
+        .join(edges.withColumnRenamed("src", "id"), "id")
+        .select(col("dst").as("id"), (col("dist") + col("weight")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      dist.unpersist()
+      dist = next
+    }
+    edges.unpersist()
+    dist
+  }
+
+  // =====================================================================
+  // Link prediction (gds.linkPrediction.*, topology.go:244-)
+  // =====================================================================
+
+  /** Topological link-prediction scores over a bipartite adjacency
+    * (entity → neighbor): commonNeighbors, adamicAdar, jaccard,
+    * preferentialAttachment for entity pairs sharing ≥1 neighbor.
+    */
+  def linkPrediction(adj: DataFrame, maxEntity: Long): DataFrame = {
+    // adj: (s, p) — deduplicated
+    val a = adj.filter(col("s") <= maxEntity)
+    val pdeg = adj.groupBy("p").agg(count(lit(1)).as("pdeg"))
+    val sdeg = adj.groupBy("s").agg(count(lit(1)).as("sdeg"))
+    val pairs = a.toDF("s1", "p")
+      .join(a.toDF("s2", "p2"), col("p") === col("p2") && col("s1") < col("s2"))
+      .join(pdeg, "p")
+      .groupBy("s1", "s2")
+      // ln differs by 1 ulp across libm implementations; round each term to
+      // 9 decimals before the exact decimal sum so the oracle hash-matches
+      .agg(count(lit(1)).as("cn"),
+        sum(round(lit(1.0) / log(col("pdeg")), 9).cast("decimal(28,12)")).cast("double").as("aa"))
+    pairs
+      .join(sdeg.toDF("s1", "deg1"), "s1")
+      .join(sdeg.toDF("s2", "deg2"), "s2")
+      .select(col("s1"), col("s2"), col("cn"), col("aa"),
+        (col("deg1") * col("deg2")).as("pa"),
+        (col("cn").cast("double") / (col("deg1") + col("deg2") - col("cn"))).as("jac"))
+  }
+
+  // =====================================================================
+  // FastRP node embeddings (fastrp.go:361)
+  // =====================================================================
+
+  /** Iterative random-projection embeddings: hash-seeded sparse init
+    * (deterministic per node id — no RNG to distribute), then
+    * vᵢ₊₁ = l2normalize(Σ_neighbors w·vᵢ), combined across iterations with
+    * the given weights. Dim is small (default 16); everything is array
+    * columns + one join per iteration.
+    */
+  def fastRP(g: PropertyGraph, dim: Int = 16, iterWeights: Seq[Double] = Seq(0.0, 1.0, 1.0),
+      relType: Option[String] = None): DataFrame = {
+    val es = relType.map(g.edgesByType).getOrElse(g.edges)
+    val und = es.select(col("src").as("a"), col("dst").as("b"), col("weight"))
+      .union(es.select(col("dst").as("a"), col("src").as("b"), col("weight")))
+      .cache()
+
+    def l2norm(v: Column): Column = {
+      val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+      transform(v, x => when(n > 0, x / n).otherwise(lit(0.0)))
+    }
+
+    // sparse random init: component d ∈ {−1, 0, +1} via hash buckets
+    val initVec = transform(sequence(lit(1), lit(dim)), d => {
+      val h = pmod(hash(col("id"), d, lit(42)), lit(6))
+      when(h === 0, lit(1.0)).when(h === 1, lit(-1.0)).otherwise(lit(0.0))
+    })
+    var vecs = g.nodes.select(col("id"), l2norm(initVec).as("vec")).cache()
+    var acc = vecs.select(col("id"),
+      transform(col("vec"), x => x * iterWeights.head).as("emb"))
+
+    iterWeights.tail.foreach { w =>
+      val agg0 = und
+        .join(vecs.select(col("id").as("b"), col("vec")), "b")
+        .withColumn("wvec", transform(col("vec"), x => x * col("weight")))
+        .groupBy(col("a").as("id"))
+        .agg(array((0 until dim).map(i =>
+          sum(element_at(col("wvec"), i + 1))): _*).as("sumvec"))
+      val next = g.nodes.select("id").join(agg0, Seq("id"), "left_outer")
+        .select(col("id"),
+          l2norm(coalesce(col("sumvec"),
+            array((0 until dim).map(_ => lit(0.0)): _*))).as("vec"))
+        .localCheckpoint(true)
+      vecs.unpersist()
+      vecs = next
+      acc = acc.join(vecs, "id")
+        .select(col("id"),
+          zip_with(col("emb"), col("vec"), (e, v) => e + v * w).as("emb"))
+    }
+    und.unpersist()
+    acc
+  }
+
+  // =====================================================================
+  // Centrality on layered subgraphs
+  // =====================================================================
+
+  /** Closeness centrality from BFS lengths: (n_reachable) / Σ dist. */
+  def closeness(lengths: DataFrame): DataFrame =
+    lengths.filter(col("length") > 0)
+      .groupBy(col("start_id").as("id"))
+      .agg(count(lit(1)).as("n_reach"), sum("length").as("sum_dist"))
+      .select(col("id"),
+        (col("n_reach").cast("double") / col("sum_dist")).as("closeness"))
+
+  /** Exact betweenness of the middle layer of a 2-layer routing graph
+    * (x → mid → y, unique paths): number of (x, y) shortest paths through
+    * each mid node.
+    */
+  def betweennessTwoHop(g: PropertyGraph, inType: String, outType: String): DataFrame = {
+    val in = g.edgesByType(inType).select(col("src").as("x"), col("dst").as("mid"))
+    val out = g.edgesByType(outType).select(col("src").as("mid"), col("dst").as("y"))
+    in.join(out, "mid")
+      .groupBy(col("mid").as("id"))
+      .agg(count(lit(1)).as("betweenness"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.algos.Algorithms
+
+class AlgoSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val g = GraphQueries.graph(spark, sf)
+
+  test("wcc: an order shares a component with every part it contains") {
+    val comp = Algorithms.wcc(g, Some("CONTAINS")).cache()
+    val edges = g.edgesByType("CONTAINS").select("src", "dst").limit(50)
+    val withComps = edges
+      .join(comp.toDF("src", "c_src"), "src")
+      .join(comp.toDF("dst", "c_dst"), "dst")
+    assert(withComps.filter(col("c_src") =!= col("c_dst")).count() == 0)
+  }
+
+  test("wcc on the full graph converges to one giant component") {
+    val comp = Algorithms.wcc(g, None)
+    assert(comp.select("component").distinct().count() == 1)
+  }
+
+  test("pagerank: ranks positive; high-in-degree parts outrank leaf orders") {
+    val pr = Algorithms.pageRank(g, 3).cache()
+    assert(pr.filter(col("r") <= 0).count() == 0)
+    val avgByPrefix = pr
+      .withColumn("kind", split(col("id"), ":").getItem(0))
+      .groupBy("kind").agg(avg("r").as("avg_r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // parts absorb rank from many orders; orders only get 1/|orders| of a customer
+    assert(avgByPrefix("Part") > avgByPrefix("Order"))
+  }
+
+  test("label propagation produces labels for every node in the edge set") {
+    val labels = Algorithms.labelPropagation(g, 2, Some("SUPPLIES"))
+    val nInEdges = g.edgesByType("SUPPLIES")
+      .select(explode(array(col("src"), col("dst"))).as("id")).distinct().count()
+    assert(labels.count() == nInEdges)
+  }
+
+  test("louvain modularity is finite and communities are non-trivial") {
+    val (comms, q) = Algorithms.louvain(g, 2, Some("CONTAINS"))
+    val mod = q.collect()(0).getDouble(0)
+    assert(!mod.isNaN && mod > -1 && mod < 1)
+    assert(comms.select("label").distinct().count() > 1)
+  }
+
+  test("fastRP is deterministic and unit-ish normalized") {
+    val a = Algorithms.fastRP(g, dim = 8, iterWeights = Seq(0.0, 1.0), relType = Some("SUPPLIES"))
+    val b = Algorithms.fastRP(g, dim = 8, iterWeights = Seq(0.0, 1.0), relType = Some("SUPPLIES"))
+    val am = a.collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val bm = b.collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(am == bm)
+    // non-isolated nodes: embedding norm ≈ 1
+    val norms = am.values.map(v => math.sqrt(v.map(x => x * x).sum)).filter(_ > 0)
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-9))
+  }
+
+  test("dijkstra distances are monotone non-negative and source is 0") {
+    val d = Algorithms.dijkstra(g, "Customer:1", 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d("Customer:1") == 0.0)
+    assert(d.values.forall(_ >= 0.0))
+  }
+}
