@@ -1,5 +1,5 @@
 package graft
 
-/** Placeholder registries — filled in as each subsystem lands. */
-object FunctionQueries { val queries: Map[String, GQuery] = Map.empty }
-object StreamingQueries { val queries: Map[String, GQuery] = Map.empty }
+/** Registry aliases for the implementation objects. */
+object FunctionQueries { val queries: Map[String, GQuery] = FunctionQueriesImpl.queries }
+object StreamingQueries { val queries: Map[String, GQuery] = StreamingQueriesImpl.queries }

@@ -1,0 +1,105 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mutation layer (SURVEY §2.8): CREATE / MERGE / SET / REMOVE / DELETE
+  * over versioned snapshots.
+  *
+  * The reference mutates row stores under a WAL
+  * (`/root/reference/pkg/cypher/create.go`, `merge.go`,
+  * `executor_mutations.go`); here every statement computes a NEW
+  * nodes/edges DataFrame pair and atomically swaps the snapshot — readers
+  * keep the version they started with (statement-level snapshot isolation,
+  * the transaction.go analog). At scale the swap is a Delta-style commit of
+  * appended/rewritten partitions; in-memory it is a reference swap.
+  */
+final class GraphStore(initial: PropertyGraph) {
+
+  case class QueryStats(
+      nodesCreated: Long = 0, nodesDeleted: Long = 0,
+      relationshipsCreated: Long = 0, relationshipsDeleted: Long = 0,
+      propertiesSet: Long = 0)
+
+  @volatile private var current: PropertyGraph = initial
+  @volatile private var versionCounter: Long = 0
+
+  def snapshot: PropertyGraph = current
+  def version: Long = versionCounter
+
+  private def swap(g: PropertyGraph): Unit = synchronized {
+    current = g
+    versionCounter += 1
+  }
+
+  /** CREATE nodes (duplicate-id rows rejected — unique-id constraint,
+    * `pkg/storage/constraint_validation.go` analog).
+    */
+  def createNodes(newNodes: DataFrame): QueryStats = {
+    val g = current
+    val conflicts = newNodes.join(g.nodes.select("id"), Seq("id"), "left_semi").count()
+    require(conflicts == 0, s"unique-id constraint violated for $conflicts node(s)")
+    val n = newNodes.count()
+    swap(PropertyGraph(g.nodes.unionByName(newNodes), g.edges))
+    QueryStats(nodesCreated = n)
+  }
+
+  /** MERGE nodes by id: insert the ones that do not exist (ON CREATE);
+    * existing ones are left untouched (no ON MATCH SET here).
+    */
+  def mergeNodes(candidates: DataFrame): QueryStats = {
+    val g = current
+    val missing = candidates.join(g.nodes.select("id"), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val n = missing.count()
+    swap(PropertyGraph(g.nodes.unionByName(missing), g.edges))
+    QueryStats(nodesCreated = n)
+  }
+
+  /** SET a hoisted property for matching node ids. */
+  def setNodeProperty(ids: DataFrame, property: String, value: Column): QueryStats = {
+    val g = current
+    val marked = g.nodes.join(ids.select(col("id")).withColumn("_hit", lit(true)),
+      Seq("id"), "left_outer")
+    val updated = marked.withColumn(property,
+      when(col("_hit"), value).otherwise(col(property))).drop("_hit")
+    val n = ids.count()
+    swap(PropertyGraph(updated, g.edges))
+    QueryStats(propertiesSet = n)
+  }
+
+  /** DELETE nodes; `detach` also removes incident edges, otherwise edges
+    * referencing the victims must not exist (Neo4j semantics).
+    */
+  def deleteNodes(ids: DataFrame, detach: Boolean): QueryStats = {
+    val g = current
+    val victims = ids.select("id")
+    if (!detach) {
+      val incident = g.edges.join(victims,
+        col("src") === col("id") || col("dst") === col("id"), "left_semi").count()
+      require(incident == 0, s"cannot delete nodes with $incident incident edge(s); use DETACH DELETE")
+    }
+    val nDel = g.nodes.join(victims, Seq("id"), "left_semi").count()
+    val newNodes = g.nodes.join(victims, Seq("id"), "left_anti")
+    val eDel =
+      if (detach)
+        g.edges.join(victims.withColumnRenamed("id", "vid"),
+          col("src") === col("vid") || col("dst") === col("vid"), "left_semi").count()
+      else 0L
+    val newEdges =
+      if (detach)
+        g.edges.join(victims.withColumnRenamed("id", "vid"),
+          col("src") === col("vid") || col("dst") === col("vid"), "left_anti")
+      else g.edges
+    swap(PropertyGraph(newNodes, newEdges))
+    QueryStats(nodesDeleted = nDel, relationshipsDeleted = eDel)
+  }
+
+  /** CREATE relationships. */
+  def createEdges(newEdges: DataFrame): QueryStats = {
+    val g = current
+    val n = newEdges.count()
+    swap(PropertyGraph(g.nodes, g.edges.unionByName(newEdges)))
+    QueryStats(relationshipsCreated = n)
+  }
+}

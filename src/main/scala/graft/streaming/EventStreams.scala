@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming/temporal operators over the `events` table (SURVEY §2.12).
+  *
+  * The window/sessionization logic is expressed with Spark's time-window
+  * functions, which run identically in batch and Structured Streaming —
+  * the batch form is what the oracle checks; [[streamingTumbling]] runs the
+  * SAME aggregation as a real `readStream` with watermark (exercised in
+  * StreamingSpec via the memory sink). The reference has no streaming query
+  * language; its co-access tracker and decay loop
+  * (`/root/reference/pkg/temporal/tracker.go`, `pkg/decay/decay.go:643`)
+  * map to these windowed aggregations.
+  */
+object EventStreams {
+
+  import graft.OracleSafe._
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total"))
+
+  /** Sliding 1-hour windows, 30-minute step. */
+  def sliding(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"))
+
+  /** Session windows per user, 30-minute gap. */
+  def sessions(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total"))
+
+  /** Co-access pairs: event types observed in the same 1-hour bucket
+    * (the temporal tracker's co-occurrence shape).
+    */
+  def coAccessPairs(events: DataFrame): DataFrame = {
+    val buckets = events
+      .select(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .distinct()
+    buckets.toDF("bucket", "ta")
+      .join(buckets.toDF("bucket2", "tb"),
+        col("bucket") === col("bucket2") && col("ta") < col("tb"))
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_buckets"))
+  }
+
+  /** Real Structured Streaming run of the tumbling aggregation over the
+    * events parquet, driven to completion against the memory sink.
+    * Returns the collected result table.
+    */
+  def streamingTumbling(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // file streaming sources want a directory; point basePath at the sf dir
+    // and glob the single events file
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", sfDir)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+  }
+}

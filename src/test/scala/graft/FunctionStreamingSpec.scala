@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.KalmanFilter
+import graft.graph.GraphStore
+import graft.streaming.EventStreams
+
+class FunctionStreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("column-expression Kalman fold matches the pure-Scala reference exactly") {
+    import spark.implicits._
+    val series = Seq(1.0, 2.0, 1.5, 3.0, 2.5, 2.0, 4.0)
+    val expected = KalmanFilter.filterSeriesScala(series, 0.01, 1.0)
+    val got = Seq(series).toDF("zs")
+      .select(KalmanFilter.filterSeriesCol(col("zs"), 0.01, 1.0).as("x"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(got - expected) < 1e-12, s"$got vs $expected")
+  }
+
+  test("kalman estimate converges toward a constant signal") {
+    val const = Seq.fill(50)(5.0)
+    assert(math.abs(KalmanFilter.filterSeriesScala(const, 0.01, 1.0) - 5.0) < 1e-9)
+  }
+
+  test("real Structured Streaming run matches the batch tumbling aggregation") {
+    val streamed = EventStreams.streamingTumbling(spark, sf, "stream_test_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = EventStreams.tumbling(Tables.events(spark, sf))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
+  test("graph store: create/merge/delete maintain snapshot isolation and stats") {
+    import spark.implicits._
+    val g = GraphQueries.graph(spark, sf)
+    val store = new GraphStore(g)
+    val before = store.snapshot
+    val beforeCount = before.nodes.count()
+
+    val newNodes = spark.range(1, 11)
+      .select(concat(lit("Test:"), col("id")).as("id"),
+        array(lit("Test")).as("labels"), col("id").as("key"),
+        concat(lit("t"), col("id")).as("name"),
+        lit(1.0).as("acctbal"), lit(null).cast("string").as("mktsegment"),
+        expr("map()").cast("map<string,string>").as("properties"))
+    val s1 = store.createNodes(newNodes)
+    assert(s1.nodesCreated == 10)
+    assert(store.snapshot.nodes.count() == beforeCount + 10)
+    // old snapshot unchanged (isolation)
+    assert(before.nodes.count() == beforeCount)
+
+    // creating the same ids again violates the unique constraint
+    intercept[IllegalArgumentException](store.createNodes(newNodes))
+    // merge is idempotent
+    assert(store.mergeNodes(newNodes).nodesCreated == 0)
+
+    val s3 = store.deleteNodes(newNodes.select("id"), detach = true)
+    assert(s3.nodesDeleted == 10)
+    assert(store.snapshot.nodes.count() == beforeCount)
+  }
+}
