@@ -19,7 +19,15 @@ object AlgoQueries {
       Some(Algorithms.pageRankOracleSql(2)), "2.11"),
 
     "q_algo_wcc" -> GQuery(
-      (s, d) => Algorithms.wcc(GraphQueries.graph(s, d), Some("CONTAINS"))
+      (s, d) => graft.algos.GraphXAlgos.wcc(GraphQueries.graph(s, d), Some("CONTAINS"))
+        .groupBy("component").agg(count(lit(1)).as("n_nodes")),
+      None, "2.11"),
+
+    // DataFrame min-propagation variant (no RDDs). PLACED is star-shaped —
+    // one component per customer — so min-propagation converges in ~3
+    // rounds; deep/chained graphs should use the GraphX variant above.
+    "q_algo_wcc_df" -> GQuery(
+      (s, d) => Algorithms.wcc(GraphQueries.graph(s, d), Some("PLACED"))
         .groupBy("component").agg(count(lit(1)).as("n_nodes")),
       None, "2.11"),
 

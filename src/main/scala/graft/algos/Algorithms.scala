@@ -114,12 +114,26 @@ object Algorithms {
         .join(comp.withColumnRenamed("id", "b").withColumnRenamed("component", "nc"), "b")
         .groupBy(col("a").as("id"))
         .agg(min("nc").as("nmin"))
-      val next = comp.join(neighborMin, Seq("id"), "left_outer")
+      val afterNeighbor = comp.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint(true) // self-joined below — avoid recomputing
+      // pointer jumping: component ← component(component). Collapses chains
+      // exponentially, so convergence is O(log diameter) rounds instead of
+      // O(diameter) — the difference between 6 and 30+ shuffles at sf0.1.
+      val next = afterNeighbor
+        .join(afterNeighbor.select(col("id").as("component"), col("component").as("cc")),
+          Seq("component"), "left_outer")
+        .select(col("id"),
+          least(col("component"), coalesce(col("cc"), col("component"))).as("component"))
         .localCheckpoint(true)
-      changed = next.join(comp.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
+      // the convergence probe is a join+count action ≈ ⅓ of a round; with
+      // pointer jumping convergence is ~log(diameter) rounds, so probing
+      // every 3rd round trades ≤2 extra cheap rounds for 3× fewer probes
+      if (iter % 3 == 0 || iter >= maxIter) {
+        changed = next.join(comp.withColumnRenamed("component", "old"), "id")
+          .filter(col("component") =!= col("old")).count()
+      }
       comp.unpersist()
       comp = next
     }

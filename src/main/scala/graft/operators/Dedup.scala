@@ -138,20 +138,21 @@ object Dedup {
     * DECIMAL-routed so it hash-matches the SQL oracle.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double, maxId: Long): DataFrame = {
-    import graft.search.VectorSearch
-    val e = emb.filter(col("vec_id") < maxId)
-      .select(col("vec_id"), col("embedding"))
-    val a = e.toDF("a", "ea")
-    val b = e.toDF("b", "eb")
     val dotDec = (x: Column, y: Column) =>
       aggregate(
         zip_with(x, y, (p, q) => (p.cast("double") * q.cast("double")).cast("decimal(38,18)")),
         lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)"),
         (acc, z) => (acc + z).cast("decimal(38,18)")).cast("double")
+    // norms once per vector (O(n)), only the dot product per pair (O(n²))
+    val e = emb.filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", dotDec(col("embedding"), col("embedding")))
+    val a = e.toDF("a", "ea", "na2")
+    val b = e.toDF("b", "eb", "nb2")
     a.join(b, col("a") < col("b"))
       .withColumn("cos_sim",
         round(dotDec(col("ea"), col("eb")) /
-          (sqrt(dotDec(col("ea"), col("ea"))) * sqrt(dotDec(col("eb"), col("eb")))), 12))
+          (sqrt(col("na2")) * sqrt(col("nb2"))), 12))
       .filter(col("cos_sim") >= threshold)
       .select("a", "b", "cos_sim")
   }

@@ -18,6 +18,15 @@ class AlgoSpec extends AnyFunSuite {
     assert(withComps.filter(col("c_src") =!= col("c_dst")).count() == 0)
   }
 
+  test("GraphX wcc agrees exactly with DataFrame wcc") {
+    import graft.algos.GraphXAlgos
+    val a = Algorithms.wcc(g, Some("SUPPLIES")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = GraphXAlgos.wcc(g, Some("SUPPLIES")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
   test("wcc on the full graph converges to one giant component") {
     val comp = Algorithms.wcc(g, None)
     assert(comp.select("component").distinct().count() == 1)
