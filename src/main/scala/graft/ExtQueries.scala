@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.Expand
+import graft.operators.PathExpand
+import graft.search.Eval
+import graft.sources.Formats
+import OracleSafe._
+
+/** Round-1 extension batch: apoc.path expanders, grouping sets, format
+  * round-trips, Cypher EXPLAIN, IR eval harness.
+  */
+object ExtQueries {
+
+  val queries: Map[String, GQuery] = Map(
+    "q_path_subgraph_nodes" -> GQuery(
+      (s, d) => {
+        val g = GraphQueries.graph(s, d)
+        PathExpand.subgraphNodes(g, g.nodesByLabel("Region").select("id"), 2,
+          None, Some("Customer"), Expand.In)
+          .groupBy("start_id").agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""SELECT 'Region:' || n_regionkey AS start_id, COUNT(*) AS n_customers
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_regionkey"""), "2.11"),
+
+    "q_path_neighbors_byhop" -> GQuery(
+      (s, d) => {
+        val g = GraphQueries.graph(s, d)
+        PathExpand.neighborsByHop(g, g.nodesByLabel("Region").select("id"), 2,
+          None, Expand.In)
+      },
+      Some("""SELECT 'Region:' || r_regionkey AS start_id, 1 AS hop,
+                     (SELECT COUNT(*) FROM nation n WHERE n.n_regionkey = region.r_regionkey) AS n_nodes
+              FROM region
+              UNION ALL
+              SELECT 'Region:' || r_regionkey, 2,
+                     (SELECT COUNT(*) FROM customer JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                      WHERE n2.n_regionkey = region.r_regionkey)
+                   + (SELECT COUNT(*) FROM supplier JOIN nation n3 ON s_nationkey = n3.n_nationkey
+                      WHERE n3.n_regionkey = region.r_regionkey)
+              FROM region"""), "2.11"),
+
+    "q_path_spanning_tree" -> GQuery(
+      (s, d) => {
+        val g = GraphQueries.graph(s, d)
+        PathExpand.spanningTree(g, "Customer:1", 2, None)
+      },
+      // parents on shortest paths from Customer:1 within 2 hops, min parent
+      Some("""SELECT id AS node_id, parent, length FROM (
+                SELECT 'Order:' || o_orderkey AS id, 'Customer:1' AS parent, 1 AS length
+                FROM orders WHERE o_custkey = 1
+                UNION ALL
+                SELECT 'Nation:' || c_nationkey, 'Customer:1', 1
+                FROM customer WHERE c_custkey = 1
+                UNION ALL
+                SELECT 'Part:' || l_partkey, MIN('Order:' || l_orderkey), 2
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_custkey = 1 GROUP BY l_partkey
+                UNION ALL
+                SELECT 'Region:' || n_regionkey, MIN('Nation:' || n_nationkey), 2
+                FROM nation JOIN customer ON c_nationkey = n_nationkey
+                WHERE c_custkey = 1 GROUP BY n_regionkey)"""), "2.11"),
+
+    "q_agg_rollup" -> GQuery(
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                      ${sqlSum("l_quantity")} AS qty
+               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""),
+      "2.4"),
+
+    "q_agg_cube" -> GQuery(
+      (s, d) => Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""),
+      "2.4"),
+
+    "q_source_json_roundtrip" -> GQuery(
+      (s, d) => {
+        val g = GraphQueries.graph(s, d)
+        val path = s"/tmp/graft_export/nation_json"
+        val exported = Formats.exportNodesJson(g, Some("Nation"), path)
+        val back = Formats.importNodesJson(s, path).count()
+        import s.implicits._
+        Seq((exported, back)).toDF("n_exported", "n_imported")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_exported,
+                     CAST(COUNT(*) AS BIGINT) AS n_imported FROM nation"""),
+      "2.1"),
+
+    "q_source_csv_roundtrip" -> GQuery(
+      (s, d) => {
+        val path = s"/tmp/graft_export/region_csv"
+        val exported = Formats.exportCsv(Tables.region(s, d), path)
+        val back = Formats.loadCsv(s, path)
+        import s.implicits._
+        Seq((exported, back.count(),
+          back.agg(sum("r_regionkey")).collect()(0).getLong(0)))
+          .toDF("n_exported", "n_imported", "key_sum")
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_exported,
+                     CAST(COUNT(*) AS BIGINT) AS n_imported,
+                     CAST(SUM(r_regionkey) AS BIGINT) AS key_sum FROM region"""),
+      "2.1"),
+
+    "q_cypher_explain" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        graft.cypher.ExplainCypher.operators(
+          """MATCH (c:Customer)-[:PLACED]->(o:Order)
+             WHERE c.acctbal > 0
+             RETURN c.mktsegment AS seg, count(o) AS n
+             ORDER BY n DESC LIMIT 5""")
+          .zipWithIndex.map { case (op, i) => (i, op) }.toDF("step", "operator")
+      },
+      Some("""SELECT * FROM (VALUES
+                (0, 'NodeByLabelScan(:Customer)'),
+                (1, 'Expand(:PLACED)'),
+                (2, 'Filter(:Order)'),
+                (3, 'Filter'),
+                (4, 'EagerAggregation'),
+                (5, 'Sort'),
+                (6, 'Limit'),
+                (7, 'ProduceResults')) t(step, operator)"""), "2.9"),
+
+    // deterministic IR metrics for the LSH index vs brute-force truth —
+    // no SQL analogue (hash-seeded planes); ranges asserted in spec
+    "q_eval_ann_quality" -> GQuery(
+      (s, d) => Eval.annVsBrute(s, Tables.embeddings(s, d), 20, 10, 4, 8),
+      None, "2.11"))
+}

@@ -24,7 +24,8 @@ object QueryRegistry {
       AlgoQueries.queries ++
       PipelineQueries.queries ++
       FunctionQueries.queries ++
-      StreamingQueries.queries
+      StreamingQueries.queries ++
+      ExtQueries.queries
 
   lazy val queryFns: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }

@@ -1,0 +1,83 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IR evaluation harness (SURVEY §5: mirror of
+  * `/root/reference/pkg/eval/harness.go` — Precision@K, Recall@K, MRR,
+  * NDCG@K), computed distributively over (query_id, ranked candidates)
+  * against (query_id, relevant set).
+  */
+object Eval {
+
+  /** ranked: (query_id, item_id, rank 1-based); relevant: (query_id, item_id).
+    * Returns one row per query with p@k, r@k, mrr, ndcg@k.
+    */
+  def metrics(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    val rel = relevant.withColumn("is_rel", lit(1))
+    val topk = ranked.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "item_id"), "left_outer")
+      .withColumn("is_rel", coalesce(col("is_rel"), lit(0)))
+    val relCounts = relevant.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+
+    val perQuery = topk.groupBy("query_id").agg(
+      sum("is_rel").as("hits"),
+      min(when(col("is_rel") === 1, col("rank"))).as("first_hit"),
+      // DCG@k = Σ rel_i / log2(rank_i + 1)
+      sum(when(col("is_rel") === 1,
+        lit(1.0) / log2(col("rank") + 1)).otherwise(0.0)).as("dcg"))
+
+    perQuery.join(relCounts, "query_id")
+      .withColumn("ideal_n", least(col("n_rel"), lit(k)))
+      // IDCG@k = Σ_{i=1..min(n_rel,k)} 1/log2(i+1), via a sequence fold
+      .withColumn("idcg", aggregate(
+        sequence(lit(1), col("ideal_n").cast("int")),
+        lit(0.0), (acc, i) => acc + lit(1.0) / log2(i + 1)))
+      .select(
+        col("query_id"),
+        (col("hits").cast("double") / k).as("precision_at_k"),
+        (col("hits").cast("double") / col("n_rel")).as("recall_at_k"),
+        coalesce(lit(1.0) / col("first_hit"), lit(0.0)).as("mrr"),
+        when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(0.0).as("ndcg_at_k"))
+  }
+
+  /** Evaluate LSH ANN against brute-force cosine ground truth for the first
+    * `nQueries` vectors: macro-averaged metrics at k.
+    */
+  def annVsBrute(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
+      nBits: Int, nTables: Int): DataFrame = {
+    import graft.functions.VectorFns
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+
+    // ground truth: brute-force top-k per query (one crossJoin, windowed)
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", VectorFns.cosineCol(col("embedding"), col("q")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val truth = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("item_id"))
+
+    // ANN candidates: shared bucket in any table, ranked by true cosine
+    val index = VectorSearch.lshIndex(emb, nBits, nTables)
+    val qIndex = index.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("tbl").as("qt"), col("bucket").as("qb"))
+    val cands = index
+      .join(qIndex, col("tbl") === col("qt") && col("bucket") === col("qb"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "embedding", "q")
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos_sim", VectorFns.cosineCol(col("embedding"), col("q")))
+    val ranked = cands.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("vec_id").as("item_id"), col("rank"))
+
+    metrics(ranked, truth, k)
+      .agg(avg("precision_at_k").as("precision_at_k"),
+        avg("recall_at_k").as("recall_at_k"),
+        avg("mrr").as("mrr"),
+        avg("ndcg_at_k").as("ndcg_at_k"))
+  }
+}
