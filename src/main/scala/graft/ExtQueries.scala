@@ -131,5 +131,30 @@ object ExtQueries {
     // no SQL analogue (hash-seeded planes); ranges asserted in spec
     "q_eval_ann_quality" -> GQuery(
       (s, d) => Eval.annVsBrute(s, Tables.embeddings(s, d), 20, 10, 4, 8),
-      None, "2.11"))
+      None, "2.11"),
+
+    // full write pipeline through the Cypher string surface on a fresh
+    // store: CREATE per UNWIND row → MERGE (2 of 5 new) → per-row SET →
+    // DETACH DELETE. The oracle pins the exact QueryStats the reference's
+    // merge/create semantics would produce.
+    "q_cypher_write_cycle" -> GQuery(
+      (s, d) => {
+        import graft.cypher.CypherWrite
+        import graft.graph.GraphStore
+        val store = new GraphStore(GraphQueries.graph(s, d))
+        val w1 = CypherWrite.execute(store,
+          "UNWIND [9001, 9002, 9003] AS k CREATE (p:Person {key: k, name: toString(k)})")
+        val w2 = CypherWrite.execute(store,
+          "UNWIND [9001, 9002, 9003, 9004, 9005] AS k MERGE (p:Person {key: k})")
+        val w3 = CypherWrite.execute(store,
+          "MATCH (p:Person) SET p.acctbal = p.key * 2")
+        val w4 = CypherWrite.execute(store,
+          "MATCH (p:Person) DETACH DELETE p")
+        import s.implicits._
+        Seq((w1.nodesCreated, w2.nodesCreated, w3.propertiesSet, w4.nodesDeleted))
+          .toDF("created_1", "created_2", "props_set", "deleted")
+      },
+      Some("""SELECT CAST(3 AS BIGINT) AS created_1, CAST(2 AS BIGINT) AS created_2,
+                     CAST(5 AS BIGINT) AS props_set, CAST(5 AS BIGINT) AS deleted"""),
+      "2.8"))
 }

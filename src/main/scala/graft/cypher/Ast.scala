@@ -45,6 +45,13 @@ object Ast {
 
   sealed trait Clause
   case class MatchClause(paths: Seq[PatternPath], optional: Boolean, where: Option[Expr]) extends Clause
+  // ---- write clauses (§2.8) ----
+  case class CreateClause(paths: Seq[PatternPath]) extends Clause
+  case class MergeClause(path: PatternPath,
+      onCreateSet: Seq[(Prop, Expr)], onMatchSet: Seq[(Prop, Expr)]) extends Clause
+  case class SetClause(items: Seq[(Prop, Expr)]) extends Clause
+  case class DeleteClause(vars: Seq[String], detach: Boolean) extends Clause
+  case class RemoveClause(items: Seq[Prop]) extends Clause
   case class WithClause(
       items: Seq[ProjectionItem], distinct: Boolean, where: Option[Expr],
       orderBy: Seq[SortItem], skip: Option[Long], limit: Option[Long]) extends Clause

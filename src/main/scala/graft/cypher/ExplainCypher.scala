@@ -48,6 +48,11 @@ object ExplainCypher {
           if (r.orderBy.nonEmpty) ops += "Sort"
           if (r.skip.isDefined) ops += "Skip"
           if (r.limit.isDefined) ops += "Limit"
+        case _: CreateClause => ops += "Create"
+        case _: MergeClause => ops += "Merge"
+        case _: SetClause => ops += "SetProperty"
+        case d: DeleteClause => ops += (if (d.detach) "DetachDelete" else "Delete")
+        case _: RemoveClause => ops += "RemoveProperty"
       }
     }
     ops += "ProduceResults"

@@ -51,6 +51,12 @@ final class Parser(tokens: Vector[Tok]) {
           next(); clauses += parseMatch(optional = true)
         case Kw("WITH") => clauses += parseWith()
         case Kw("UNWIND") => clauses += parseUnwind()
+        case Kw("CREATE") => clauses += parseCreate()
+        case Kw("MERGE") => clauses += parseMerge()
+        case Kw("SET") => clauses += parseSetClause()
+        case Kw("DELETE") => clauses += parseDelete(detach = false)
+        case Kw("DETACH") => next(); clauses += parseDelete(detach = true)
+        case Kw("REMOVE") => clauses += parseRemove()
         case Kw("RETURN") => clauses += parseReturn(); done = true
         case _ => done = true
       }
@@ -76,6 +82,69 @@ final class Parser(tokens: Vector[Tok]) {
     val (orderBy, skip, limit) = parseTail()
     val where = if (tryKw("WHERE")) Some(parseExpr()) else None
     WithClause(items, distinct, where, orderBy, skip, limit)
+  }
+
+  private def parseCreate(): CreateClause = {
+    eatKw("CREATE")
+    val paths = Vector.newBuilder[PatternPath]
+    paths += parsePath()
+    while (trySym(",")) paths += parsePath()
+    CreateClause(paths.result())
+  }
+
+  private def parseMerge(): MergeClause = {
+    eatKw("MERGE")
+    val path = parsePath()
+    var onCreate = Seq.empty[(Prop, Expr)]
+    var onMatch = Seq.empty[(Prop, Expr)]
+    while (isKw("ON")) {
+      next()
+      if (tryKw("CREATE")) { eatKw("SET"); onCreate = onCreate ++ parseSetItems() }
+      else if (tryKw("MATCH")) { eatKw("SET"); onMatch = onMatch ++ parseSetItems() }
+      else fail("expected CREATE or MATCH after ON")
+    }
+    MergeClause(path, onCreate, onMatch)
+  }
+
+  private def parseSetItems(): Seq[(Prop, Expr)] = {
+    val items = Vector.newBuilder[(Prop, Expr)]
+    def one(): Unit = {
+      // target is strictly `var.prop` — parseExpr would eat the `=` as a
+      // comparison operator
+      val v = identName()
+      eatSym(".")
+      val k = identName()
+      eatSym("=")
+      items += ((Prop(v, k), parseExpr()))
+    }
+    one()
+    while (trySym(",")) one()
+    items.result()
+  }
+
+  private def parseSetClause(): SetClause = {
+    eatKw("SET")
+    SetClause(parseSetItems())
+  }
+
+  private def parseDelete(detach: Boolean): DeleteClause = {
+    eatKw("DELETE")
+    val vars = Vector.newBuilder[String]
+    vars += identName()
+    while (trySym(",")) vars += identName()
+    DeleteClause(vars.result(), detach)
+  }
+
+  private def parseRemove(): RemoveClause = {
+    eatKw("REMOVE")
+    val items = Vector.newBuilder[Prop]
+    def one(): Unit = parseExpr() match {
+      case p: Prop => items += p
+      case other => fail(s"REMOVE target must be a property, got $other")
+    }
+    one()
+    while (trySym(",")) one()
+    RemoveClause(items.result())
   }
 
   private def parseUnwind(): UnwindClause = {

@@ -56,24 +56,40 @@ object Planner {
     acc
   }
 
+  /** Seed frame: one row, zero columns, so a leading UNWIND/RETURN
+    * produces rows.
+    */
+  def seedFrame(g: PropertyGraph): Frame =
+    Frame(g.nodes.sparkSession.range(1).toDF().drop("id"), Map.empty)
+
+  /** Advance the binding frame by one READ clause (MATCH / UNWIND / WITH /
+    * RETURN). `first` = no pattern clause consumed yet. Exposed for the
+    * write executor, which interleaves these with mutation clauses.
+    */
+  def advance(g: PropertyGraph, frame: Frame, first: Boolean, c: Clause,
+      params: Map[String, Any]): (Frame, Boolean) = c match {
+    case m: MatchClause =>
+      (planMatch(g, if (first) None else Some(frame), m, params), false)
+    case u: UnwindClause =>
+      val cc = compile(u.expr, frame, params)
+      (Frame(frame.df.withColumn(u.alias, explode(cc)), frame.kinds + (u.alias -> ValK)), false)
+    case w: WithClause =>
+      (project(g, frame, w.items, w.distinct, w.orderBy, w.skip, w.limit,
+        isReturn = false, where = w.where, params = params), first)
+    case r: ReturnClause =>
+      (project(g, frame, r.items, r.distinct, r.orderBy, r.skip, r.limit,
+        isReturn = true, where = None, params = params), first)
+    case other =>
+      throw new IllegalArgumentException(s"not a read clause: $other")
+  }
+
   private def planSingle(g: PropertyGraph, sq: SingleQuery, params: Map[String, Any]): DataFrame = {
-    // one-row, zero-column seed so a leading UNWIND/RETURN produces rows
-    var frame = Frame(g.nodes.sparkSession.range(1).toDF().drop("id"), Map.empty)
+    var frame = seedFrame(g)
     var first = true
-    sq.clauses.foreach {
-      case m: MatchClause =>
-        frame = planMatch(g, if (first) None else Some(frame), m, params)
-        first = false
-      case u: UnwindClause =>
-        val c = compile(u.expr, frame, params)
-        frame = Frame(frame.df.withColumn(u.alias, explode(c)), frame.kinds + (u.alias -> ValK))
-        first = false
-      case w: WithClause =>
-        frame = project(g, frame, w.items, w.distinct, w.orderBy, w.skip, w.limit,
-          isReturn = false, where = w.where, params = params)
-      case r: ReturnClause =>
-        frame = project(g, frame, r.items, r.distinct, r.orderBy, r.skip, r.limit,
-          isReturn = true, where = None, params = params)
+    sq.clauses.foreach { c =>
+      val (f2, first2) = advance(g, frame, first, c, params)
+      frame = f2
+      first = first2
     }
     frame.df
   }

@@ -56,6 +56,20 @@ final class GraphStore(initial: PropertyGraph) {
     QueryStats(nodesCreated = n)
   }
 
+  /** SET a hoisted property to per-row values: `updates` = (id, newval). */
+  def setNodeProperties(updates: DataFrame, property: String): QueryStats = {
+    val g = current
+    val u = updates.select(col("id"), col("newval")).withColumn("_upd", lit(true))
+    val dtype = g.nodes.schema(property).dataType
+    val updated = g.nodes.join(u, Seq("id"), "left_outer")
+      .withColumn(property,
+        when(col("_upd"), col("newval").cast(dtype)).otherwise(col(property)))
+      .drop("newval", "_upd")
+    val n = updates.count()
+    swap(PropertyGraph(updated, g.edges))
+    QueryStats(propertiesSet = n)
+  }
+
   /** SET a hoisted property for matching node ids. */
   def setNodeProperty(ids: DataFrame, property: String, value: Column): QueryStats = {
     val g = current
@@ -75,8 +89,10 @@ final class GraphStore(initial: PropertyGraph) {
     val g = current
     val victims = ids.select("id")
     if (!detach) {
-      val incident = g.edges.join(victims,
-        col("src") === col("id") || col("dst") === col("id"), "left_semi").count()
+      // edges carry their own `id` column — alias the victim ids
+      val v = victims.withColumnRenamed("id", "vid")
+      val incident = g.edges.join(v,
+        col("src") === col("vid") || col("dst") === col("vid"), "left_semi").count()
       require(incident == 0, s"cannot delete nodes with $incident incident edge(s); use DETACH DELETE")
     }
     val nDel = g.nodes.join(victims, Seq("id"), "left_semi").count()
