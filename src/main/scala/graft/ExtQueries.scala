@@ -158,3 +158,53 @@ object ExtQueries {
                      CAST(5 AS BIGINT) AS props_set, CAST(5 AS BIGINT) AS deleted"""),
       "2.8"))
 }
+
+/** Metadata-procedure surface (SURVEY §2.11 catalog rows). */
+object ProcQueries {
+  import graft.graph.Procedures
+
+  val queries: Map[String, GQuery] = Map(
+    "q_proc_db_labels" -> GQuery(
+      (s, d) => Procedures.dbLabels(GraphQueries.graph(s, d)),
+      Some("""SELECT label, n_nodes FROM (
+                SELECT 'Customer' AS label, COUNT(*) AS n_nodes FROM customer
+                UNION ALL SELECT 'Order', COUNT(*) FROM orders
+                UNION ALL SELECT 'Part', COUNT(*) FROM part
+                UNION ALL SELECT 'Supplier', COUNT(*) FROM supplier
+                UNION ALL SELECT 'Nation', COUNT(*) FROM nation
+                UNION ALL SELECT 'Region', COUNT(*) FROM region)"""), "2.11"),
+
+    "q_proc_rel_types" -> GQuery(
+      (s, d) => Procedures.dbRelationshipTypes(GraphQueries.graph(s, d)),
+      Some("""SELECT rel_type, n_rels FROM (
+                SELECT 'PLACED' AS rel_type, COUNT(*) AS n_rels FROM orders
+                UNION ALL SELECT 'CONTAINS', COUNT(*) FROM lineitem
+                UNION ALL SELECT 'SUPPLIES', COUNT(*) FROM
+                  (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+                UNION ALL SELECT 'FROM', COUNT(*) FROM customer
+                UNION ALL SELECT 'LOCATED_IN', COUNT(*) FROM supplier
+                UNION ALL SELECT 'IN', COUNT(*) FROM nation)"""), "2.11"),
+
+    "q_proc_schema_viz" -> GQuery(
+      (s, d) => Procedures.schemaVisualization(GraphQueries.graph(s, d)),
+      Some("""SELECT * FROM (VALUES
+                ('Customer', 'PLACED', 'Order'),
+                ('Order', 'CONTAINS', 'Part'),
+                ('Supplier', 'SUPPLIES', 'Part'),
+                ('Customer', 'FROM', 'Nation'),
+                ('Supplier', 'LOCATED_IN', 'Nation'),
+                ('Nation', 'IN', 'Region')) t(src_label, rel_type, dst_label)"""),
+      "2.11"),
+
+    "q_proc_property_keys" -> GQuery(
+      (s, d) => Procedures.dbPropertyKeys(GraphQueries.graph(s, d)),
+      Some("""SELECT property_key FROM (VALUES ('key'), ('name'), ('acctbal'),
+                ('mktsegment'), ('quantity'), ('extendedprice')) t(property_key)"""),
+      "2.11"),
+
+    // GraphX PageRank variant — rows-only (normalization differs slightly
+    // from the DataFrame formula for dangling mass; spec checks agreement)
+    "q_algo_pagerank_graphx" -> GQuery(
+      (s, d) => graft.algos.GraphXAlgos.pageRank(GraphQueries.graph(s, d), 3),
+      None, "2.11"))
+}

@@ -25,7 +25,8 @@ object QueryRegistry {
       PipelineQueries.queries ++
       FunctionQueries.queries ++
       StreamingQueries.queries ++
-      ExtQueries.queries
+      ExtQueries.queries ++
+      ProcQueries.queries
 
   lazy val queryFns: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }

@@ -55,4 +55,32 @@ object GraphXAlgos {
     val out = spark.createDataFrame(rows, schema)
     out
   }
+
+  /** Static PageRank via GraphX (same update rule as
+    * [[Algorithms.pageRank]]: r ← 0.15 + 0.85·Σ r(src)/outdeg), Pregel
+    * in-memory iterations. Returns (id, r).
+    */
+  def pageRank(g: PropertyGraph, iters: Int): DataFrame = {
+    val spark = g.nodes.sparkSession
+    val es = g.edges.select("src", "dst")
+
+    val endpoints = g.nodes.select("id")
+    val dict = endpoints.rdd.map(_.getString(0)).zipWithIndex()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val edgeRdd = es.rdd.map(r => (r.getString(0), r.getString(1)))
+      .join(dict)
+      .map { case (_, (dst, srcIdx)) => (dst, srcIdx) }
+      .join(dict)
+      .map { case (_, (srcIdx, dstIdx)) => Edge(srcIdx, dstIdx, 1.0) }
+
+    val graph = Graph.fromEdges(edgeRdd, 1.0, StorageLevel.MEMORY_AND_DISK,
+      StorageLevel.MEMORY_AND_DISK)
+    val ranks = graph.staticPageRank(iters, 0.15).vertices
+
+    val revDict = dict.map { case (id, idx) => (idx, id) }
+    val rows = ranks.join(revDict).map { case (_, (r, id)) => Row(id, r) }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", StringType), StructField("r", DoubleType))))
+  }
 }

@@ -1,0 +1,46 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Metadata procedures (SURVEY §2.11: `db.labels`, `db.relationshipTypes`,
+  * `db.propertyKeys`, `db.schema.visualization` —
+  * `/root/reference/pkg/cypher/call.go:676-790,818,841`): catalog queries
+  * over the graph itself, each a small aggregation.
+  */
+object Procedures {
+
+  /** CALL db.labels() — distinct labels with node counts. */
+  def dbLabels(g: PropertyGraph): DataFrame =
+    g.nodes.select(explode(col("labels")).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n_nodes"))
+
+  /** CALL db.relationshipTypes() */
+  def dbRelationshipTypes(g: PropertyGraph): DataFrame =
+    g.edges.groupBy(col("rel_type")).agg(count(lit(1)).as("n_rels"))
+
+  /** CALL db.propertyKeys() — hoisted property columns plus keys observed
+    * in the dynamic property map.
+    */
+  def dbPropertyKeys(g: PropertyGraph): DataFrame = {
+    val hoisted = Seq("key", "name", "acctbal", "mktsegment")
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val fromMap = g.nodes.select(explode(map_keys(col("properties"))).as("property_key"))
+      .union(g.edges.select(explode(map_keys(col("properties")))))
+      .distinct()
+    hoisted.toDF("property_key").union(fromMap).distinct()
+  }
+
+  /** CALL db.schema.visualization() — (src_label, rel_type, dst_label)
+    * triples present in the graph.
+    */
+  def schemaVisualization(g: PropertyGraph): DataFrame = {
+    val nodeLabel = g.nodes.select(col("id"), element_at(col("labels"), 1).as("lbl"))
+    g.edges.select("src", "dst", "rel_type")
+      .join(nodeLabel.toDF("src", "src_label"), "src")
+      .join(nodeLabel.toDF("dst", "dst_label"), "dst")
+      .select("src_label", "rel_type", "dst_label")
+      .distinct()
+  }
+}
