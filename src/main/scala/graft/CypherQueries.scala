@@ -181,6 +181,19 @@ object CypherQueries {
       """SELECT c_custkey FROM customer WHERE c_acctbal > 9000""",
       params = Map("minbal" -> 9000L)),
 
+    cq("q_cypher_apoc_fns", "2.10",
+      """MATCH (p:Part) WHERE p.key <= 200
+         RETURN p.key AS k,
+                apoc.util.md5(p.name) AS h,
+                levenshtein(p.name, 'red bolt') AS lev,
+                lpad(toString(p.key), 8, '0') AS padded,
+                apoc.text.capitalize(p.name) AS cap""",
+      """SELECT p_partkey AS k, md5(p_name) AS h,
+                CAST(levenshtein(p_name, 'red bolt') AS INT) AS lev,
+                lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+                upper(substring(p_name, 1, 1)) || substring(p_name, 2) AS cap
+         FROM part WHERE p_partkey <= 200"""),
+
     cq("q_cypher_in_list", "2.2",
       """MATCH (o:Order) WHERE o.mktsegment IN ['1-URGENT', '2-HIGH']
          RETURN o.mktsegment AS pri, count(*) AS n""",

@@ -224,6 +224,56 @@ object Algorithms {
     dist
   }
 
+  /** A* point-to-point search (`apoc.algo.aStar`,
+    * `/root/reference/pkg/cypher/apoc_algorithms.go:114`). Like the
+    * reference, this is a single-node point-query algorithm: the bounded
+    * k-hop neighborhood of the source is collected (distributed BFS first),
+    * then classic priority-queue A* runs on that subgraph. Bulk SSSP at
+    * scale uses [[dijkstra]] instead. Heuristic defaults to 0 (= exact
+    * Dijkstra).
+    */
+  def aStar(g: PropertyGraph, sourceId: String, targetId: String,
+      maxHops: Int = 6, heuristic: String => Double = _ => 0.0): Option[(Seq[String], Double)] = {
+    import graft.graph.Expand
+    val spark = g.nodes.sparkSession
+    val reachable = Expand.shortestPaths(g,
+      g.nodes.filter(col("id") === sourceId).select("id"), None, maxHops, Expand.Both)
+      .select("end_id")
+    val localEdges = g.edges
+      .join(reachable.withColumnRenamed("end_id", "src"), Seq("src"), "left_semi")
+      .select("src", "dst", "weight")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val adj = localEdges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(e => (e._2, e._3)) }
+    // A* with binary-heap frontier
+    val dist = scala.collection.mutable.Map(sourceId -> 0.0)
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    val visited = scala.collection.mutable.Set.empty[String]
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Double, String)](
+      Ordering.by[(Double, String), Double](_._1).reverse)
+    pq.enqueue((heuristic(sourceId), sourceId))
+    while (pq.nonEmpty && !visited.contains(targetId)) {
+      val (_, u) = pq.dequeue()
+      if (!visited.contains(u)) {
+        visited += u
+        adj.getOrElse(u, Array.empty[(String, Double)]).foreach { case (v, w) =>
+          val nd = dist(u) + w
+          if (nd < dist.getOrElse(v, Double.PositiveInfinity)) {
+            dist(v) = nd
+            parent(v) = u
+            pq.enqueue((nd + heuristic(v), v))
+          }
+        }
+      }
+    }
+    if (!dist.contains(targetId)) None
+    else {
+      val path = Iterator.iterate(targetId)(parent).takeWhile(_ != sourceId).toSeq.reverse
+      Some((sourceId +: path, dist(targetId)))
+    }
+  }
+
   // =====================================================================
   // Link prediction (gds.linkPrediction.*, topology.go:244-)
   // =====================================================================

@@ -52,6 +52,7 @@ object Ast {
   case class SetClause(items: Seq[(Prop, Expr)]) extends Clause
   case class DeleteClause(vars: Seq[String], detach: Boolean) extends Clause
   case class RemoveClause(items: Seq[Prop]) extends Clause
+  case class ForeachClause(variable: String, list: Expr, updates: Seq[Clause]) extends Clause
   case class WithClause(
       items: Seq[ProjectionItem], distinct: Boolean, where: Option[Expr],
       orderBy: Seq[SortItem], skip: Option[Long], limit: Option[Long]) extends Clause

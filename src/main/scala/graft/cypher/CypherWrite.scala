@@ -36,32 +36,29 @@ object CypherWrite {
 
     def refresh(): Unit = { g = store.snapshot }
 
-    q.parts.head.clauses.foreach {
-      case c @ (_: MatchClause | _: UnwindClause | _: WithClause) =>
-        val (f2, first2) = Planner.advance(g, frame, first, c, params)
-        frame = f2; first = first2
-      case r: ReturnClause =>
-        val (f2, _) = Planner.advance(g, frame, first, r, params)
-        returned = Some(f2.df)
+    /** Apply one WRITE clause against a binding frame; returns the frame
+      * (possibly with newly bound variables). Shared by the main clause
+      * loop and FOREACH bodies (FOREACH nests arbitrarily).
+      */
+    def applyWrite(c: Clause, frame0: Frame): Frame = c match {
       case CreateClause(paths) =>
+        var fr = frame0
         paths.foreach { p =>
           if (p.hops.isEmpty) {
-            val (df, v) = nodeRows(frame, p.first, params)
+            val (df, v) = nodeRows(fr, p.first, params)
             nc += store.createNodes(df.dropDuplicates("id")).nodesCreated
             refresh()
-            frame = bindNodeInFrame(frame, v, p.first, params)
+            fr = bindNodeInFrame(fr, v, p.first, params)
           } else {
-            // (a)-[:T {props}]->(b) with bound endpoints
             require(p.hops.size == 1, "CREATE supports single-hop relationship patterns")
             val (rel, endPat) = p.hops.head
             val aVar = p.first.variable.getOrElse(sys.error("CREATE rel: unbound start"))
             val bVar = endPat.variable.getOrElse(sys.error("CREATE rel: unbound end"))
-            require(frame.kinds.get(aVar).contains(NodeK) && frame.kinds.get(bVar).contains(NodeK),
+            require(fr.kinds.get(aVar).contains(NodeK) && fr.kinds.get(bVar).contains(NodeK),
               "CREATE relationship requires both endpoints bound")
             val t = rel.relType.getOrElse(sys.error("CREATE rel needs a type"))
-            val props = rel.props.map { case (k, e) =>
-              (k, Planner.compile(e, frame, params)) }
-            val edges = frame.df.select(
+            val props = rel.props.map { case (k, e) => (k, Planner.compile(e, fr, params)) }
+            val edges = fr.df.select(
               concat_ws("|", lit(t), col(s"${aVar}_id"), col(s"${bVar}_id")).as("id"),
               col(s"${aVar}_id").as("src"), col(s"${bVar}_id").as("dst"),
               lit(t).as("rel_type"),
@@ -73,47 +70,70 @@ object CypherWrite {
             refresh()
           }
         }
+        fr
       case MergeClause(path, onCreateSet, onMatchSet) =>
         require(path.hops.isEmpty, "MERGE supports node patterns (rel MERGE deferred)")
-        val (cand, v) = nodeRows(frame, path.first, params)
+        val (cand, v) = nodeRows(frame0, path.first, params)
         val candD = cand.dropDuplicates("id").localCheckpoint(true)
         val existing = candD.join(g.nodes.select("id"), Seq("id"), "left_semi")
           .select("id").localCheckpoint(true)
-        val stats = store.mergeNodes(candD)
-        nc += stats.nodesCreated
+        nc += store.mergeNodes(candD).nodesCreated
         refresh()
         val createdIds = candD.select("id").join(existing, Seq("id"), "left_anti")
         onCreateSet.foreach { case (Prop(_, key), e) =>
-          ps += applySet(store, frame, createdIds, key, e, params); refresh()
+          ps += applySet(store, frame0, createdIds, key, e, params); refresh()
         }
         onMatchSet.foreach { case (Prop(_, key), e) =>
-          ps += applySet(store, frame, existing, key, e, params); refresh()
+          ps += applySet(store, frame0, existing, key, e, params); refresh()
         }
-        frame = bindNodeInFrame(frame, v, path.first, params)
+        bindNodeInFrame(frame0, v, path.first, params)
       case SetClause(items) =>
         items.foreach { case (Prop(v, key), e) =>
-          require(frame.kinds.get(v).contains(NodeK), s"SET target $v must be a bound node")
-          val updates = frame.df.select(col(s"${v}_id").as("id"),
-            Planner.compile(e, frame, params).as("newval")).dropDuplicates("id")
+          require(frame0.kinds.get(v).contains(NodeK), s"SET target $v must be a bound node")
+          val updates = frame0.df.select(col(s"${v}_id").as("id"),
+            Planner.compile(e, frame0, params).as("newval")).dropDuplicates("id")
           ps += store.setNodeProperties(updates, key).propertiesSet
           refresh()
         }
+        frame0
       case DeleteClause(vars, detach) =>
         vars.foreach { v =>
-          require(frame.kinds.get(v).contains(NodeK), s"DELETE target $v must be a bound node")
-          val ids = frame.df.select(col(s"${v}_id").as("id")).dropDuplicates()
+          require(frame0.kinds.get(v).contains(NodeK), s"DELETE target $v must be a bound node")
+          val ids = frame0.df.select(col(s"${v}_id").as("id")).dropDuplicates()
           val stats = store.deleteNodes(ids, detach)
           nd += stats.nodesDeleted; rd += stats.relationshipsDeleted
           refresh()
         }
+        frame0
       case RemoveClause(items) =>
         items.foreach { case Prop(v, key) =>
-          require(frame.kinds.get(v).contains(NodeK), s"REMOVE target $v must be a bound node")
-          val updates = frame.df.select(col(s"${v}_id").as("id"),
+          require(frame0.kinds.get(v).contains(NodeK), s"REMOVE target $v must be a bound node")
+          val updates = frame0.df.select(col(s"${v}_id").as("id"),
             lit(null).as("newval")).dropDuplicates("id")
           ps += store.setNodeProperties(updates, key).propertiesSet
           refresh()
         }
+        frame0
+      case ForeachClause(v, listE, updates) =>
+        // FOREACH body binds the element var per row; frame changes inside
+        // the body stay inside (Cypher scoping)
+        val cc = Planner.compile(listE, frame0, params)
+        var inner = Frame(frame0.df.withColumn(v, explode(cc)),
+          frame0.kinds + (v -> ValK))
+        updates.foreach(uc => inner = applyWrite(uc, inner))
+        frame0
+      case other => sys.error(s"not a write clause: $other")
+    }
+
+    q.parts.head.clauses.foreach {
+      case c @ (_: MatchClause | _: UnwindClause | _: WithClause) =>
+        val (f2, first2) = Planner.advance(g, frame, first, c, params)
+        frame = f2; first = first2
+      case r: ReturnClause =>
+        val (f2, _) = Planner.advance(g, frame, first, r, params)
+        returned = Some(f2.df)
+      case w =>
+        frame = applyWrite(w, frame)
     }
     WriteResult(nc, nd, rc, rd, ps, returned)
   }

@@ -53,6 +53,7 @@ object ExplainCypher {
         case _: SetClause => ops += "SetProperty"
         case d: DeleteClause => ops += (if (d.detach) "DetachDelete" else "Delete")
         case _: RemoveClause => ops += "RemoveProperty"
+        case _: ForeachClause => ops += "Foreach"
       }
     }
     ops += "ProduceResults"

@@ -57,6 +57,7 @@ final class Parser(tokens: Vector[Tok]) {
         case Kw("DELETE") => clauses += parseDelete(detach = false)
         case Kw("DETACH") => next(); clauses += parseDelete(detach = true)
         case Kw("REMOVE") => clauses += parseRemove()
+        case Kw("FOREACH") => clauses += parseForeach()
         case Kw("RETURN") => clauses += parseReturn(); done = true
         case _ => done = true
       }
@@ -145,6 +146,30 @@ final class Parser(tokens: Vector[Tok]) {
     one()
     while (trySym(",")) one()
     RemoveClause(items.result())
+  }
+
+  private def parseForeach(): ForeachClause = {
+    eatKw("FOREACH")
+    eatSym("(")
+    val v = identName()
+    eatKw("IN")
+    val l = parseExpr()
+    eatSym("|")
+    val inner = Vector.newBuilder[Clause]
+    while (!isSym(")")) {
+      peek match {
+        case Kw("SET") => inner += parseSetClause()
+        case Kw("CREATE") => inner += parseCreate()
+        case Kw("MERGE") => inner += parseMerge()
+        case Kw("DELETE") => inner += parseDelete(detach = false)
+        case Kw("DETACH") => next(); inner += parseDelete(detach = true)
+        case Kw("REMOVE") => inner += parseRemove()
+        case Kw("FOREACH") => inner += parseForeach()
+        case t => fail(s"unsupported clause in FOREACH: ${t.text}")
+      }
+    }
+    eatSym(")")
+    ForeachClause(v, l, inner.result())
   }
 
   private def parseUnwind(): UnwindClause = {

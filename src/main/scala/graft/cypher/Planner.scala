@@ -554,6 +554,57 @@ object Planner {
         case "apoc.coll.indexof" => array_position(a(0), a(1)) - 1
         case "apoc.text.join" => array_join(a(0), args(1) match { case Lit(s: String) => s; case _ => "," })
         case "apoc.text.clean" => regexp_replace(lower(a(0)), "[^a-z0-9]", "")
+        case "apoc.text.capitalize" => concat(upper(a(0).substr(1, 1)), a(0).substr(lit(2), length(a(0))))
+        case "apoc.text.decapitalize" => concat(lower(a(0).substr(1, 1)), a(0).substr(lit(2), length(a(0))))
+        case "apoc.text.repeat" => repeat(a(0), args(1) match { case Lit(n: Long) => n.toInt; case _ => 1 })
+        case "apoc.text.indexof" => instr(a(0), args(1) match { case Lit(s: String) => s; case _ => "" }) - 1
+        case "apoc.text.distance" | "levenshtein" => levenshtein(a(0), a(1))
+        case "apoc.text.regexgroups" => regexp_extract_all(a(0), args(1) match {
+          case Lit(s: String) => lit(s); case _ => lit("") }, lit(0))
+        case "apoc.text.format" | "format" => format_string(args.head match {
+          case Lit(s: String) => s; case _ => "%s" }, args.tail.map(x => compile(x, f, params)): _*)
+        case "lpad" => lpad(a(0), args(1) match { case Lit(n: Long) => n.toInt; case _ => 0 },
+          args.lift(2).map { case Lit(s: String) => s; case _ => " " }.getOrElse(" "))
+        case "rpad" => rpad(a(0), args(1) match { case Lit(n: Long) => n.toInt; case _ => 0 },
+          args.lift(2).map { case Lit(s: String) => s; case _ => " " }.getOrElse(" "))
+        // apoc.map.*
+        case "apoc.map.frompairs" => map_from_entries(a(0))
+        case "apoc.map.merge" => map_concat(a(0), a(1))
+        case "apoc.map.removekey" => map_filter(a(0), (k, _) => k =!= a(1))
+        case "apoc.map.clean" => map_filter(a(0), (_, v) => v.isNotNull)
+        case "keys" => // keys(map) or keys(node) → hoisted prop names
+          args.head match {
+            case Variable(v) if f.kinds.get(v).contains(NodeK) =>
+              array(nodeFields.filterNot(_ == "id").map(lit(_)): _*)
+            case _ => map_keys(a(0))
+          }
+        case "apoc.map.values" => map_values(a(0))
+        // apoc.coll.* (additions)
+        case "apoc.coll.zip" => arrays_zip(a(0), a(1))
+        case "apoc.coll.reverse" => reverse(a(0))
+        case "apoc.coll.slice" => slice(a(0),
+          args(1) match { case Lit(n: Long) => n.toInt + 1; case _ => 1 },
+          args(2) match { case Lit(n: Long) => n.toInt; case _ => 1000000 })
+        case "apoc.coll.shuffle" =>
+          throw new IllegalArgumentException("apoc.coll.shuffle is nondeterministic — unsupported")
+        // hashing / encoding
+        case "apoc.util.md5" | "md5" => md5(a(0))
+        case "apoc.util.sha1" | "sha1" => sha1(a(0))
+        case "apoc.text.base64encode" => base64(a(0).cast("binary"))
+        case "apoc.text.base64decode" => unbase64(a(0)).cast("string")
+        // apoc.date.* (epoch-second based)
+        case "apoc.date.format" => from_unixtime(a(0), args(1) match {
+          case Lit(s: String) => s; case _ => "yyyy-MM-dd HH:mm:ss" })
+        case "apoc.date.parse" => unix_timestamp(a(0), args(1) match {
+          case Lit(s: String) => s; case _ => "yyyy-MM-dd HH:mm:ss" })
+        // apoc.math.* (additions)
+        case "apoc.math.sigmoid" => lit(1.0) / (lit(1.0) + exp(-a(0)))
+        case "apoc.math.tanh" | "tanh" => tanh(a(0))
+        case "apoc.math.sinh" | "sinh" => sinh(a(0))
+        case "apoc.math.cosh" | "cosh" => cosh(a(0))
+        case "apoc.math.coth" => cosh(a(0)) / sinh(a(0))
+        case "apoc.number.format" => format_number(a(0), args.lift(1) match {
+          case Some(Lit(n: Long)) => n.toInt; case _ => 2 })
         // string functions
         case "tolower" | "lower" => lower(a(0))
         case "toupper" | "upper" => upper(a(0))

@@ -82,6 +82,29 @@ class CypherWriteSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 0)
   }
 
+  test("FOREACH applies its update clauses per list element") {
+    val store = freshStore()
+    val r = CypherWrite.execute(store,
+      "FOREACH (k IN [501, 502, 503] | CREATE (p:Person {key: k, name: toString(k)}))")
+    assert(r.nodesCreated == 3)
+    val n = Cypher.run(store.snapshot, "MATCH (p:Person) RETURN count(*) AS n")
+      .collect()(0).getLong(0)
+    assert(n == 3)
+  }
+
+  test("A* finds the weighted shortest path to the customer's region") {
+    import graft.algos.Algorithms
+    val g = GraphQueries.graph(spark, sf)
+    val regionId = Cypher.run(g,
+      "MATCH (c:Customer {key: 1})-[:FROM]->(:Nation)-[:IN]->(r:Region) RETURN id(r) AS rid")
+      .collect()(0).getString(0)
+    val Some((path, cost)) = Algorithms.aStar(g, "Customer:1", regionId, maxHops = 3)
+    assert(path.head == "Customer:1" && path.last == regionId)
+    assert(path.length == 3 && cost == 2.0) // FROM (1.0) + IN (1.0)
+    // unreachable target → None, not an error
+    assert(Algorithms.aStar(g, "Customer:1", "Customer:2", maxHops = 3).isEmpty)
+  }
+
   test("plain DELETE refuses nodes with incident edges") {
     val store = freshStore()
     val victims = store.snapshot.nodes
