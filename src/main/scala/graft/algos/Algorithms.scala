@@ -148,8 +148,12 @@ object Algorithms {
   def labelPropagation(g: PropertyGraph, iters: Int,
       relType: Option[String] = None, weighted: Boolean = false): DataFrame = {
     val es = relType.map(g.edgesByType).getOrElse(g.edges)
+    // pre-aggregate parallel edges once: every iteration then tallies over
+    // the contracted multigraph (same votes: weight-sum / multiplicity)
     val und = es.select(col("src").as("a"), col("dst").as("b"), col("weight"))
       .union(es.select(col("dst").as("a"), col("src").as("b"), col("weight")))
+      .groupBy("a", "b")
+      .agg((if (weighted) sum("weight") else count(lit(1)).cast("double")).as("ew"))
       .cache()
     val nodeIds = und.select(col("a").as("id")).distinct()
 
@@ -158,7 +162,7 @@ object Algorithms {
       val tally = und
         .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a"), col("nl"))
-        .agg((if (weighted) sum("weight") else count(lit(1)).cast("double")).as("w"))
+        .agg(sum("ew").as("w"))
       // argmax by (w desc, label asc): deterministic
       val best = tally
         .groupBy(col("a").as("id"))
