@@ -181,6 +181,21 @@ object CypherQueries {
       """SELECT c_custkey FROM customer WHERE c_acctbal > 9000""",
       params = Map("minbal" -> 9000L)),
 
+    cq("q_cypher_call_correlated", "2.9",
+      """MATCH (c:Customer)
+         CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) RETURN count(o) AS n_orders }
+         RETURN c.key AS c_custkey, n_orders""",
+      """SELECT c_custkey, COUNT(*) AS n_orders
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey"""),
+
+    cq("q_cypher_call_uncorrelated", "2.9",
+      """MATCH (n:Nation)
+         CALL { MATCH (r:Region) RETURN count(r) AS n_regions }
+         RETURN count(n) AS n_nations, min(n_regions) AS n_regions""",
+      """SELECT (SELECT COUNT(*) FROM nation) AS n_nations,
+                (SELECT COUNT(*) FROM region) AS n_regions"""),
+
     cq("q_cypher_apoc_fns", "2.10",
       """MATCH (p:Part) WHERE p.key <= 200
          RETURN p.key AS k,

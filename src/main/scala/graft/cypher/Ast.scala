@@ -53,6 +53,8 @@ object Ast {
   case class DeleteClause(vars: Seq[String], detach: Boolean) extends Clause
   case class RemoveClause(items: Seq[Prop]) extends Clause
   case class ForeachClause(variable: String, list: Expr, updates: Seq[Clause]) extends Clause
+  /** CALL { … } subquery; correlation via a leading import WITH. */
+  case class CallSubquery(inner: SingleQuery) extends Clause
   case class WithClause(
       items: Seq[ProjectionItem], distinct: Boolean, where: Option[Expr],
       orderBy: Seq[SortItem], skip: Option[Long], limit: Option[Long]) extends Clause

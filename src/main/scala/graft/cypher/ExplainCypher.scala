@@ -54,6 +54,7 @@ object ExplainCypher {
         case d: DeleteClause => ops += (if (d.detach) "DetachDelete" else "Delete")
         case _: RemoveClause => ops += "RemoveProperty"
         case _: ForeachClause => ops += "Foreach"
+        case _: CallSubquery => ops += "Apply" // Neo4j's CALL{} operator
       }
     }
     ops += "ProduceResults"

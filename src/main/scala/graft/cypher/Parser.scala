@@ -58,6 +58,11 @@ final class Parser(tokens: Vector[Tok]) {
         case Kw("DETACH") => next(); clauses += parseDelete(detach = true)
         case Kw("REMOVE") => clauses += parseRemove()
         case Kw("FOREACH") => clauses += parseForeach()
+        case Kw("CALL") =>
+          next(); eatSym("{")
+          val inner = parseSingle()
+          eatSym("}")
+          clauses += CallSubquery(inner)
         case Kw("RETURN") => clauses += parseReturn(); done = true
         case _ => done = true
       }

@@ -79,8 +79,61 @@ object Planner {
     case r: ReturnClause =>
       (project(g, frame, r.items, r.distinct, r.orderBy, r.skip, r.limit,
         isReturn = true, where = None, params = params), first)
+    case cs: CallSubquery =>
+      (planCallSubquery(g, frame, cs, params), first)
     case other =>
       throw new IllegalArgumentException(s"not a read clause: $other")
+  }
+
+  /** CALL { … }: uncorrelated subqueries cross-join their result onto the
+    * driving rows; a leading `WITH <vars>` imports outer variables, making
+    * the subquery a per-imported-row computation — planned set-based by
+    * seeding the subquery with the DISTINCT imported bindings, implicitly
+    * grouping aggregates by them, and left-joining back on the imported ids
+    * (SURVEY §2.9 `executor_subqueries.go:534,305` — per-row loops in the
+    * reference, one join here).
+    */
+  private def planCallSubquery(g: PropertyGraph, outer: Frame, cs: CallSubquery,
+      params: Map[String, Any]): Frame = {
+    val (imports, rest) = cs.inner.clauses match {
+      case WithClause(items, false, None, Seq(), None, None) +: tail
+          if items.nonEmpty && items.forall(i =>
+            i.alias.isEmpty && i.expr.isInstanceOf[Variable]) =>
+        (items.map(_.expr.asInstanceOf[Variable].name), tail)
+      case cls => (Seq.empty[String], cls)
+    }
+    if (imports.isEmpty) {
+      var f = seedFrame(g)
+      var first = true
+      rest.foreach { c =>
+        val (f2, fi) = advance(g, f, first, c, params)
+        f = f2; first = fi
+      }
+      Frame(outer.df.crossJoin(f.df),
+        outer.kinds ++ f.df.columns.map(_ -> (ValK: Kind)))
+    } else {
+      imports.foreach(v => require(outer.kinds.contains(v), s"CALL import $v is unbound"))
+      var f = Frame(
+        outer.df.select(imports.flatMap(v => outer.varCols(v)).map(col): _*).dropDuplicates(),
+        imports.map(v => v -> outer.kinds(v)).toMap)
+      var first = false
+      rest.foreach {
+        case r: ReturnClause =>
+          require(r.orderBy.isEmpty && r.skip.isEmpty && r.limit.isEmpty,
+            "ORDER/SKIP/LIMIT inside a correlated CALL {} is not supported yet")
+          val items2 = imports.map(v => ProjectionItem(Variable(v), None)) ++ r.items
+          f = project(g, f, items2, r.distinct, Seq.empty, None, None,
+            isReturn = false, where = None, params = params)
+        case c =>
+          val (f2, fi) = advance(g, f, first, c, params)
+          f = f2; first = fi
+      }
+      val joinCols = imports.map(v => s"${v}_id")
+      val dropCols = imports.flatMap(v => f.varCols(v).filterNot(_.endsWith("_id")))
+      Frame(
+        outer.df.join(f.df.drop(dropCols: _*), joinCols, "left_outer"),
+        outer.kinds ++ (f.kinds -- imports))
+    }
   }
 
   private def planSingle(g: PropertyGraph, sq: SingleQuery, params: Map[String, Any]): DataFrame = {
