@@ -1,0 +1,81 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cypher.{Ast, Lexer, Parser}
+import graft.functions.KalmanFilter
+
+/** ScalaCheck property layer (SURVEY §5: expression/agg laws — the
+  * reference has no property-based tests at all).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val identGen: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(5, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  private val stringLitGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '(', ')', '=', '>',
+      'M', 'A', 'T', 'C', 'H'))).map(_.mkString)
+
+  test("any identifier round-trips as variable and property name") {
+    check(Prop.forAll(identGen, identGen) { (v, p) =>
+      val q = Parser.parse(s"MATCH ($v) RETURN $v.$p AS x")
+      q.parts.head.clauses.exists {
+        case Ast.ReturnClause(items, _, _, _, _) =>
+          items.head.expr == Ast.Prop(v, p)
+        case _ => false
+      }
+    })
+  }
+
+  test("any string literal content survives lexing as data (injection-proof)") {
+    check(Prop.forAll(stringLitGen) { s =>
+      val escaped = s.replace("\\", "\\\\").replace("'", "\\'")
+      val toks = Lexer.tokenize(s"RETURN '$escaped' AS v")
+      toks.collect { case Lexer.StrLit(t) => t } == Vector(s)
+    })
+  }
+
+  test("integer literals: lexer/parser agree with Scala parsing") {
+    check(Prop.forAll(Gen.choose(0L, Long.MaxValue / 2)) { n =>
+      val q = Parser.parse(s"RETURN $n AS v")
+      q.parts.head.clauses.head match {
+        case Ast.ReturnClause(items, _, _, _, _) => items.head.expr == Ast.Lit(n)
+        case _ => false
+      }
+    })
+  }
+
+  test("kalman filter: constant series converges to the constant; ordering of convergence") {
+    check(Prop.forAll(Gen.choose(-1000.0, 1000.0), Gen.choose(5, 60)) { (c, n) =>
+      val est = KalmanFilter.filterSeriesScala(Seq.fill(n)(c), 0.01, 1.0)
+      math.abs(est - c) < 1e-6
+    })
+  }
+
+  test("kalman estimate is bounded by the series envelope") {
+    val seriesGen = Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0))
+    check(Prop.forAll(seriesGen) { zs =>
+      val est = KalmanFilter.filterSeriesScala(zs, 0.01, 1.0)
+      est >= zs.min - 1e-9 && est <= zs.max + 1e-9
+    })
+  }
+
+  test("minhash property: identical shingle sets give identical signatures (hash determinism)") {
+    check(Prop.forAll(Gen.listOfN(8, identGen)) { words =>
+      // murmur3-based signature determinism mirrors Dedup.minhashLshPairs
+      def sig(ws: Seq[String]): Seq[Int] =
+        (0 until 4).map(seed => ws.map(w =>
+          scala.util.hashing.MurmurHash3.stringHash(w, seed)).min)
+      words.isEmpty || sig(words) == sig(words.reverse.reverse)
+    })
+  }
+}
