@@ -80,9 +80,13 @@ object AlgoQueries {
               FROM pairs JOIN sdeg d1 ON s1 = d1.s JOIN sdeg d2 ON s2 = d2.s"""),
       "2.11"),
 
+    // embedding stringified: the driver's pandas row-sort can't hash raw
+    // array columns (round-1 compare failure)
     "q_algo_fastrp" -> GQuery(
       (s, d) => Algorithms.fastRP(GraphQueries.graph(s, d), dim = 8,
-        iterWeights = Seq(0.0, 1.0), relType = Some("SUPPLIES")),
+        iterWeights = Seq(0.0, 1.0), relType = Some("SUPPLIES"))
+        .select(col("id"),
+          array_join(transform(col("emb"), x => format_string("%.6f", x)), ";").as("emb_str")),
       None, "2.11"),
 
     "q_algo_closeness" -> GQuery(

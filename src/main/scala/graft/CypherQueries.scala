@@ -169,10 +169,11 @@ object CypherQueries {
          WHERE c_custkey <= 10"""),
 
     cq("q_cypher_collect", "2.4",
+      // joined to a string: the driver's pandas row-sort can't hash arrays
       """MATCH (n:Nation)
-         RETURN n.key % 5 AS grp, sort(collect(n.name)) AS names""",
+         RETURN n.key % 5 AS grp, apoc.text.join(sort(collect(n.name)), ',') AS names""",
       """SELECT CAST(n_nationkey % 5 AS BIGINT) AS grp,
-                list_sort(list(n_name)) AS names
+                array_to_string(list_sort(list(n_name)), ',') AS names
          FROM nation GROUP BY 1"""),
 
     cq("q_cypher_param", "2.2",
@@ -185,8 +186,8 @@ object CypherQueries {
       """MATCH (c:Customer)
          CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) RETURN count(o) AS n_orders }
          RETURN c.key AS c_custkey, n_orders""",
-      """SELECT c_custkey, COUNT(*) AS n_orders
-         FROM customer JOIN orders ON o_custkey = c_custkey
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
          GROUP BY c_custkey"""),
 
     cq("q_cypher_call_uncorrelated", "2.9",
@@ -213,5 +214,33 @@ object CypherQueries {
       """MATCH (o:Order) WHERE o.mktsegment IN ['1-URGENT', '2-HIGH']
          RETURN o.mktsegment AS pri, count(*) AS n""",
       """SELECT o_orderpriority AS pri, COUNT(*) AS n FROM orders
-         WHERE o_orderpriority IN ('1-URGENT','2-HIGH') GROUP BY 1"""))
+         WHERE o_orderpriority IN ('1-URGENT','2-HIGH') GROUP BY 1"""),
+
+    cq("q_cypher_xor", "2.2",
+      """MATCH (c:Customer)
+         WHERE c.acctbal > 5000 XOR c.mktsegment = 'BUILDING'
+         RETURN c.key AS c_custkey""",
+      """SELECT c_custkey FROM customer
+         WHERE (c_acctbal > 5000) <> (c_mktsegment = 'BUILDING')"""),
+
+    cq("q_cypher_var_length_zero", "2.3",
+      // [*0..1]: the zero-hop pair (n, n) plus each nation's region edge
+      """MATCH (n:Nation)-[:IN*0..1]->(x) RETURN count(*) AS n""",
+      """SELECT 2 * (SELECT COUNT(*) FROM nation) AS n"""),
+
+    cq("q_cypher_rel_alternation", "2.3",
+      // [:FROM|PLACED]: customer out-edges of either type
+      """MATCH (c:Customer)-[:FROM|PLACED]->(x) RETURN count(*) AS n""",
+      """SELECT (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM orders) AS n"""),
+
+    cq("q_cypher_sum_distinct", "2.4",
+      // each customer key appears once per order — DISTINCT dedups exactly
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+         RETURN c.mktsegment AS segment, sum(DISTINCT c.key) AS key_sum,
+                avg(DISTINCT c.key) AS key_avg""",
+      """SELECT c_mktsegment AS segment,
+                CAST(SUM(DISTINCT c_custkey) AS BIGINT) AS key_sum,
+                CAST(AVG(DISTINCT c_custkey) AS DOUBLE) AS key_avg
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_mktsegment"""))
 }

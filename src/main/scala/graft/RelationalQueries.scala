@@ -238,11 +238,12 @@ object RelationalQueries {
     },
 
     q("q_agg_collect", "2.4",
-      """SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS nations
+      """SELECT n_regionkey, array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
          FROM nation GROUP BY n_regionkey""") { (s, d) =>
-      // collect(DISTINCT x) — sorted for deterministic compare
+      // collect(DISTINCT x) — sorted then joined to a string: the driver's
+      // pandas row-sort can't hash raw array columns (round-1 failure)
       Tables.nation(s, d).groupBy("n_regionkey")
-        .agg(sort_array(collect_set(col("n_name"))).as("nations"))
+        .agg(array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"))
     },
 
     q("q_agg_global", "2.4",

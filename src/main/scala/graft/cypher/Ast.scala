@@ -30,13 +30,19 @@ object Ast {
   case object DirIn extends Dir
   case object DirBoth extends Dir
 
-  case class NodePat(variable: Option[String], label: Option[String], props: Map[String, Expr])
+  /** `extraLabels`: additional labels in `(:A:B:C)` — ALL must be present. */
+  case class NodePat(variable: Option[String], label: Option[String], props: Map[String, Expr],
+      extraLabels: Seq[String] = Seq.empty)
+  /** `altTypes`: alternation types in `[:T1|T2]` — rel type must be ANY of
+    * (relType ++ altTypes).
+    */
   case class RelPat(
       variable: Option[String],
       relType: Option[String],
       dir: Dir,
       varLength: Option[(Int, Int)], // (min,max); None = single hop
-      props: Map[String, Expr])
+      props: Map[String, Expr],
+      altTypes: Seq[String] = Seq.empty)
   case class PatternPath(first: NodePat, hops: Seq[(RelPat, NodePat)])
 
   // ---- clauses --------------------------------------------------------

@@ -149,7 +149,7 @@ object CypherWrite {
       "CREATE/MERGE node needs a `key` property (deterministic ids)"))
     val df = frame.df.select(
       concat_ws(":", lit(label), keyCol.cast("string")).as("id"),
-      array(lit(label)).as("labels"),
+      array((label +: pat.extraLabels).map(lit(_)): _*).as("labels"),
       keyCol.cast("long").as("key"),
       p("name").getOrElse(lit(null)).cast("string").as("name"),
       p("acctbal").getOrElse(lit(null)).cast("double").as("acctbal"),
@@ -170,7 +170,7 @@ object CypherWrite {
     val keyCol = p("key").get
     val df = frame.df
       .withColumn(s"${v}_id", concat_ws(":", lit(label), keyCol.cast("string")))
-      .withColumn(s"${v}_labels", array(lit(label)))
+      .withColumn(s"${v}_labels", array((label +: pat.extraLabels).map(lit(_)): _*))
       .withColumn(s"${v}_key", keyCol.cast("long"))
       .withColumn(s"${v}_name", p("name").getOrElse(lit(null)).cast("string"))
       .withColumn(s"${v}_acctbal", p("acctbal").getOrElse(lit(null)).cast("double"))

@@ -261,13 +261,14 @@ final class Parser(tokens: Vector[Tok]) {
       case Ident(nm) => variable = Some(nm); next()
       case _ =>
     }
+    var extraLabels = Vector.empty[String]
     if (trySym(":")) {
       label = Some(identName())
-      while (trySym(":")) identName() // extra labels accepted, first one used
+      while (trySym(":")) extraLabels :+= identName() // (:A:B) — all must hold
     }
     if (isSym("{")) props = parseMapLit()
     eatSym(")")
-    NodePat(variable, label, props)
+    NodePat(variable, label, props, extraLabels)
   }
 
   private def parseRelPat(): RelPat = {
@@ -280,6 +281,7 @@ final class Parser(tokens: Vector[Tok]) {
 
     var variable: Option[String] = None
     var relType: Option[String] = None
+    var altTypes = Vector.empty[String]
     var varLength: Option[(Int, Int)] = None
     var props: Map[String, Expr] = Map.empty
 
@@ -290,7 +292,7 @@ final class Parser(tokens: Vector[Tok]) {
       }
       if (trySym(":")) {
         relType = Some(identName())
-        while (trySym("|")) { trySym(":"); identName() } // alt types accepted, first used
+        while (trySym("|")) { trySym(":"); altTypes :+= identName() } // [:T1|T2] alternation
       }
       if (trySym("*")) {
         var min = 1
@@ -316,7 +318,7 @@ final class Parser(tokens: Vector[Tok]) {
     if (leftArrow) { eatSym("-"); dir = DirIn }
     else if (trySym("->")) dir = DirOut
     else if (trySym("-")) { if (dir != DirIn) dir = DirBoth }
-    RelPat(variable, relType, dir, varLength, props)
+    RelPat(variable, relType, dir, varLength, props, altTypes)
   }
 
   private def parseMapLit(): Map[String, Expr] = {
@@ -335,8 +337,14 @@ final class Parser(tokens: Vector[Tok]) {
   def parseExpr(): Expr = parseOr()
 
   private def parseOr(): Expr = {
+    var l = parseXor()
+    while (tryKw("OR")) l = Bin("OR", l, parseXor())
+    l
+  }
+  // Cypher precedence: OR < XOR < AND < NOT
+  private def parseXor(): Expr = {
     var l = parseAnd()
-    while (tryKw("OR") || tryKw("XOR")) l = Bin("OR", l, parseAnd())
+    while (tryKw("XOR")) l = Bin("XOR", l, parseAnd())
     l
   }
   private def parseAnd(): Expr = {

@@ -117,10 +117,24 @@ object Planner {
         outer.df.select(imports.flatMap(v => outer.varCols(v)).map(col): _*).dropDuplicates(),
         imports.map(v => v -> outer.kinds(v)).toMap)
       var first = false
+      // Cypher semantics on the join back: a non-aggregate correlated CALL {}
+      // drops zero-match outer rows (inner join); an aggregating one keeps
+      // them, with count/sum-style aggregates yielding 0 (not null).
+      var aggReturn = false
+      var zeroFills: Seq[(String, Column)] = Seq.empty
       rest.foreach {
         case r: ReturnClause =>
           require(r.orderBy.isEmpty && r.skip.isEmpty && r.limit.isEmpty,
             "ORDER/SKIP/LIMIT inside a correlated CALL {} is not supported yet")
+          aggReturn = r.items.exists(i => containsAgg(i.expr))
+          if (aggReturn) zeroFills = r.items.flatMap { it =>
+            val name = it.alias.getOrElse(autoName(it.expr))
+            it.expr match {
+              case CountStar() | FnCall("count", _, _) | FnCall("sum", _, _) =>
+                Some(name -> lit(0L))
+              case _ => None // avg/min/max over zero rows stay null
+            }
+          }
           val items2 = imports.map(v => ProjectionItem(Variable(v), None)) ++ r.items
           f = project(g, f, items2, r.distinct, Seq.empty, None, None,
             isReturn = false, where = None, params = params)
@@ -128,11 +142,19 @@ object Planner {
           val (f2, fi) = advance(g, f, first, c, params)
           f = f2; first = fi
       }
-      val joinCols = imports.map(v => s"${v}_id")
-      val dropCols = imports.flatMap(v => f.varCols(v).filterNot(_.endsWith("_id")))
-      Frame(
-        outer.df.join(f.df.drop(dropCols: _*), joinCols, "left_outer"),
-        outer.kinds ++ (f.kinds -- imports))
+      // join keys: entity imports join on their id column, scalar (ValK)
+      // imports on the bare column itself
+      val joinCols = imports.map(v => outer.kinds(v) match {
+        case ValK => v
+        case _ => s"${v}_id"
+      })
+      val dropCols = imports.flatMap(v => f.varCols(v).filterNot(joinCols.contains))
+      val joined0 = outer.df.join(f.df.drop(dropCols: _*), joinCols,
+        if (aggReturn) "left_outer" else "inner")
+      val joined = zeroFills.foldLeft(joined0) { case (df, (n, fill)) =>
+        df.withColumn(n, coalesce(col(n), fill))
+      }
+      Frame(joined, outer.kinds ++ (f.kinds -- imports))
     }
   }
 
@@ -236,8 +258,8 @@ object Planner {
       params: Map[String, Any]): Frame = {
     val v0 = path.first.variable.get
     var cur = f
-    // label/prop re-filter on the bound anchor
-    path.first.label.foreach { l =>
+    // label/prop re-filter on the bound anchor (all labels must hold)
+    (path.first.label.toSeq ++ path.first.extraLabels).foreach { l =>
       cur = Frame(cur.df.filter(array_contains(col(s"${v0}_labels"), l)), cur.kinds)
     }
     path.first.props.foreach { case (k, e) =>
@@ -260,17 +282,24 @@ object Planner {
         case Some((minH, maxH)) =>
           val dir = toDir(rel.dir)
           val anchorIds = f.df.select(col(s"${cur}_id").as("id")).distinct()
-          val pairs = Expand.varLengthExpand(g, anchorIds, rel.relType, minH, maxH, dir)
+          val pairs = Expand.varLengthExpand(g, anchorIds, rel.relType, minH, maxH, dir,
+              rel.altTypes)
             .select(col("start_id"), col("end_id"))
             .distinct() // pairs reachable at any depth in [min,max]
           var df = f.df.join(pairs, col(s"${cur}_id") === col("start_id"))
           val nodesDf = node.label.map(g.nodesByLabel).getOrElse(g.nodes)
           df = df.join(Expand.nodeColsOf(nodesDf, v), col("end_id") === col(s"${v}_id"))
             .drop("start_id", "end_id")
+          node.extraLabels.foreach { l =>
+            df = df.filter(array_contains(col(s"${v}_labels"), l))
+          }
           f = Frame(df, f.kinds + (v -> NodeK))
         case None =>
-          val df = Expand.expand(g, f.df, cur, v, rel.relType, toDir(rel.dir),
-            node.label, relVar)
+          var df = Expand.expand(g, f.df, cur, v, rel.relType, toDir(rel.dir),
+            node.label, relVar, altRelTypes = rel.altTypes)
+          node.extraLabels.foreach { l =>
+            df = df.filter(array_contains(col(s"${v}_labels"), l))
+          }
           var kinds = f.kinds + (v -> NodeK)
           relVar.foreach(r => kinds += (r -> RelK))
           f = Frame(df, kinds)
@@ -314,6 +343,9 @@ object Planner {
     val base = pat.label.map(g.nodesByLabel).getOrElse(g.nodes)
     val f0 = Frame(Expand.nodeColsOf(base, v), Map(v -> NodeK))
     var f = f0
+    pat.extraLabels.foreach { l =>
+      f = Frame(f.df.filter(array_contains(col(s"${v}_labels"), l)), f.kinds)
+    }
     pat.props.foreach { case (k, e) =>
       f = Frame(f.df.filter(propCol(f, v, k) === compile(e, f, params)), f.kinds)
     }
@@ -529,6 +561,8 @@ object Planner {
         case ">=" => lc >= rc
         case "AND" => lc && rc
         case "OR" => lc || rc
+        // boolean XOR, null-propagating: null XOR x = null (=!= gives exactly that)
+        case "XOR" => lc =!= rc
         case "=~" => lc.rlike(r match {
           case Lit(s: String) => s
           case _ => throw new IllegalArgumentException("=~ needs a literal pattern")
@@ -558,11 +592,15 @@ object Planner {
         case "count" =>
           val c0 = entityOr(args.head)
           if (distinct) countDistinct(c0) else count(c0)
-        case "sum" => sum(a(0))
-        case "avg" => avg(a(0))
-        case "min" => min(a(0))
+        case "sum" => if (distinct) sum_distinct(a(0)) else sum(a(0))
+        case "avg" =>
+          // avg(DISTINCT x): Spark's Scala API has no avg_distinct — derive it
+          if (distinct) sum_distinct(a(0)) / countDistinct(a(0)) else avg(a(0))
+        case "min" => min(a(0)) // DISTINCT is a no-op for min/max
         case "max" => max(a(0))
         case "collect" => if (distinct) collect_set(a(0)) else collect_list(a(0))
+        case "stdev" | "stdevp" | "percentilecont" | "percentiledisc" if distinct =>
+          throw new IllegalArgumentException(s"$name(DISTINCT …) is not supported")
         case "stdev" => stddev_samp(a(0))
         case "stdevp" => stddev_pop(a(0))
         case "percentilecont" => percentile(a(0), a(1))

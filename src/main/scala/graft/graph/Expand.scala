@@ -46,9 +46,10 @@ object Expand {
       direction: Direction = Out,
       dstLabel: Option[String] = None,
       relVar: Option[String] = None,
-      optional: Boolean = false): DataFrame = {
+      optional: Boolean = false,
+      altRelTypes: Seq[String] = Seq.empty): DataFrame = {
 
-    val es0 = relType.map(g.edgesByType).getOrElse(g.edges)
+    val es0 = g.edgesByTypes(relType.toSeq ++ altRelTypes)
     // orient edges so `from` is the bound side
     val oriented = direction match {
       case Out  => es0.select(col("src").as("_from"), col("dst").as("_to"),
@@ -96,9 +97,10 @@ object Expand {
       relType: Option[String],
       minHops: Int,
       maxHops: Int,
-      direction: Direction = Out): DataFrame = {
+      direction: Direction = Out,
+      altRelTypes: Seq[String] = Seq.empty): DataFrame = {
 
-    val es0 = relType.map(g.edgesByType).getOrElse(g.edges)
+    val es0 = g.edgesByTypes(relType.toSeq ++ altRelTypes)
     val adj = (direction match {
       case Out  => es0.select(col("src").as("_from"), col("dst").as("_to"))
       case In   => es0.select(col("dst").as("_from"), col("src").as("_to"))
@@ -107,7 +109,12 @@ object Expand {
     }).cache()
 
     var frontier = startIds.select(col("id").as("start_id"), col("id").as("end_id")).cache()
-    var results = Vector.empty[DataFrame]
+    // [*0..n]: the zero-hop pair (start, start, 0) is part of the result
+    var results: Vector[DataFrame] =
+      if (minHops == 0)
+        Vector(startIds.select(col("id").as("start_id"), col("id").as("end_id"),
+          lit(0).as("depth")))
+      else Vector.empty
     var depth = 0
     while (depth < maxHops) {
       depth += 1

@@ -30,6 +30,13 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   def edgesByType(relType: String): DataFrame =
     edges.filter(col("rel_type") === relType)
 
+  /** `[:T1|T2]` alternation — rel type in the set; empty = all edges. */
+  def edgesByTypes(relTypes: Seq[String]): DataFrame = relTypes match {
+    case Seq() => edges
+    case Seq(t) => edgesByType(t)
+    case ts => edges.filter(col("rel_type").isin(ts: _*))
+  }
+
   /** Degree of every node for a given direction ("out"|"in"|"both"). */
   def degrees(direction: String = "both", relType: Option[String] = None): DataFrame = {
     val es = relType.map(edgesByType).getOrElse(edges)
