@@ -26,10 +26,15 @@ object AlgoQueries {
     // DataFrame min-propagation variant (no RDDs). PLACED is star-shaped —
     // one component per customer — so min-propagation converges in ~3
     // rounds; deep/chained graphs should use the GraphX variant above.
+    // Oracle: component id = lexicographic-min node id = 'Customer:<k>'
+    // ('C' < 'O'), size = the customer plus its orders.
     "q_algo_wcc_df" -> GQuery(
       (s, d) => Algorithms.wcc(GraphQueries.graph(s, d), Some("PLACED"))
         .groupBy("component").agg(count(lit(1)).as("n_nodes")),
-      None, "2.11"),
+      Some("""SELECT 'Customer:' || c_custkey AS component,
+                     COUNT(*) + 1 AS n_nodes
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_custkey"""), "2.11"),
 
     "q_algo_label_prop" -> GQuery(
       (s, d) => Algorithms.labelPropagation(GraphQueries.graph(s, d), 3, Some("CONTAINS"))

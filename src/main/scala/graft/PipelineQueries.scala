@@ -36,13 +36,71 @@ object PipelineQueries {
 
     // hash-based signatures (Spark murmur3) are not reproducible in DuckDB —
     // rows-only check here; recall vs exact Jaccard asserted in ScalaTest
+    // md5-seeded minhash → the DuckDB oracle replays the ENTIRE LSH
+    // pipeline (signatures, banding, candidate join, exact-Jaccard verify)
+    // bit-exactly — not just the final pair set
     "q_dedup_minhash_lsh" -> GQuery(
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 16, 4, 0.5),
-      None, "pipeline"),
+      Some("""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+              sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(ws) >= 3 THEN
+                    list_transform(generate_series(1, len(ws) - 2),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                  ELSE [] END)) AS shingle
+                FROM d),
+              szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+              mh AS (
+                SELECT doc_id, s, MIN(md5(CAST(s AS VARCHAR) || '_' || shingle)) AS mn
+                FROM sh CROSS JOIN generate_series(0, 15) t(s)
+                GROUP BY doc_id, s),
+              sig AS (SELECT doc_id, list(mn ORDER BY s) AS sg FROM mh GROUP BY doc_id),
+              bands AS (
+                SELECT doc_id, b,
+                       sg[b*4+1] || '_' || sg[b*4+2] || '_' || sg[b*4+3] || '_' || sg[b*4+4] AS bsig
+                FROM sig CROSS JOIN generate_series(0, 3) t(b)),
+              cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+              inter AS (
+                SELECT c.a, c.b, COUNT(*) AS i
+                FROM cand c
+                  JOIN sh sa ON sa.doc_id = c.a
+                  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+                GROUP BY c.a, c.b)
+              SELECT i2.a, i2.b, CAST(i2.i AS DOUBLE) / (za.sz + zb.sz - i2.i) AS jac
+              FROM inter i2
+                JOIN szs za ON za.doc_id = i2.a
+                JOIN szs zb ON zb.doc_id = i2.b
+              WHERE CAST(i2.i AS DOUBLE) / (za.sz + zb.sz - i2.i) >= 0.5"""),
+      "pipeline"),
 
+    // md5-based word hash → signatures are engine-independent; the oracle
+    // recomputes simhash, bucketing, and Hamming verify from scratch
     "q_dedup_simhash" -> GQuery(
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), 3, 1000L),
-      None, "pipeline"),
+      Some("""WITH words AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                FROM documents WHERE doc_id < 1000),
+              wh AS (SELECT doc_id,
+                       CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS h
+                     FROM words),
+              bits AS (
+                SELECT doc_id, i,
+                       SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM wh CROSS JOIN generate_series(0, 31) t(i)
+                GROUP BY doc_id, i),
+              sig AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sh
+                FROM bits GROUP BY doc_id),
+              b AS (SELECT doc_id, sh, sh >> 24 AS bkt FROM sig)
+              SELECT x.doc_id AS a, y.doc_id AS b,
+                     CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS dist
+              FROM b x JOIN b y ON x.bkt = y.bkt AND x.doc_id < y.doc_id
+              WHERE bit_count(xor(x.sh, y.sh)) <= 3"""),
+      "pipeline"),
 
     "q_dedup_embedding" -> GQuery(
       (s, d) => Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.35, 300L),
@@ -94,9 +152,16 @@ object PipelineQueries {
                 CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS est_bpe_tokens
               FROM documents"""), "pipeline"),
 
+    // md5-based word hash → the rolling-hash fold is replayed in SQL
     "q_text_fingerprint" -> GQuery(
       (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)),
-      None, "pipeline"), // murmur3 word hashes not reproducible in DuckDB
+      Some("""SELECT doc_id,
+                list_reduce(
+                  list_transform(string_split(lower(text), ' '),
+                    w -> CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % 2147483647),
+                  (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
+              FROM documents"""),
+      "pipeline"),
 
     "q_multimodal_features" -> GQuery(
       (s, d) => Multimodal.extractFeatures(

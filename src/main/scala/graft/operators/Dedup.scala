@@ -22,12 +22,17 @@ object Dedup {
       .filter(col("n") > 1)
       .select("keep_id", "n")
 
-  /** Distinct word n-gram shingles per doc: (doc_id, shingle). */
+  /** Distinct word n-gram shingles per doc: (doc_id, shingle). Docs shorter
+    * than n words yield none (guarded: Spark's sequence(1, 0) is the
+    * DESCENDING [1, 0], not empty).
+    */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
     val words = split(lower(col("text")), " ")
-    val grams = transform(
-      sequence(lit(1), greatest(size(words) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(o => element_at(words, i + o)): _*))
+    val grams = when(size(words) >= n,
+      transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(words, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
     docs.select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
   }
 
@@ -64,9 +69,11 @@ object Dedup {
     val rowsPerBand = nHashes / nBands
     val sh = shingles(docs, shingleN).cache()
 
-    // signature: nHashes mins per doc
+    // signature: nHashes mins per doc. Seeded hash = md5("<seed>_<shingle>")
+    // hex string (min over strings) — reproducible in a DuckDB oracle.
     val hashed = sh.select(col("doc_id"),
-      array((0 until nHashes).map(seed => hash(col("shingle"), lit(seed))): _*).as("hs"))
+      array((0 until nHashes).map(seed =>
+        md5(concat(lit(s"${seed}_"), col("shingle")))): _*).as("hs"))
     val sig = hashed.groupBy("doc_id").agg(
       array((0 until nHashes).map(i =>
         min(element_at(col("hs"), i + 1))): _*).as("sig"))
@@ -111,9 +118,16 @@ object Dedup {
     * of Σ_words (bit b of murmur3(word) ? +1 : −1). Near-dups share a
     * fingerprint prefix (bucketed), verified by Hamming distance ≤ maxDist.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** Cross-engine-reproducible 32-bit word hash: top 8 hex chars of md5.
+    * Slower than murmur3 but lets a DuckDB oracle recompute signatures
+    * bit-exactly; swap in `hash(c)` for pure-throughput runs.
+    */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  def simhash(docs: DataFrame, wordHash: Column => Column = md5Hash32): DataFrame = {
     val words = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-      .withColumn("h", hash(col("w")))
+      .withColumn("h", wordHash(col("w")))
     val bitAggs = (0 until 32).map(b =>
       sum(when((shiftright(col("h"), b) % 2) =!= 0, 1).otherwise(-1)).as(s"b$b"))
     val bitSums = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)

@@ -57,14 +57,18 @@ object TextAnalysis {
   }
 
   /** Polynomial rolling-hash fingerprint over words:
-    * h = Σ (h*31 + murmur3(word)) mod 2^31-1, computed with a HOF fold —
-    * deterministic, distributed, no UDF.
+    * h = Σ (h*31 + wordhash) mod 2^31-1, computed with a HOF fold —
+    * deterministic, distributed, no UDF. The word hash is the top 60 bits
+    * of md5 (cross-engine reproducible, unlike murmur3: a DuckDB oracle can
+    * recompute it bit-exactly). acc < 2^31 and hash < 2^31 keep the fold in
+    * long range with no overflow.
     */
   def fingerprint(docs: DataFrame): DataFrame = {
     val words = split(lower(col("text")), " ")
     val m = lit(2147483647L) // 2^31 - 1
     docs.select(col("doc_id"),
       aggregate(words, lit(0L),
-        (acc, w) => (acc * 31 + pmod(hash(w).cast("long"), m)) % m).as("fingerprint"))
+        (acc, w) => (acc * 31 + conv(substring(md5(w), 1, 15), 16, 10).cast("long") % m) % m)
+        .as("fingerprint"))
   }
 }
