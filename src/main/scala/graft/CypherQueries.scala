@@ -233,6 +233,51 @@ object CypherQueries {
       """MATCH (c:Customer)-[:FROM|PLACED]->(x) RETURN count(*) AS n""",
       """SELECT (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM orders) AS n"""),
 
+    cq("q_cypher_count_subquery", "2.9",
+      """MATCH (c:Customer)
+         RETURN c.key AS c_custkey, COUNT { (c)-[:PLACED]->(o:Order) } AS n_orders""",
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey"""),
+
+    cq("q_cypher_count_subquery_where", "2.9",
+      // COUNT {} as a WHERE predicate (reference COUNT{…} routing,
+      // executor_mutations.go:1994)
+      """MATCH (c:Customer) WHERE COUNT { (c)-[:PLACED]->(o:Order) } >= 15
+         RETURN c.key AS c_custkey""",
+      """SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey HAVING COUNT(*) >= 15"""),
+
+    cq("q_cypher_collect_subquery", "2.9",
+      """MATCH (n:Nation)
+         RETURN n.name AS nation,
+                apoc.text.join(COLLECT { MATCH (n)<-[:FROM]-(c:Customer) RETURN c.name }, ',') AS custs""",
+      """SELECT n_name AS nation,
+                array_to_string(list_sort(list(c_name) FILTER (c_name IS NOT NULL)), ',') AS custs
+         FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+         GROUP BY n_name"""),
+
+    cq("q_cypher_exists_subquery", "2.3",
+      // EXISTS {} block form with an inner WHERE
+      """MATCH (c:Customer)
+         WHERE EXISTS { (c)-[:PLACED]->(o:Order) WHERE o.acctbal > 300000 }
+         RETURN c.key AS c_custkey""",
+      """SELECT c_custkey FROM customer WHERE EXISTS
+           (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)"""),
+
+    cq("q_cypher_dynamic_prop", "1.2",
+      // non-hoisted properties resolved through the string-map fallback
+      """MATCH (o:Order) WHERE o.orderstatus = 'F'
+         RETURN o.key AS o_orderkey, o.orderdate AS od""",
+      """SELECT o_orderkey, CAST(o_orderdate AS VARCHAR) AS od
+         FROM orders WHERE o_orderstatus = 'F'"""),
+
+    cq("q_cypher_dynamic_prop_num", "1.2",
+      """MATCH (p:Part) WHERE toInteger(p.size) > 40
+         RETURN p.key AS p_partkey, toInteger(p.size) AS psize""",
+      """SELECT p_partkey, CAST(p_size AS BIGINT) AS psize
+         FROM part WHERE p_size > 40"""),
+
     cq("q_cypher_sum_distinct", "2.4",
       // each customer key appears once per order — DISTINCT dedups exactly
       """MATCH (c:Customer)-[:PLACED]->(o:Order)

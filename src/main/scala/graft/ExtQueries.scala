@@ -24,6 +24,17 @@ object ExtQueries {
               FROM customer JOIN nation ON c_nationkey = n_nationkey
               GROUP BY n_regionkey"""), "2.11"),
 
+    // all shortest paths Customer:102 → Part:1784 (3 distinct 2-hop paths
+    // through different orders at sf0.01; the oracle enumerates them)
+    "q_path_all_shortest" -> GQuery(
+      (s, d) => Expand.allShortestPaths(GraphQueries.graph(s, d),
+        "Customer:102", "Part:1784", None, 4)
+        .select(array_join(col("path"), ">").as("path"), col("length")),
+      Some("""SELECT DISTINCT 'Customer:102>Order:' || o_orderkey || '>Part:1784' AS path,
+                     CAST(2 AS INT) AS length
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE o_custkey = 102 AND l_partkey = 1784"""), "2.3"),
+
     "q_path_neighbors_byhop" -> GQuery(
       (s, d) => {
         val g = GraphQueries.graph(s, d)
@@ -199,7 +210,8 @@ object ProcQueries {
     "q_proc_property_keys" -> GQuery(
       (s, d) => Procedures.dbPropertyKeys(GraphQueries.graph(s, d)),
       Some("""SELECT property_key FROM (VALUES ('key'), ('name'), ('acctbal'),
-                ('mktsegment'), ('quantity'), ('extendedprice')) t(property_key)"""),
+                ('mktsegment'), ('quantity'), ('extendedprice'),
+                ('orderstatus'), ('orderdate'), ('type'), ('size')) t(property_key)"""),
       "2.11"),
 
     // GraphX PageRank variant — rows-only (normalization differs slightly

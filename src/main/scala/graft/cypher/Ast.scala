@@ -21,7 +21,14 @@ object Ast {
   case class ListLit(items: Seq[Expr]) extends Expr
   case class Index(list: Expr, idx: Expr) extends Expr
   case class HasLabel(variable: String, label: String) extends Expr
-  case class ExistsPattern(path: PatternPath) extends Expr // exists((a)-[:T]->(b))
+  /** exists((a)-[:T]->(b)) or EXISTS { (a)-[:T]->(b) [WHERE …] } */
+  case class ExistsPattern(path: PatternPath, where: Option[Expr] = None) extends Expr
+  /** COUNT { (a)-[:T]->(b) [WHERE …] } expression subquery. */
+  case class CountPattern(path: PatternPath, where: Option[Expr]) extends Expr
+  /** COLLECT { MATCH … RETURN x } expression subquery (correlated by
+    * shared variable names, Neo4j-style).
+    */
+  case class CollectSubquery(inner: SingleQuery) extends Expr
   case class CountStar() extends Expr
 
   // ---- patterns -------------------------------------------------------

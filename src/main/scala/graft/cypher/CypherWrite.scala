@@ -71,8 +71,35 @@ object CypherWrite {
           }
         }
         fr
+      case MergeClause(path, onCreateSet, onMatchSet) if path.hops.nonEmpty =>
+        // relationship MERGE: match by (src, dst, rel_type) against the
+        // current snapshot, create only the missing edges (merge.go:26-40
+        // pattern-match-then-create, set-based)
+        require(path.hops.size == 1, "MERGE supports single-hop relationship patterns")
+        require(onCreateSet.isEmpty && onMatchSet.isEmpty,
+          "ON CREATE/ON MATCH SET on relationship MERGE is not supported")
+        val (rel, endPat) = path.hops.head
+        val aVar = path.first.variable.getOrElse(sys.error("MERGE rel: unbound start"))
+        val bVar = endPat.variable.getOrElse(sys.error("MERGE rel: unbound end"))
+        require(frame0.kinds.get(aVar).contains(NodeK) && frame0.kinds.get(bVar).contains(NodeK),
+          "MERGE relationship requires both endpoints bound")
+        val t = rel.relType.getOrElse(sys.error("MERGE rel needs a type"))
+        val props = rel.props.map { case (k, e) => (k, Planner.compile(e, frame0, params)) }
+        val cand = frame0.df.select(
+          concat_ws("|", lit(t), col(s"${aVar}_id"), col(s"${bVar}_id")).as("id"),
+          col(s"${aVar}_id").as("src"), col(s"${bVar}_id").as("dst"),
+          lit(t).as("rel_type"),
+          map_from_arrays(
+            array(props.keys.toSeq.map(lit(_)): _*),
+            array(props.values.toSeq.map(_.cast("string")): _*)).as("properties"),
+          props.get("weight").map(_.cast("double")).getOrElse(lit(1.0)).as("weight"))
+          .dropDuplicates("id")
+        val missing = cand.join(g.edges.select("src", "dst", "rel_type"),
+          Seq("src", "dst", "rel_type"), "left_anti").localCheckpoint(true)
+        rc += store.createEdges(missing).relationshipsCreated
+        refresh()
+        frame0
       case MergeClause(path, onCreateSet, onMatchSet) =>
-        require(path.hops.isEmpty, "MERGE supports node patterns (rel MERGE deferred)")
         val (cand, v) = nodeRows(frame0, path.first, params)
         val candD = cand.dropDuplicates("id").localCheckpoint(true)
         val existing = candD.join(g.nodes.select("id"), Seq("id"), "left_semi")
@@ -175,6 +202,7 @@ object CypherWrite {
       .withColumn(s"${v}_name", p("name").getOrElse(lit(null)).cast("string"))
       .withColumn(s"${v}_acctbal", p("acctbal").getOrElse(lit(null)).cast("double"))
       .withColumn(s"${v}_mktsegment", p("mktsegment").getOrElse(lit(null)).cast("string"))
+      .withColumn(s"${v}_properties", expr("map()").cast("map<string,string>"))
     Frame(df, frame.kinds + (v -> NodeK))
   }
 

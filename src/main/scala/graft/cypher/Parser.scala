@@ -436,20 +436,36 @@ final class Parser(tokens: Vector[Tok]) {
     peek match {
       case Kw("COUNT") =>
         next()
-        eatSym("(")
-        if (trySym("*")) { eatSym(")"); CountStar() }
-        else {
-          val distinct = tryKw("DISTINCT")
-          val arg = parseExpr()
-          eatSym(")")
-          FnCall("count", Seq(arg), distinct)
+        if (trySym("{")) { // COUNT { [MATCH] <path> [WHERE …] } subquery
+          tryKw("MATCH")
+          val p = parsePath()
+          val w = if (tryKw("WHERE")) Some(parseExpr()) else None
+          eatSym("}")
+          CountPattern(p, w)
+        } else {
+          eatSym("(")
+          if (trySym("*")) { eatSym(")"); CountStar() }
+          else {
+            val distinct = tryKw("DISTINCT")
+            val arg = parseExpr()
+            eatSym(")")
+            FnCall("count", Seq(arg), distinct)
+          }
         }
       case Kw("EXISTS") =>
         next()
-        eatSym("(")
-        val p = parsePath()
-        eatSym(")")
-        ExistsPattern(p)
+        if (trySym("{")) { // EXISTS { [MATCH] <path> [WHERE …] }
+          tryKw("MATCH")
+          val p = parsePath()
+          val w = if (tryKw("WHERE")) Some(parseExpr()) else None
+          eatSym("}")
+          ExistsPattern(p, w)
+        } else {
+          eatSym("(")
+          val p = parsePath()
+          eatSym(")")
+          ExistsPattern(p)
+        }
       case Kw("CASE") =>
         next()
         val scrutinee = if (!isKw("WHEN")) Some(parseExpr()) else None
@@ -482,7 +498,13 @@ final class Parser(tokens: Vector[Tok]) {
         ListLit(items.result())
       case Ident(nm) =>
         next()
-        if (isSym("(")) {
+        if (nm.equalsIgnoreCase("collect") && isSym("{")) {
+          // COLLECT { MATCH … RETURN x } expression subquery
+          next()
+          val inner = parseSingle()
+          eatSym("}")
+          CollectSubquery(inner)
+        } else if (isSym("(")) {
           // function call; dotted names like apoc.coll.sum
           var fname = nm
           // (dotted handled in parsePostfix via Prop; function names with dots

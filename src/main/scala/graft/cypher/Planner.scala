@@ -27,11 +27,16 @@ object Planner {
   case object ValK extends Kind
 
   val nodeFields: Seq[String] = Seq("id", "labels", "key", "name", "acctbal", "mktsegment")
+  /** Columns carried per node binding: hoisted fields + the string property
+    * map (dynamic-property fallback). `nodeFields` stays map-free so RETURN
+    * structs and keys() keep their hoisted shape.
+    */
+  val nodeCarry: Seq[String] = nodeFields :+ "properties"
   val relFields: Seq[String] = Seq("id", "type", "properties", "weight")
 
   case class Frame(df: DataFrame, kinds: Map[String, Kind]) {
     def varCols(v: String): Seq[String] = kinds(v) match {
-      case NodeK => nodeFields.map(f => s"${v}_$f")
+      case NodeK => nodeCarry.map(f => s"${v}_$f")
       case RelK  => relFields.map(f => s"${v}_$f")
       case ValK  => Seq(v)
     }
@@ -113,8 +118,12 @@ object Planner {
         outer.kinds ++ f.df.columns.map(_ -> (ValK: Kind)))
     } else {
       imports.foreach(v => require(outer.kinds.contains(v), s"CALL import $v is unbound"))
+      // dedup on the non-map columns only (map-typed property columns are
+      // not set-op-comparable; the id keys make this exact anyway)
+      val importDf = outer.df.select(imports.flatMap(v => outer.varCols(v)).map(col): _*)
+      val dedupKeys = importDf.columns.filterNot(_.endsWith("_properties")).toSeq
       var f = Frame(
-        outer.df.select(imports.flatMap(v => outer.varCols(v)).map(col): _*).dropDuplicates(),
+        importDf.dropDuplicates(dedupKeys),
         imports.map(v => v -> outer.kinds(v)).toMap)
       var first = false
       // Cypher semantics on the join back: a non-aggregate correlated CALL {}
@@ -183,27 +192,117 @@ object Planner {
     m.where.foreach { w =>
       val conjuncts = splitAnd(w)
       conjuncts.foreach {
-        case ExistsPattern(p) =>
-          val pf = buildStandalone(g, p, params)
-          val shared = pf.kinds.keySet.intersect(f.kinds.keySet)
-            .filter(v => f.kinds(v) != ValK).toSeq.sorted
+        case ExistsPattern(p, pw) =>
+          val pf = patternFrame(g, p, pw, params)
+          val shared = sharedEntityVars(pf, f)
           require(shared.nonEmpty, "EXISTS pattern must share a variable")
           f = Frame(
             f.df.join(idOnly(pf, shared), shared.map(v => s"${v}_id"), "left_semi"),
             f.kinds)
-        case Not(ExistsPattern(p)) =>
-          val pf = buildStandalone(g, p, params)
-          val shared = pf.kinds.keySet.intersect(f.kinds.keySet)
-            .filter(v => f.kinds(v) != ValK).toSeq.sorted
+        case Not(ExistsPattern(p, pw)) =>
+          val pf = patternFrame(g, p, pw, params)
+          val shared = sharedEntityVars(pf, f)
           require(shared.nonEmpty, "NOT EXISTS pattern must share a variable")
           f = Frame(
             f.df.join(idOnly(pf, shared), shared.map(v => s"${v}_id"), "left_anti"),
             f.kinds)
         case other =>
-          f = Frame(f.df.filter(compile(other, f, params)), f.kinds)
+          val (f2, e2, tmp) = attachSubqueries(g, f, other, params)
+          f = Frame(f2.df.filter(compile(e2, f2, params)).drop(tmp: _*), f2.kinds -- tmp)
       }
     }
     f
+  }
+
+  /** Build a pattern as a frame, applying the subquery-local WHERE. */
+  private def patternFrame(g: PropertyGraph, p: PatternPath, where: Option[Expr],
+      params: Map[String, Any]): Frame = {
+    val pf = buildStandalone(g, p, params)
+    where.map(w => Frame(pf.df.filter(compile(w, pf, params)), pf.kinds)).getOrElse(pf)
+  }
+
+  private def sharedEntityVars(pf: Frame, f: Frame): Seq[String] =
+    pf.kinds.keySet.intersect(f.kinds.keySet)
+      .filter(v => f.kinds(v) != ValK && pf.kinds(v) != ValK).toSeq.sorted
+
+  /** Rewrite COUNT {} / COLLECT {} expression subqueries inside `e` into
+    * fresh value columns attached to the frame (grouped left joins on the
+    * shared entity variables — the set-based equivalent of the reference's
+    * per-row subquery loops, `executor_mutations.go:1994`). Returns the
+    * widened frame, the rewritten expression, and the temp column names.
+    */
+  private def attachSubqueries(g: PropertyGraph, f0: Frame, e0: Expr,
+      params: Map[String, Any]): (Frame, Expr, Seq[String]) = {
+    var f = f0
+    var tmps = Vector.empty[String]
+
+    def attachCount(path: PatternPath, where: Option[Expr]): Expr = {
+      val pf = patternFrame(g, path, where, params)
+      val shared = sharedEntityVars(pf, f)
+      require(shared.nonEmpty, "COUNT {} must share a variable with the outer query")
+      val name = fresh()
+      val keys = shared.map(v => s"${v}_id")
+      val grouped = pf.df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(name))
+      f = Frame(
+        f.df.join(grouped, keys, "left_outer")
+          .withColumn(name, coalesce(col(name), lit(0L))),
+        f.kinds + (name -> ValK))
+      tmps :+= name
+      Variable(name)
+    }
+
+    def attachCollect(inner: SingleQuery): Expr = {
+      val ret = inner.clauses.last match {
+        case r: ReturnClause => r
+        case other => throw new IllegalArgumentException(s"COLLECT {} must end with RETURN, got $other")
+      }
+      require(ret.items.size == 1, "COLLECT {} must return exactly one expression")
+      require(ret.skip.isEmpty && ret.limit.isEmpty, "SKIP/LIMIT inside COLLECT {} unsupported")
+      var sf = seedFrame(g)
+      var first = true
+      inner.clauses.init.foreach { c =>
+        val (f2, fi) = advance(g, sf, first, c, params)
+        sf = f2; first = fi
+      }
+      val shared = sharedEntityVars(sf, f)
+      require(shared.nonEmpty, "COLLECT {} must share a variable with the outer query")
+      val valCol = compile(ret.items.head.expr, sf, params)
+      // ORDER BY <the returned expr> → sort the array; anything else is
+      // unsupported (array order must be deterministic)
+      val sorted = ret.orderBy match {
+        case Seq() => true // sort for determinism (collect order is unspecified anyway)
+        case Seq(SortItem(e, true)) if e == ret.items.head.expr => true
+        case other => throw new IllegalArgumentException(
+          s"COLLECT {} ORDER BY must be the returned expression ascending, got $other")
+      }
+      val agg0 = if (ret.distinct) collect_set(valCol) else collect_list(valCol)
+      val aggC = if (sorted) sort_array(agg0) else agg0
+      val name = fresh()
+      val keys = shared.map(v => s"${v}_id")
+      val grouped = sf.df.groupBy(keys.map(col): _*).agg(aggC.as(name))
+      val elemType = grouped.schema(name).dataType
+      f = Frame(
+        f.df.join(grouped, keys, "left_outer")
+          .withColumn(name, coalesce(col(name), array().cast(elemType))),
+        f.kinds + (name -> ValK))
+      tmps :+= name
+      Variable(name)
+    }
+
+    def rw(e: Expr): Expr = e match {
+      case CountPattern(p, w) => attachCount(p, w)
+      case CollectSubquery(inner) => attachCollect(inner)
+      case Bin(op, l, r) => Bin(op, rw(l), rw(r))
+      case Not(x) => Not(rw(x))
+      case IsNull(x, n) => IsNull(rw(x), n)
+      case FnCall(n, args, d) => FnCall(n, args.map(rw), d)
+      case CaseExpr(s, ws, d) => CaseExpr(s.map(rw), ws.map(t => (rw(t._1), rw(t._2))), d.map(rw))
+      case ListLit(xs) => ListLit(xs.map(rw))
+      case Index(l, i) => Index(rw(l), rw(i))
+      case other => other
+    }
+    val e2 = rw(e0)
+    (f, e2, tmps)
   }
 
   private def splitAnd(e: Expr): Seq[Expr] = e match {
@@ -352,11 +451,13 @@ object Planner {
     f
   }
 
-  /** Property access for a bound variable. */
+  /** Property access for a bound variable. Non-hoisted node properties fall
+    * back to the string map (VARIANT-style dynamic typing — SURVEY §1.2).
+    */
   private def propCol(f: Frame, v: String, key: String): Column = f.kinds.get(v) match {
     case Some(NodeK) =>
       if (nodeFields.contains(key)) col(s"${v}_$key")
-      else throw new IllegalArgumentException(s"unknown node property $key (hoisted: ${nodeFields.mkString(",")})")
+      else element_at(col(s"${v}_properties"), key)
     case Some(RelK) =>
       if (key == "weight") col(s"${v}_weight")
       else if (key == "type") col(s"${v}_type")
@@ -382,6 +483,23 @@ object Planner {
       return applyTail(Frame(df, f.kinds), orderBy, skip, limit, distinct, params)
     }
 
+    // expression subqueries (COUNT {} / COLLECT {}) become attached columns
+    var fSub = f
+    val items2 = items.map { it =>
+      val (nf, ne, _) = attachSubqueries(g, fSub, it.expr, params)
+      fSub = nf
+      ProjectionItem(ne, it.alias)
+    }
+    return projectRewritten(g, fSub, items, items2, distinct, orderBy, skip, limit,
+      isReturn, where, params)
+  }
+
+  private def projectRewritten(g: PropertyGraph, f: Frame,
+      itemsOrig: Seq[ProjectionItem], items: Seq[ProjectionItem],
+      distinct: Boolean, orderBy: Seq[SortItem], skip: Option[Long],
+      limit: Option[Long], isReturn: Boolean, where: Option[Expr],
+      params: Map[String, Any]): Frame = {
+
     val hasAgg = items.exists(i => containsAgg(i.expr))
 
     // classify items
@@ -389,12 +507,14 @@ object Planner {
     case class VarOut(v: String, outName: String) extends Out // node/rel var passthrough
     case class ExprOut(c: Column, outName: String, agg: Boolean) extends Out
 
-    val outs: Seq[Out] = items.map { it =>
+    val outs: Seq[Out] = items.zip(itemsOrig).map { case (it, orig) =>
       it.expr match {
         case Variable(v) if f.kinds.get(v).exists(k => k == NodeK || k == RelK) =>
           VarOut(v, it.alias.getOrElse(v))
         case e =>
-          val name = it.alias.getOrElse(autoName(e))
+          // auto-name from the ORIGINAL expression (pre-rewrite), so
+          // unaliased COUNT {} doesn't surface a temp column name
+          val name = it.alias.getOrElse(autoName(orig.expr))
           ExprOut(compile(e, f, params), name, containsAgg(e))
       }
     }
@@ -412,11 +532,22 @@ object Planner {
         }.toMap
         Frame(f.df.select(cols: _*), kinds)
       } else {
+        // map-typed columns (property maps) are not orderable → cannot be
+        // group keys; group by the rest and re-attach them via first()
+        // (deterministic: the id is always among the keys)
+        def groupable(v: String): Seq[String] = f.kinds(v) match {
+          case NodeK => nodeFields.map(fl => s"${v}_$fl")
+          case RelK => relFields.filterNot(_ == "properties").map(fl => s"${v}_$fl")
+          case ValK => Seq(v)
+        }
         val keyCols = outs.collect {
-          case VarOut(v, _) => f.varCols(v).map(col)
+          case VarOut(v, _) => groupable(v).map(col)
           case ExprOut(c, n, false) => Seq(c.as(n))
         }.flatten
-        val aggCols = outs.collect { case ExprOut(c, n, true) => c.as(n) }
+        val reattached = outs.collect { case VarOut(v, _) =>
+          f.varCols(v).diff(groupable(v)).map(c0 => first(col(c0)).as(c0))
+        }.flatten
+        val aggCols = outs.collect { case ExprOut(c, n, true) => c.as(n) } ++ reattached
         val grouped =
           if (keyCols.isEmpty) f.df.agg(aggCols.head, aggCols.tail: _*)
           else f.df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
@@ -437,7 +568,8 @@ object Planner {
       }
 
     where.foreach { w =>
-      outFrame = Frame(outFrame.df.filter(compile(w, outFrame, params)), outFrame.kinds)
+      val (f2, e2, tmp) = attachSubqueries(g, outFrame, w, params)
+      outFrame = Frame(f2.df.filter(compile(e2, f2, params)).drop(tmp: _*), f2.kinds -- tmp)
     }
 
     outFrame = applyTail(outFrame, orderBy, skip, limit, distinct, params)
@@ -460,7 +592,12 @@ object Planner {
   private def applyTail(f0: Frame, orderBy: Seq[SortItem], skip: Option[Long],
       limit: Option[Long], distinct: Boolean, params: Map[String, Any]): Frame = {
     var f = f0
-    if (distinct) f = Frame(f.df.dropDuplicates(), f.kinds)
+    if (distinct) {
+      // exclude map-typed property columns from the dedup key (not
+      // set-op-comparable; entity identity is the id columns anyway)
+      val keys = f.df.columns.filterNot(_.endsWith("_properties")).toSeq
+      f = Frame(if (keys.isEmpty) f.df.dropDuplicates() else f.df.dropDuplicates(keys), f.kinds)
+    }
     if (orderBy.nonEmpty) {
       val sorts = orderBy.map { s =>
         val c = compile(s.expr, f, params)
@@ -477,6 +614,8 @@ object Planner {
     case Prop(v, k) => s"${v}_$k"
     case FnCall(n, _, _) => n.replace('.', '_')
     case CountStar() => "count"
+    case CountPattern(_, _) => "count"
+    case CollectSubquery(_) => "collect"
     case Variable(v) => v
     case _ => fresh()
   }
@@ -541,8 +680,11 @@ object Planner {
           when(ic >= 0, element_at(lc, ic + 1)).otherwise(element_at(lc, ic))
       }
     case CountStar() => count(lit(1))
-    case ExistsPattern(_) =>
+    case ExistsPattern(_, _) =>
       throw new IllegalArgumentException("EXISTS pattern only supported as a top-level WHERE conjunct")
+    case CountPattern(_, _) | CollectSubquery(_) =>
+      throw new IllegalArgumentException(
+        "COUNT {} / COLLECT {} only supported in RETURN/WITH items and WHERE")
     case Bin(op, l, r) =>
       lazy val lc = compile(l, f, params)
       lazy val rc = compile(r, f, params)

@@ -24,7 +24,10 @@ object Expand {
     nodeColsOf(base, v)
   }
 
-  /** Node columns projected into a binding under `prefix`. */
+  /** Node columns projected into a binding under `prefix`. The string
+    * property map rides along as the dynamic-property fallback; Catalyst
+    * column pruning removes it from the scan when no expression touches it.
+    */
   def nodeColsOf(nodes: DataFrame, prefix: String): DataFrame =
     nodes.select(
       col("id").as(s"${prefix}_id"),
@@ -32,7 +35,8 @@ object Expand {
       col("key").as(s"${prefix}_key"),
       col("name").as(s"${prefix}_name"),
       col("acctbal").as(s"${prefix}_acctbal"),
-      col("mktsegment").as(s"${prefix}_mktsegment"))
+      col("mktsegment").as(s"${prefix}_mktsegment"),
+      col("properties").as(s"${prefix}_properties"))
 
   /** One hop: join `bindings` (bound var `srcVar`) through edges to a new
     * var `dstVar`. Optionally binds the relationship as `relVar` columns.
@@ -131,6 +135,56 @@ object Expand {
     adj.unpersist()
     if (results.isEmpty) startIds.sparkSession.emptyDataFrame
     else results.reduce(_.unionByName(_))
+  }
+
+  /** ALL shortest paths between two bound endpoints (SURVEY §2.3
+    * allShortestPaths, reference `pkg/cypher/traversal.go:1435`):
+    * level-synchronous BFS carrying path arrays, pruned per level to nodes
+    * first reached at that level (every prefix of a shortest path is itself
+    * shortest, so deeper re-visits can never extend into one), stopping at
+    * the first level that reaches `dstId`. Returns (path ARRAY<STRING>,
+    * length INT) — one row per distinct shortest path.
+    */
+  def allShortestPaths(
+      g: PropertyGraph,
+      srcId: String,
+      dstId: String,
+      relType: Option[String],
+      maxHops: Int,
+      direction: Direction = Out): DataFrame = {
+
+    val es0 = relType.map(g.edgesByType).getOrElse(g.edges)
+    val adj = (direction match {
+      case Out  => es0.select(col("src").as("_from"), col("dst").as("_to"))
+      case In   => es0.select(col("dst").as("_from"), col("src").as("_to"))
+      case Both => es0.select(col("src").as("_from"), col("dst").as("_to"))
+        .union(es0.select(col("dst").as("_from"), col("src").as("_to")))
+    }).distinct().cache()
+
+    var frontier = g.nodes.filter(col("id") === srcId)
+      .select(col("id").as("end_id"), array(col("id")).as("path")).cache()
+    var visited = frontier.select("end_id")
+    var found: Option[DataFrame] = None
+    var depth = 0
+    while (depth < maxHops && found.isEmpty) {
+      depth += 1
+      val next = frontier
+        .join(adj, col("end_id") === col("_from"))
+        .select(col("_to").as("end_id"), concat(col("path"), array(col("_to"))).as("path"))
+        .join(visited, Seq("end_id"), "left_anti") // only first-reached-here nodes
+        .distinct()
+        .cache()
+      val hits = next.filter(col("end_id") === dstId)
+      if (hits.limit(1).count() > 0) found = Some(hits)
+      else if (next.limit(1).count() == 0) { found = Some(next.limit(0)) } // disconnected
+      else {
+        visited = visited.union(next.select("end_id").distinct()).distinct()
+        frontier = next
+      }
+    }
+    adj.unpersist()
+    found.getOrElse(frontier.limit(0))
+      .select(col("path"), (size(col("path")) - 1).as("length"))
   }
 
   /** BFS shortest path length from every node in `srcIds` to every reachable

@@ -82,16 +82,25 @@ object PropertyGraph {
     val region = Tables.region(spark, sfDir)
     val lineitem = Tables.lineitem(spark, sfDir)
 
-    def nodeDf(df: DataFrame, label: String, key: Column, props: Seq[(String, Column)]): DataFrame = {
+    /** Hoisted columns (`props`) become typed node columns AND map entries;
+      * `extra` columns live only in the string map — the VARIANT-style
+      * fallback for properties the per-label schema didn't hoist (the
+      * reference's schema-less `map[string]any`, `pkg/storage/types.go:188`).
+      */
+    def nodeDf(df: DataFrame, label: String, key: Column, props: Seq[(String, Column)],
+        extra: Seq[(String, Column)] = Nil): DataFrame = {
       val base = df.select(
         nid(label, key).as("id") +:
           array(lit(label)).as("labels") +:
-          props.map { case (n, c) => c.as(n) }: _*)
-      // keep a uniform string property map alongside hoisted columns
+          props.map { case (n, c) => c.as(n) } ++:
+          extra.map { case (n, c) => c.cast("string").as(s"__x_$n") }: _*)
+      val all = props.map { case (n, _) => n -> col(n).cast("string") } ++
+        extra.map { case (n, _) => n -> col(s"__x_$n") }
       base.withColumn("properties",
         map_from_arrays(
-          array(props.map { case (n, _) => lit(n) }: _*),
-          array(props.map { case (n, _) => col(n).cast("string") }: _*)))
+          array(all.map { case (n, _) => lit(n) }: _*),
+          array(all.map { case (_, c) => c }: _*)))
+        .drop(extra.map { case (n, _) => s"__x_$n" }: _*)
     }
 
     val nodes = Seq(
@@ -100,10 +109,12 @@ object PropertyGraph {
         "acctbal" -> col("c_acctbal"), "mktsegment" -> col("c_mktsegment"))),
       nodeDf(orders, "Order", col("o_orderkey"), Seq(
         "key" -> col("o_orderkey").cast("long"), "name" -> col("o_orderkey").cast("string"),
-        "acctbal" -> col("o_totalprice"), "mktsegment" -> col("o_orderpriority"))),
+        "acctbal" -> col("o_totalprice"), "mktsegment" -> col("o_orderpriority")),
+        extra = Seq("orderstatus" -> col("o_orderstatus"), "orderdate" -> col("o_orderdate"))),
       nodeDf(part, "Part", col("p_partkey"), Seq(
         "key" -> col("p_partkey").cast("long"), "name" -> col("p_name"),
-        "acctbal" -> col("p_retailprice"), "mktsegment" -> col("p_brand"))),
+        "acctbal" -> col("p_retailprice"), "mktsegment" -> col("p_brand")),
+        extra = Seq("type" -> col("p_type"), "size" -> col("p_size"))),
       nodeDf(supplier, "Supplier", col("s_suppkey"), Seq(
         "key" -> col("s_suppkey").cast("long"), "name" -> col("s_name"),
         "acctbal" -> col("s_acctbal"), "mktsegment" -> lit(null).cast("string"))),

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cypher.{Cypher, CypherWrite}
+import graft.graph.{Expand, GraphStore, PropertyGraph}
+
+/** Round-2 feature coverage: COUNT {} / COLLECT {} / EXISTS {} expression
+  * subqueries, dynamic (non-hoisted) property fallback through the string
+  * map, relationship-pattern MERGE, and allShortestPaths enumeration.
+  */
+class Round2FeatureSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val store: GraphStore = {
+    val empty = {
+      val g = GraphQueries.graph(spark, sf)
+      PropertyGraph(g.nodes.filter("false").localCheckpoint(true),
+        g.edges.filter("false").localCheckpoint(true))
+    }
+    val s = new GraphStore(empty)
+    CypherWrite.execute(s,
+      """CREATE (a:Person {key: 1, name: 'Alice'}), (b:Person {key: 2, name: 'Bob'}),
+              (c:Person {key: 3, name: 'Cara'}), (d:Person {key: 4, name: 'Dan'})""")
+    CypherWrite.execute(s,
+      "MATCH (a:Person {key: 1}) MATCH (b:Person {key: 2}) CREATE (a)-[:KNOWS]->(b)")
+    CypherWrite.execute(s,
+      "MATCH (a:Person {key: 1}) MATCH (c:Person {key: 3}) CREATE (a)-[:KNOWS]->(c)")
+    CypherWrite.execute(s,
+      "MATCH (b:Person {key: 2}) MATCH (d:Person {key: 4}) CREATE (b)-[:KNOWS]->(d)")
+    CypherWrite.execute(s,
+      "MATCH (c:Person {key: 3}) MATCH (d:Person {key: 4}) CREATE (c)-[:KNOWS]->(d)")
+    s
+  }
+
+  private def rows(q: String): Seq[Seq[Any]] =
+    Cypher.run(store.snapshot, q).collect().map(_.toSeq.toSeq).toSeq
+
+  test("COUNT {} in RETURN yields 0 for zero-match rows") {
+    assert(rows(
+      """MATCH (p:Person)
+         RETURN p.name AS nm, COUNT { (p)-[:KNOWS]->(q) } AS friends ORDER BY nm""")
+      == Seq(Seq("Alice", 2L), Seq("Bob", 1L), Seq("Cara", 1L), Seq("Dan", 0L)))
+  }
+
+  test("COUNT {} with inner WHERE as a filter predicate") {
+    assert(rows(
+      """MATCH (p:Person)
+         WHERE COUNT { (p)-[:KNOWS]->(q:Person) WHERE q.key > 2 } >= 1
+         RETURN p.name AS nm ORDER BY nm""")
+      == Seq(Seq("Alice"), Seq("Bob"), Seq("Cara")))
+  }
+
+  test("COLLECT {} returns a sorted array, empty for zero matches") {
+    assert(rows(
+      """MATCH (p:Person)
+         RETURN p.name AS nm,
+                apoc.text.join(COLLECT { MATCH (p)-[:KNOWS]->(q) RETURN q.name }, ',') AS fr
+         ORDER BY nm""")
+      == Seq(Seq("Alice", "Bob,Cara"), Seq("Bob", "Dan"), Seq("Cara", "Dan"), Seq("Dan", "")))
+  }
+
+  test("EXISTS {} block form with inner WHERE") {
+    assert(rows(
+      """MATCH (p:Person)
+         WHERE EXISTS { (p)-[:KNOWS]->(q:Person) WHERE q.key = 4 }
+         RETURN p.name AS nm ORDER BY nm""")
+      == Seq(Seq("Bob"), Seq("Cara")))
+  }
+
+  test("dynamic non-hoisted property falls back to the string map") {
+    val g = GraphQueries.graph(spark, sf)
+    val out = Cypher.run(g,
+      "MATCH (o:Order) WHERE o.orderstatus = 'F' RETURN count(*) AS n")
+      .collect().head.getLong(0)
+    val expected = Tables.orders(spark, sf).filter(col("o_orderstatus") === "F").count()
+    assert(out == expected && expected > 0)
+  }
+
+  test("relationship MERGE is idempotent and creates only missing edges") {
+    val before = store.snapshot.edges.count()
+    // existing edge → no-op
+    val r1 = CypherWrite.execute(store,
+      "MATCH (a:Person {key: 1}) MATCH (b:Person {key: 2}) MERGE (a)-[:KNOWS]->(b)")
+    assert(r1.relationshipsCreated == 0)
+    assert(store.snapshot.edges.count() == before)
+    // new edge → created once, second MERGE is a no-op
+    val r2 = CypherWrite.execute(store,
+      "MATCH (a:Person {key: 1}) MATCH (d:Person {key: 4}) MERGE (a)-[:LIKES]->(d)")
+    assert(r2.relationshipsCreated == 1)
+    val r3 = CypherWrite.execute(store,
+      "MATCH (a:Person {key: 1}) MATCH (d:Person {key: 4}) MERGE (a)-[:LIKES]->(d)")
+    assert(r3.relationshipsCreated == 0)
+    assert(store.snapshot.edges.count() == before + 1)
+  }
+
+  test("allShortestPaths enumerates every distinct shortest path") {
+    // Alice→Dan: two 2-hop paths (via Bob, via Cara); the direct LIKES edge
+    // from the MERGE test above would shorten it, so restrict to KNOWS
+    val paths = Expand.allShortestPaths(store.snapshot,
+        "Person:1", "Person:4", Some("KNOWS"), 5)
+      .select(array_join(col("path"), ">").as("p"), col("length"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(paths == Set(
+      ("Person:1>Person:2>Person:4", 2),
+      ("Person:1>Person:3>Person:4", 2)))
+  }
+
+  test("allShortestPaths returns empty for unreachable endpoints") {
+    val n = Expand.allShortestPaths(store.snapshot,
+      "Person:4", "Person:1", Some("KNOWS"), 5).count() // edges point away
+    assert(n == 0)
+  }
+}
