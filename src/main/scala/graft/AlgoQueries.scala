@@ -36,14 +36,19 @@ object AlgoQueries {
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY c_custkey"""), "2.11"),
 
+    // GraphX variants (same semantics as the DataFrame versions, asserted
+    // in AlgoSpec): iterations run as in-memory RDD joins on the cached id
+    // dictionary instead of per-round Catalyst plans
     "q_algo_label_prop" -> GQuery(
-      (s, d) => Algorithms.labelPropagation(GraphQueries.graph(s, d), 3, Some("CONTAINS"))
+      (s, d) => graft.algos.GraphXAlgos.labelPropagation(
+        GraphQueries.graph(s, d), 3, Some("CONTAINS"))
         .groupBy("label").agg(count(lit(1)).as("n_nodes")),
       None, "2.11"),
 
     "q_algo_louvain" -> GQuery(
       (s, d) => {
-        val (comms, q) = Algorithms.louvain(GraphQueries.graph(s, d), 3, Some("CONTAINS"))
+        val (comms, q) = graft.algos.GraphXAlgos.louvain(
+          GraphQueries.graph(s, d), 3, Some("CONTAINS"))
         comms.groupBy("label").agg(count(lit(1)).as("n_nodes"))
       },
       None, "2.11"),

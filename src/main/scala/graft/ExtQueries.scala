@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.graph.Expand
 import graft.operators.PathExpand
 import graft.search.Eval
-import graft.sources.Formats
+import graft.sources.{Formats, ResultJson}
 import OracleSafe._
 
 /** Round-1 extension batch: apoc.path expanders, grouping sets, format
@@ -213,6 +213,16 @@ object ProcQueries {
                 ('mktsegment'), ('quantity'), ('extendedprice'),
                 ('orderstatus'), ('orderdate'), ('type'), ('size')) t(property_key)"""),
       "2.11"),
+
+    // result-serialization round-trip: rows → HTTP tx-API row JSON → rows.
+    // Matching the raw-SQL oracle proves the wire shape is lossless.
+    "q_sink_http_shape" -> GQuery(
+      (s, d) => {
+        val res = Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))
+        ResultJson.parseRows(ResultJson.rowsJson(res), res.schema)
+      },
+      Some("SELECT n_nationkey, n_name FROM nation"), "3.2"),
 
     // GraphX PageRank variant — rows-only (normalization differs slightly
     // from the DataFrame formula for dangling mass; spec checks agreement)

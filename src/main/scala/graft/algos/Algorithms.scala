@@ -186,6 +186,12 @@ object Algorithms {
     */
   def louvain(g: PropertyGraph, iters: Int, relType: Option[String] = None): (DataFrame, DataFrame) = {
     val communities = labelPropagation(g, iters, relType, weighted = true)
+    (communities, modularity(g, communities, relType))
+  }
+
+  /** Modularity of a partition: Q = Σ_c (in_c/m − (tot_c/2m)²). */
+  def modularity(g: PropertyGraph, communities: DataFrame,
+      relType: Option[String] = None): DataFrame = {
     val es = relType.map(g.edgesByType).getOrElse(g.edges)
     val m = es.agg(sum("weight")).collect()(0).getDouble(0)
     val withComms = es
@@ -196,10 +202,9 @@ object Algorithms {
     val totC = withComms.select(col("cs").as("community"), col("weight"))
       .union(withComms.select(col("cd").as("community"), col("weight")))
       .groupBy("community").agg(sum("weight").as("w_tot"))
-    val q = totC.join(inC, Seq("community"), "left_outer")
+    totC.join(inC, Seq("community"), "left_outer")
       .select(sum(coalesce(col("w_in"), lit(0.0)) / m -
         pow(col("w_tot") / (2 * m), 2)).as("modularity"))
-    (communities, q)
   }
 
   // =====================================================================

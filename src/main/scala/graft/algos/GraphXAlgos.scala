@@ -1,6 +1,9 @@
 package graft.algos
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -11,76 +14,166 @@ import graft.graph.PropertyGraph
   * traversal analytics"). The property graph's string node ids are mapped
   * to dense Longs with a `zipWithIndex` dictionary (collision-free by
   * construction, unlike hashing — SURVEY §7 "hard parts"), the algorithm
-  * runs as an in-memory Pregel loop (no per-round query planning/shuffle
-  * setup, which dominates the DataFrame variants' wall-clock), and results
-  * join back to string ids.
+  * runs as an in-memory loop (no per-round query planning/shuffle setup,
+  * which dominates the DataFrame variants' wall-clock), and results join
+  * back to string ids.
+  *
+  * Two scale decisions, both from round-1/2 bench profiling:
+  *  - the dictionary + translated edges are CACHED per (graph, relType) —
+  *    one build serves PageRank, WCC, LPA, and Louvain;
+  *  - parallel edges are CONTRACTED to (multiplicity, weight-sum) BEFORE
+  *    id translation, so the two translation RDD joins run on distinct
+  *    pairs, not the raw edge multiset (≈2× fewer rows on CONTAINS).
   */
 object GraphXAlgos {
+
+  /** Cached id dictionary + translated contracted edges for one
+    * (graph, relType). Edge attr = (multiplicity, weightSum) of the
+    * directed pair.
+    */
+  final case class Ctx(
+      dict: RDD[(String, Long)], // string id → dense idx
+      rev: RDD[(Long, String)], // dense idx → string id
+      edges: RDD[Edge[(Double, Double)]])
+
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[PropertyGraph, ConcurrentHashMap[String, Ctx]]())
+
+  private def ctx(g: PropertyGraph, relType: Option[String]): Ctx = {
+    val inner = cache.synchronized {
+      var m = cache.get(g)
+      if (m == null) { m = new ConcurrentHashMap[String, Ctx](); cache.put(g, m) }
+      m
+    }
+    inner.computeIfAbsent(relType.getOrElse("*"), _ => build(g, relType))
+  }
+
+  private def build(g: PropertyGraph, relType: Option[String]): Ctx = {
+    val es = g.edgesByTypes(relType.toSeq)
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).cast("double").as("cnt"), sum("weight").as("wsum"))
+    // full-graph contexts take the node table as the endpoint superset —
+    // skips a 2×|E| union+distinct shuffle; Graph.fromEdges only
+    // materializes endpoint vertices anyway
+    val endpoints = relType match {
+      case None => g.nodes.select("id")
+      case _ => es.select(col("src").as("id"))
+        .union(es.select(col("dst").as("id"))).distinct()
+    }
+    val dict = endpoints.rdd.map(_.getString(0)).zipWithIndex()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dict.count() // pin before reuse: zipWithIndex must evaluate exactly once
+    val edgeRdd = es.rdd
+      .map(r => (r.getString(0), (r.getString(1), r.getDouble(2), r.getDouble(3))))
+      .join(dict)
+      .map { case (_, ((dst, c, w), srcIdx)) => (dst, (srcIdx, c, w)) }
+      .join(dict)
+      .map { case (_, ((srcIdx, c, w), dstIdx)) => Edge(srcIdx, dstIdx, (c, w)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgeRdd.count()
+    val rev = dict.map(_.swap).persist(StorageLevel.MEMORY_AND_DISK)
+    Ctx(dict, rev, edgeRdd)
+  }
+
+  private def toDf(g: PropertyGraph, rows: RDD[Row], schema: StructType): DataFrame =
+    g.nodes.sparkSession.createDataFrame(rows, schema)
 
   /** Connected components via GraphX Pregel. Returns (id, component) where
     * component = min string id of the component (same contract as
     * [[Algorithms.wcc]]).
     */
   def wcc(g: PropertyGraph, relType: Option[String] = None): DataFrame = {
-    val spark = g.nodes.sparkSession
-    val es = relType.map(g.edgesByType).getOrElse(g.edges)
-      .select("src", "dst").distinct()
-
-    val endpoints = es.select(col("src").as("id"))
-      .union(es.select(col("dst").as("id"))).distinct()
-    val dict = endpoints.rdd.map(_.getString(0)).zipWithIndex()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val edgeRdd = es.rdd.map(r => (r.getString(0), r.getString(1)))
-      .join(dict) // src → srcIdx
-      .map { case (_, (dst, srcIdx)) => (dst, srcIdx) }
-      .join(dict) // dst → dstIdx
-      .map { case (_, (srcIdx, dstIdx)) => Edge(srcIdx, dstIdx, ()) }
-
-    val graph = Graph.fromEdges(edgeRdd, (), StorageLevel.MEMORY_AND_DISK,
+    val c = ctx(g, relType)
+    val graph = Graph.fromEdges(c.edges, (), StorageLevel.MEMORY_AND_DISK,
       StorageLevel.MEMORY_AND_DISK)
     val cc = graph.connectedComponents()
-
-    val revDict = dict.map { case (id, idx) => (idx, id) }
     val assigned = cc.vertices // (vertexIdx, componentRootIdx)
-      .join(revDict)
+      .join(c.rev)
       .map { case (_, (rootIdx, id)) => (rootIdx, id) }
     // component label = min string id within the component
     val rootToMin = assigned.reduceByKey((a, b) => if (a <= b) a else b)
     val rows = assigned.join(rootToMin)
       .map { case (_, (id, minId)) => Row(id, minId) }
-
-    val schema = StructType(Seq(
-      StructField("id", StringType), StructField("component", StringType)))
-    val out = spark.createDataFrame(rows, schema)
-    out
+    toDf(g, rows, StructType(Seq(
+      StructField("id", StringType), StructField("component", StringType))))
   }
 
-  /** Static PageRank via GraphX (same update rule as
-    * [[Algorithms.pageRank]]: r ← 0.15 + 0.85·Σ r(src)/outdeg), Pregel
-    * in-memory iterations. Returns (id, r).
+  /** Static PageRank (same update rule as [[Algorithms.pageRank]]:
+    * r ← 0.15 + 0.85·Σ r(src)·mult/outdeg, where outdeg counts parallel
+    * edges) as aggregateMessages rounds on the contracted graph.
+    * Returns (id, r).
     */
   def pageRank(g: PropertyGraph, iters: Int): DataFrame = {
-    val spark = g.nodes.sparkSession
-    val es = g.edges.select("src", "dst")
-
-    val endpoints = g.nodes.select("id")
-    val dict = endpoints.rdd.map(_.getString(0)).zipWithIndex()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val edgeRdd = es.rdd.map(r => (r.getString(0), r.getString(1)))
-      .join(dict)
-      .map { case (_, (dst, srcIdx)) => (dst, srcIdx) }
-      .join(dict)
-      .map { case (_, (srcIdx, dstIdx)) => Edge(srcIdx, dstIdx, 1.0) }
-
-    val graph = Graph.fromEdges(edgeRdd, 1.0, StorageLevel.MEMORY_AND_DISK,
-      StorageLevel.MEMORY_AND_DISK)
-    val ranks = graph.staticPageRank(iters, 0.15).vertices
-
-    val revDict = dict.map { case (id, idx) => (idx, id) }
-    val rows = ranks.join(revDict).map { case (_, (r, id)) => Row(id, r) }
-    spark.createDataFrame(rows, StructType(Seq(
+    val c = ctx(g, None)
+    val base = Graph.fromEdges(c.edges.map(e => Edge(e.srcId, e.dstId, e.attr._1)), 0.0,
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    val outW = base.aggregateMessages[Double](t => t.sendToSrc(t.attr), _ + _)
+    var graph = base.outerJoinVertices(outW) { (_, _, ow) => (1.0, ow.getOrElse(0.0)) }
+    for (_ <- 1 to iters) {
+      val msgs = graph.aggregateMessages[Double](
+        t => if (t.srcAttr._2 > 0) t.sendToDst(t.srcAttr._1 * t.attr / t.srcAttr._2),
+        _ + _)
+      graph = graph.outerJoinVertices(msgs) { case (_, (_, ow), m) =>
+        (0.15 + 0.85 * m.getOrElse(0.0), ow)
+      }
+    }
+    val rows = graph.vertices.join(c.rev).map { case (_, ((r, _), id)) => Row(id, r) }
+    toDf(g, rows, StructType(Seq(
       StructField("id", StringType), StructField("r", DoubleType))))
+  }
+
+  /** Label propagation with EXACTLY the [[Algorithms.labelPropagation]]
+    * semantics (parallel-edge contraction, weight-sum votes, argmax by
+    * (weight, label) with the same tie-break), but iterated as in-memory
+    * RDD joins over the cached dictionary — no per-round Catalyst planning.
+    * Returns (id, label).
+    */
+  def labelPropagation(g: PropertyGraph, iters: Int,
+      relType: Option[String] = None, weighted: Boolean = false): DataFrame = {
+    val c = ctx(g, relType)
+    // undirected contraction: both orientations of every directed pair,
+    // votes = weight-sum or multiplicity (matches the DataFrame und build)
+    val adjByB = c.edges
+      .flatMap { e =>
+        val ew = if (weighted) e.attr._2 else e.attr._1
+        Seq(((e.srcId, e.dstId), ew), ((e.dstId, e.srcId), ew))
+      }
+      .reduceByKey(_ + _)
+      .map { case ((a, b), ew) => (b, (a, ew)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adjByB.count()
+
+    var labels: RDD[(Long, String)] = c.rev // initial label = own id
+    for (_ <- 1 to iters) {
+      val tally = adjByB.join(labels)
+        .map { case (_, ((a, ew), lb)) => ((a, lb), ew) }
+        .reduceByKey(_ + _)
+        .map { case ((a, lb), w) => (a, (w, lb)) }
+        // same argmax as max(struct(w, nl)): weight first, then label
+        .reduceByKey((x, y) =>
+          if (x._1 > y._1 || (x._1 == y._1 && x._2 > y._2)) x else y)
+        .mapValues(_._2)
+      val next = labels.leftOuterJoin(tally)
+        .mapValues { case (old, nw) => nw.getOrElse(old) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      if (labels ne c.rev) labels.unpersist()
+      labels = next
+    }
+    adjByB.unpersist()
+    val rows = labels.join(c.rev).map { case (_, (lb, id)) => Row(id, lb) }
+    toDf(g, rows, StructType(Seq(
+      StructField("id", StringType), StructField("label", StringType))))
+  }
+
+  /** Louvain-style communities (GraphX LPA weighted-majority local moves) +
+    * modularity of the final partition — same contract as
+    * [[Algorithms.louvain]].
+    */
+  def louvain(g: PropertyGraph, iters: Int,
+      relType: Option[String] = None): (DataFrame, DataFrame) = {
+    val communities = labelPropagation(g, iters, relType, weighted = true)
+    (communities, Algorithms.modularity(g, communities, relType))
   }
 }

@@ -50,6 +50,23 @@ class AlgoSpec extends AnyFunSuite {
     assert(labels.count() == nInEdges)
   }
 
+  test("GraphX label propagation matches the DataFrame variant exactly") {
+    val df = Algorithms.labelPropagation(g, 2, Some("SUPPLIES"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val gx = graft.algos.GraphXAlgos.labelPropagation(g, 2, Some("SUPPLIES"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(df == gx)
+  }
+
+  test("GraphX louvain matches the DataFrame variant (communities + modularity)") {
+    val (dfC, dfQ) = Algorithms.louvain(g, 2, Some("CONTAINS"))
+    val (gxC, gxQ) = graft.algos.GraphXAlgos.louvain(g, 2, Some("CONTAINS"))
+    val a = dfC.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val b = gxC.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(a == b)
+    assert(math.abs(dfQ.collect()(0).getDouble(0) - gxQ.collect()(0).getDouble(0)) < 1e-9)
+  }
+
   test("louvain modularity is finite and communities are non-trivial") {
     val (comms, q) = Algorithms.louvain(g, 2, Some("CONTAINS"))
     val mod = q.collect()(0).getDouble(0)
