@@ -278,6 +278,45 @@ object CypherQueries {
       """SELECT p_partkey, CAST(p_size AS BIGINT) AS psize
          FROM part WHERE p_size > 40"""),
 
+    cq("q_cypher_all_shortest", "2.3",
+      // allShortestPaths through the string surface — one multi-pair BFS
+      """MATCH p = allShortestPaths((c:Customer {key: 102})-[*..4]->(t:Part {key: 1784}))
+         RETURN apoc.text.join(nodes(p), '>') AS path, length(p) AS len""",
+      """SELECT DISTINCT 'Customer:102>Order:' || o_orderkey || '>Part:1784' AS path,
+                CAST(2 AS INT) AS len
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_custkey = 102 AND l_partkey = 1784"""),
+
+    cq("q_cypher_shortest_single", "2.3",
+      // shortestPath(): one deterministic path per (start, end) pair
+      """MATCH p = shortestPath((c:Customer {key: 1})-[*..4]->(r:Region))
+         RETURN apoc.text.join(nodes(p), '>') AS path, length(p) AS len""",
+      """SELECT 'Customer:1>Nation:' || c_nationkey || '>Region:' || n_regionkey AS path,
+                CAST(2 AS INT) AS len
+         FROM customer JOIN nation ON n_nationkey = c_nationkey
+         WHERE c_custkey = 1"""),
+
+    cq("q_cypher_call_proc", "2.9",
+      // CALL + YIELD + WHERE through the string surface (call.go:36-56)
+      """CALL db.labels() YIELD label, n_nodes WHERE n_nodes > 10
+         RETURN label, n_nodes ORDER BY label""",
+      """SELECT label, n_nodes FROM (
+           SELECT 'Customer' AS label, COUNT(*) AS n_nodes FROM customer
+           UNION ALL SELECT 'Order', COUNT(*) FROM orders
+           UNION ALL SELECT 'Part', COUNT(*) FROM part
+           UNION ALL SELECT 'Supplier', COUNT(*) FROM supplier
+           UNION ALL SELECT 'Nation', COUNT(*) FROM nation
+           UNION ALL SELECT 'Region', COUNT(*) FROM region)
+         WHERE n_nodes > 10 ORDER BY label"""),
+
+    cq("q_cypher_call_proc_yield_as", "2.9",
+      """CALL db.schema.visualization() YIELD src_label AS s, rel_type AS r, dst_label AS d
+         RETURN s, r, d""",
+      """SELECT s, r, d FROM (VALUES
+           ('Customer','PLACED','Order'), ('Order','CONTAINS','Part'),
+           ('Supplier','SUPPLIES','Part'), ('Customer','FROM','Nation'),
+           ('Supplier','LOCATED_IN','Nation'), ('Nation','IN','Region')) t(s, r, d)"""),
+
     cq("q_cypher_sum_distinct", "2.4",
       // each customer key appears once per order — DISTINCT dedups exactly
       """MATCH (c:Customer)-[:PLACED]->(o:Order)

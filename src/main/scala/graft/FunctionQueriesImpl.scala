@@ -82,8 +82,10 @@ object FunctionQueriesImpl {
                 round(1.0 + ln(1.0 + CAST(user_id AS DOUBLE)) / 10.0, 9) AS boost
               FROM events WHERE event_id < 2000"""), "2.12"),
 
-    // sequential fold — not expressible in DuckDB SQL; exact-match tested
-    // against the pure-Scala reference implementation in FunctionSpec
+    // the sequential predict/update fold is replayed in DuckDB with a
+    // struct-accumulator list_reduce — same IEEE operation order, so the
+    // estimate hash-matches bit-for-bit after a 9-dp round (also
+    // exact-match tested against the pure-Scala reference in FunctionSpec)
     "q_fn_kalman" -> GQuery(
       (s, d) => Tables.events(s, d)
         .groupBy("user_id")
@@ -93,5 +95,22 @@ object FunctionQueriesImpl {
             transform(col("series"), e => e.getField("value")), 0.01, 1.0), 9)
             .as("kalman_estimate"),
           size(col("series")).as("n_obs")),
-      None, "2.10"))
+      Some("""WITH s AS (
+                SELECT user_id,
+                       list(CAST(value AS DOUBLE) ORDER BY event_id, value) AS zs
+                FROM events GROUP BY user_id)
+              SELECT user_id,
+                round((list_reduce(
+                  list_transform(zs, z -> {x: z, p: CAST(1.0 AS DOUBLE), z: z}),
+                  (acc, e) -> {
+                    x: acc.x + ((acc.p + CAST(0.01 AS DOUBLE)) /
+                                ((acc.p + CAST(0.01 AS DOUBLE)) + CAST(1.0 AS DOUBLE)))
+                               * (e.z - acc.x),
+                    p: (CAST(1.0 AS DOUBLE) -
+                        (acc.p + CAST(0.01 AS DOUBLE)) /
+                        ((acc.p + CAST(0.01 AS DOUBLE)) + CAST(1.0 AS DOUBLE)))
+                       * (acc.p + CAST(0.01 AS DOUBLE)),
+                    z: e.z})).x, 9) AS kalman_estimate,
+                CAST(len(zs) AS INT) AS n_obs
+              FROM s"""), "2.10"))
 }

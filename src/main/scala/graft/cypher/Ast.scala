@@ -50,7 +50,11 @@ object Ast {
       varLength: Option[(Int, Int)], // (min,max); None = single hop
       props: Map[String, Expr],
       altTypes: Seq[String] = Seq.empty)
-  case class PatternPath(first: NodePat, hops: Seq[(RelPat, NodePat)])
+  /** `pathVar`: `p = …` binding; `shortest`: Some("single") for
+    * shortestPath(…), Some("all") for allShortestPaths(…).
+    */
+  case class PatternPath(first: NodePat, hops: Seq[(RelPat, NodePat)],
+      pathVar: Option[String] = None, shortest: Option[String] = None)
 
   // ---- clauses --------------------------------------------------------
   case class SortItem(expr: Expr, ascending: Boolean)
@@ -68,6 +72,11 @@ object Ast {
   case class ForeachClause(variable: String, list: Expr, updates: Seq[Clause]) extends Clause
   /** CALL { … } subquery; correlation via a leading import WITH. */
   case class CallSubquery(inner: SingleQuery) extends Clause
+  /** CALL db.labels() YIELD label [AS l] WHERE … — procedure invocation
+    * (§2.9 YIELD post-processing, `call.go:36-56`).
+    */
+  case class CallProc(name: String, args: Seq[Expr],
+      yields: Seq[(String, Option[String])], where: Option[Expr]) extends Clause
   case class WithClause(
       items: Seq[ProjectionItem], distinct: Boolean, where: Option[Expr],
       orderBy: Seq[SortItem], skip: Option[Long], limit: Option[Long]) extends Clause

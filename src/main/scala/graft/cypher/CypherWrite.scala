@@ -153,7 +153,7 @@ object CypherWrite {
     }
 
     q.parts.head.clauses.foreach {
-      case c @ (_: MatchClause | _: UnwindClause | _: WithClause) =>
+      case c @ (_: MatchClause | _: UnwindClause | _: WithClause | _: CallSubquery | _: CallProc) =>
         val (f2, first2) = Planner.advance(g, frame, first, c, params)
         frame = f2; first = first2
       case r: ReturnClause =>

@@ -55,6 +55,7 @@ object ExplainCypher {
         case _: RemoveClause => ops += "RemoveProperty"
         case _: ForeachClause => ops += "Foreach"
         case _: CallSubquery => ops += "Apply" // Neo4j's CALL{} operator
+        case cp: CallProc => ops += s"ProcedureCall(${cp.name})"
       }
     }
     ops += "ProduceResults"

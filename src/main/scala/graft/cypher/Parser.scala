@@ -59,10 +59,12 @@ final class Parser(tokens: Vector[Tok]) {
         case Kw("REMOVE") => clauses += parseRemove()
         case Kw("FOREACH") => clauses += parseForeach()
         case Kw("CALL") =>
-          next(); eatSym("{")
-          val inner = parseSingle()
-          eatSym("}")
-          clauses += CallSubquery(inner)
+          next()
+          if (trySym("{")) {
+            val inner = parseSingle()
+            eatSym("}")
+            clauses += CallSubquery(inner)
+          } else clauses += parseCallProc()
         case Kw("RETURN") => clauses += parseReturn(); done = true
         case _ => done = true
       }
@@ -72,13 +74,61 @@ final class Parser(tokens: Vector[Tok]) {
   }
 
   // ---- clauses --------------------------------------------------------
+  /** CALL db.labels() YIELD label AS l, n WHERE … */
+  private def parseCallProc(): CallProc = {
+    val name = new StringBuilder(identName())
+    while (trySym(".")) { name += '.'; name ++= identName() }
+    val args = Vector.newBuilder[Expr]
+    if (trySym("(")) {
+      if (!isSym(")")) {
+        args += parseExpr()
+        while (trySym(",")) args += parseExpr()
+      }
+      eatSym(")")
+    }
+    val yields = Vector.newBuilder[(String, Option[String])]
+    if (tryKw("YIELD")) {
+      def one(): Unit = {
+        val c = identName()
+        val alias = if (tryKw("AS")) Some(identName()) else None
+        yields += ((c, alias))
+      }
+      one()
+      while (trySym(",")) one()
+    }
+    val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+    CallProc(name.result().toLowerCase, args.result(), yields.result(), where)
+  }
+
   private def parseMatch(optional: Boolean): MatchClause = {
     eatKw("MATCH")
     val paths = Vector.newBuilder[PatternPath]
-    paths += parsePath()
-    while (trySym(",")) paths += parsePath()
+    paths += parsePathTop()
+    while (trySym(",")) paths += parsePathTop()
     val where = if (tryKw("WHERE")) Some(parseExpr()) else None
     MatchClause(paths.result(), optional, where)
+  }
+
+  /** A MATCH pattern element: optional `p =` binding, optional
+    * shortestPath(…) / allShortestPaths(…) wrapper.
+    */
+  private def parsePathTop(): PatternPath = {
+    var pathVar: Option[String] = None
+    peek match {
+      case Ident(nm) if pos + 1 < tokens.length && tokens(pos + 1) == Sym("=") =>
+        pathVar = Some(nm); next(); next()
+      case _ =>
+    }
+    peek match {
+      case Ident(fn) if fn.equalsIgnoreCase("shortestPath") ||
+          fn.equalsIgnoreCase("allShortestPaths") =>
+        next(); eatSym("(")
+        val p = parsePath()
+        eatSym(")")
+        p.copy(pathVar = pathVar,
+          shortest = Some(if (fn.toLowerCase.startsWith("all")) "all" else "single"))
+      case _ => parsePath().copy(pathVar = pathVar)
+    }
   }
 
   private def parseWith(): WithClause = {

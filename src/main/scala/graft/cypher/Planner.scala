@@ -86,8 +86,42 @@ object Planner {
         isReturn = true, where = None, params = params), first)
     case cs: CallSubquery =>
       (planCallSubquery(g, frame, cs, params), first)
+    case cp: CallProc =>
+      (planCallProc(g, frame, cp, params), false)
     case other =>
       throw new IllegalArgumentException(s"not a read clause: $other")
+  }
+
+  /** Procedure registry (the CALL dispatcher, `call.go:596-805`). Each
+    * procedure is a Scala function returning a DataFrame; YIELD is a
+    * select, its WHERE a filter (`applyYieldFilter` analog).
+    */
+  private val procedures: Map[String, (PropertyGraph, Seq[Any]) => DataFrame] = Map(
+    "db.labels" -> ((g, _) => graft.graph.Procedures.dbLabels(g)),
+    "db.relationshiptypes" -> ((g, _) => graft.graph.Procedures.dbRelationshipTypes(g)),
+    "db.propertykeys" -> ((g, _) => graft.graph.Procedures.dbPropertyKeys(g)),
+    "db.schema.visualization" -> ((g, _) => graft.graph.Procedures.schemaVisualization(g)))
+
+  private def planCallProc(g: PropertyGraph, f: Frame, cp: CallProc,
+      params: Map[String, Any]): Frame = {
+    val fn = procedures.getOrElse(cp.name,
+      throw new IllegalArgumentException(
+        s"unknown procedure ${cp.name} (have: ${procedures.keys.toSeq.sorted.mkString(", ")})"))
+    val argVals = cp.args.map {
+      case Lit(v) => v
+      case Param(n) => params.getOrElse(n,
+        throw new IllegalArgumentException(s"missing parameter $$$n"))
+      case other => throw new IllegalArgumentException(
+        s"procedure arguments must be literals or parameters, got $other")
+    }
+    var res = fn(g, argVals)
+    if (cp.yields.nonEmpty)
+      res = res.select(cp.yields.map { case (c, al) => col(c).as(al.getOrElse(c)) }: _*)
+    // metadata procedures are uncorrelated: their rows apply to every
+    // driving row (a cross join; the seed frame makes leading CALL work)
+    var out = Frame(f.df.crossJoin(res), f.kinds ++ res.columns.map(_ -> (ValK: Kind)))
+    cp.where.foreach(w => out = Frame(out.df.filter(compile(w, out, params)), out.kinds))
+    out
   }
 
   /** CALL { … }: uncorrelated subqueries cross-join their result onto the
@@ -318,14 +352,17 @@ object Planner {
       optional: Boolean, params: Map[String, Any]): Frame = prev match {
     case None =>
       require(!optional, "OPTIONAL MATCH cannot be the first clause in this engine")
-      buildStandalone(g, path, params)
+      if (path.shortest.isDefined) buildShortestFrame(g, path, params)
+      else buildStandalone(g, path, params)
     case Some(f) =>
       val firstVar = path.first.variable
-      if (!optional && firstVar.exists(f.kinds.contains)) {
+      if (!optional && path.shortest.isEmpty && firstVar.exists(f.kinds.contains)) {
         // continue expanding in place from the bound anchor
         buildOnto(g, f, path, params)
       } else {
-        val pf = buildStandalone(g, path, params)
+        val pf =
+          if (path.shortest.isDefined) buildShortestFrame(g, path, params)
+          else buildStandalone(g, path, params)
         val shared = pf.kinds.keySet.intersect(f.kinds.keySet)
           .filter(v => pf.kinds(v) != ValK).toSeq.sorted
         if (shared.isEmpty) {
@@ -341,6 +378,51 @@ object Planner {
           Frame(joined, f.kinds ++ pf.kinds)
         }
       }
+  }
+
+  /** `p = shortestPath((a …)-[*min..max]->(b …))` /
+    * allShortestPaths(…): one multi-pair BFS
+    * ([[Expand.allShortestPathsMulti]] — maxHops shuffles total, no
+    * driver-side pair loop), endpoints re-joined to their node patterns,
+    * the path bound as a (path, length) struct.
+    */
+  private def buildShortestFrame(g: PropertyGraph, path: PatternPath,
+      params: Map[String, Any]): Frame = {
+    require(path.hops.size == 1,
+      "shortestPath requires exactly one relationship pattern")
+    val (rel, endPat) = path.hops.head
+    require(rel.altTypes.isEmpty, "shortestPath with type alternation unsupported")
+    val (minH, maxH) = rel.varLength.getOrElse((1, 1))
+    require(minH <= 1, "shortestPath with min hops > 1 is unsupported")
+    val aVar = path.first.variable.getOrElse(fresh())
+    val bVar = endPat.variable.getOrElse(fresh())
+    val starts = scanNode(g, aVar, path.first, params)
+    val ends = scanNode(g, bVar, endPat, params)
+
+    val pairs = Expand.allShortestPathsMulti(g,
+      starts.df.select(col(s"${aVar}_id").as("id")),
+      ends.df.select(col(s"${bVar}_id").as("id")),
+      rel.relType, maxH, toDir(rel.dir))
+    val chosen = path.shortest match {
+      case Some("single") =>
+        // one deterministic path per pair (Neo4j picks an arbitrary one;
+        // we pick the lexicographically smallest)
+        import org.apache.spark.sql.expressions.Window
+        pairs.withColumn("_rn", row_number().over(
+            Window.partitionBy("start_id", "end_id").orderBy("path")))
+          .filter(col("_rn") === 1).drop("_rn")
+      case _ => pairs
+    }
+    var df = chosen
+      .join(starts.df, col("start_id") === col(s"${aVar}_id"))
+      .join(ends.df, col("end_id") === col(s"${bVar}_id"))
+      .drop("start_id", "end_id")
+    var kinds: Map[String, Kind] = Map(aVar -> NodeK, bVar -> NodeK)
+    path.pathVar.foreach { pv =>
+      df = df.withColumn(pv, struct(col("path").as("path"), col("length").as("length")))
+      kinds += (pv -> ValK)
+    }
+    Frame(df.drop("path", "length"), kinds)
   }
 
   /** Build a pattern path as its own frame, starting from a node scan. */
@@ -764,8 +846,15 @@ object Planner {
         // on strings — dispatch on the analyzed type.
         case "size" | "length" =>
           val c0 = a(0)
-          val dt = f.df.select(c0).schema.head.dataType
-          if (dt == org.apache.spark.sql.types.StringType) length(c0) else size(c0)
+          f.df.select(c0).schema.head.dataType match {
+            case org.apache.spark.sql.types.StringType => length(c0)
+            case st: org.apache.spark.sql.types.StructType
+                if st.fieldNames.contains("length") =>
+              c0.getField("length") // length(p) on a bound path
+            case _ => size(c0)
+          }
+        case "nodes" => // nodes(p) → the node-id sequence of a bound path
+          a(0).getField("path")
         case "head" => element_at(a(0), 1)
         case "last" => element_at(a(0), -1)
         case "tail" => slice(a(0), 2, 1000000)

@@ -187,6 +187,62 @@ object Expand {
       .select(col("path"), (size(col("path")) - 1).as("length"))
   }
 
+  /** All shortest paths from EVERY start to EVERY target in one
+    * level-synchronous BFS (the distributed form of [[allShortestPaths]] —
+    * one frontier covers all pairs, so `MATCH p = shortestPath((a)-[*]->(b))`
+    * with multi-node endpoint patterns costs maxHops shuffles total, not
+    * per pair). Per (start, end) pair the first depth that reaches `end`
+    * wins; paths may pass THROUGH other targets. Returns
+    * (start_id, end_id, path ARRAY<STRING>, length INT).
+    */
+  def allShortestPathsMulti(
+      g: PropertyGraph,
+      startIds: DataFrame, // single column `id`
+      targetIds: DataFrame, // single column `id`
+      relType: Option[String],
+      maxHops: Int,
+      direction: Direction = Out): DataFrame = {
+
+    val es0 = relType.map(g.edgesByType).getOrElse(g.edges)
+    val adj = (direction match {
+      case Out  => es0.select(col("src").as("_from"), col("dst").as("_to"))
+      case In   => es0.select(col("dst").as("_from"), col("src").as("_to"))
+      case Both => es0.select(col("src").as("_from"), col("dst").as("_to"))
+        .union(es0.select(col("dst").as("_from"), col("src").as("_to")))
+    }).distinct().cache()
+
+    val targets = targetIds.select(col("id").as("end_id")).distinct().cache()
+    var frontier = startIds.select(col("id").as("start_id"), col("id").as("end_id"),
+      array(col("id")).as("path")).localCheckpoint(true)
+    var visited = frontier.select("start_id", "end_id")
+    var results = Vector.empty[DataFrame]
+    var depth = 0
+    var done = false
+    while (depth < maxHops && !done) {
+      depth += 1
+      val next = frontier
+        .join(adj, col("end_id") === col("_from"))
+        .select(col("start_id"), col("_to").as("end_id"),
+          concat(col("path"), array(col("_to"))).as("path"))
+        .join(visited, Seq("start_id", "end_id"), "left_anti")
+        .distinct()
+        .localCheckpoint(true)
+      if (next.limit(1).count() == 0) done = true
+      else {
+        results :+= next.join(targets, Seq("end_id"), "left_semi")
+          .select(col("start_id"), col("end_id"), col("path"),
+            lit(depth).as("length"))
+        visited = visited.union(next.select("start_id", "end_id")).distinct()
+          .localCheckpoint(true)
+        frontier = next
+      }
+    }
+    adj.unpersist(); targets.unpersist()
+    if (results.isEmpty)
+      frontier.select(col("start_id"), col("end_id"), col("path"), lit(0).as("length")).limit(0)
+    else results.reduce(_.unionByName(_))
+  }
+
   /** BFS shortest path length from every node in `srcIds` to every reachable
     * node, capped at `maxHops`. Returns (start_id, end_id, length) keeping
     * the MINIMUM length per pair (first depth at which a pair appears).

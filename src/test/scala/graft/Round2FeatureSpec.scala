@@ -106,6 +106,28 @@ class Round2FeatureSpec extends AnyFunSuite {
       ("Person:1>Person:3>Person:4", 2)))
   }
 
+  test("CALL proc() YIELD with aliasing and WHERE through the string surface") {
+    val g = GraphQueries.graph(spark, sf)
+    val out = Cypher.run(g,
+      """CALL db.labels() YIELD label AS l, n_nodes WHERE n_nodes > 0
+         RETURN l ORDER BY l""")
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("Customer", "Nation", "Order", "Part", "Region", "Supplier"))
+  }
+
+  test("shortestPath() Cypher surface binds endpoints and the path struct") {
+    val g = GraphQueries.graph(spark, sf)
+    val rows = Cypher.run(g,
+      """MATCH p = shortestPath((c:Customer {key: 1})-[*..4]->(r:Region))
+         RETURN c.key AS ck, r.name AS region, length(p) AS len,
+                apoc.text.join(nodes(p), '>') AS path""")
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("ck") == 1L && r.getAs[Int]("len") == 2)
+    assert(r.getAs[String]("path").startsWith("Customer:1>Nation:"))
+  }
+
   test("allShortestPaths returns empty for unreachable endpoints") {
     val n = Expand.allShortestPaths(store.snapshot,
       "Person:4", "Person:1", Some("KNOWS"), 5).count() // edges point away
