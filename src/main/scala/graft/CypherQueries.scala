@@ -309,6 +309,12 @@ object CypherQueries {
            UNION ALL SELECT 'Region', COUNT(*) FROM region)
          WHERE n_nodes > 10 ORDER BY label"""),
 
+    cq("q_cypher_apoc_run", "2.11",
+      // apoc.cypher.run: the engine invoked recursively on a query string
+      """CALL apoc.cypher.run('MATCH (r:Region) RETURN r.name AS name') YIELD name
+         RETURN name ORDER BY name""",
+      """SELECT r_name AS name FROM region ORDER BY r_name"""),
+
     cq("q_cypher_call_proc_yield_as", "2.9",
       """CALL db.schema.visualization() YIELD src_label AS s, rel_type AS r, dst_label AS d
          RETURN s, r, d""",

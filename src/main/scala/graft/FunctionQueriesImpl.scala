@@ -95,22 +95,29 @@ object FunctionQueriesImpl {
             transform(col("series"), e => e.getField("value")), 0.01, 1.0), 9)
             .as("kalman_estimate"),
           size(col("series")).as("n_obs")),
-      Some("""WITH s AS (
-                SELECT user_id,
-                       list(CAST(value AS DOUBLE) ORDER BY event_id, value) AS zs
-                FROM events GROUP BY user_id)
-              SELECT user_id,
-                round((list_reduce(
-                  list_transform(zs, z -> {x: z, p: CAST(1.0 AS DOUBLE), z: z}),
-                  (acc, e) -> {
-                    x: acc.x + ((acc.p + CAST(0.01 AS DOUBLE)) /
-                                ((acc.p + CAST(0.01 AS DOUBLE)) + CAST(1.0 AS DOUBLE)))
-                               * (e.z - acc.x),
-                    p: (CAST(1.0 AS DOUBLE) -
-                        (acc.p + CAST(0.01 AS DOUBLE)) /
-                        ((acc.p + CAST(0.01 AS DOUBLE)) + CAST(1.0 AS DOUBLE)))
-                       * (acc.p + CAST(0.01 AS DOUBLE)),
-                    z: e.z})).x, 9) AS kalman_estimate,
-                CAST(len(zs) AS INT) AS n_obs
-              FROM s"""), "2.10"))
+      Some(FunctionQueriesImpl.kalmanOracleSql), "2.10"))
+
+  /** Shared by the batch fold (q_fn_kalman) and the mapGroupsWithState
+    * streaming variant (q_stream_kalman_state) — identical results.
+    * (a def: the queries map above initializes first)
+    */
+  def kalmanOracleSql: String =
+    """WITH s AS (
+         SELECT user_id,
+                list(CAST(value AS DOUBLE) ORDER BY event_id, value) AS zs
+         FROM events GROUP BY user_id)
+       SELECT user_id,
+         round((list_reduce(
+           list_transform(zs, z -> {x: z, p: CAST(1.0 AS DOUBLE), z: z}),
+           (acc, e) -> {
+             x: acc.x + ((acc.p + CAST(0.01 AS DOUBLE)) /
+                         ((acc.p + CAST(0.01 AS DOUBLE)) + CAST(1.0 AS DOUBLE)))
+                        * (e.z - acc.x),
+             p: (CAST(1.0 AS DOUBLE) -
+                 (acc.p + CAST(0.01 AS DOUBLE)) /
+                 ((acc.p + CAST(0.01 AS DOUBLE)) + CAST(1.0 AS DOUBLE)))
+                * (acc.p + CAST(0.01 AS DOUBLE)),
+             z: e.z})).x, 9) AS kalman_estimate,
+         CAST(len(zs) AS INT) AS n_obs
+       FROM s"""
 }

@@ -14,6 +14,9 @@ object StreamingQueriesImpl {
 
   import OracleSafe._
 
+  /** memory-sink query names must be fresh per run */
+  val runCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
   val queries: Map[String, GQuery] = Map(
     "q_stream_tumbling" -> GQuery(
       (s, d) => EventStreams.tumbling(Tables.events(s, d)),
@@ -61,6 +64,13 @@ object StreamingQueriesImpl {
               SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS n_buckets
               FROM b x JOIN b y ON x.bucket = y.bucket AND x.event_type < y.event_type
               GROUP BY 1, 2"""), "2.12"),
+
+    // arbitrary per-key streaming state: the Kalman fold carried in
+    // GroupState across micro-batches — hash-matches the BATCH oracle
+    "q_stream_kalman_state" -> GQuery(
+      (s, d) => EventStreams.streamingKalman(s, d,
+        s"kalman_state_${StreamingQueriesImpl.runCounter.incrementAndGet()}"),
+      Some(FunctionQueriesImpl.kalmanOracleSql), "2.12"),
 
     "q_mutation_merge" -> GQuery(
       (s, d) => {

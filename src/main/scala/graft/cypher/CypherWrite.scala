@@ -76,8 +76,6 @@ object CypherWrite {
         // current snapshot, create only the missing edges (merge.go:26-40
         // pattern-match-then-create, set-based)
         require(path.hops.size == 1, "MERGE supports single-hop relationship patterns")
-        require(onCreateSet.isEmpty && onMatchSet.isEmpty,
-          "ON CREATE/ON MATCH SET on relationship MERGE is not supported")
         val (rel, endPat) = path.hops.head
         val aVar = path.first.variable.getOrElse(sys.error("MERGE rel: unbound start"))
         val bVar = endPat.variable.getOrElse(sys.error("MERGE rel: unbound end"))
@@ -96,8 +94,24 @@ object CypherWrite {
           .dropDuplicates("id")
         val missing = cand.join(g.edges.select("src", "dst", "rel_type"),
           Seq("src", "dst", "rel_type"), "left_anti").localCheckpoint(true)
+        // existing edges matched by the pattern (their ORIGINAL ids — the
+        // snapshot's, not the deterministic candidate ids)
+        val matched = g.edges
+          .join(cand.select("src", "dst", "rel_type"), Seq("src", "dst", "rel_type"), "left_semi")
+          .select("id").localCheckpoint(true)
         rc += store.createEdges(missing).relationshipsCreated
         refresh()
+        val relVarName = rel.variable
+        def edgeSet(items: Seq[(Prop, Expr)], ids: DataFrame): Unit =
+          items.foreach { case (Prop(v, key), e) =>
+            require(relVarName.contains(v),
+              s"ON SET target $v must be the MERGE relationship variable")
+            val value = Planner.compile(e, Planner.seedFrame(store.snapshot), params)
+            ps += store.setEdgeProperty(ids, key, value).propertiesSet
+            refresh()
+          }
+        edgeSet(onCreateSet, missing.select("id"))
+        edgeSet(onMatchSet, matched)
         frame0
       case MergeClause(path, onCreateSet, onMatchSet) =>
         val (cand, v) = nodeRows(frame0, path.first, params)

@@ -100,7 +100,9 @@ object Planner {
     "db.labels" -> ((g, _) => graft.graph.Procedures.dbLabels(g)),
     "db.relationshiptypes" -> ((g, _) => graft.graph.Procedures.dbRelationshipTypes(g)),
     "db.propertykeys" -> ((g, _) => graft.graph.Procedures.dbPropertyKeys(g)),
-    "db.schema.visualization" -> ((g, _) => graft.graph.Procedures.schemaVisualization(g)))
+    "db.schema.visualization" -> ((g, _) => graft.graph.Procedures.schemaVisualization(g)),
+    // apoc.cypher.run(query) — recursive engine invocation (call.go:786)
+    "apoc.cypher.run" -> ((g, args) => Cypher.run(g, args.head.toString)))
 
   private def planCallProc(g: PropertyGraph, f: Frame, cp: CallProc,
       params: Map[String, Any]): Frame = {

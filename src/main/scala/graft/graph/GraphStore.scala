@@ -111,6 +111,29 @@ final class GraphStore(initial: PropertyGraph) {
     QueryStats(nodesDeleted = nDel, relationshipsDeleted = eDel)
   }
 
+  /** SET a relationship property for matching edge ids: `weight` is a
+    * hoisted column, everything else lives in the string property map.
+    */
+  def setEdgeProperty(ids: DataFrame, key: String, value: Column): QueryStats = {
+    val g = current
+    val marked = g.edges.join(ids.select(col("id")).withColumn("_hit", lit(true)),
+      Seq("id"), "left_outer")
+    val updated =
+      if (key == "weight")
+        marked.withColumn("weight",
+          when(col("_hit"), value.cast("double")).otherwise(col("weight"))).drop("_hit")
+      else
+        marked.withColumn("properties",
+          when(col("_hit"),
+            map_concat(
+              map_filter(col("properties"), (k, _) => k =!= key),
+              map(lit(key), value.cast("string"))))
+            .otherwise(col("properties"))).drop("_hit")
+    val n = ids.count()
+    swap(PropertyGraph(g.nodes, updated))
+    QueryStats(propertiesSet = n)
+  }
+
   /** CREATE relationships. */
   def createEdges(newEdges: DataFrame): QueryStats = {
     val g = current

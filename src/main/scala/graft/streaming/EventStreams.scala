@@ -52,6 +52,59 @@ object EventStreams {
       .agg(count(lit(1)).as("n_buckets"))
   }
 
+  /** Arbitrary per-key streaming state (SURVEY §2.12
+    * `KeyValueGroupedDataset.mapGroupsWithState`): the scalar Kalman filter
+    * run as STREAMING state — the reference's "database stays stateless,
+    * users maintain state" contract (`kalman_functions.go:22-26`) becomes
+    * GroupState carried across micro-batches. Batch-equivalent: the same
+    * fold as [[graft.functions.KalmanFilter.filterSeriesCol]], so the
+    * result hash-matches the q_fn_kalman DuckDB oracle.
+    */
+  def streamingKalman(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
+    import graft.functions.KalmanFilter
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", sfDir)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+
+    val out = stream.groupByKey(_._1)
+      .mapGroupsWithState[(Double, Double, Long), (Long, Double, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Double)],
+         state: GroupState[(Double, Double, Long)]) =>
+          // in-batch order is unspecified — sort by (event_id, value), the
+          // same key the batch query sorts its collected series by
+          val sorted = it.toSeq.sortBy(e => (e._2, e._3))
+          var (x, p, n) = state.getOption.getOrElse((0.0, 1.0, 0L))
+          sorted.foreach { case (_, _, z) =>
+            if (n == 0) { x = z; p = 1.0; n = 1 }
+            else {
+              val s2 = KalmanFilter.step(KalmanFilter.State(x, p), z, 0.01, 1.0)
+              x = s2.x; p = s2.p; n += 1
+            }
+          }
+          state.update((x, p, n))
+          (uid, x, n)
+      }
+    val q = out.toDF("user_id", "est", "n_obs")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .select(col("user_id"), round(col("est"), 9).as("kalman_estimate"),
+        col("n_obs").cast("int").as("n_obs"))
+  }
+
   /** Real Structured Streaming run of the tumbling aggregation over the
     * events parquet, driven to completion against the memory sink.
     * Returns the collected result table.

@@ -94,6 +94,30 @@ class Round2FeatureSpec extends AnyFunSuite {
     assert(store.snapshot.edges.count() == before + 1)
   }
 
+  test("relationship MERGE ON CREATE SET / ON MATCH SET") {
+    CypherWrite.execute(store,
+      """MATCH (b:Person {key: 2}) MATCH (c:Person {key: 3})
+         MERGE (b)-[r:RATED]->(c) ON CREATE SET r.weight = 7""")
+    val w1 = store.snapshot.edges.filter(col("rel_type") === "RATED")
+      .collect().map(_.getAs[Double]("weight")).toSeq
+    assert(w1 == Seq(7.0))
+    CypherWrite.execute(store,
+      """MATCH (b:Person {key: 2}) MATCH (c:Person {key: 3})
+         MERGE (b)-[r:RATED]->(c) ON CREATE SET r.weight = 1 ON MATCH SET r.weight = 9""")
+    val w2 = store.snapshot.edges.filter(col("rel_type") === "RATED")
+      .collect().map(_.getAs[Double]("weight")).toSeq
+    assert(w2 == Seq(9.0)) // matched, not re-created
+  }
+
+  test("CALL apoc.cypher.run invokes the engine recursively") {
+    val g = GraphQueries.graph(spark, sf)
+    val out = Cypher.run(g,
+      """CALL apoc.cypher.run('MATCH (r:Region) RETURN r.name AS nm') YIELD nm
+         RETURN count(*) AS n""")
+      .collect().head.getLong(0)
+    assert(out == 5L)
+  }
+
   test("allShortestPaths enumerates every distinct shortest path") {
     // Alice→Dan: two 2-hop paths (via Bob, via Cara); the direct LIKES edge
     // from the MERGE test above would shorten it, so restrict to KNOWS
