@@ -36,6 +36,14 @@ object SearchQueries {
       (s, d) => VectorSearch.annTopK(Tables.embeddings(s, d), 0L, 10, nBits = 4, nTables = 8),
       None, "2.11"),
 
+    // IVF: k-means coarse quantizer, probe the 4 nearest of 16 lists —
+    // the partition-pruned scale path (rows-only; exactness at
+    // nProbe == nLists asserted in SearchPipelineSpec)
+    "q_vector_ann_ivf" -> GQuery(
+      (s, d) => VectorSearch.ivfTopK(Tables.embeddings(s, d), 0L, 10,
+        nLists = 16, nProbe = 4),
+      None, "2.11"),
+
     "q_hybrid_rrf" -> GQuery(
       (s, d) => {
         val bm = BM25.search(Tables.documents(s, d), bmTerms, 100)

@@ -103,6 +103,55 @@ object VectorSearch {
       .select(col("vec_id"), col("embedding"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
 
+  /** IVF (inverted-file) index: an MLlib KMeans coarse quantizer assigns
+    * every vector to one of `nLists` lists (SURVEY §4 "SIMD/GPU batch
+    * similarity" — the reference's k-means candidate generator,
+    * `pkg/search/kmeans_candidate_gen.go`, as a distributed batch build).
+    * At 100 TB the assigned table is written partitioned by `list_id`, so
+    * a probe scans nProbe/nLists of the data. Deterministic: fixed seed.
+    * Returns (assigned: vec_id, embedding, list_id; centroids: list_id,
+    * centroid ARRAY<DOUBLE>).
+    */
+  def ivfIndex(emb: DataFrame, nLists: Int, maxIter: Int = 10): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = emb.select(col("vec_id"), col("embedding"),
+      array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(42).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(feat)
+    val assigned = model.transform(feat).select(col("vec_id"), col("embedding"), col("list_id"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+    (assigned, centroids)
+  }
+
+  /** IVF top-k: score only the vectors in the `nProbe` lists whose
+    * centroids are closest to the query. nProbe == nLists degenerates to
+    * exact brute force (asserted in SearchPipelineSpec).
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nLists: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val (assigned, centroids) = ivfIndex(emb, nLists)
+    val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("q"))
+    val probe = centroids.crossJoin(broadcast(q))
+      .withColumn("csim", VectorFns.cosineCol(
+        transform(col("centroid"), x => x.cast("float")), col("q")))
+      .orderBy(col("csim").desc, col("list_id").asc)
+      .limit(nProbe)
+      .select("list_id")
+    assigned.join(broadcast(probe), "list_id")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", VectorFns.cosineCol(col("embedding"), col("q")))
+      .select("vec_id", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** ANN top-k: candidates share a bucket with the query in ANY table. */
   def annTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int = 8,
       nTables: Int = 4): DataFrame = {

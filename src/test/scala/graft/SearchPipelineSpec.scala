@@ -28,6 +28,18 @@ class SearchPipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall@10 = $recall") // 4-bit buckets: coarse but useful
   }
 
+  test("IVF with nProbe == nLists is exactly brute force; partial probe keeps recall") {
+    val exhaustive = VectorSearch.ivfTopK(emb, 0L, 10, nLists = 8, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = VectorSearch.bruteTopK(emb, emb.filter(col("vec_id") === 0L), 11)
+      .collect().map(_.getLong(0)).filterNot(_ == 0L).take(10).toSeq
+    assert(exhaustive == brute)
+    val partial = VectorSearch.ivfTopK(emb, 0L, 10, nLists = 8, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = partial.count(brute.toSet.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@10 = $recall")
+  }
+
   test("minhash LSH finds the exact-duplicate pairs (jaccard 1.0)") {
     val exactPairs = Dedup.ngramJaccardPairs(docs, 3, 0.999, Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
