@@ -214,6 +214,24 @@ object ProcQueries {
                 ('orderstatus'), ('orderdate'), ('type'), ('size')) t(property_key)"""),
       "2.11"),
 
+    // schema DDL lifecycle through the string surface: create three
+    // indexes + a constraint, drop one, SHOW the survivors
+    "q_cypher_ddl_show" -> GQuery(
+      (s, d) => {
+        val store = new graft.graph.GraphStore(GraphQueries.graph(s, d))
+        import graft.cypher.CypherDdl.tryExecute
+        tryExecute(store, "CREATE INDEX cust_name FOR (n:Customer) ON (n.name)")
+        tryExecute(store, "CREATE VECTOR INDEX part_vec FOR (n:Part) ON (n.embedding)")
+        tryExecute(store, "CREATE FULLTEXT INDEX part_text FOR (n:Part) ON (n.name)")
+        tryExecute(store, "CREATE CONSTRAINT cust_key FOR (n:Customer) REQUIRE n.key IS UNIQUE")
+        tryExecute(store, "DROP INDEX part_vec")
+        tryExecute(store, "SHOW INDEXES").get
+      },
+      Some("""SELECT * FROM (VALUES
+                ('cust_name','RANGE','Customer','name','ONLINE'),
+                ('part_text','FULLTEXT','Part','name','ONLINE'))
+              t(name, type, label, properties, state)"""), "2.9"),
+
     // result-serialization round-trip: rows → HTTP tx-API row JSON → rows.
     // Matching the raw-SQL oracle proves the wire shape is lossless.
     "q_sink_http_shape" -> GQuery(

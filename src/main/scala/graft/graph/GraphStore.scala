@@ -24,6 +24,9 @@ final class GraphStore(initial: PropertyGraph) {
   @volatile private var current: PropertyGraph = initial
   @volatile private var versionCounter: Long = 0
 
+  /** Schema metadata: indexes (layout hints) + enforced constraints. */
+  val catalog = new SchemaCatalog
+
   def snapshot: PropertyGraph = current
   def version: Long = versionCounter
 
@@ -32,6 +35,47 @@ final class GraphStore(initial: PropertyGraph) {
     versionCounter += 1
   }
 
+  /** Optimistic explicit transaction (§2.9 `transaction.go`): `f` runs
+    * against a PRIVATE store seeded from the current snapshot; its writes
+    * become visible in ONE atomic swap at commit, and only if no other
+    * writer committed meanwhile (first-committer-wins). An exception in
+    * `f` rolls back by simply discarding the private store.
+    */
+  def transaction[T](f: GraphStore => T): T = {
+    val baseVersion = version
+    val tx = new GraphStore(current)
+    val out = f(tx) // throw → nothing swapped (rollback)
+    synchronized {
+      require(versionCounter == baseVersion,
+        "transaction conflict: the store changed underneath; rolled back")
+      current = tx.snapshot
+      versionCounter += 1
+    }
+    out
+  }
+
+  /** Enforce catalog unique constraints against rows about to be added
+    * (`pkg/storage/constraint_validation.go` analog): no duplicate values
+    * within the new rows, no clashes with existing nodes of the label.
+    */
+  private def enforceUnique(g: PropertyGraph, newNodes: DataFrame): Unit =
+    catalog.uniqueConstraints.foreach { c =>
+      val hoisted = Set("id", "key", "name", "acctbal", "mktsegment")
+      def valueOf(df: DataFrame): Column = struct(c.properties.map { p =>
+        if (hoisted(p)) df(p) else element_at(df("properties"), p)
+      }: _*)
+      val fresh = newNodes.filter(array_contains(col("labels"), c.label))
+        .select(valueOf(newNodes).as("v"))
+      val dupWithin = fresh.groupBy("v").count().filter(col("count") > 1).limit(1).count()
+      require(dupWithin == 0,
+        s"unique constraint ${c.name} (${c.label}.${c.properties.mkString(",")}) violated within created nodes")
+      val existing = g.nodes.filter(array_contains(col("labels"), c.label))
+      val clash = fresh.join(existing.select(valueOf(existing).as("v")), Seq("v"), "left_semi")
+        .limit(1).count()
+      require(clash == 0,
+        s"unique constraint ${c.name} (${c.label}.${c.properties.mkString(",")}) violated: value already exists")
+    }
+
   /** CREATE nodes (duplicate-id rows rejected — unique-id constraint,
     * `pkg/storage/constraint_validation.go` analog).
     */
@@ -39,6 +83,7 @@ final class GraphStore(initial: PropertyGraph) {
     val g = current
     val conflicts = newNodes.join(g.nodes.select("id"), Seq("id"), "left_semi").count()
     require(conflicts == 0, s"unique-id constraint violated for $conflicts node(s)")
+    enforceUnique(g, newNodes)
     val n = newNodes.count()
     swap(PropertyGraph(g.nodes.unionByName(newNodes), g.edges))
     QueryStats(nodesCreated = n)
@@ -51,6 +96,7 @@ final class GraphStore(initial: PropertyGraph) {
     val g = current
     val missing = candidates.join(g.nodes.select("id"), Seq("id"), "left_anti")
       .localCheckpoint(true)
+    enforceUnique(g, missing)
     val n = missing.count()
     swap(PropertyGraph(g.nodes.unionByName(missing), g.edges))
     QueryStats(nodesCreated = n)
