@@ -214,6 +214,19 @@ object ProcQueries {
                 ('orderstatus'), ('orderdate'), ('type'), ('size')) t(property_key)"""),
       "2.11"),
 
+    // apoc.periodic.iterate: outer read once, inner write applied in
+    // row batches (3 batches of ≤2 over the 5 regions)
+    "q_cypher_periodic_iterate" -> GQuery(
+      (s, d) => {
+        val store = new graft.graph.GraphStore(GraphQueries.graph(s, d))
+        graft.cypher.CypherWrite.periodicIterate(store,
+          "MATCH (r:Region) RETURN r", "SET r.acctbal = 1", 2)
+        store.snapshot.nodes.filter(array_contains(col("labels"), "Region"))
+          .select(col("key").as("k"), col("acctbal"))
+      },
+      Some("SELECT r_regionkey AS k, CAST(1.0 AS DOUBLE) AS acctbal FROM region"),
+      "2.8"),
+
     // schema DDL lifecycle through the string surface: create three
     // indexes + a constraint, drop one, SHOW the survivors
     "q_cypher_ddl_show" -> GQuery(

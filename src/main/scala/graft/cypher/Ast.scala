@@ -70,8 +70,13 @@ object Ast {
   case class DeleteClause(vars: Seq[String], detach: Boolean) extends Clause
   case class RemoveClause(items: Seq[Prop]) extends Clause
   case class ForeachClause(variable: String, list: Expr, updates: Seq[Clause]) extends Clause
-  /** CALL { … } subquery; correlation via a leading import WITH. */
-  case class CallSubquery(inner: SingleQuery) extends Clause
+  /** CALL { … } subquery; correlation via a leading import WITH.
+    * `inTransactionsOf`: CALL { … } IN TRANSACTIONS [OF n ROWS] — the
+    * write executor applies the body in driving-row batches (§2.8
+    * `executor_subqueries.go:580,666`).
+    */
+  case class CallSubquery(inner: SingleQuery,
+      inTransactionsOf: Option[Long] = None) extends Clause
   /** CALL db.labels() YIELD label [AS l] WHERE … — procedure invocation
     * (§2.9 YIELD post-processing, `call.go:36-56`).
     */

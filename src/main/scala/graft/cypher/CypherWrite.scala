@@ -28,9 +28,18 @@ object CypherWrite {
       params: Map[String, Any] = Map.empty): WriteResult = {
     val q = Parser.parse(query)
     require(q.parts.size == 1, "UNION not supported in write statements")
+    executeClauses(store, q.parts.head.clauses, params, None)
+  }
+
+  /** Run write clauses from an optional starting frame — the entry point
+    * batching operators (CALL {} IN TRANSACTIONS, apoc.periodic.iterate)
+    * use to apply a statement per driving-row batch.
+    */
+  def executeClauses(store: GraphStore, clauses: Seq[Clause],
+      params: Map[String, Any], initial: Option[Frame]): WriteResult = {
     var g = store.snapshot
-    var frame = Planner.seedFrame(g)
-    var first = true
+    var frame = initial.getOrElse(Planner.seedFrame(g))
+    var first = initial.isEmpty
     var nc, nd, rc, rd, ps = 0L
     var returned: Option[DataFrame] = None
 
@@ -166,7 +175,16 @@ object CypherWrite {
       case other => sys.error(s"not a write clause: $other")
     }
 
-    q.parts.head.clauses.foreach {
+    clauses.foreach {
+      case cs: CallSubquery if cs.inTransactionsOf.isDefined =>
+        // CALL { WITH vars … } IN TRANSACTIONS OF n ROWS: pin the driving
+        // rows, then apply the body once per n-row batch (the reference
+        // batches the subquery over driving rows, executor_subqueries.go:580)
+        val stats = applyInTransactions(store, frame, cs, params)
+        nc += stats.nodesCreated; nd += stats.nodesDeleted
+        rc += stats.relationshipsCreated; rd += stats.relationshipsDeleted
+        ps += stats.propertiesSet
+        refresh()
       case c @ (_: MatchClause | _: UnwindClause | _: WithClause | _: CallSubquery | _: CallProc) =>
         val (f2, first2) = Planner.advance(g, frame, first, c, params)
         frame = f2; first = first2
@@ -177,6 +195,75 @@ object CypherWrite {
         frame = applyWrite(w, frame)
     }
     WriteResult(nc, nd, rc, rd, ps, returned)
+  }
+
+  /** Batch the CALL {} body over the driving frame: project the imported
+    * variables, number rows deterministically, run the body per batch.
+    */
+  private def applyInTransactions(store: GraphStore, frame: Frame,
+      cs: CallSubquery, params: Map[String, Any]): WriteResult = {
+    import org.apache.spark.sql.expressions.Window
+    val batchSize = cs.inTransactionsOf.get
+    val (imports, body) = cs.inner.clauses match {
+      case WithClause(items, false, None, Seq(), None, None) +: tail
+          if items.nonEmpty && items.forall(i =>
+            i.alias.isEmpty && i.expr.isInstanceOf[Variable]) =>
+        (items.map(_.expr.asInstanceOf[Variable].name), tail)
+      case cls => (Seq.empty[String], cls)
+    }
+    val driving =
+      if (imports.isEmpty) frame
+      else Frame(
+        frame.df.select(imports.flatMap(v => frame.varCols(v)).map(col): _*),
+        imports.map(v => v -> frame.kinds(v)).toMap)
+    val orderCols = driving.df.columns.filterNot(_.endsWith("_properties")).map(col)
+    val numbered = driving.df
+      .withColumn("__rn", row_number().over(Window.orderBy(orderCols: _*)))
+      .localCheckpoint(true) // pin: the store mutates between batches
+    val total = numbered.count()
+    var agg = WriteResult(0, 0, 0, 0, 0, None)
+    var lo = 1L
+    while (lo <= total) {
+      val batch = Frame(
+        numbered.filter(col("__rn").between(lo, lo + batchSize - 1)).drop("__rn"),
+        driving.kinds)
+      val r = executeClauses(store, body, params, Some(batch))
+      agg = WriteResult(
+        agg.nodesCreated + r.nodesCreated, agg.nodesDeleted + r.nodesDeleted,
+        agg.relationshipsCreated + r.relationshipsCreated,
+        agg.relationshipsDeleted + r.relationshipsDeleted,
+        agg.propertiesSet + r.propertiesSet, None)
+      lo += batchSize
+    }
+    agg
+  }
+
+  /** apoc.periodic.iterate (`call_apoc_periodic.go`): run the outer READ
+    * query once against the starting snapshot, then apply the inner WRITE
+    * statement to its rows in `batchSize`-row batches. Returns
+    * (batches, total_rows, ops).
+    */
+  def periodicIterate(store: GraphStore, outer: String, inner: String,
+      batchSize: Long, params: Map[String, Any] = Map.empty): (Long, Long, Long) = {
+    val oq = Parser.parse(outer)
+    require(oq.parts.size == 1, "UNION not supported in periodic.iterate")
+    val g = store.snapshot
+    var frame = Planner.seedFrame(g)
+    var first = true
+    oq.parts.head.clauses.foreach {
+      case _: ReturnClause => // bindings pass through to the inner statement
+      case c =>
+        val (f2, fi) = Planner.advance(g, frame, first, c, params)
+        frame = f2; first = fi
+    }
+    val body = Parser.parse(inner).parts.head.clauses
+    val synthetic = CallSubquery(SingleQuery(body), Some(batchSize))
+    val stats = applyInTransactions(store, frame, synthetic, params)
+    val total = frame.df.count()
+    val batches = (total + batchSize - 1) / batchSize
+    (batches, total,
+      stats.nodesCreated + stats.nodesDeleted + stats.relationshipsCreated +
+        stats.relationshipsDeleted + stats.propertiesSet)
   }
 
   /** Build node rows for a CREATE/MERGE pattern from the current frame. */

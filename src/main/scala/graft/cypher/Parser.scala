@@ -63,7 +63,21 @@ final class Parser(tokens: Vector[Tok]) {
           if (trySym("{")) {
             val inner = parseSingle()
             eatSym("}")
-            clauses += CallSubquery(inner)
+            // CALL { … } IN TRANSACTIONS [OF n ROWS]
+            var inTx: Option[Long] = None
+            if (isKw("IN") && tokens.lift(pos + 1).exists(_.text.equalsIgnoreCase("TRANSACTIONS"))) {
+              next(); next()
+              inTx = Some(1000L)
+              if (peek.text.equalsIgnoreCase("OF")) {
+                next()
+                peek match {
+                  case NumLit(t) => next(); inTx = Some(t.toLong)
+                  case _ => fail("expected a row count after OF")
+                }
+                if (peek.text.equalsIgnoreCase("ROWS")) next()
+              }
+            }
+            clauses += CallSubquery(inner, inTx)
           } else clauses += parseCallProc()
         case Kw("RETURN") => clauses += parseReturn(); done = true
         case _ => done = true

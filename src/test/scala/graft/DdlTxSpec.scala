@@ -66,6 +66,27 @@ class DdlTxSpec extends AnyFunSuite {
     assert(s.snapshot.nodes.count() == 0)
   }
 
+  test("CALL {} IN TRANSACTIONS batches the write body over driving rows") {
+    val s = freshStore()
+    CypherWrite.execute(s,
+      "UNWIND [1, 2, 3, 4, 5] AS k CREATE (p:Person {key: k, name: 'P'})")
+    CypherWrite.execute(s,
+      """MATCH (p:Person)
+         CALL { WITH p SET p.acctbal = 42 } IN TRANSACTIONS OF 2 ROWS""")
+    val bals = s.snapshot.nodes.collect().map(_.getAs[Double]("acctbal")).toSeq
+    assert(bals.size == 5 && bals.forall(_ == 42.0))
+  }
+
+  test("periodicIterate applies the inner statement in batches") {
+    val s = freshStore()
+    CypherWrite.execute(s,
+      "UNWIND [1, 2, 3, 4, 5, 6, 7] AS k CREATE (p:Person {key: k, name: 'P'})")
+    val (batches, total, ops) = CypherWrite.periodicIterate(s,
+      "MATCH (p:Person) RETURN p", "SET p.mktsegment = 'DONE'", 3)
+    assert(batches == 3 && total == 7 && ops == 7)
+    assert(s.snapshot.nodes.filter(col("mktsegment") === "DONE").count() == 7)
+  }
+
   test("transaction conflict: first committer wins") {
     val s = freshStore()
     intercept[IllegalArgumentException] {
