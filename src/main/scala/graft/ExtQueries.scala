@@ -214,6 +214,19 @@ object ProcQueries {
                 ('orderstatus'), ('orderdate'), ('type'), ('size')) t(property_key)"""),
       "2.11"),
 
+    // gds.graph.project through the CALL surface: a named cached
+    // (Customer, PLACED) projection; YIELD carries the counts out
+    "q_cypher_gds_project" -> GQuery(
+      (s, d) => {
+        val nm = s"proj_${StreamingQueriesImpl.runCounter.incrementAndGet()}"
+        graft.cypher.Cypher.run(GraphQueries.graph(s, d),
+          s"""CALL gds.graph.project('$nm', 'Customer', 'PLACED')
+              YIELD nodeCount, relationshipCount
+              RETURN nodeCount, relationshipCount""")
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM customer) AS nodeCount,
+                     (SELECT COUNT(*) FROM orders) AS relationshipCount"""), "2.11"),
+
     // apoc.periodic.iterate: outer read once, inner write applied in
     // row batches (3 batches of ≤2 over the 5 regions)
     "q_cypher_periodic_iterate" -> GQuery(

@@ -61,7 +61,12 @@ object Ast {
   case class ProjectionItem(expr: Expr, alias: Option[String])
 
   sealed trait Clause
-  case class MatchClause(paths: Seq[PatternPath], optional: Boolean, where: Option[Expr]) extends Clause
+  /** `hints`: USING INDEX/SCAN/JOIN hints (accepted for parity —
+    * `index_hints.go:1-40`; Catalyst's CBO makes them advisory no-ops,
+    * surfaced in EXPLAIN).
+    */
+  case class MatchClause(paths: Seq[PatternPath], optional: Boolean, where: Option[Expr],
+      hints: Seq[String] = Seq.empty) extends Clause
   // ---- write clauses (§2.8) ----
   case class CreateClause(paths: Seq[PatternPath]) extends Clause
   case class MergeClause(path: PatternPath,

@@ -33,6 +33,7 @@ object ExplainCypher {
               node.label.foreach(l => ops += s"Filter(:$l)")
             }
           }
+          m.hints.foreach(h => ops += s"Hint($h)")
           if (m.where.isDefined) ops += "Filter"
         case u: UnwindClause => ops += s"Unwind(${u.alias})"
         case w: WithClause =>

@@ -119,8 +119,29 @@ final class Parser(tokens: Vector[Tok]) {
     val paths = Vector.newBuilder[PatternPath]
     paths += parsePathTop()
     while (trySym(",")) paths += parsePathTop()
+    val hints = Vector.newBuilder[String]
+    while (peek match { case Ident(t) => t.equalsIgnoreCase("USING"); case _ => false }) {
+      next()
+      identName().toUpperCase match {
+        case "INDEX" =>
+          val v = identName(); eatSym(":"); val l = identName()
+          val props = Vector.newBuilder[String]
+          if (trySym("(")) {
+            props += identName()
+            while (trySym(",")) props += identName()
+            eatSym(")")
+          }
+          hints += s"INDEX $v:$l(${props.result().mkString(",")})"
+        case "SCAN" =>
+          val v = identName(); eatSym(":"); val l = identName()
+          hints += s"SCAN $v:$l"
+        case "JOIN" =>
+          eatKw("ON"); hints += s"JOIN ON ${identName()}"
+        case other => fail(s"unknown hint USING $other")
+      }
+    }
     val where = if (tryKw("WHERE")) Some(parseExpr()) else None
-    MatchClause(paths.result(), optional, where)
+    MatchClause(paths.result(), optional, where, hints.result())
   }
 
   /** A MATCH pattern element: optional `p =` binding, optional

@@ -102,7 +102,30 @@ object Planner {
     "db.propertykeys" -> ((g, _) => graft.graph.Procedures.dbPropertyKeys(g)),
     "db.schema.visualization" -> ((g, _) => graft.graph.Procedures.schemaVisualization(g)),
     // apoc.cypher.run(query) — recursive engine invocation (call.go:786)
-    "apoc.cypher.run" -> ((g, args) => Cypher.run(g, args.head.toString)))
+    "apoc.cypher.run" -> ((g, args) => Cypher.run(g, args.head.toString)),
+    // gds.graph.project / list / drop (call.go:711-721)
+    "gds.graph.project" -> ((g, args) => {
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      val p = graft.graph.GraphProjections.project(args(0).toString, g,
+        args.lift(1).map(_.toString).getOrElse("*"),
+        args.lift(2).map(_.toString).getOrElse("*"))
+      Seq((p.name, p.nodeCount, p.relationshipCount))
+        .toDF("graphName", "nodeCount", "relationshipCount")
+    }),
+    "gds.graph.list" -> ((g, _) => {
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      graft.graph.GraphProjections.list
+        .map(p => (p.name, p.nodeCount, p.relationshipCount))
+        .toDF("graphName", "nodeCount", "relationshipCount")
+    }),
+    "gds.graph.drop" -> ((g, args) => {
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      Seq((args.head.toString, graft.graph.GraphProjections.drop(args.head.toString)))
+        .toDF("graphName", "dropped")
+    }))
 
   private def planCallProc(g: PropertyGraph, f: Frame, cp: CallProc,
       params: Map[String, Any]): Frame = {

@@ -152,6 +152,44 @@ class Round2FeatureSpec extends AnyFunSuite {
     assert(r.getAs[String]("path").startsWith("Customer:1>Nation:"))
   }
 
+  test("USE <db> routes to the named graph in the catalog") {
+    val tpch = GraphQueries.graph(spark, sf)
+    val catalog = Map("people" -> store.snapshot, "tpch" -> tpch)
+    val n1 = Cypher.runMulti(catalog, tpch,
+      "USE people MATCH (p:Person) RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n1 == 4L)
+    val n2 = Cypher.runMulti(catalog, tpch,
+      "MATCH (r:Region) RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n2 == 5L)
+    intercept[IllegalArgumentException] {
+      Cypher.runMulti(catalog, tpch, "USE nope MATCH (n) RETURN n")
+    }
+  }
+
+  test("USING INDEX hints are accepted and surfaced in EXPLAIN") {
+    val g = GraphQueries.graph(spark, sf)
+    val n = Cypher.run(g,
+      """MATCH (c:Customer) USING INDEX c:Customer(key)
+         WHERE c.key = 1 RETURN c.name AS nm""").count()
+    assert(n == 1)
+    val ops = graft.cypher.ExplainCypher.operators(
+      "MATCH (c:Customer) USING INDEX c:Customer(key) WHERE c.key = 1 RETURN c")
+    assert(ops.contains("Hint(INDEX c:Customer(key))"))
+  }
+
+  test("gds.graph.project / list / drop lifecycle") {
+    val g = GraphQueries.graph(spark, sf)
+    val row = Cypher.run(g,
+      """CALL gds.graph.project('r2spec', 'Nation', 'IN')
+         YIELD graphName, nodeCount, relationshipCount
+         RETURN graphName, nodeCount, relationshipCount""").collect().head
+    assert(row.getString(0) == "r2spec" && row.getLong(1) == 25L && row.getLong(2) == 25L)
+    assert(Cypher.run(g, "CALL gds.graph.list() YIELD graphName WHERE graphName = 'r2spec' RETURN graphName")
+      .count() == 1)
+    assert(Cypher.run(g, "CALL gds.graph.drop('r2spec') YIELD dropped RETURN dropped")
+      .collect().head.getBoolean(0))
+  }
+
   test("allShortestPaths returns empty for unreachable endpoints") {
     val n = Expand.allShortestPaths(store.snapshot,
       "Person:4", "Person:1", Some("KNOWS"), 5).count() // edges point away
