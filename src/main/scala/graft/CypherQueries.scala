@@ -253,7 +253,8 @@ object CypherQueries {
          RETURN n.name AS nation,
                 apoc.text.join(COLLECT { MATCH (n)<-[:FROM]-(c:Customer) RETURN c.name }, ',') AS custs""",
       """SELECT n_name AS nation,
-                array_to_string(list_sort(list(c_name) FILTER (c_name IS NOT NULL)), ',') AS custs
+                COALESCE(array_to_string(
+                  list_sort(list(c_name) FILTER (c_name IS NOT NULL)), ','), '') AS custs
          FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
          GROUP BY n_name"""),
 
@@ -295,6 +296,38 @@ object CypherQueries {
                 CAST(2 AS INT) AS len
          FROM customer JOIN nation ON n_nationkey = c_nationkey
          WHERE c_custkey = 1"""),
+
+    cq("q_cypher_call_topk", "2.9",
+      // per-group ORDER/LIMIT inside a correlated CALL {}: top-2 orders
+      // per customer as one row_number window, never a per-row loop
+      """MATCH (c:Customer) WHERE c.key <= 50
+         CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                RETURN o.key AS ok, o.acctbal AS tot
+                ORDER BY tot DESC, ok ASC LIMIT 2 }
+         RETURN c.key AS ck, ok, tot""",
+      """SELECT ck, ok, tot FROM (
+           SELECT c_custkey AS ck, o_orderkey AS ok, o_totalprice AS tot,
+                  row_number() OVER (PARTITION BY c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM customer JOIN orders ON o_custkey = c_custkey
+           WHERE c_custkey <= 50) t WHERE rn <= 2"""),
+
+    cq("q_cypher_collect_orderby", "2.9",
+      // COLLECT {} ordered by a NON-returned expression (key-struct sort)
+      """MATCH (n:Nation)
+         RETURN n.name AS nation,
+                apoc.text.join(COLLECT {
+                  MATCH (n)<-[:FROM]-(c:Customer) WHERE c.key <= 100
+                  RETURN c.name ORDER BY c.key DESC }, ',') AS custs""",
+      // outer COALESCE: zero-match list aggregates (and array_to_string of
+      // an empty list) are NULL in DuckDB, but Cypher COLLECT {} of
+      // nothing is [] → ''
+      """SELECT n_name AS nation,
+                COALESCE(array_to_string(list(c_name ORDER BY c_custkey DESC)
+                  FILTER (c_name IS NOT NULL), ','), '') AS custs
+         FROM nation LEFT JOIN customer
+           ON c_nationkey = n_nationkey AND c_custkey <= 100
+         GROUP BY n_name"""),
 
     cq("q_cypher_call_proc", "2.9",
       // CALL + YIELD + WHERE through the string surface (call.go:36-56)

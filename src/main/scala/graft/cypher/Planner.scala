@@ -190,10 +190,14 @@ object Planner {
       // them, with count/sum-style aggregates yielding 0 (not null).
       var aggReturn = false
       var zeroFills: Seq[(String, Column)] = Seq.empty
+      var perGroupTail: Option[(Seq[SortItem], Option[Long], Option[Long])] = None
       rest.foreach {
         case r: ReturnClause =>
-          require(r.orderBy.isEmpty && r.skip.isEmpty && r.limit.isEmpty,
-            "ORDER/SKIP/LIMIT inside a correlated CALL {} is not supported yet")
+          if (r.orderBy.nonEmpty || r.skip.isDefined || r.limit.isDefined) {
+            require(!r.items.exists(i => containsAgg(i.expr)),
+              "ORDER/SKIP/LIMIT with aggregates inside a correlated CALL {} is unsupported")
+            perGroupTail = Some((r.orderBy, r.skip, r.limit))
+          }
           aggReturn = r.items.exists(i => containsAgg(i.expr))
           if (aggReturn) zeroFills = r.items.flatMap { it =>
             val name = it.alias.getOrElse(autoName(it.expr))
@@ -216,6 +220,25 @@ object Planner {
         case ValK => v
         case _ => s"${v}_id"
       })
+      // ORDER BY/SKIP/LIMIT inside a correlated CALL {} are PER-GROUP
+      // (per import binding): a row_number window over the import keys —
+      // the distributed form of "top-k per driving row"
+      perGroupTail.foreach { case (orderBy, skip, limit) =>
+        import org.apache.spark.sql.expressions.Window
+        val sorts = orderBy.map { si =>
+          val c = compile(si.expr, f, params)
+          if (si.ascending) c.asc_nulls_last else c.desc_nulls_last
+        }
+        val w = Window.partitionBy(joinCols.map(col): _*)
+          .orderBy((if (sorts.nonEmpty) sorts else Seq(lit(1).asc)): _*)
+        val lo = skip.getOrElse(0L)
+        val hi = limit.map(lo + _).getOrElse(Long.MaxValue)
+        f = Frame(
+          f.df.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") > lo && col("__rn") <= hi)
+            .drop("__rn"),
+          f.kinds)
+      }
       val dropCols = imports.flatMap(v => f.varCols(v).filterNot(joinCols.contains))
       val joined0 = outer.df.join(f.df.drop(dropCols: _*), joinCols,
         if (aggReturn) "left_outer" else "inner")
@@ -326,16 +349,25 @@ object Planner {
       val shared = sharedEntityVars(sf, f)
       require(shared.nonEmpty, "COLLECT {} must share a variable with the outer query")
       val valCol = compile(ret.items.head.expr, sf, params)
-      // ORDER BY <the returned expr> → sort the array; anything else is
-      // unsupported (array order must be deterministic)
-      val sorted = ret.orderBy match {
-        case Seq() => true // sort for determinism (collect order is unspecified anyway)
-        case Seq(SortItem(e, true)) if e == ret.items.head.expr => true
-        case other => throw new IllegalArgumentException(
-          s"COLLECT {} ORDER BY must be the returned expression ascending, got $other")
+      // array order must be deterministic: no ORDER BY → sort by value;
+      // ORDER BY on other expressions → collect (keys…, value) structs,
+      // sort by the keys, project the value back out (single direction —
+      // sort_array is all-asc or all-desc)
+      val aggC = ret.orderBy match {
+        case Seq() =>
+          sort_array(if (ret.distinct) collect_set(valCol) else collect_list(valCol))
+        case Seq(SortItem(e, asc)) if e == ret.items.head.expr =>
+          sort_array(if (ret.distinct) collect_set(valCol) else collect_list(valCol), asc)
+        case keys =>
+          require(!ret.distinct, "COLLECT {} DISTINCT with a custom ORDER BY is unsupported")
+          require(keys.map(_.ascending).distinct.size == 1,
+            "COLLECT {} ORDER BY keys must share one direction")
+          val kv = collect_list(struct(
+            keys.zipWithIndex.map { case (si, i) =>
+              compile(si.expr, sf, params).as(s"k$i")
+            } :+ valCol.as("v"): _*))
+          transform(sort_array(kv, keys.head.ascending), x => x.getField("v"))
       }
-      val agg0 = if (ret.distinct) collect_set(valCol) else collect_list(valCol)
-      val aggC = if (sorted) sort_array(agg0) else agg0
       val name = fresh()
       val keys = shared.map(v => s"${v}_id")
       val grouped = sf.df.groupBy(keys.map(col): _*).agg(aggC.as(name))
@@ -416,7 +448,6 @@ object Planner {
     require(path.hops.size == 1,
       "shortestPath requires exactly one relationship pattern")
     val (rel, endPat) = path.hops.head
-    require(rel.altTypes.isEmpty, "shortestPath with type alternation unsupported")
     val (minH, maxH) = rel.varLength.getOrElse((1, 1))
     require(minH <= 1, "shortestPath with min hops > 1 is unsupported")
     val aVar = path.first.variable.getOrElse(fresh())
@@ -427,7 +458,7 @@ object Planner {
     val pairs = Expand.allShortestPathsMulti(g,
       starts.df.select(col(s"${aVar}_id").as("id")),
       ends.df.select(col(s"${bVar}_id").as("id")),
-      rel.relType, maxH, toDir(rel.dir))
+      rel.relType, maxH, toDir(rel.dir), rel.altTypes)
     val chosen = path.shortest match {
       case Some("single") =>
         // one deterministic path per pair (Neo4j picks an arbitrary one;

@@ -201,9 +201,10 @@ object Expand {
       targetIds: DataFrame, // single column `id`
       relType: Option[String],
       maxHops: Int,
-      direction: Direction = Out): DataFrame = {
+      direction: Direction = Out,
+      altRelTypes: Seq[String] = Seq.empty): DataFrame = {
 
-    val es0 = relType.map(g.edgesByType).getOrElse(g.edges)
+    val es0 = g.edgesByTypes(relType.toSeq ++ altRelTypes)
     val adj = (direction match {
       case Out  => es0.select(col("src").as("_from"), col("dst").as("_to"))
       case In   => es0.select(col("dst").as("_from"), col("src").as("_to"))

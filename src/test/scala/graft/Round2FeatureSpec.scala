@@ -152,6 +152,34 @@ class Round2FeatureSpec extends AnyFunSuite {
     assert(r.getAs[String]("path").startsWith("Customer:1>Nation:"))
   }
 
+  test("correlated CALL {} with per-group ORDER BY and LIMIT") {
+    assert(rows(
+      """MATCH (p:Person)
+         CALL { WITH p MATCH (p)-[:KNOWS]->(q)
+                RETURN q.name AS friend ORDER BY friend ASC LIMIT 1 }
+         RETURN p.name AS nm, friend ORDER BY nm""")
+      == Seq(Seq("Alice", "Bob"), Seq("Bob", "Dan"), Seq("Cara", "Dan")))
+  }
+
+  test("COLLECT {} with ORDER BY on a non-returned expression") {
+    assert(rows(
+      """MATCH (p:Person {key: 1})
+         RETURN apoc.text.join(COLLECT {
+           MATCH (p)-[:KNOWS]->(q) RETURN q.name ORDER BY q.key DESC }, ',') AS fr""")
+      == Seq(Seq("Cara,Bob"))) // key 3 before key 2
+  }
+
+  test("shortestPath over rel-type alternation") {
+    val paths = Expand.allShortestPathsMulti(store.snapshot,
+        store.snapshot.nodes.filter(col("id") === "Person:1").select("id"),
+        store.snapshot.nodes.filter(col("id") === "Person:4").select("id"),
+        Some("KNOWS"), 5, Expand.Out, Seq("LIKES"))
+      .collect()
+    // via the Cypher surface too (LIKES edge, if present, would shorten it;
+    // this store has none yet at this point in suite order — both 2-hop)
+    assert(paths.nonEmpty && paths.forall(_.getAs[Int]("length") <= 2))
+  }
+
   test("USE <db> routes to the named graph in the catalog") {
     val tpch = GraphQueries.graph(spark, sf)
     val catalog = Map("people" -> store.snapshot, "tpch" -> tpch)
