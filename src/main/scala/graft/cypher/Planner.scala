@@ -1009,6 +1009,24 @@ object Planner {
         case "tointeger" | "toint" => a(0).cast("long")
         case "tofloat" => a(0).cast("double")
         case "toboolean" => a(0).cast("boolean")
+        case "tointegerornull" => a(0).try_cast("long")
+        case "tofloatornull" => a(0).try_cast("double")
+        case "tobooleanornull" => a(0).try_cast("boolean")
+        // apoc.text.* (round-2 additions)
+        case "apoc.text.charat" => // 0-based
+          substring(a(0), (args(1) match { case Lit(n: Long) => n.toInt; case _ => 0 }) + 1, 1)
+        case "apoc.text.code" => ascii(a(0))
+        case "apoc.text.bytecount" => octet_length(a(0))
+        case "apoc.data.domain" => regexp_extract(a(0), "@([A-Za-z0-9.-]+)", 1)
+        // apoc.coll.* (round-2 additions)
+        case "apoc.coll.pairs" => // consecutive pairs [[a,b],[b,c],…]
+          arrays_zip(
+            slice(a(0), lit(1), size(a(0)) - 1),
+            slice(a(0), lit(2), size(a(0)) - 1))
+        case "apoc.coll.sumlongs" =>
+          aggregate(a(0), lit(0L), (acc, x) => acc + x.cast("long"))
+        case "apoc.coll.occurrences" =>
+          size(filter(a(0), x => x === a(1)))
         // math
         case "abs" => abs(a(0))
         case "ceil" => ceil(a(0))

@@ -54,6 +54,37 @@ class ChaosParserSpec extends AnyFunSuite {
     parses("UNWIND range(1, 10) AS i RETURN i")
   }
 
+  test("round-2 syntax parses structurally: CALL YIELD, COUNT{}, shortestPath, hints, XOR") {
+    val cp = parses("CALL db.labels() YIELD label AS l, n_nodes WHERE n_nodes > 0 RETURN l")
+      .parts.head.clauses.head.asInstanceOf[Ast.CallProc]
+    assert(cp.name == "db.labels" && cp.yields == Seq(("label", Some("l")), ("n_nodes", None))
+      && cp.where.isDefined)
+
+    val cnt = parses("MATCH (n) WHERE COUNT { (n)-[:T]->(m) WHERE m.x > 1 } > 2 RETURN n")
+      .parts.head.clauses.head.asInstanceOf[Ast.MatchClause]
+    assert(cnt.where.exists {
+      case Ast.Bin(">", Ast.CountPattern(_, Some(_)), Ast.Lit(2L)) => true
+      case _ => false
+    })
+
+    val sp = parses("MATCH p = allShortestPaths((a:X)-[:R|S*..3]->(b:Y)) RETURN length(p) AS l")
+      .parts.head.clauses.head.asInstanceOf[Ast.MatchClause].paths.head
+    assert(sp.pathVar.contains("p") && sp.shortest.contains("all")
+      && sp.hops.head._1.altTypes == Seq("S") && sp.hops.head._1.varLength.contains((1, 3)))
+
+    val hinted = parses("MATCH (n:L) USING INDEX n:L(p) USING SCAN m:K WHERE n.p = 1 RETURN n")
+      .parts.head.clauses.head.asInstanceOf[Ast.MatchClause]
+    assert(hinted.hints == Seq("INDEX n:L(p)", "SCAN m:K"))
+
+    // keyword-colliding content still safe with the new keywords
+    parses("MATCH (n) WHERE n.name = 'CALL db.labels() YIELD label' RETURN n.name AS v")
+    parses("MATCH (n) WHERE n.name CONTAINS 'XOR' RETURN n")
+
+    val tx = parses("MATCH (p:X) CALL { WITH p SET p.a = 1 } IN TRANSACTIONS OF 50 ROWS")
+      .parts.head.clauses(1).asInstanceOf[Ast.CallSubquery]
+    assert(tx.inTransactionsOf.contains(50L))
+  }
+
   test("EXPLAIN operator mapping is stable") {
     val ops = ExplainCypher.operators(
       "MATCH (c:Customer) WHERE c.acctbal > 0 RETURN DISTINCT c.mktsegment AS s ORDER BY s LIMIT 3")
