@@ -144,6 +144,12 @@ object ExtQueries {
       (s, d) => Eval.annVsBrute(s, Tables.embeddings(s, d), 20, 10, 4, 8),
       None, "2.11"),
 
+    // same harness over the IVF tier: recall/NDCG vs brute-force truth at
+    // nProbe=4 of 16 lists (approximate → rows-only, ranges in spec)
+    "q_eval_ivf_quality" -> GQuery(
+      (s, d) => Eval.ivfVsBrute(s, Tables.embeddings(s, d), 20, 10, 16, 4),
+      None, "2.11"),
+
     // full write pipeline through the Cypher string surface on a fresh
     // store: CREATE per UNWIND row → MERGE (2 of 5 new) → per-row SET →
     // DETACH DELETE. The oracle pins the exact QueryStats the reference's

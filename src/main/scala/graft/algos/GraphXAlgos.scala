@@ -29,12 +29,29 @@ object GraphXAlgos {
 
   /** Cached id dictionary + translated contracted edges for one
     * (graph, relType). Edge attr = (multiplicity, weightSum) of the
-    * directed pair.
+    * directed pair. The undirected adjacency used by LPA/Louvain is
+    * derived lazily once per weighted/unweighted flavor and cached too
+    * (louvain + label_prop share it).
     */
   final case class Ctx(
       dict: RDD[(String, Long)], // string id → dense idx
       rev: RDD[(Long, String)], // dense idx → string id
-      edges: RDD[Edge[(Double, Double)]])
+      edges: RDD[Edge[(Double, Double)]]) {
+    private val adjCache = new ConcurrentHashMap[Boolean, RDD[(Long, (Long, Double))]]()
+    def adjByB(weighted: Boolean): RDD[(Long, (Long, Double))] =
+      adjCache.computeIfAbsent(weighted, { w =>
+        val rdd = edges
+          .flatMap { e =>
+            val ew = if (w) e.attr._2 else e.attr._1
+            Seq(((e.srcId, e.dstId), ew), ((e.dstId, e.srcId), ew))
+          }
+          .reduceByKey(_ + _)
+          .map { case ((a, b), ew) => (b, (a, ew)) }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        rdd.count()
+        rdd
+      })
+  }
 
   private val cache =
     java.util.Collections.synchronizedMap(
@@ -134,15 +151,7 @@ object GraphXAlgos {
     val c = ctx(g, relType)
     // undirected contraction: both orientations of every directed pair,
     // votes = weight-sum or multiplicity (matches the DataFrame und build)
-    val adjByB = c.edges
-      .flatMap { e =>
-        val ew = if (weighted) e.attr._2 else e.attr._1
-        Seq(((e.srcId, e.dstId), ew), ((e.dstId, e.srcId), ew))
-      }
-      .reduceByKey(_ + _)
-      .map { case ((a, b), ew) => (b, (a, ew)) }
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    adjByB.count()
+    val adjByB = c.adjByB(weighted)
 
     var labels: RDD[(Long, String)] = c.rev // initial label = own id
     for (_ <- 1 to iters) {
@@ -161,7 +170,6 @@ object GraphXAlgos {
       if (labels ne c.rev) labels.unpersist()
       labels = next
     }
-    adjByB.unpersist()
     val rows = labels.join(c.rev).map { case (_, (lb, id)) => Row(id, lb) }
     toDf(g, rows, StructType(Seq(
       StructField("id", StringType), StructField("label", StringType))))
@@ -173,7 +181,9 @@ object GraphXAlgos {
     */
   def louvain(g: PropertyGraph, iters: Int,
       relType: Option[String] = None): (DataFrame, DataFrame) = {
+    // cached: modularity joins the communities twice (src + dst side)
     val communities = labelPropagation(g, iters, relType, weighted = true)
+      .localCheckpoint(true)
     (communities, Algorithms.modularity(g, communities, relType))
   }
 }

@@ -80,4 +80,45 @@ object Eval {
         avg("mrr").as("mrr"),
         avg("ndcg_at_k").as("ndcg_at_k"))
   }
+
+  /** Evaluate the IVF index against brute-force ground truth for the first
+    * `nQueries` vectors: macro-averaged metrics at k. One batched plan —
+    * probe-list selection is a row_number window, never a per-query loop.
+    */
+  def ivfVsBrute(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
+      nLists: Int, nProbe: Int): DataFrame = {
+    import graft.functions.VectorFns
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", VectorFns.cosineCol(col("embedding"), col("q")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val truth = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("item_id"))
+
+    val (assigned, centroids) = VectorSearch.ivfIndex(emb, nLists)
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("csim").desc, col("list_id").asc)
+    val probe = centroids.crossJoin(broadcast(queries))
+      .withColumn("csim", VectorFns.cosineCol(
+        transform(col("centroid"), x => x.cast("float")), col("q")))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= nProbe)
+      .select("query_id", "list_id", "q")
+    val cands = assigned.join(probe, "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", VectorFns.cosineCol(col("embedding"), col("q")))
+    val ranked = cands.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("vec_id").as("item_id"), col("rank"))
+
+    metrics(ranked, truth, k)
+      .agg(avg("precision_at_k").as("precision_at_k"),
+        avg("recall_at_k").as("recall_at_k"),
+        avg("mrr").as("mrr"),
+        avg("ndcg_at_k").as("ndcg_at_k"))
+  }
 }

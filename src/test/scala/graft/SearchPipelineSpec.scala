@@ -40,6 +40,14 @@ class SearchPipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@10 = $recall")
   }
 
+  test("IVF eval harness reports sane macro metrics") {
+    val m = graft.search.Eval.ivfVsBrute(spark, emb, 10, 10, 8, 4).collect().head
+    val recall = m.getAs[Double]("recall_at_k")
+    val ndcg = m.getAs[Double]("ndcg_at_k")
+    assert(recall > 0.2 && recall <= 1.0, s"ivf recall=$recall")
+    assert(ndcg > 0.2 && ndcg <= 1.0, s"ivf ndcg=$ndcg")
+  }
+
   test("minhash LSH finds the exact-duplicate pairs (jaccard 1.0)") {
     val exactPairs = Dedup.ngramJaccardPairs(docs, 3, 0.999, Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
