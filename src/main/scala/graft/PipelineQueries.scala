@@ -152,6 +152,31 @@ object PipelineQueries {
                 CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS est_bpe_tokens
               FROM documents"""), "pipeline"),
 
+    // relationship auto-inference: near-dup pairs become SIMILAR_TO edges
+    // in a fresh store; the oracle recomputes the pair set + weights
+    "q_infer_similar_edges" -> GQuery(
+      (s, d) => {
+        val g = GraphQueries.graph(s, d)
+        val store = new graft.graph.GraphStore(graft.graph.PropertyGraph(
+          g.nodes.filter("false"), g.edges.filter("false")))
+        graft.operators.Inference.inferSimilarEdges(
+          store, Tables.embeddings(s, d), "Doc:", 0.35, 300L)
+        store.snapshot.edges.select(col("src"), col("dst"), col("weight"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+              comp AS (
+                SELECT p1.vec_id AS a, p2.vec_id AS b,
+                  CAST(SUM(CAST(CAST(p1.embedding[i] AS DOUBLE) * CAST(p2.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+                  CAST(SUM(CAST(CAST(p1.embedding[i] AS DOUBLE) * CAST(p1.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na2,
+                  CAST(SUM(CAST(CAST(p2.embedding[i] AS DOUBLE) * CAST(p2.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nb2
+                FROM e p1 JOIN e p2 ON p1.vec_id < p2.vec_id
+                CROSS JOIN generate_series(1, 64) t(i)
+                GROUP BY p1.vec_id, p2.vec_id)
+              SELECT 'Doc:' || a AS src, 'Doc:' || b AS dst,
+                     round(dot / (sqrt(na2) * sqrt(nb2)), 12) AS weight
+              FROM comp WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 12) >= 0.35"""),
+      "pipeline"),
+
     // md5-based word hash → the rolling-hash fold is replayed in SQL
     "q_text_fingerprint" -> GQuery(
       (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)),
