@@ -366,6 +366,18 @@ object CypherQueries {
            UNION ALL SELECT 'Region', COUNT(*) FROM region)
          WHERE n_nodes > 10 ORDER BY label"""),
 
+    cq("q_cypher_db_info", "2.11",
+      // metadata breadth: db.info totals through CALL + YIELD
+      """CALL db.info() YIELD node_count, relationship_count
+         RETURN node_count, relationship_count""",
+      """SELECT (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM orders)
+              + (SELECT COUNT(*) FROM part) + (SELECT COUNT(*) FROM supplier)
+              + (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS node_count,
+              (SELECT COUNT(*) FROM orders) + (SELECT COUNT(*) FROM lineitem)
+              + (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+              + (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)
+              + (SELECT COUNT(*) FROM nation) AS relationship_count"""),
+
     cq("q_cypher_apoc_run", "2.11",
       // apoc.cypher.run: the engine invoked recursively on a query string
       """CALL apoc.cypher.run('MATCH (r:Region) RETURN r.name AS name') YIELD name

@@ -101,6 +101,15 @@ object Planner {
     "db.relationshiptypes" -> ((g, _) => graft.graph.Procedures.dbRelationshipTypes(g)),
     "db.propertykeys" -> ((g, _) => graft.graph.Procedures.dbPropertyKeys(g)),
     "db.schema.visualization" -> ((g, _) => graft.graph.Procedures.schemaVisualization(g)),
+    "dbms.components" -> ((g, _) => graft.graph.Procedures.dbmsComponents(g)),
+    "db.info" -> ((g, _) => graft.graph.Procedures.dbInfo(g)),
+    "apoc.meta.stats" -> ((g, _) => graft.graph.Procedures.dbInfo(g)),
+    "db.ping" -> ((g, _) => graft.graph.Procedures.dbPing(g)),
+    "gds.version" -> ((g, _) => {
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      Seq(org.apache.spark.SPARK_VERSION).toDF("version")
+    }),
     // apoc.cypher.run(query) — recursive engine invocation (call.go:786)
     "apoc.cypher.run" -> ((g, args) => Cypher.run(g, args.head.toString)),
     // gds.graph.project / list / drop (call.go:711-721)

@@ -32,6 +32,30 @@ object Procedures {
     hoisted.toDF("property_key").union(fromMap).distinct()
   }
 
+  /** CALL dbms.components() — engine identity (the reference reports
+    * name/version/edition, `call.go:676-790`).
+    */
+  def dbmsComponents(g: PropertyGraph): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    Seq(("graft", org.apache.spark.SPARK_VERSION, "spark-native"))
+      .toDF("name", "version", "edition")
+  }
+
+  /** CALL db.info() / apoc.meta.stats(): node/edge totals. */
+  def dbInfo(g: PropertyGraph): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    Seq((g.nodes.count(), g.edges.count())).toDF("node_count", "relationship_count")
+  }
+
+  /** CALL db.ping() */
+  def dbPing(g: PropertyGraph): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    Seq(true).toDF("success")
+  }
+
   /** CALL db.schema.visualization() — (src_label, rel_type, dst_label)
     * triples present in the graph.
     */
