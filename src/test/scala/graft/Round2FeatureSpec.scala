@@ -180,6 +180,16 @@ class Round2FeatureSpec extends AnyFunSuite {
     assert(paths.nonEmpty && paths.forall(_.getAs[Int]("length") <= 2))
   }
 
+  test("PROFILE reports actual output rows per physical operator") {
+    val g = GraphQueries.graph(spark, sf)
+    val prof = graft.cypher.ProfileCypher.profile(g,
+      "MATCH (r:Region) RETURN r.name AS nm").collect()
+    assert(prof.nonEmpty)
+    // some operator actually emitted the 5 region rows
+    assert(prof.exists(r => r.getLong(1) == 5L),
+      prof.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+  }
+
   test("USE <db> routes to the named graph in the catalog") {
     val tpch = GraphQueries.graph(spark, sf)
     val catalog = Map("people" -> store.snapshot, "tpch" -> tpch)
