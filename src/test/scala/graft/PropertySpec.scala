@@ -25,6 +25,39 @@ class PropertySpec extends AnyFunSuite {
     Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '(', ')', '=', '>',
       'M', 'A', 'T', 'C', 'H'))).map(_.mkString)
 
+  test("XOR over literal booleans follows the truth table for any operand pair") {
+    // parser + compiler level: a XOR b === (a != b) for non-null booleans
+    check(Prop.forAll(Gen.oneOf(true, false), Gen.oneOf(true, false)) { (a, b) =>
+      val q = Parser.parse(s"RETURN ($a) XOR ($b) AS v")
+      q.parts.head.clauses.head match {
+        case Ast.ReturnClause(items, _, _, _, _) =>
+          items.head.expr == Ast.Bin("XOR", Ast.Lit(a), Ast.Lit(b))
+        case _ => false
+      }
+    })
+  }
+
+  test("DISTINCT aggregate laws: engine sum/avg(DISTINCT) equals Scala over distinct values") {
+    import TestSpark._
+    import graft.cypher.Cypher
+    val g = GraphQueries.graph(spark, sf)
+    // deterministic sample of small long lists (each case is a Spark job —
+    // keep the count modest)
+    val lists = Seq(
+      Seq(1L, 1L, 2L), Seq(5L), Seq(3L, 3L, 3L), Seq(2L, 4L, 4L, 8L),
+      Seq(7L, 1L, 7L, 1L, 9L), Seq(10L, 10L), Seq(0L, 0L, 1L))
+    lists.foreach { xs =>
+      val lit = xs.mkString("[", ", ", "]")
+      val row = Cypher.run(g,
+        s"UNWIND $lit AS x RETURN sum(DISTINCT x) AS s, avg(DISTINCT x) AS a, count(DISTINCT x) AS c")
+        .collect().head
+      val d = xs.distinct
+      assert(row.getLong(0) == d.sum, s"sum(DISTINCT) on $xs")
+      assert(math.abs(row.getDouble(1) - d.sum.toDouble / d.size) < 1e-12, s"avg(DISTINCT) on $xs")
+      assert(row.getLong(2) == d.size.toLong, s"count(DISTINCT) on $xs")
+    }
+  }
+
   test("any identifier round-trips as variable and property name") {
     check(Prop.forAll(identGen, identGen) { (v, p) =>
       val q = Parser.parse(s"MATCH ($v) RETURN $v.$p AS x")
