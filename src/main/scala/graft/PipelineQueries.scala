@@ -117,6 +117,17 @@ object PipelineQueries {
               FROM comp WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 12) >= 0.35"""),
       "pipeline"),
 
+    // LSH-bucketed variant: candidates share a hyperplane-sign bucket in any
+    // of 16 tables (equi-join), verified with the exact DECIMAL cosine. The
+    // oracle replays the ENTIRE pipeline (md5-derived plane constants are
+    // inlined identically in both engines); recall vs the exact pair set is
+    // asserted in SearchPipelineSpec.
+    "q_dedup_embedding_lsh" -> GQuery(
+      (s, d) => Dedup.embeddingNearDupsLsh(Tables.embeddings(s, d), 0.35, 300L,
+        nBits = 4, nTables = 16),
+      Some(Dedup.embeddingLshOracle(0.35, 300L, nBits = 4, nTables = 16, dim = 64)),
+      "pipeline"),
+
     "q_text_quality" -> GQuery(
       (s, d) => TextAnalysis.quality(Tables.documents(s, d)),
       Some("""SELECT doc_id,

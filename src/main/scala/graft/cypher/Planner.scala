@@ -876,6 +876,13 @@ object Planner {
           col(s"${v}_id")
         case other => compile(other, f, params)
       }
+      // word splitting for case-conversion fns: break camelCase, then split on
+      // non-alphanumerics, drop empties (ref apoc/text/text.go splitWords)
+      def textWords(c: Column): Column =
+        filter(split(regexp_replace(c, "([a-z0-9])([A-Z])", "$1 $2"), "[^A-Za-z0-9]+"),
+          w => w =!= "")
+      def capLower(w: Column): Column =
+        concat(upper(w.substr(1, 1)), lower(w.substr(lit(2), length(w))))
       name match {
         // aggregates
         case "count" =>
@@ -950,15 +957,38 @@ object Planner {
           case Lit(s: String) => lit(s); case _ => lit("") }, lit(0))
         case "apoc.text.format" | "format" => format_string(args.head match {
           case Lit(s: String) => s; case _ => "%s" }, args.tail.map(x => compile(x, f, params)): _*)
-        case "lpad" => lpad(a(0), args(1) match { case Lit(n: Long) => n.toInt; case _ => 0 },
-          args.lift(2).map { case Lit(s: String) => s; case _ => " " }.getOrElse(" "))
-        case "rpad" => rpad(a(0), args(1) match { case Lit(n: Long) => n.toInt; case _ => 0 },
-          args.lift(2).map { case Lit(s: String) => s; case _ => " " }.getOrElse(" "))
+        case "lpad" | "apoc.text.lpad" =>
+          lpad(a(0), args(1) match { case Lit(n: Long) => n.toInt; case _ => 0 },
+            args.lift(2).map { case Lit(s: String) => s; case _ => " " }.getOrElse(" "))
+        case "rpad" | "apoc.text.rpad" =>
+          rpad(a(0), args(1) match { case Lit(n: Long) => n.toInt; case _ => 0 },
+            args.lift(2).map { case Lit(s: String) => s; case _ => " " }.getOrElse(" "))
         // apoc.map.*
         case "apoc.map.frompairs" => map_from_entries(a(0))
         case "apoc.map.merge" => map_concat(a(0), a(1))
         case "apoc.map.removekey" => map_filter(a(0), (k, _) => k =!= a(1))
+        case "apoc.map.clean" if args.size >= 3 => // drop keys/values/nulls
+          map_filter(a(0), (k, v) =>
+            !array_contains(a(1), k) && !array_contains(a(2), v) && v.isNotNull)
         case "apoc.map.clean" => map_filter(a(0), (_, v) => v.isNotNull)
+        // ---- apoc.map.* round-3 tranche (ref functions_eval_functions.go:591-676)
+        case "apoc.map.setkey" | "apoc.map.setentry" => // overwrite-safe concat
+          map_concat(map_filter(a(0), (k, _) => k =!= a(1)), map(a(1), a(2)))
+        case "apoc.map.fromlists" => map_from_arrays(a(0), a(1))
+        case "apoc.map.fromvalues" => // [k1,v1,k2,v2,…] → map
+          map_from_entries(transform(
+            filter(sequence(lit(0L), size(a(0)).cast("long")),
+              i => i % 2 === 0 && i + 1 < size(a(0))),
+            i => struct(element_at(a(0), i.cast("int") + 1),
+                        element_at(a(0), i.cast("int") + 2))))
+        case "apoc.map.submap" => map_filter(a(0), (k, _) => array_contains(a(1), k))
+        case "apoc.map.mget" => transform(a(1), k => element_at(a(0), k))
+        case "apoc.map.get" =>
+          if (args.size >= 3) coalesce(element_at(a(0), a(1)), a(2))
+          else element_at(a(0), a(1))
+        case "apoc.map.removekeys" => map_filter(a(0), (k, _) => !array_contains(a(1), k))
+        case "apoc.map.sortedproperties" => // [[key, value]…] sorted by key
+          array_sort(map_entries(a(0)))
         case "keys" => // keys(map) or keys(node) → hoisted prop names
           args.head match {
             case Variable(v) if f.kinds.get(v).contains(NodeK) =>
@@ -992,12 +1022,27 @@ object Planner {
         case "apoc.math.coth" => cosh(a(0)) / sinh(a(0))
         case "apoc.number.format" => format_number(a(0), args.lift(1) match {
           case Some(Lit(n: Long)) => n.toInt; case _ => 2 })
+        case "apoc.number.parseint" => a(0).try_cast("long")
+        case "apoc.number.parsefloat" => a(0).try_cast("double")
+        case "apoc.bitwise.op" => args(1) match { // apoc/bitwise
+          case Lit(op: String) => op match {
+            case "&" => a(0).bitwiseAND(a(2))
+            case "|" => a(0).bitwiseOR(a(2))
+            case "^" => a(0).bitwiseXOR(a(2))
+            case ">>" => shiftright(a(0), args(2) match { case Lit(n: Long) => n.toInt
+              case _ => throw new IllegalArgumentException("shift needs literal count") })
+            case "<<" => shiftleft(a(0), args(2) match { case Lit(n: Long) => n.toInt
+              case _ => throw new IllegalArgumentException("shift needs literal count") })
+            case other => throw new IllegalArgumentException(s"apoc.bitwise.op: $other")
+          }
+          case _ => throw new IllegalArgumentException("apoc.bitwise.op needs a literal operator")
+        }
         // string functions
-        case "tolower" | "lower" => lower(a(0))
-        case "toupper" | "upper" => upper(a(0))
-        case "trim" => trim(a(0))
-        case "ltrim" => ltrim(a(0))
-        case "rtrim" => rtrim(a(0))
+        case "tolower" | "lower" | "apoc.text.tolower" => lower(a(0))
+        case "toupper" | "upper" | "apoc.text.toupper" => upper(a(0))
+        case "trim" | "apoc.text.trim" => trim(a(0))
+        case "ltrim" | "apoc.text.ltrim" => ltrim(a(0))
+        case "rtrim" | "apoc.text.rtrim" => rtrim(a(0))
         case "replace" => // replace(s, search, repl) — literal, not regex
           regexp_replace(a(0),
             args(1) match { case Lit(s: String) => java.util.regex.Pattern.quote(s); case _ => "" },
@@ -1022,11 +1067,61 @@ object Planner {
         case "tofloatornull" => a(0).try_cast("double")
         case "tobooleanornull" => a(0).try_cast("boolean")
         // apoc.text.* (round-2 additions)
-        case "apoc.text.charat" => // 0-based
-          substring(a(0), (args(1) match { case Lit(n: Long) => n.toInt; case _ => 0 }) + 1, 1)
+        case "apoc.text.charat" => // 0-based; column form handles non-literal indexes
+          a(0).substr(a(1).cast("int") + 1, lit(1))
         case "apoc.text.code" => ascii(a(0))
         case "apoc.text.bytecount" => octet_length(a(0))
         case "apoc.data.domain" => regexp_extract(a(0), "@([A-Za-z0-9.-]+)", 1)
+        // ---- apoc.text.* round-3 tranche (ref apoc/text/text.go) ----
+        case "apoc.text.swapcase" => // text.go:96
+          array_join(transform(split(a(0), ""),
+            c => when(c === lower(c), upper(c)).otherwise(lower(c))), "")
+        case "apoc.text.camelcase" => // text.go:115: lower head, Capitalize tail
+          array_join(transform(textWords(a(0)),
+            (w, i) => when(i === 0, lower(w)).otherwise(capLower(w))), "")
+        case "apoc.text.uppercamelcase" => // text.go:146
+          array_join(transform(textWords(a(0)), w => capLower(w)), "")
+        case "apoc.text.snakecase" => // text.go:134
+          array_join(transform(textWords(a(0)), w => lower(w)), "_")
+        case "apoc.text.comparecleaned" => // text.go:167
+          regexp_replace(lower(a(0)), "[^a-z0-9]", "") ===
+            regexp_replace(lower(a(1)), "[^a-z0-9]", "")
+        case "apoc.text.hammingdistance" => // -1 for unequal lengths (text.go:233)
+          when(length(a(0)) =!= length(a(1)), lit(-1)).otherwise(
+            size(filter(zip_with(split(a(0), ""), split(a(1), ""),
+              (x, y) => x =!= y), b => b)))
+        case "apoc.text.fuzzymatch" => // 1 − lev/maxLen ≥ threshold (text.go:219)
+          val thr = args.lift(2).map(x => compile(x, f, params)).getOrElse(lit(0.5))
+          (lit(1.0) - levenshtein(a(0), a(1)).cast("double") /
+            greatest(length(a(0)), length(a(1))).cast("double")) >= thr
+        case "apoc.text.slug" => // text.go:379
+          regexp_replace(regexp_replace(lower(a(0)), "[^a-z0-9]+", "-"), "^-+|-+$", "")
+        case "apoc.text.sorensendicesimilarity" => // distinct-bigram Dice (text.go:397)
+          val big = (c: Column) => array_distinct(transform(
+            filter(sequence(lit(0L), length(c).cast("long")), i => i + 2 <= length(c)),
+            i => c.substr(i.cast("int") + 1, lit(2))))
+          when(a(0) === a(1), lit(1.0))
+            .when(length(a(0)) < 2 || length(a(1)) < 2, lit(0.0))
+            .otherwise(lit(2.0) * size(array_intersect(big(a(0)), big(a(1)))) /
+              (size(big(a(0))) + size(big(a(1)))))
+        case "apoc.text.phonetic" => soundex(a(0)) // text.go:544
+        case "apoc.text.phoneticdelta" => // 0 if same soundex else 4 (text.go:552)
+          when(soundex(a(0)) === soundex(a(1)), lit(0)).otherwise(lit(4))
+        case "apoc.text.urlencode" => call_function("url_encode", a(0))
+        case "apoc.text.urldecode" => call_function("url_decode", a(0))
+        case "apoc.text.fromcodepoint" => call_function("char", a(0)) // text.go:520
+        case "apoc.text.indexesof" => // all 0-based occurrence positions (text.go:490)
+          filter(sequence(lit(0L), greatest(length(a(0)).cast("long") - 1, lit(0L))),
+            i => a(0).substr(i.cast("int") + 1, length(a(1))) === a(1))
+        case "apoc.text.reverse" => reverse(a(0))
+        case "apoc.text.replace" | "apoc.text.regreplace" => // regex-based (unlike Cypher replace)
+          regexp_replace(a(0),
+            args(1) match { case Lit(s: String) => s; case _ => "" },
+            args(2) match { case Lit(s: String) => s; case _ => "" })
+        case "apoc.text.split" => split(a(0), args(1) match {
+          case Lit(s: String) => s; case _ => "," })
+        case "apoc.text.random" =>
+          throw new IllegalArgumentException("apoc.text.random is nondeterministic — unsupported")
         // apoc.coll.* (round-2 additions)
         case "apoc.coll.pairs" => // consecutive pairs [[a,b],[b,c],…]
           arrays_zip(
@@ -1036,6 +1131,62 @@ object Planner {
           aggregate(a(0), lit(0L), (acc, x) => acc + x.cast("long"))
         case "apoc.coll.occurrences" =>
           size(filter(a(0), x => x === a(1)))
+        // ---- apoc.coll.* round-3 tranche (ref apoc/coll/coll.go,
+        // pkg/cypher/apoc_collections.go:92-339). All Catalyst HOFs.
+        case "apoc.coll.containsall" => forall(a(1), v => array_contains(a(0), v))
+        case "apoc.coll.containsany" => arrays_overlap(a(0), a(1))
+        case "apoc.coll.containsduplicates" => size(array_distinct(a(0))) < size(a(0))
+        case "apoc.coll.containssorted" => array_contains(a(0), a(1))
+        case "apoc.coll.different" => array_except(a(0), a(1)) // list1 ∖ list2 (coll.go:321)
+        case "apoc.coll.disjunction" => // symmetric difference (coll.go:341)
+          array_union(array_except(a(0), a(1)), array_except(a(1), a(0)))
+        case "apoc.coll.dropduplicateneighbors" => // coll.go:373
+          filter(a(0), (x, i) => i === 0 || !(x <=> element_at(a(0), i)))
+        case "apoc.coll.duplicates" => // first-occurrence order (deterministic;
+          // the reference iterates a Go map — nondeterministic — coll.go:392)
+          filter(array_distinct(a(0)), x => size(filter(a(0), y => y <=> x)) > 1)
+        case "apoc.coll.duplicateswithcount" => // coll.go:419
+          transform(
+            filter(array_distinct(a(0)), x => size(filter(a(0), y => y <=> x)) > 1),
+            x => struct(x.as("item"), size(filter(a(0), y => y <=> x)).as("count")))
+        case "apoc.coll.fill" => array_repeat(a(0), a(1).cast("int"))
+        case "apoc.coll.frequencies" => // value → count map (coll.go:484)
+          map_from_entries(transform(array_distinct(a(0)),
+            x => struct(x, size(filter(a(0), y => y <=> x)))))
+        case "apoc.coll.frequenciesasmap" => // [{item, count}] (coll.go:498)
+          transform(array_distinct(a(0)),
+            x => struct(x.as("item"), size(filter(a(0), y => y <=> x)).as("count")))
+        case "apoc.coll.insert" => // insert value at 0-based index (coll.go:542)
+          concat(slice(a(0), lit(1), a(1).cast("int")), array(a(2)),
+            slice(a(0), a(1).cast("int") + 1, lit(1000000)))
+        case "apoc.coll.insertall" => // coll.go:559
+          concat(slice(a(0), lit(1), a(1).cast("int")), a(2),
+            slice(a(0), a(1).cast("int") + 1, lit(1000000)))
+        case "apoc.coll.remove" => // remove [index, index+length) (coll.go:671)
+          val len = args.lift(2).map(x => compile(x, f, params).cast("int")).getOrElse(lit(1))
+          concat(slice(a(0), lit(1), a(1).cast("int")),
+            slice(a(0), a(1).cast("int") + len + 1, lit(1000000)))
+        case "apoc.coll.removeall" => // drop every occurrence of value (coll.go:687)
+          filter(a(0), x => !(x <=> a(1)))
+        case "apoc.coll.set" => // replace element at 0-based index (coll.go:701)
+          transform(a(0), (x, i) => when(i === a(1).cast("int"), a(2)).otherwise(x))
+        case "apoc.coll.split" => // partition into sublists of n (coll.go:749)
+          val n = a(1).cast("long")
+          transform(
+            filter(sequence(lit(0L), size(a(0)).cast("long")), g => g * n < size(a(0))),
+            g => slice(a(0), (g * n + 1).cast("int"), n.cast("int")))
+        case "apoc.coll.pairsmin" => // non-overlapping pairs (coll.go:160)
+          transform(
+            filter(sequence(lit(0L), size(a(0)).cast("long")),
+              i => i % 2 === 0 && i + 1 < size(a(0))),
+            i => array(element_at(a(0), i.cast("int") + 1),
+                       element_at(a(0), i.cast("int") + 2)))
+        case "apoc.coll.runningtotal" => // prefix sums (registry surface)
+          transform(a(0), (_, i) =>
+            aggregate(slice(a(0), lit(1), i + 1), lit(0.0),
+              (acc, y) => acc + y.cast("double")))
+        case "apoc.coll.isempty" => size(a(0)) === 0
+        case "apoc.coll.isnotempty" => size(a(0)) > 0
         // math
         case "abs" => abs(a(0))
         case "ceil" => ceil(a(0))

@@ -148,26 +148,139 @@ object Dedup {
       .select("a", "b", "dist")
   }
 
-  /** Embedding near-duplicates: cosine ≥ threshold for vec_id < maxId,
-    * DECIMAL-routed so it hash-matches the SQL oracle.
+  /** Σ over zip_with products routed through DECIMAL(38,18) — exact, so the
+    * result hash-matches a SQL oracle bit-for-bit.
     */
-  def embeddingNearDups(emb: DataFrame, threshold: Double, maxId: Long): DataFrame = {
-    val dotDec = (x: Column, y: Column) =>
-      aggregate(
-        zip_with(x, y, (p, q) => (p.cast("double") * q.cast("double")).cast("decimal(38,18)")),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)"),
-        (acc, z) => (acc + z).cast("decimal(38,18)")).cast("double")
+  private def dotDec(x: Column, y: Column): Column =
+    aggregate(
+      zip_with(x, y, (p, q) => (p.cast("double") * q.cast("double")).cast("decimal(38,18)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)"),
+      (acc, z) => (acc + z).cast("decimal(38,18)")).cast("double")
+
+  /** Embedding near-duplicates: EXACT cosine ≥ threshold for vec_id < maxId,
+    * DECIMAL-routed so it hash-matches the SQL oracle.
+    *
+    * Distributed-GEMM shape: vectors are grouped into contiguous id blocks of
+    * `blockSize`, the (upper-triangular) block-pair list is enumerated on the
+    * driver from `maxId` alone (no data inspection) and broadcast, and the
+    * pair expansion is an EQUI-join on block ids — a shuffled hash join, not
+    * the BroadcastNestedLoopJoin an `a < b`-only join degenerates to. Work is
+    * still O(n²/2) dot products (exact all-pairs is a matrix multiply; no
+    * sub-quadratic method is lossless), but each (bi, bj) cell lands on one
+    * task, so the O(n²) spreads across nBlocks²/2 tasks instead of one
+    * broadcast loop. At 100 TB size blocks so one block's vectors fit a task
+    * (~10⁴–10⁵ rows); for cosine thresholds ≥ ~0.7 prefer
+    * [[embeddingNearDupsLsh]], which prunes candidates before verifying.
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double, maxId: Long,
+      blockSize: Long = 64L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nBlocks = (((maxId - 1) / blockSize) + 1).toInt max 1
+    val blockPairs = (for { i <- 0 until nBlocks; j <- i until nBlocks }
+      yield (i, j)).toDF("bi", "bj")
     // norms once per vector (O(n)), only the dot product per pair (O(n²))
     val e = emb.filter(col("vec_id") < maxId)
       .select(col("vec_id"), col("embedding"))
       .withColumn("n2", dotDec(col("embedding"), col("embedding")))
-    val a = e.toDF("a", "ea", "na2")
-    val b = e.toDF("b", "eb", "nb2")
-    a.join(b, col("a") < col("b"))
+      .withColumn("blk", (col("vec_id") / blockSize).cast("int"))
+    val a = e.toDF("a", "ea", "na2", "ba")
+    val b = e.toDF("b", "eb", "nb2", "bb")
+    // blocks are contiguous id ranges, so bi < bj already implies a < b;
+    // the residual a < b only dedups within the diagonal blocks
+    a.join(broadcast(blockPairs), col("ba") === col("bi"))
+      .join(b, col("bb") === col("bj") && col("a") < col("b"))
       .withColumn("cos_sim",
         round(dotDec(col("ea"), col("eb")) /
           (sqrt(col("na2")) * sqrt(col("nb2"))), 12))
       .filter(col("cos_sim") >= threshold)
       .select("a", "b", "cos_sim")
+  }
+
+  /** Deterministic integer hyperplane component for (table, plane, dim) —
+    * md5-derived so an external SQL oracle can inline the SAME constants.
+    * Integer components keep float64 products exact (24-bit mantissa × small
+    * int fits a double), so the projection SIGN is engine-independent.
+    */
+  def lshPlaneComponent(table: Int, plane: Int, dim: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft_${table}_${plane}_${dim}".getBytes("UTF-8"))
+    ((h(0) & 0xff) % 17) - 8
+  }
+
+  /** Random-hyperplane LSH near-dup: candidates share a signature bucket in
+    * ANY of `nTables` hash tables (OR-construction), then are verified with
+    * the exact DECIMAL cosine. The candidate join is an equi-join on
+    * (table, bucket) — the 100 TB shape ([[minhashLshPairs]]'s banding,
+    * applied to vectors). Recall is governed by (1−(1−p^bits)^tables,
+    * p = 1 − θ/π): excellent at production thresholds (≥0.8 cosine), and
+    * measured/asserted in SearchPipelineSpec at the test threshold, which
+    * sits in the near-orthogonal regime where NO sub-quadratic method
+    * separates well (use [[embeddingNearDups]] there).
+    */
+  def embeddingNearDupsLsh(emb: DataFrame, threshold: Double, maxId: Long,
+      nBits: Int = 4, nTables: Int = 16, dim: Int = 64): DataFrame = {
+    val e = emb.filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", dotDec(col("embedding"), col("embedding")))
+    // per-table bucket: one sign bit per hyperplane, concatenated. The fold
+    // is left-to-right from 0.0 in BOTH engines → bit-identical projections.
+    def bucket(t: Int): Column = concat((0 until nBits).map { p =>
+      val plane = array((0 until dim).map(j =>
+        lit(lshPlaneComponent(t, p, j).toDouble)): _*)
+      val proj = aggregate(
+        zip_with(col("embedding"), plane, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+    val buckets = e.select(col("vec_id"), col("embedding"), col("n2"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"), bucket(t).as("bkt"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bkt"))
+    val cand = buckets.toDF("a", "tbl", "bkt")
+      .join(buckets.toDF("b", "tbl2", "bkt2"),
+        col("tbl") === col("tbl2") && col("bkt") === col("bkt2"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(e.toDF("a", "ea", "na2"), "a")
+      .join(e.toDF("b", "eb", "nb2"), "b")
+      .withColumn("cos_sim",
+        round(dotDec(col("ea"), col("eb")) /
+          (sqrt(col("na2")) * sqrt(col("nb2"))), 12))
+      .filter(col("cos_sim") >= threshold)
+      .select("a", "b", "cos_sim")
+  }
+
+  /** DuckDB oracle replaying the ENTIRE [[embeddingNearDupsLsh]] pipeline —
+    * same inlined plane constants, same left fold, same verify.
+    */
+  def embeddingLshOracle(threshold: Double, maxId: Long, nBits: Int,
+      nTables: Int, dim: Int): String = {
+    def bucketSql(t: Int): String = (0 until nBits).map { p =>
+      val plane = (0 until dim).map(j =>
+        lshPlaneComponent(t, p, j).toDouble).mkString("[", ",", "]")
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, $dim),
+              i -> CAST(embedding[i] AS DOUBLE) * ($plane::DOUBLE[])[i])),
+            (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END)"""
+    }.mkString(" || ")
+    val unions = (0 until nTables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketSql(t)} AS bkt FROM e").mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $maxId),
+        buck AS ($unions),
+        cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                 FROM buck x JOIN buck y
+                   ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+        comp AS (
+          SELECT c.a, c.b,
+            CAST(SUM(CAST(CAST(p1.embedding[i] AS DOUBLE) * CAST(p2.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+            CAST(SUM(CAST(CAST(p1.embedding[i] AS DOUBLE) * CAST(p1.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na2,
+            CAST(SUM(CAST(CAST(p2.embedding[i] AS DOUBLE) * CAST(p2.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nb2
+          FROM cand c JOIN e p1 ON p1.vec_id = c.a JOIN e p2 ON p2.vec_id = c.b
+          CROSS JOIN generate_series(1, $dim) t(i)
+          GROUP BY c.a, c.b)
+        SELECT a, b, round(dot / (sqrt(na2) * sqrt(nb2)), 12) AS cos_sim
+        FROM comp WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 12) >= $threshold"""
   }
 }

@@ -8,8 +8,10 @@ import graft.graph.GraphStore
   * on store/access, `/root/reference/pkg/inference/inference.go:1-40`).
   * Here it is a BATCH job, the shape that scales: embedding near-duplicate
   * pairs above a cosine threshold become SIMILAR_TO edges, written to the
-  * snapshot store in one pass. At 100 TB the pair generation is the
-  * LSH/IVF-bucketed join, not the all-pairs form used at test scale.
+  * snapshot store in one pass. Pair generation is [[Dedup.embeddingNearDups]]
+  * (block-pair equi-join — distributed-GEMM shape, no nested-loop join); set
+  * `lsh = true` to route through [[Dedup.embeddingNearDupsLsh]]'s bucketed
+  * candidates instead, the cheaper path at production thresholds (≥ ~0.7).
   */
 object Inference {
 
@@ -17,8 +19,10 @@ object Inference {
     * embedding pair with cosine ≥ threshold. Returns edges created.
     */
   def inferSimilarEdges(store: GraphStore, emb: DataFrame, idPrefix: String,
-      threshold: Double, maxId: Long): Long = {
-    val pairs = Dedup.embeddingNearDups(emb, threshold, maxId)
+      threshold: Double, maxId: Long, lsh: Boolean = false): Long = {
+    val pairs =
+      if (lsh) Dedup.embeddingNearDupsLsh(emb, threshold, maxId)
+      else Dedup.embeddingNearDups(emb, threshold, maxId)
     val edges = pairs.select(
       concat_ws("|", lit("SIMILAR_TO"),
         concat(lit(idPrefix), col("a")), concat(lit(idPrefix), col("b"))).as("id"),

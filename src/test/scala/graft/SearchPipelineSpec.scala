@@ -48,6 +48,34 @@ class SearchPipelineSpec extends AnyFunSuite {
     assert(ndcg > 0.2 && ndcg <= 1.0, s"ivf ndcg=$ndcg")
   }
 
+  test("embedding near-dup plans an equi-join, not a BroadcastNestedLoopJoin") {
+    for (df <- Seq(Dedup.embeddingNearDups(emb, 0.35, 300L),
+                   Dedup.embeddingNearDupsLsh(emb, 0.35, 300L))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop"), s"all-pairs join in plan:\n$plan")
+    }
+  }
+
+  test("LSH embedding near-dup: subset of exact pairs, recall >= 0.85 at test threshold") {
+    val exact = Dedup.embeddingNearDups(emb, 0.35, 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupsLsh(emb, 0.35, 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    val recall = lsh.size.toDouble / exact.size
+    // 0.35 cosine is the near-orthogonal regime — 0.85+ is what 4x16 LSH
+    // buys there (it is lossless-ish at production thresholds >= 0.8)
+    assert(recall >= 0.85, s"recall = $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("blocked exact near-dup matches the single-block form for any block size") {
+    val one = Dedup.embeddingNearDups(emb, 0.35, 300L, blockSize = 1024L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val many = Dedup.embeddingNearDups(emb, 0.35, 300L, blockSize = 37L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == many && one.nonEmpty)
+  }
+
   test("minhash LSH finds the exact-duplicate pairs (jaccard 1.0)") {
     val exactPairs = Dedup.ngramJaccardPairs(docs, 3, 0.999, Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
