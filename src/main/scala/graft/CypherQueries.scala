@@ -234,6 +234,127 @@ object CypherQueries {
                 CAST(len(string_split(p_name, ' ')) - 1 AS INT) AS np
          FROM part WHERE p_partkey <= 100"""),
 
+    cq("q_cypher_apoc_coll", "2.10",
+      // round-3 apoc.coll.* tranche: 17 functions, DuckDB replays each
+      """MATCH (p:Part) WHERE p.key <= 120
+         WITH p, split(p.name, ' ') AS ws
+         RETURN p.key AS k,
+                apoc.coll.containsAll(ws, ['red']) AS has_red,
+                apoc.coll.containsAny(ws, ['red', 'green']) AS has_rg,
+                apoc.coll.containsDuplicates(ws) AS has_dup,
+                apoc.text.join(apoc.coll.different(ws, ['red']), ',') AS diff_red,
+                apoc.text.join(apoc.coll.sort(apoc.coll.disjunction(ws, ['red', 'blue'])), ',') AS disj,
+                apoc.text.join(apoc.coll.dropDuplicateNeighbors(ws), ',') AS ddn,
+                apoc.text.join(apoc.coll.sort(apoc.coll.duplicates(ws)), ',') AS dups,
+                apoc.text.join(apoc.coll.fill('x', 3), ',') AS filled,
+                apoc.text.join(apoc.coll.insert(ws, 1, 'X'), ',') AS ins,
+                apoc.text.join(apoc.coll.remove(ws, 0), ',') AS rem,
+                apoc.text.join(apoc.coll.set(ws, 0, 'Y'), ',') AS st,
+                size(apoc.coll.split(ws, 2)) AS nsplit,
+                size(apoc.coll.pairsMin(ws)) AS npmin,
+                last(apoc.coll.runningTotal([toFloat(p.key), 2.0, 3.0])) AS rt,
+                apoc.coll.isEmpty(ws) AS emp,
+                apoc.coll.isNotEmpty(ws) AS nemp""",
+      """SELECT p_partkey AS k,
+                list_has_all(ws, ['red']) AS has_red,
+                list_has_any(ws, ['red', 'green']) AS has_rg,
+                len(list_distinct(ws)) < len(ws) AS has_dup,
+                COALESCE(array_to_string(list_filter(ws, (x, i) -> list_position(ws, x) = i AND x <> 'red'), ','), '') AS diff_red,
+                COALESCE(array_to_string(list_sort(list_distinct(list_concat(
+                  list_filter(ws, x -> x NOT IN ('red', 'blue')),
+                  list_filter(['red', 'blue'], x -> NOT list_contains(ws, x))))), ','), '') AS disj,
+                COALESCE(array_to_string(list_filter(ws, (x, i) -> i = 1 OR x <> ws[i - 1]), ','), '') AS ddn,
+                COALESCE(array_to_string(list_sort(list_distinct(
+                  list_filter(ws, x -> len(list_filter(ws, y -> y = x)) > 1))), ','), '') AS dups,
+                'x,x,x' AS filled,
+                COALESCE(array_to_string(list_concat(list_concat(ws[1:1], ['X']), ws[2:]), ','), '') AS ins,
+                COALESCE(array_to_string(ws[2:], ','), '') AS rem,
+                COALESCE(array_to_string(list_concat(['Y'], ws[2:]), ','), '') AS st,
+                CAST(ceil(len(ws) / 2.0) AS INT) AS nsplit,
+                CAST(floor(len(ws) / 2) AS INT) AS npmin,
+                CAST(p_partkey AS DOUBLE) + 5.0 AS rt,
+                len(ws) = 0 AS emp,
+                len(ws) > 0 AS nemp
+         FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws
+               FROM part WHERE p_partkey <= 120)"""),
+
+    cq("q_cypher_apoc_text", "2.10",
+      // round-3 apoc.text.* tranche: case conversion, distances, slug, dice
+      """MATCH (p:Part) WHERE p.key <= 120
+         RETURN p.key AS k,
+                apoc.text.swapCase(p.name) AS sc,
+                apoc.text.camelCase(p.name) AS cc,
+                apoc.text.upperCamelCase(p.name) AS ucc,
+                apoc.text.snakeCase(p.name) AS snk,
+                apoc.text.compareCleaned(p.name, 'red bolt') AS cmp,
+                apoc.text.hammingDistance(p.name, p.name) AS ham0,
+                apoc.text.hammingDistance(apoc.text.charAt(p.name, 0), 'x') AS ham1,
+                apoc.text.fuzzyMatch(p.name, 'burlywood') AS fm,
+                apoc.text.slug(p.name) AS slg,
+                apoc.text.sorensenDiceSimilarity(p.name, 'metallic red') AS dice,
+                apoc.text.fromCodePoint(65 + p.key % 26) AS cp,
+                size(apoc.text.indexesOf(p.name, 'e')) AS ne,
+                last(apoc.text.indexesOf(p.name, 'e')) AS lastpos""",
+      """SELECT p_partkey AS k,
+                array_to_string(list_transform(string_split(p_name, ''),
+                  c -> CASE WHEN c = lower(c) THEN upper(c) ELSE lower(c) END), '') AS sc,
+                ws[1] || array_to_string(list_transform(ws[2:], w -> upper(w[1]) || w[2:]), '') AS cc,
+                array_to_string(list_transform(ws, w -> upper(w[1]) || w[2:]), '') AS ucc,
+                array_to_string(ws, '_') AS snk,
+                regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g') = 'redbolt' AS cmp,
+                CAST(0 AS INT) AS ham0,
+                CAST(CASE WHEN substring(p_name, 1, 1) = 'x' THEN 0 ELSE 1 END AS INT) AS ham1,
+                (1.0 - CAST(levenshtein(p_name, 'burlywood') AS DOUBLE)
+                     / greatest(length(p_name), 9)) >= 0.5 AS fm,
+                regexp_replace(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'),
+                  '^-+|-+$', '', 'g') AS slg,
+                CASE WHEN p_name = 'metallic red' THEN 1.0
+                     WHEN length(p_name) < 2 THEN 0.0
+                     ELSE 2.0 * len(list_intersect(bg1, bg2))
+                          / (len(bg1) + len(bg2)) END AS dice,
+                chr(CAST(65 + p_partkey % 26 AS INT)) AS cp,
+                CAST(len(epos) AS INT) AS ne,
+                epos[-1] AS lastpos
+         FROM (SELECT *,
+                 list_filter(string_split(p_name, ' '), w -> w <> '') AS ws,
+                 list_filter(generate_series(0, length(p_name) - 1),
+                   i -> substring(p_name, CAST(i + 1 AS INT), 1) = 'e') AS epos,
+                 list_distinct(list_transform(
+                   list_filter(generate_series(0, length(p_name)), i -> i + 2 <= length(p_name)),
+                   i -> substring(p_name, CAST(i + 1 AS INT), 2))) AS bg1,
+                 list_distinct(list_transform(
+                   list_filter(generate_series(0, 12), i -> i + 2 <= 12),
+                   i -> substring('metallic red', CAST(i + 1 AS INT), 2))) AS bg2
+               FROM part WHERE p_partkey <= 120)"""),
+
+    cq("q_cypher_apoc_map", "2.10",
+      // round-3 apoc.map.* tranche: every op reduces to part columns
+      """MATCH (p:Part) WHERE p.key <= 100
+         WITH p, apoc.map.fromLists(['a', 'b'], [p.key, toInteger(p.size)]) AS m
+         RETURN p.key AS k,
+                apoc.map.get(m, 'a') AS ga,
+                apoc.map.get(m, 'c', -1) AS gc,
+                apoc.map.get(apoc.map.setKey(m, 'c', p.key + 1), 'c') AS sk,
+                size(apoc.map.removeKeys(m, ['a'])) AS nrk,
+                apoc.coll.sum(apoc.map.mget(m, ['a', 'b'])) AS sm,
+                apoc.map.get(apoc.map.fromValues(['x', toString(p.key), 'y', '2']), 'x') AS fv,
+                size(apoc.map.submap(m, ['a'])) AS nsub,
+                size(apoc.map.sortedProperties(m)) AS nsp,
+                size(apoc.map.clean(m, ['a'], [-999])) AS ncl,
+                apoc.map.get(apoc.map.merge(m, apoc.map.fromLists(['z'], [9])), 'z') AS mz""",
+      """SELECT p_partkey AS k,
+                CAST(p_partkey AS BIGINT) AS ga,
+                CAST(-1 AS BIGINT) AS gc,
+                CAST(p_partkey + 1 AS BIGINT) AS sk,
+                CAST(1 AS INT) AS nrk,
+                CAST(p_partkey + p_size AS DOUBLE) AS sm,
+                CAST(p_partkey AS VARCHAR) AS fv,
+                CAST(1 AS INT) AS nsub,
+                CAST(2 AS INT) AS nsp,
+                CAST(1 AS INT) AS ncl,
+                CAST(9 AS BIGINT) AS mz
+         FROM part WHERE p_partkey <= 100"""),
+
     cq("q_cypher_in_list", "2.2",
       """MATCH (o:Order) WHERE o.mktsegment IN ['1-URGENT', '2-HIGH']
          RETURN o.mktsegment AS pri, count(*) AS n""",

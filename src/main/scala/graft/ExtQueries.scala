@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.graph.Expand
 import graft.operators.PathExpand
 import graft.search.Eval
-import graft.sources.{Formats, ResultJson}
+import graft.sources.{Formats, PackStream, ResultJson}
 import OracleSafe._
 
 /** Round-1 extension batch: apoc.path expanders, grouping sets, format
@@ -271,6 +271,16 @@ object ProcQueries {
         val res = Tables.nation(s, d)
           .select(col("n_nationkey"), col("n_name"))
         ResultJson.parseRows(ResultJson.rowsJson(res), res.schema)
+      },
+      Some("SELECT n_nationkey, n_name FROM nation"), "3.2"),
+
+    // Bolt PackStream round-trip: rows → RECORD messages (distributed
+    // encode, reference wire grammar) → rows. Lossless ⇔ oracle matches.
+    "q_sink_bolt_shape" -> GQuery(
+      (s, d) => {
+        val res = Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))
+        PackStream.parseRecords(PackStream.records(res), res.schema)
       },
       Some("SELECT n_nationkey, n_name FROM nation"), "3.2"),
 

@@ -267,6 +267,21 @@ object CypherWrite {
   }
 
   /** Build node rows for a CREATE/MERGE pattern from the current frame. */
+  private val hoistedProps = Set("key", "name", "acctbal", "mktsegment")
+
+  /** Non-hoisted pattern properties land in the string properties map (the
+    * dynamic-property fallback reads them back; constraints check them). */
+  private def extraPropsMap(frame: Frame, pat: NodePat,
+      params: Map[String, Any]): Column = {
+    val extras = pat.props.filterNot { case (k, _) => hoistedProps(k) }
+    if (extras.isEmpty) expr("map()").cast("map<string,string>")
+    else map_from_arrays(
+      array(extras.keys.toSeq.map(lit(_)): _*),
+      array(extras.values.toSeq.map(e =>
+        Planner.compile(e, frame, params).cast("string")): _*))
+      .cast("map<string,string>")
+  }
+
   private def nodeRows(frame: Frame, pat: NodePat,
       params: Map[String, Any]): (DataFrame, String) = {
     val label = pat.label.getOrElse(sys.error("CREATE/MERGE node needs a label"))
@@ -282,7 +297,7 @@ object CypherWrite {
       p("name").getOrElse(lit(null)).cast("string").as("name"),
       p("acctbal").getOrElse(lit(null)).cast("double").as("acctbal"),
       p("mktsegment").getOrElse(lit(null)).cast("string").as("mktsegment"),
-      expr("map()").cast("map<string,string>").as("properties"))
+      extraPropsMap(frame, pat, params).as("properties"))
     (df, v)
   }
 
@@ -303,7 +318,7 @@ object CypherWrite {
       .withColumn(s"${v}_name", p("name").getOrElse(lit(null)).cast("string"))
       .withColumn(s"${v}_acctbal", p("acctbal").getOrElse(lit(null)).cast("double"))
       .withColumn(s"${v}_mktsegment", p("mktsegment").getOrElse(lit(null)).cast("string"))
-      .withColumn(s"${v}_properties", expr("map()").cast("map<string,string>"))
+      .withColumn(s"${v}_properties", extraPropsMap(frame, pat, params))
     Frame(df, frame.kinds + (v -> NodeK))
   }
 

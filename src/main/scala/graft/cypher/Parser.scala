@@ -610,7 +610,12 @@ final class Parser(tokens: Vector[Tok]) {
           parts += nm
           var isFn = false
           while (j + 1 < tokens.length && tokens(j) == Sym(".") &&
-            (tokens(j + 1) match { case Ident(_) => true; case _ => false })) {
+            (tokens(j + 1) match {
+              // keywords are legal name parts after a dot: apoc.coll.set,
+              // apoc.map.merge — the lexer tags them Kw, not Ident
+              case Ident(_) | Kw(_) => true
+              case _ => false
+            })) {
             parts += tokens(j + 1).text
             j += 2
             if (j < tokens.length && tokens(j) == Sym("(")) isFn = true

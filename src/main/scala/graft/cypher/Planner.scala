@@ -198,7 +198,7 @@ object Planner {
       // drops zero-match outer rows (inner join); an aggregating one keeps
       // them, with count/sum-style aggregates yielding 0 (not null).
       var aggReturn = false
-      var zeroFills: Seq[(String, Column)] = Seq.empty
+      var zeroFills: Seq[(String, String)] = Seq.empty // name -> fill kind
       var perGroupTail: Option[(Seq[SortItem], Option[Long], Option[Long])] = None
       rest.foreach {
         case r: ReturnClause =>
@@ -212,7 +212,9 @@ object Planner {
             val name = it.alias.getOrElse(autoName(it.expr))
             it.expr match {
               case CountStar() | FnCall("count", _, _) | FnCall("sum", _, _) =>
-                Some(name -> lit(0L))
+                Some(name -> "zero")
+              case FnCall("collect", _, _) =>
+                Some(name -> "empty_list") // Neo4j: collect over no rows = []
               case _ => None // avg/min/max over zero rows stay null
             }
           }
@@ -251,7 +253,12 @@ object Planner {
       val dropCols = imports.flatMap(v => f.varCols(v).filterNot(joinCols.contains))
       val joined0 = outer.df.join(f.df.drop(dropCols: _*), joinCols,
         if (aggReturn) "left_outer" else "inner")
-      val joined = zeroFills.foldLeft(joined0) { case (df, (n, fill)) =>
+      val joined = zeroFills.foldLeft(joined0) { case (df, (n, kind)) =>
+        val fill = kind match {
+          // element type only known post-join: cast an empty array to it
+          case "empty_list" => array().cast(df.schema(n).dataType)
+          case _ => lit(0L)
+        }
         df.withColumn(n, coalesce(col(n), fill))
       }
       Frame(joined, outer.kinds ++ (f.kinds -- imports))
@@ -927,8 +934,10 @@ object Planner {
           }
         case "nodes" => // nodes(p) → the node-id sequence of a bound path
           a(0).getField("path")
-        case "head" => element_at(a(0), 1)
-        case "last" => element_at(a(0), -1)
+        // try_ variants: head/last of an empty list is null (Neo4j), not an
+        // ANSI out-of-bounds error
+        case "head" => try_element_at(a(0), lit(1))
+        case "last" => try_element_at(a(0), lit(-1))
         case "tail" => slice(a(0), 2, 1000000)
         case "reverse" => reverse(a(0))
         case "range" =>

@@ -64,7 +64,13 @@ final class GraphStore(initial: PropertyGraph) {
       def valueOf(df: DataFrame): Column = struct(c.properties.map { p =>
         if (hoisted(p)) df(p) else element_at(df("properties"), p)
       }: _*)
+      // Neo4j unique constraints ignore entities missing the property:
+      // rows where every constrained property is null never collide
+      def anyPresent(df: DataFrame): Column = c.properties.map { p =>
+        (if (hoisted(p)) df(p) else element_at(df("properties"), p)).isNotNull
+      }.reduce(_ || _)
       val fresh = newNodes.filter(array_contains(col("labels"), c.label))
+        .filter(anyPresent(newNodes))
         .select(valueOf(newNodes).as("v"))
       val dupWithin = fresh.groupBy("v").count().filter(col("count") > 1).limit(1).count()
       require(dupWithin == 0,

@@ -1,0 +1,319 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** Bolt PackStream serialization (SURVEY §2.1 protocol sinks — the
+  * reference's primary wire format, `/root/reference/pkg/bolt/packstream.go`;
+  * RECORD framing `pkg/bolt/server.go:1736`). This is the SERIALIZATION
+  * layer only: per-row RECORD encoding runs distributed (a codegen'd-free
+  * but partition-local byte fold — genuine per-row imperative logic, the
+  * sanctioned `map` case); the TCP server around it is out of engine scope.
+  *
+  * Wire grammar implemented (markers match packstream.go byte-for-byte):
+  *   null C0 · false C2 · true C3 · float64 C1+8 · tiny int −16..127 inline
+  *   · int8 C8 · int16 C9 · int32 CA · int64 CB · bytes CC/CD/CE
+  *   · string 8x/D0/D1/D2 · list 9x/D4/D5 · map Ax/D8/D9
+  *   · struct Bn+sig: Node 0x4E, Relationship 0x52, Path 0x50
+  *   · RECORD message B1 71 + field list; chunked framing = 2-byte BE
+  *     length prefix per chunk, empty chunk (00 00) terminates a message.
+  */
+object PackStream {
+
+  /** Bolt Node structure (packstream.go:527 — B3 4E, id, labels, props). */
+  case class BoltNode(id: Long, labels: Seq[String], props: Map[String, Any])
+  /** Bolt Relationship (packstream.go:1219 — B5 52). */
+  case class BoltRel(id: Long, start: Long, end: Long, relType: String,
+      props: Map[String, Any])
+  /** Bolt Path (packstream.go:1233 — B3 50). */
+  case class BoltPath(nodes: Seq[BoltNode], rels: Seq[BoltRel], indices: Seq[Long])
+
+  /** FNV-1a hash of a string id → int64, the reference's mapping from its
+    * string node ids to Bolt's numeric ids (packstream.go:701-727).
+    */
+  def hashStringToInt64(s: String): Long = {
+    val offsetBasis = -3750763034362895579L // 14695981039346656037 as signed
+    val prime = 1099511628211L
+    var h = offsetBasis
+    var i = 0
+    while (i < s.length) { h ^= (s.charAt(i) & 0xffL); h *= prime; i += 1 }
+    h & Long.MaxValue // reference masks to non-negative
+  }
+
+  // ======================================================== encoding =====
+
+  def encode(v: Any): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    write(out, v)
+    out.toByteArray
+  }
+
+  def write(out: ByteArrayOutputStream, v: Any): Unit = v match {
+    case null => out.write(0xC0)
+    case b: Boolean => out.write(if (b) 0xC3 else 0xC2)
+    case i: Byte => writeInt(out, i.toLong)
+    case i: Short => writeInt(out, i.toLong)
+    case i: Int => writeInt(out, i.toLong)
+    case i: Long => writeInt(out, i)
+    case d: java.math.BigDecimal => writeFloat(out, d.doubleValue)
+    case f: Float => writeFloat(out, f.toDouble)
+    case d: Double => writeFloat(out, d)
+    case s: String => writeString(out, s)
+    case bs: Array[Byte] => writeBytes(out, bs)
+    case n: BoltNode =>
+      out.write(0xB3); out.write(0x4E)
+      writeInt(out, n.id); write(out, n.labels); write(out, n.props)
+    case r: BoltRel =>
+      out.write(0xB5); out.write(0x52)
+      writeInt(out, r.id); writeInt(out, r.start); writeInt(out, r.end)
+      writeString(out, r.relType); write(out, r.props)
+    case p: BoltPath =>
+      out.write(0xB3); out.write(0x50)
+      write(out, p.nodes); write(out, p.rels); write(out, p.indices)
+    case m: scala.collection.Map[_, _] =>
+      writeMapHeader(out, m.size)
+      m.foreach { case (k, mv) => writeString(out, k.toString); write(out, mv) }
+    case xs: Iterable[_] =>
+      writeListHeader(out, xs.size)
+      xs.foreach(write(out, _))
+    case other =>
+      throw new IllegalArgumentException(s"PackStream: unsupported ${other.getClass}")
+  }
+
+  private def writeInt(out: ByteArrayOutputStream, v: Long): Unit = {
+    if (v >= -16 && v <= 127) out.write(v.toInt & 0xFF)
+    else if (v >= -128 && v < -16) { out.write(0xC8); out.write(v.toInt & 0xFF) }
+    else if (v >= -32768 && v <= 32767) {
+      out.write(0xC9); out.write((v >> 8).toInt & 0xFF); out.write(v.toInt & 0xFF)
+    } else if (v >= Int.MinValue && v <= Int.MaxValue) {
+      out.write(0xCA)
+      var s = 24; while (s >= 0) { out.write((v >> s).toInt & 0xFF); s -= 8 }
+    } else {
+      out.write(0xCB)
+      var s = 56; while (s >= 0) { out.write((v >> s).toInt & 0xFF); s -= 8 }
+    }
+  }
+
+  private def writeFloat(out: ByteArrayOutputStream, d: Double): Unit = {
+    out.write(0xC1)
+    val bits = java.lang.Double.doubleToLongBits(d)
+    var s = 56; while (s >= 0) { out.write((bits >> s).toInt & 0xFF); s -= 8 }
+  }
+
+  private def writeString(out: ByteArrayOutputStream, s: String): Unit = {
+    val b = s.getBytes("UTF-8")
+    val n = b.length
+    if (n < 16) out.write(0x80 + n)
+    else if (n < 256) { out.write(0xD0); out.write(n) }
+    else if (n < 65536) { out.write(0xD1); out.write(n >> 8); out.write(n & 0xFF) }
+    else {
+      out.write(0xD2)
+      var sh = 24; while (sh >= 0) { out.write((n >> sh) & 0xFF); sh -= 8 }
+    }
+    out.write(b, 0, n)
+  }
+
+  private def writeBytes(out: ByteArrayOutputStream, b: Array[Byte]): Unit = {
+    val n = b.length
+    if (n < 256) { out.write(0xCC); out.write(n) }
+    else if (n < 65536) { out.write(0xCD); out.write(n >> 8); out.write(n & 0xFF) }
+    else {
+      out.write(0xCE)
+      var sh = 24; while (sh >= 0) { out.write((n >> sh) & 0xFF); sh -= 8 }
+    }
+    out.write(b, 0, n)
+  }
+
+  private def writeListHeader(out: ByteArrayOutputStream, n: Int): Unit =
+    if (n < 16) out.write(0x90 + n)
+    else if (n < 256) { out.write(0xD4); out.write(n) }
+    else { out.write(0xD5); out.write(n >> 8); out.write(n & 0xFF) }
+
+  private def writeMapHeader(out: ByteArrayOutputStream, n: Int): Unit =
+    if (n < 16) out.write(0xA0 + n)
+    else if (n < 256) { out.write(0xD8); out.write(n) }
+    else { out.write(0xD9); out.write(n >> 8); out.write(n & 0xFF) }
+
+  // ======================================================== decoding =====
+
+  /** Decode one value at `offset`; returns (value, offset-after). */
+  def decode(data: Array[Byte], offset: Int): (Any, Int) = {
+    val m = data(offset) & 0xFF
+    m match {
+      case 0xC0 => (null, offset + 1)
+      case 0xC2 => (false, offset + 1)
+      case 0xC3 => (true, offset + 1)
+      case 0xC1 =>
+        (java.lang.Double.longBitsToDouble(readLong(data, offset + 1, 8)), offset + 9)
+      case 0xC8 => (data(offset + 1).toLong, offset + 2)
+      case 0xC9 => (readLong(data, offset + 1, 2).toShort.toLong, offset + 3)
+      case 0xCA => (readLong(data, offset + 1, 4).toInt.toLong, offset + 5)
+      case 0xCB => (readLong(data, offset + 1, 8), offset + 9)
+      case 0xCC =>
+        val n = data(offset + 1) & 0xFF
+        (data.slice(offset + 2, offset + 2 + n), offset + 2 + n)
+      case 0xCD =>
+        val n = readLong(data, offset + 1, 2).toInt
+        (data.slice(offset + 3, offset + 3 + n), offset + 3 + n)
+      case 0xCE =>
+        val n = readLong(data, offset + 1, 4).toInt
+        (data.slice(offset + 5, offset + 5 + n), offset + 5 + n)
+      case 0xD0 => readStr(data, offset + 2, data(offset + 1) & 0xFF)
+      case 0xD1 => readStr(data, offset + 3, readLong(data, offset + 1, 2).toInt)
+      case 0xD2 => readStr(data, offset + 5, readLong(data, offset + 1, 4).toInt)
+      case 0xD4 => readList(data, offset + 2, data(offset + 1) & 0xFF)
+      case 0xD5 => readList(data, offset + 3, readLong(data, offset + 1, 2).toInt)
+      case 0xD8 => readMap(data, offset + 2, data(offset + 1) & 0xFF)
+      case 0xD9 => readMap(data, offset + 3, readLong(data, offset + 1, 2).toInt)
+      case _ if m <= 0x7F => (m.toLong, offset + 1)
+      case _ if m >= 0xF0 => (data(offset).toLong, offset + 1) // tiny negative
+      case _ if m >= 0x80 && m <= 0x8F => readStr(data, offset + 1, m & 0x0F)
+      case _ if m >= 0x90 && m <= 0x9F => readList(data, offset + 1, m & 0x0F)
+      case _ if m >= 0xA0 && m <= 0xAF => readMap(data, offset + 1, m & 0x0F)
+      case _ if m >= 0xB0 && m <= 0xBF => readStruct(data, offset + 1, m & 0x0F)
+      case other =>
+        throw new IllegalArgumentException(f"PackStream: unknown marker 0x$other%02X")
+    }
+  }
+
+  private def readLong(data: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < n) { v = (v << 8) | (data(off + i) & 0xFFL); i += 1 }
+    v
+  }
+
+  private def readStr(data: Array[Byte], off: Int, n: Int): (String, Int) =
+    (new String(data, off, n, "UTF-8"), off + n)
+
+  private def readList(data: Array[Byte], off: Int, n: Int): (Seq[Any], Int) = {
+    var o = off
+    val b = Seq.newBuilder[Any]
+    var i = 0
+    while (i < n) { val (v, o2) = decode(data, o); b += v; o = o2; i += 1 }
+    (b.result(), o)
+  }
+
+  private def readMap(data: Array[Byte], off: Int, n: Int): (Map[String, Any], Int) = {
+    var o = off
+    val b = Map.newBuilder[String, Any]
+    var i = 0
+    while (i < n) {
+      val (k, o2) = decode(data, o)
+      val (v, o3) = decode(data, o2)
+      b += (k.toString -> v); o = o3; i += 1
+    }
+    (b.result(), o)
+  }
+
+  private def readStruct(data: Array[Byte], off: Int, nFields: Int): (Any, Int) = {
+    val sig = data(off) & 0xFF
+    val (fields, o) = readList(data, off + 1, nFields)
+    sig match {
+      case 0x4E => // Node (packstream.go:1207)
+        (BoltNode(fields(0).asInstanceOf[Long],
+          fields(1).asInstanceOf[Seq[Any]].map(_.toString),
+          fields(2).asInstanceOf[Map[String, Any]]), o)
+      case 0x52 => // Relationship (packstream.go:1219)
+        (BoltRel(fields(0).asInstanceOf[Long], fields(1).asInstanceOf[Long],
+          fields(2).asInstanceOf[Long], fields(3).toString,
+          fields(4).asInstanceOf[Map[String, Any]]), o)
+      case 0x50 => // Path (packstream.go:1233)
+        (BoltPath(fields(0).asInstanceOf[Seq[Any]].map(_.asInstanceOf[BoltNode]),
+          fields(1).asInstanceOf[Seq[Any]].map(_.asInstanceOf[BoltRel]),
+          fields(2).asInstanceOf[Seq[Any]].map(_.asInstanceOf[Long])), o)
+      case 0x71 => // RECORD message: its single field is the value list
+        (fields.head, o)
+      case other => ((other, fields), o) // unknown struct: raw (sig, fields)
+    }
+  }
+
+  // ================================================= RECORD + framing ====
+
+  /** RECORD message: B1 71 + list of field values (server.go:1743). */
+  def encodeRecord(fields: Seq[Any]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(0xB1); out.write(0x71)
+    writeListHeader(out, fields.size)
+    fields.foreach(write(out, _))
+    out.toByteArray
+  }
+
+  /** Decode one RECORD message → its field values. */
+  def decodeRecord(data: Array[Byte]): Seq[Any] = {
+    require((data(0) & 0xFF) == 0xB1 && (data(1) & 0xFF) == 0x71,
+      "not a RECORD message")
+    decode(data, 0)._1.asInstanceOf[Seq[Any]]
+  }
+
+  /** Bolt chunked framing: ≤0xFFFF-byte chunks, each 2-byte BE length
+    * prefixed; the empty chunk 00 00 ends the message.
+    */
+  def frame(message: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var off = 0
+    while (off < message.length) {
+      val n = math.min(0xFFFF, message.length - off)
+      out.write(n >> 8); out.write(n & 0xFF)
+      out.write(message, off, n)
+      off += n
+    }
+    out.write(0); out.write(0)
+    out.toByteArray
+  }
+
+  /** Inverse of [[frame]]: reassemble messages from a chunked byte stream. */
+  def deframe(stream: Array[Byte]): Seq[Array[Byte]] = {
+    val msgs = Seq.newBuilder[Array[Byte]]
+    val cur = new ByteArrayOutputStream()
+    var off = 0
+    while (off + 1 < stream.length) {
+      val n = ((stream(off) & 0xFF) << 8) | (stream(off + 1) & 0xFF)
+      off += 2
+      if (n == 0) { msgs += cur.toByteArray; cur.reset() }
+      else { cur.write(stream, off, n); off += n }
+    }
+    msgs.result()
+  }
+
+  // ================================================ DataFrame surface ====
+
+  /** One Bolt RECORD message per row, encoded DISTRIBUTED (no driver
+    * involvement; the server loop would stream these chunked per client).
+    */
+  def records(df: DataFrame): DataFrame =
+    df.map((row: Row) => encodeRecord(row.toSeq.map(normalize)))(
+      Encoders.BINARY).toDF("record")
+
+  /** Lossless inverse of [[records]] given the original schema. */
+  def parseRecords(recs: DataFrame, schema: StructType): DataFrame = {
+    val fields = schema.fields
+    recs.select("record").map { r =>
+      val vals = decodeRecord(r.getAs[Array[Byte]](0))
+      Row.fromSeq(vals.zip(fields).map { case (v, f) => coerce(v, f.dataType) })
+    }(Encoders.row(schema))
+  }
+
+  /** Spark Row values → PackStream-encodable values. */
+  private def normalize(v: Any): Any = v match {
+    case s: scala.collection.Seq[_] => s.map(normalize)
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) => k.toString -> normalize(mv) }
+    case r: Row => r.toSeq.map(normalize)
+    case other => other
+  }
+
+  /** Decoded value → the Spark type the schema expects. */
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (l: Long, IntegerType) => l.toInt
+    case (l: Long, ShortType) => l.toShort
+    case (l: Long, ByteType) => l.toByte
+    case (l: Long, DoubleType) => l.toDouble
+    case (d: Double, FloatType) => d.toFloat
+    case (s: Seq[_], ArrayType(et, _)) => s.map(coerce(_, et))
+    case (m: Map[_, _], MapType(_, vt, _)) =>
+      m.map { case (k, mv) => k -> coerce(mv, vt) }
+    case (other, _) => other
+  }
+}

@@ -169,15 +169,33 @@ class Round2FeatureSpec extends AnyFunSuite {
       == Seq(Seq("Cara,Bob"))) // key 3 before key 2
   }
 
-  test("shortestPath over rel-type alternation") {
-    val paths = Expand.allShortestPathsMulti(store.snapshot,
-        store.snapshot.nodes.filter(col("id") === "Person:1").select("id"),
-        store.snapshot.nodes.filter(col("id") === "Person:4").select("id"),
+  test("shortestPath over rel-type alternation traverses BOTH types") {
+    // isolated store: the ONLY 1→4 route is KNOWS then LIKES, so a working
+    // alternation must return exactly that mixed 2-hop path (a KNOWS-only
+    // traversal finds nothing; suite order can't perturb this fixture)
+    val iso = {
+      val g = GraphQueries.graph(spark, sf)
+      val s = new GraphStore(PropertyGraph(
+        g.nodes.filter("false").localCheckpoint(true),
+        g.edges.filter("false").localCheckpoint(true)))
+      CypherWrite.execute(s,
+        """CREATE (a:Person {key: 1, name: 'A'}), (b:Person {key: 2, name: 'B'}),
+                (c:Person {key: 4, name: 'C'})""")
+      CypherWrite.execute(s,
+        "MATCH (a:Person {key: 1}) MATCH (b:Person {key: 2}) CREATE (a)-[:KNOWS]->(b)")
+      CypherWrite.execute(s,
+        "MATCH (b:Person {key: 2}) MATCH (c:Person {key: 4}) CREATE (b)-[:LIKES]->(c)")
+      s
+    }
+    val paths = Expand.allShortestPathsMulti(iso.snapshot,
+        iso.snapshot.nodes.filter(col("id") === "Person:1").select("id"),
+        iso.snapshot.nodes.filter(col("id") === "Person:4").select("id"),
         Some("KNOWS"), 5, Expand.Out, Seq("LIKES"))
       .collect()
-    // via the Cypher surface too (LIKES edge, if present, would shorten it;
-    // this store has none yet at this point in suite order — both 2-hop)
-    assert(paths.nonEmpty && paths.forall(_.getAs[Int]("length") <= 2))
+    assert(paths.length == 1)
+    assert(paths.head.getAs[Int]("length") == 2)
+    assert(paths.head.getSeq[String](paths.head.fieldIndex("path")).toSeq ==
+      Seq("Person:1", "Person:2", "Person:4"))
   }
 
   test("PROFILE reports actual output rows per physical operator") {
