@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.search.{BM25, Hybrid, VectorSearch}
+import graft.search.{BM25, Hnsw, Hybrid, VectorSearch}
 
 /** Search surface (SURVEY.md §2.11): BM25 fulltext, vector top-k
   * (brute/exact/ANN), RRF hybrid fusion.
@@ -42,6 +42,19 @@ object SearchQueries {
     "q_vector_ann_ivf" -> GQuery(
       (s, d) => VectorSearch.ivfTopK(Tables.embeddings(s, d), 0L, 10,
         nLists = 16, nProbe = 4),
+      None, "2.11"),
+
+    // HNSW: partition-local graphs (M=16, efC=200, efS=100 — the reference's
+    // hnsw_index.go:35-50 parameters), per-partition top-k merged. Rows-only;
+    // recall@10 >= 0.95 vs brute asserted in SearchPipelineSpec via Eval.
+    "q_vector_ann_hnsw" -> GQuery(
+      (s, d) => Hnsw.hnswTopK(Tables.embeddings(s, d), 0L, 10),
+      None, "2.11"),
+
+    // macro recall/ndcg of the HNSW tier over 20 queries (rows-only; the
+    // numbers themselves are asserted in spec)
+    "q_eval_hnsw_quality" -> GQuery(
+      (s, d) => graft.search.Eval.hnswVsBrute(s, Tables.embeddings(s, d), 20, 10),
       None, "2.11"),
 
     "q_hybrid_rrf" -> GQuery(

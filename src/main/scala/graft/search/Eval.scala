@@ -121,4 +121,38 @@ object Eval {
         avg("mrr").as("mrr"),
         avg("ndcg_at_k").as("ndcg_at_k"))
   }
+
+  /** Evaluate the partition-local HNSW tier against brute-force ground
+    * truth: one graph build per partition, all queries probed against it.
+    */
+  def hnswVsBrute(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
+      m: Int = 16, efC: Int = 200, efS: Int = 100): DataFrame = {
+    import graft.functions.VectorFns
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", VectorFns.cosineCol(col("embedding"), col("q")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val truth = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("item_id"))
+
+    val qVecs = emb.filter(col("vec_id") < nQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), Hnsw.normalize(r.getSeq[Float](1)))).toSeq
+    val ranked = Hnsw.searchPartitions(emb, qVecs, k, m, efC, efS)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("item_id"), col("rank"))
+
+    metrics(ranked, truth, k)
+      .agg(avg("precision_at_k").as("precision_at_k"),
+        avg("recall_at_k").as("recall_at_k"),
+        avg("mrr").as("mrr"),
+        avg("ndcg_at_k").as("ndcg_at_k"))
+  }
 }

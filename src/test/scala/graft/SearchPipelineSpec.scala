@@ -76,6 +76,36 @@ class SearchPipelineSpec extends AnyFunSuite {
     assert(one == many && one.nonEmpty)
   }
 
+  test("HNSW tier: recall@10 >= 0.95 vs brute force, beating LSH at equal k") {
+    val m = graft.search.Eval.hnswVsBrute(spark, emb, 20, 10).collect().head
+    val recall = m.getAs[Double]("recall_at_k")
+    val ndcg = m.getAs[Double]("ndcg_at_k")
+    assert(recall >= 0.95, s"hnsw recall@10 = $recall")
+    assert(ndcg >= 0.9, s"hnsw ndcg@10 = $ndcg")
+    val lsh = graft.search.Eval.annVsBrute(spark, emb, 20, 10, 4, 8)
+      .collect().head.getAs[Double]("recall_at_k")
+    assert(recall > lsh, s"hnsw ($recall) should beat lsh ($lsh)")
+  }
+
+  test("HNSW single-query top-k matches brute-force ranking on a single partition") {
+    val one = emb.coalesce(1)
+    val hnsw = graft.search.Hnsw.hnswTopK(one, 0L, 10, efS = 500)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = VectorSearch.bruteTopK(emb, emb.filter(col("vec_id") === 0L), 11)
+      .collect().map(_.getLong(0)).filterNot(_ == 0L).take(10).toSeq
+    assert(hnsw == brute) // efS >= corpus ⇒ exhaustive ⇒ exact
+  }
+
+  test("HNSW adjacency is serializable and degree-bounded by 2M") {
+    val adj = graft.search.Hnsw.hnswIndex(emb, m = 16).cache()
+    assert(adj.count() > 0)
+    val maxDeg = adj.agg(max(size(col("neighbors")))).collect().head.getInt(0)
+    assert(maxDeg <= 32, s"layer-0 degree cap 2M=32, got $maxDeg")
+    // every vector appears at level 0
+    assert(adj.filter(col("level") === 0).select("vec_id").distinct().count() ==
+      emb.count())
+  }
+
   test("minhash LSH finds the exact-duplicate pairs (jaccard 1.0)") {
     val exactPairs = Dedup.ngramJaccardPairs(docs, 3, 0.999, Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
