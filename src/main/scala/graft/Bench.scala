@@ -11,6 +11,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // SQL shuffles use UnsafeRow regardless; this speeds the RDD family
+      // (GraphX ctx, BFS point queries)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,6 +23,10 @@ object Bench {
     // one-time build
     val g = GraphQueries.graph(spark, sfDir)
     g.nodes.count(); g.edges.count()
+    // …and the GraphX id-dictionary contexts the algorithm/path family
+    // shares (round-2 bench showed the first algo query absorbing the ~5 s
+    // ctx build)
+    graft.algos.GraphXAlgos.warm(g)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -77,7 +77,9 @@ object PipelineQueries {
       "pipeline"),
 
     // md5-based word hash → signatures are engine-independent; the oracle
-    // recomputes simhash, bucketing, and Hamming verify from scratch
+    // recomputes simhash from scratch and takes the EXACT Hamming join —
+    // legitimate because the 4-window bucketing is lossless for dist ≤ 3
+    // (pigeonhole), which the oracle equality therefore also proves
     "q_dedup_simhash" -> GQuery(
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), 3, 1000L),
       Some("""WITH words AS (
@@ -95,10 +97,10 @@ object PipelineQueries {
                 SELECT doc_id,
                        SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sh
                 FROM bits GROUP BY doc_id),
-              b AS (SELECT doc_id, sh, sh >> 24 AS bkt FROM sig)
+              b AS (SELECT doc_id, sh FROM sig)
               SELECT x.doc_id AS a, y.doc_id AS b,
                      CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS dist
-              FROM b x JOIN b y ON x.bkt = y.bkt AND x.doc_id < y.doc_id
+              FROM b x JOIN b y ON x.doc_id < y.doc_id
               WHERE bit_count(xor(x.sh, y.sh)) <= 3"""),
       "pipeline"),
 

@@ -152,6 +152,26 @@ object Expand {
       relType: Option[String],
       maxHops: Int,
       direction: Direction = Out): DataFrame = {
+    val sp = g.nodes.sparkSession
+    import sp.implicits._
+    graft.algos.BfsRdd.allShortestPaths(g,
+        Seq(srcId).toDF("id"), Seq(dstId).toDF("id"),
+        relType.toSeq, maxHops, direction, stopAtFirstHit = true)
+      .select("path", "length")
+  }
+
+  /** DataFrame-join reference implementation of [[allShortestPaths]] (kept
+    * for cross-checking; the production path runs on the cached RDD
+    * adjacency, [[graft.algos.BfsRdd]], whose per-level constant is ~10×
+    * smaller).
+    */
+  def allShortestPathsDf(
+      g: PropertyGraph,
+      srcId: String,
+      dstId: String,
+      relType: Option[String],
+      maxHops: Int,
+      direction: Direction = Out): DataFrame = {
 
     val es0 = relType.map(g.edgesByType).getOrElse(g.edges)
     val adj = (direction match {
@@ -195,7 +215,35 @@ object Expand {
     * wins; paths may pass THROUGH other targets. Returns
     * (start_id, end_id, path ARRAY<STRING>, length INT).
     */
+  /** Threshold routing bulk vs point BFS: below it the RDD loop over the
+    * cached ctx wins (per-level constant ~10× smaller); above it Tungsten
+    * codegen on the DataFrame loop wins (bulk shuffle throughput). The
+    * `limit(n+1).count()` probe costs one cheap job on the cached graph.
+    */
+  private val PointBfsMaxStarts = 128L
+
+  private def isPointQuery(startIds: DataFrame): Boolean =
+    startIds.limit((PointBfsMaxStarts + 1).toInt).count() <= PointBfsMaxStarts
+
   def allShortestPathsMulti(
+      g: PropertyGraph,
+      startIds: DataFrame, // single column `id`
+      targetIds: DataFrame, // single column `id`
+      relType: Option[String],
+      maxHops: Int,
+      direction: Direction = Out,
+      altRelTypes: Seq[String] = Seq.empty): DataFrame =
+    if (isPointQuery(startIds))
+      graft.algos.BfsRdd.allShortestPaths(g, startIds, targetIds,
+        relType.toSeq ++ altRelTypes, maxHops, direction, stopAtFirstHit = false)
+    else
+      allShortestPathsMultiDf(g, startIds, targetIds, relType, maxHops,
+        direction, altRelTypes)
+
+  /** DataFrame-join reference implementation of [[allShortestPathsMulti]]
+    * (kept for cross-checking).
+    */
+  def allShortestPathsMultiDf(
       g: PropertyGraph,
       startIds: DataFrame, // single column `id`
       targetIds: DataFrame, // single column `id`
@@ -249,6 +297,21 @@ object Expand {
     * the MINIMUM length per pair (first depth at which a pair appears).
     */
   def shortestPaths(
+      g: PropertyGraph,
+      srcIds: DataFrame,
+      relType: Option[String],
+      maxHops: Int,
+      direction: Direction = Out): DataFrame =
+    if (isPointQuery(srcIds))
+      graft.algos.BfsRdd.shortestPathLengths(g, srcIds, relType.toSeq, maxHops,
+        direction)
+    else
+      shortestPathsDf(g, srcIds, relType, maxHops, direction)
+
+  /** DataFrame-join reference implementation of [[shortestPaths]] (kept for
+    * cross-checking).
+    */
+  def shortestPathsDf(
       g: PropertyGraph,
       srcIds: DataFrame,
       relType: Option[String],

@@ -136,13 +136,40 @@ object Dedup {
         when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
 
-  def simhashPairs(docs: DataFrame, maxDist: Int, maxId: Long): DataFrame = {
-    val sig = simhash(docs.filter(col("doc_id") < maxId)).cache()
-    // bucket by high 8 bits to avoid all-pairs, then Hamming-verify
-    val bucketed = sig.withColumn("bkt", shiftright(col("simhash"), 24))
-    bucketed.toDF("a", "sa", "bkt")
-      .join(bucketed.toDF("b", "sb", "bkt2"), col("bkt") === col("bkt2"))
-      .filter(col("a") < col("b"))
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, bucketed on
+    * `nWindows` disjoint bit windows (multi-index Hamming, as in Manku et
+    * al.'s simhash dedup): a pair within distance d < nWindows must agree
+    * exactly on at least one window (pigeonhole), so for maxDist < nWindows
+    * the bucketing is LOSSLESS — unlike the single top-byte bucket, which
+    * silently dropped pairs differing inside the high 8 bits. Each window
+    * join is an equi-join on (window, bits); candidates are unioned and
+    * Hamming-verified.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int, maxId: Long,
+      nWindows: Int = 4): DataFrame =
+    simhashPairsFromSigs(simhash(docs.filter(col("doc_id") < maxId)),
+      maxDist, nWindows)
+
+  /** The bucket+verify stage of [[simhashPairs]] over precomputed
+    * (doc_id, simhash) signatures — separated so the lossless-bucketing
+    * property is testable on handcrafted fingerprints.
+    */
+  def simhashPairsFromSigs(sig: DataFrame, maxDist: Int,
+      nWindows: Int = 4): DataFrame = {
+    require(32 % nWindows == 0, "nWindows must divide 32")
+    require(maxDist < nWindows,
+      s"bucketing is only lossless for maxDist < nWindows ($maxDist >= $nWindows)")
+    val width = 32 / nWindows
+    val windowed = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until nWindows).map(w =>
+          struct(lit(w).as("w"),
+            (shiftright(col("simhash"), w * width) % (1L << width)).as("bkt"))): _*))
+          .as("wb"))
+      .select(col("doc_id"), col("simhash"), col("wb.w"), col("wb.bkt"))
+    windowed.toDF("a", "sa", "w", "bkt")
+      .join(windowed.toDF("b", "sb", "w2", "bkt2"),
+        col("w") === col("w2") && col("bkt") === col("bkt2") && col("a") < col("b"))
+      .select("a", "sa", "b", "sb").distinct()
       .withColumn("dist", expr("bit_count(sa ^ sb)"))
       .filter(col("dist") <= maxDist)
       .select("a", "b", "dist")

@@ -82,6 +82,93 @@ class Round3FeatureSpec extends AnyFunSuite {
     assert(r == Seq(Seq(1L, "A"), Seq(2L, "o"), Seq(3L, "r")))
   }
 
+  // --- RDD BFS (BfsRdd over the cached GraphX ctx) vs the DataFrame
+  // reference implementations: identical row sets on the TPC-H graph ---
+
+  private def sorted(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case a: Seq[_] => a.mkString(">")
+      case x => x
+    }.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  test("BfsRdd shortestPathLengths matches the DataFrame BFS (out, in, typed)") {
+    import graft.graph.Expand
+    val g = GraphQueries.graph(spark, sf)
+    val regions = g.nodesByLabel("Region").select("id")
+    assert(sorted(Expand.shortestPaths(g, regions, None, 2, Expand.In))
+      == sorted(Expand.shortestPathsDf(g, regions, None, 2, Expand.In)))
+    val cust = g.nodesByLabel("Customer").select("id").limit(40)
+    assert(sorted(Expand.shortestPaths(g, cust, None, 2, Expand.Out))
+      == sorted(Expand.shortestPathsDf(g, cust, None, 2, Expand.Out)))
+    assert(sorted(Expand.shortestPaths(g, cust, Some("PLACED"), 2, Expand.Out))
+      == sorted(Expand.shortestPathsDf(g, cust, Some("PLACED"), 2, Expand.Out)))
+  }
+
+  test("BfsRdd allShortestPaths (single + multi) matches the DataFrame BFS") {
+    import graft.graph.Expand
+    val sp = spark
+    import sp.implicits._
+    val g = GraphQueries.graph(spark, sf)
+    // single pair, stop at first hit
+    assert(sorted(Expand.allShortestPaths(g, "Customer:102", "Part:1784", None, 4))
+      == sorted(Expand.allShortestPathsDf(g, "Customer:102", "Part:1784", None, 4)))
+    // multi: one start, many targets (the q_cypher_shortest_single shape)
+    val starts = Seq("Customer:1").toDF("id")
+    val targets = g.nodesByLabel("Region").select("id")
+    assert(sorted(Expand.allShortestPathsMulti(g, starts, targets, None, 4))
+      == sorted(Expand.allShortestPathsMultiDf(g, starts, targets, None, 4)))
+    // Both direction exercises the union-orientation pair adjacency
+    val t2 = Seq("Nation:3").toDF("id")
+    assert(sorted(Expand.allShortestPathsMulti(g, starts, t2, None, 3, Expand.Both))
+      == sorted(Expand.allShortestPathsMultiDf(g, starts, t2, None, 3, Expand.Both)))
+    // unreachable endpoints → empty
+    assert(Expand.allShortestPaths(g, "Part:1", "Customer:1", None, 3).count() == 0)
+  }
+
+  test("simhash multi-window bucketing is lossless where single-window drops pairs") {
+    import graft.operators.Dedup
+    val sp = spark
+    import sp.implicits._
+    // 1 and 2 differ only in bit 24 (inside the top byte): the old top-8-bit
+    // bucket separates them; the 4-window bucket matches on windows 0-2.
+    // 3 is far from everything. 4/5 differ from 1 in bits 0 and 31 (two
+    // different windows) — still within dist 3, must be found.
+    val sigs = Seq(
+      (1L, 0x00000000L), (2L, 0x01000000L), (3L, 0x55555555L),
+      (4L, 0x80000001L), (5L, 0x80000000L)).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairsFromSigs(sigs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // exact Hamming ≤ 3 pairs over these 5 fingerprints
+    assert(pairs == Set((1L, 2L, 1), (1L, 4L, 2), (1L, 5L, 1),
+      (2L, 4L, 3), (2L, 5L, 2), (4L, 5L, 1)))
+    // the old single-window bucket (simhash >> 24) finds strictly fewer:
+    // (1,2) lands in buckets 0 vs 1 and is lost
+    val oldBucketed = sigs.withColumn("bkt", shiftright(col("simhash"), 24))
+    val oldPairs = oldBucketed.toDF("a", "sa", "bkt")
+      .join(oldBucketed.toDF("b", "sb", "bkt2"), col("bkt") === col("bkt2"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist", expr("bit_count(sa ^ sb)"))
+      .filter(col("dist") <= 3)
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oldPairs.subsetOf(pairs.map(p => (p._1, p._2))))
+    assert(!oldPairs.contains((1L, 2L)) && pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
+  }
+
+  test("simhash pairs on real documents equal the exact Hamming join") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val bucketed = Dedup.simhashPairs(docs, 3, 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sig = Dedup.simhash(docs.filter(col("doc_id") < 1000L))
+    val exact = sig.toDF("a", "sa").join(sig.toDF("b", "sb"), col("a") < col("b"))
+      .withColumn("dist", expr("bit_count(sa ^ sb)"))
+      .filter(col("dist") <= 3)
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == exact && exact.nonEmpty)
+  }
+
   test("apoc.coll frequencies/duplicatesWithCount shapes") {
     val r = rows(
       """MATCH (p:Person {key: 1})
