@@ -35,6 +35,43 @@ object ExtQueries {
               FROM orders JOIN lineitem ON l_orderkey = o_orderkey
               WHERE o_custkey = 102 AND l_partkey = 1784"""), "2.3"),
 
+    // multi-DB management surface (executor_show.go:237,
+    // composite_commands.go): a catalog with two tenants, an alias, and a
+    // composite database; SHOW DATABASES projected to its stable columns
+    "q_cypher_show_databases" -> GQuery(
+      (s, d) => {
+        val cat = new graft.cypher.DatabaseCatalog(GraphQueries.graph(s, d))
+        cat.execute("CREATE DATABASE tenant_a")
+        cat.execute("CREATE DATABASE tenant_b")
+        cat.execute("CREATE ALIAS prod FOR DATABASE tenant_a")
+        cat.execute("""CREATE COMPOSITE DATABASE analytics
+          ALIAS ta FOR DATABASE tenant_a ALIAS tb FOR DATABASE tenant_b""")
+        cat.execute("SHOW DATABASES")
+          .select(col("name"), col("type"), col("access"), col("role"),
+            col("writer"), col("default"),
+            array_join(col("constituents"), ",").as("constituents"))
+      },
+      Some("""SELECT * FROM (VALUES
+          ('neo4j', 'standard', 'read-write', 'primary', TRUE, TRUE, ''),
+          ('tenant_a', 'standard', 'read-write', 'primary', TRUE, FALSE, ''),
+          ('tenant_b', 'standard', 'read-write', 'primary', TRUE, FALSE, ''),
+          ('analytics', 'composite', 'read-write', 'primary', TRUE, FALSE, 'ta,tb'))
+          AS t(name, type, access, role, writer, "default", constituents)"""),
+      "2.9"),
+
+    // apoc.algo.allSimplePaths Customer:102 → Part:1784: on this layered
+    // graph every simple path goes Customer→Order→Part, so the oracle can
+    // enumerate them; the cycle/no-repeat machinery is exercised on a
+    // cyclic fixture in Round3FeatureSpec
+    "q_path_all_simple" -> GQuery(
+      (s, d) => graft.algos.BfsRdd.allSimplePaths(GraphQueries.graph(s, d),
+        "Customer:102", "Part:1784", Nil, 4)
+        .select(array_join(col("path"), ">").as("path"), col("length")),
+      Some("""SELECT DISTINCT 'Customer:102>Order:' || o_orderkey || '>Part:1784' AS path,
+                     CAST(2 AS INT) AS length
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE o_custkey = 102 AND l_partkey = 1784"""), "2.11"),
+
     "q_path_neighbors_byhop" -> GQuery(
       (s, d) => {
         val g = GraphQueries.graph(s, d)

@@ -130,12 +130,19 @@ object BfsRdd {
       }
     }
 
-    // distributed back-translation: explode paths, join the reverse
-    // dictionary, regroup in path order
-    val indexed: RDD[Row] =
-      (if (hits.isEmpty) sc.emptyRDD[(List[Long], Int)] else sc.union(hits))
-        .zipWithIndex()
-        .map { case ((p, d), i) => Row(i, p, d) }
+    pathsToDf(g, c,
+      if (hits.isEmpty) sc.emptyRDD[(List[Long], Int)] else sc.union(hits))
+  }
+
+  /** Distributed back-translation of (forward-ordered vid path, length)
+    * rows: explode paths, join the reverse dictionary, regroup in path
+    * order. Returns (start_id, end_id, path ARRAY<STRING>, length INT).
+    */
+  private def pathsToDf(g: PropertyGraph, c: GraphXAlgos.Ctx,
+      paths: RDD[(List[Long], Int)]): DataFrame = {
+    val sp = g.nodes.sparkSession
+    val indexed: RDD[Row] = paths.zipWithIndex()
+      .map { case ((p, d), i) => Row(i, p, d) }
     val pdf = sp.createDataFrame(indexed, StructType(Seq(
       StructField("_pid", LongType, nullable = false),
       StructField("vids", ArrayType(LongType, containsNull = false)),
@@ -152,6 +159,64 @@ object BfsRdd {
         element_at(col("path"), 1).as("start_id"),
         element_at(col("path"), -1).as("end_id"),
         col("path"), col("length"))
+  }
+
+  /** All SIMPLE paths (no repeated node) start → end within `maxDepth` hops
+    * — `apoc.algo.allSimplePaths`
+    * (`/root/reference/pkg/cypher/apoc_algorithms.go:206`: DFS over
+    * outgoing edges, path records on reaching `end`, never extending past
+    * it). Here the DFS stack is a distributed frontier of paths; the
+    * simple-path constraint is a per-extension `contains` check on the
+    * path being carried, so each level is one join against the cached pair
+    * adjacency. Combinatorial growth is bounded by `maxDepth` exactly as in
+    * the reference (default 10). Returns (start_id, end_id, path, length).
+    */
+  def allSimplePaths(
+      g: PropertyGraph,
+      startId: String,
+      endId: String,
+      relTypes: Seq[String],
+      maxDepth: Int,
+      direction: Expand.Direction = Expand.Out): DataFrame = {
+    val sp = g.nodes.sparkSession
+    val sc = sp.sparkContext
+    val c = GraphXAlgos.ctxFor(g, relTypes)
+    val adj = c.pairsByDir(dirKey(direction))
+    val part = adj.partitioner.getOrElse(new HashPartitioner(adj.getNumPartitions))
+    val ids = c.dict.filter { case (s, _) => s == startId || s == endId }
+      .collect().toMap
+    (ids.get(startId), ids.get(endId)) match {
+      case (Some(startVid), Some(endVid)) if startVid == endVid =>
+        // reference records the trivial [start] path before expanding
+        pathsToDf(g, c, sc.parallelize(Seq((List(startVid), 0))))
+      case (Some(startVid), Some(endVid)) =>
+        // paths reversed (head = current); frontier excludes finished paths
+        var frontier: RDD[List[Long]] = sc.parallelize(Seq(List(startVid)))
+        var results = Vector.empty[RDD[(List[Long], Int)]]
+        var depth = 0
+        var done = false
+        while (depth < maxDepth && !done) {
+          depth += 1
+          val d = depth
+          val extended = frontier.map(p => (p.head, p))
+            .partitionBy(part)
+            .join(adj)
+            .flatMap { case (_, (p, dst)) =>
+              if (p.contains(dst)) None else Some(dst :: p) }
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val (total, hitN) = extended
+            .map(p => (1L, if (p.head == endVid) 1L else 0L))
+            .fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+          if (hitN > 0)
+            results :+= extended.filter(_.head == endVid).map(p => (p.reverse, d))
+          if (total == hitN) done = true // every surviving path finished
+          else frontier = extended.filter(_.head != endVid)
+        }
+        pathsToDf(g, c,
+          if (results.isEmpty) sc.emptyRDD[(List[Long], Int)] else sc.union(results))
+      case _ => // endpoint has no edges of the requested types → no paths
+        pathsToDf(g, c, sc.emptyRDD[(List[Long], Int)])
+    }
   }
 
   /** BFS shortest-path LENGTHS from every start to every reachable node

@@ -134,7 +134,28 @@ object Planner {
       import spark.implicits._
       Seq((args.head.toString, graft.graph.GraphProjections.drop(args.head.toString)))
         .toDF("graphName", "dropped")
-    }))
+    }),
+    // apoc.algo path procedures (apoc_algorithms.go:24,114,206):
+    // (start, end [, relType [, maxDepth]]); reference maxDepth default 10
+    "apoc.algo.allsimplepaths" -> ((g, args) =>
+      graft.algos.BfsRdd.allSimplePaths(g, args(0).toString, args(1).toString,
+          args.lift(2).map(_.toString).filter(_.nonEmpty).toSeq,
+          args.lift(3).map(_.toString.toDouble.toInt).getOrElse(10))
+        .select(col("path"), col("length"))),
+    "apoc.algo.dijkstra" -> ((g, args) => pointPathDf(g, args)),
+    "apoc.algo.astar" -> ((g, args) => pointPathDf(g, args)))
+
+  /** apoc.algo.dijkstra / aStar surface: point-to-point (path, weight) via
+    * [[graft.algos.Algorithms.aStar]] with the zero heuristic (= exact
+    * Dijkstra, matching the reference's default).
+    */
+  private def pointPathDf(g: PropertyGraph, args: Seq[Any]): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    graft.algos.Algorithms.aStar(g, args(0).toString, args(1).toString)
+      .map { case (path, w) => Seq((path, w)) }.getOrElse(Nil)
+      .toDF("path", "weight")
+  }
 
   private def planCallProc(g: PropertyGraph, f: Frame, cp: CallProc,
       params: Map[String, Any]): Frame = {

@@ -87,6 +87,53 @@ class DdlTxSpec extends AnyFunSuite {
     assert(s.snapshot.nodes.filter(col("mktsegment") === "DONE").count() == 7)
   }
 
+  test("database catalog: create/drop/alias/composite management + routing") {
+    import graft.cypher.DatabaseCatalog
+    val g = GraphQueries.graph(spark, sf)
+    val cat = new DatabaseCatalog(PropertyGraph(
+      g.nodes.filter("false").localCheckpoint(true),
+      g.edges.filter("false").localCheckpoint(true)))
+    cat.execute("CREATE DATABASE tenant_a")
+    cat.execute("CREATE DATABASE tenant_a IF NOT EXISTS") // idempotent
+    intercept[IllegalArgumentException] { cat.execute("CREATE DATABASE tenant_a") }
+    cat.execute("CREATE DATABASE tenant_b")
+    // writes route per database and stay isolated
+    CypherWrite.execute(cat.store("tenant_a"),
+      "CREATE (x:T {key: 1, name: 'a1'}), (y:T {key: 2, name: 'a2'})")
+    CypherWrite.execute(cat.store("tenant_b"), "CREATE (x:T {key: 9, name: 'b1'})")
+    assert(cat.run("USE tenant_a MATCH (n:T) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 2L)
+    // alias routes to its database
+    cat.execute("CREATE ALIAS prod FOR DATABASE tenant_b")
+    assert(cat.run("USE prod MATCH (n:T) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 1L)
+    val al = cat.execute("SHOW ALIASES").collect()
+    assert(al.length == 1 && al.head.getString(0) == "prod"
+      && al.head.getString(1) == "tenant_b")
+    // composite = union of constituents
+    cat.execute("""CREATE COMPOSITE DATABASE analytics
+      ALIAS ta FOR DATABASE tenant_a ALIAS tb FOR DATABASE tenant_b""")
+    assert(cat.run("USE analytics MATCH (n:T) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 3L)
+    val cons = cat.execute("SHOW CONSTITUENTS FOR COMPOSITE DATABASE analytics")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cons == Seq(("ta", "tenant_a"), ("tb", "tenant_b")))
+    // ALTER drops a constituent; SHOW DATABASES carries both kinds
+    cat.execute("ALTER COMPOSITE DATABASE analytics DROP ALIAS ta")
+    assert(cat.run("USE analytics MATCH (n:T) RETURN count(*) AS n")
+      .collect().head.getLong(0) == 1L)
+    val names = cat.execute("SHOW DATABASES")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(names == Map("neo4j" -> "standard", "tenant_a" -> "standard",
+      "tenant_b" -> "standard", "analytics" -> "composite"))
+    // dropping a database cascades out of aliases; default is protected
+    cat.execute("DROP DATABASE tenant_b")
+    assert(cat.execute("SHOW ALIASES").count() == 0)
+    intercept[IllegalArgumentException] { cat.execute("DROP DATABASE neo4j") }
+    intercept[IllegalArgumentException] { cat.execute("DROP DATABASE nope") }
+    cat.execute("DROP DATABASE nope IF EXISTS") // no error
+  }
+
   test("transaction conflict: first committer wins") {
     val s = freshStore()
     intercept[IllegalArgumentException] {

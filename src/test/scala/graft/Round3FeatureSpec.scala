@@ -169,6 +169,59 @@ class Round3FeatureSpec extends AnyFunSuite {
     assert(bucketed == exact && exact.nonEmpty)
   }
 
+  test("allSimplePaths enumerates simple paths and terminates on cycles") {
+    import graft.graph.{GraphStore, PropertyGraph}
+    val g = GraphQueries.graph(spark, sf)
+    val s = new GraphStore(PropertyGraph(
+      g.nodes.filter("false").localCheckpoint(true),
+      g.edges.filter("false").localCheckpoint(true)))
+    CypherWrite.execute(s,
+      """CREATE (a:P {key: 1, name: 'a'}), (b:P {key: 2, name: 'b'}),
+              (c:P {key: 3, name: 'c'})""")
+    for ((x, y) <- Seq((1, 2), (2, 3), (3, 1), (1, 3)))
+      CypherWrite.execute(s,
+        s"MATCH (x:P {key: $x}) MATCH (y:P {key: $y}) CREATE (x)-[:E]->(y)")
+    val paths = graft.algos.BfsRdd.allSimplePaths(s.snapshot, "P:1", "P:3", Nil, 10)
+      .collect().map(r => (r.getSeq[String](2).mkString(">"), r.getInt(3))).toSet
+    // cycle 3→1 must not loop; only the two simple paths exist
+    assert(paths == Set(("P:1>P:3", 1), ("P:1>P:2>P:3", 2)))
+    // CALL surface (apoc_algorithms.go:206)
+    val viaCall = Cypher.run(s.snapshot,
+      """CALL apoc.algo.allSimplePaths('P:1', 'P:3') YIELD path, length
+         RETURN apoc.text.join(path, '>') AS p, length ORDER BY length""")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(viaCall == Seq(("P:1>P:3", 1), ("P:1>P:2>P:3", 2)))
+    // dijkstra/aStar CALL surface: weighted point-to-point
+    val dj = Cypher.run(s.snapshot,
+      "CALL apoc.algo.dijkstra('P:1', 'P:3') YIELD path, weight RETURN path, weight")
+      .collect()
+    assert(dj.length == 1 && dj.head.getSeq[String](0) == Seq("P:1", "P:3")
+      && dj.head.getDouble(1) == 1.0)
+  }
+
+  test("PROFILE reports per-operator time and row estimates on a 2-hop query") {
+    val g = GraphQueries.graph(spark, sf)
+    val prof = graft.cypher.ProfileCypher.profile(g,
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+         RETURN count(*) AS n""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // actual rows: the final aggregate emits exactly 1 row
+    assert(prof.exists { case (op, rows, _, _) =>
+      op.startsWith("HashAggregate") && rows == 1L })
+    // scan, join, and aggregate operators all carry a real time (either an
+    // own timing metric or their codegen stage's pipeline duration)
+    def timedOp(prefix: String) = prof.exists { case (op, _, _, t) =>
+      op.startsWith(prefix) && t >= 0.0 }
+    assert(timedOp("Scan parquet") || timedOp("FileScan") || timedOp("InMemoryTableScan"),
+      prof.mkString(", "))
+    assert(timedOp("BroadcastHashJoin") || timedOp("SortMergeJoin")
+      || timedOp("ShuffledHashJoin"), prof.mkString(", "))
+    assert(timedOp("HashAggregate"), prof.mkString(", "))
+    // estimates: every operator with a logical link reports a non-negative
+    // estimate; at least one is > 0
+    assert(prof.exists { case (_, _, est, _) => est > 0L }, prof.mkString(", "))
+  }
+
   test("apoc.coll frequencies/duplicatesWithCount shapes") {
     val r = rows(
       """MATCH (p:Person {key: 1})
