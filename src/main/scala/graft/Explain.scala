@@ -14,7 +14,7 @@ object Explain {
     "q_window_topk_per_group",
     "q_cypher_chain_sum",     // Cypher → same join shapes as hand-built
     "q_bm25_topk",
-    "q_vector_topk_fast",
+    "q_vector_topk",
     "q_dedup_embedding",      // block-pair equi-join, no BroadcastNestedLoop
     "q_dedup_embedding_lsh")  // bucketed candidates, equi-join on (tbl, bkt)
 

@@ -51,7 +51,9 @@ object PipelineQueries {
                 FROM d),
               szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
               mh AS (
-                SELECT doc_id, s, MIN(md5(CAST(s AS VARCHAR) || '_' || shingle)) AS mn
+                SELECT doc_id, s,
+                       MIN(substring(md5(CAST(s // 4 AS VARCHAR) || '_' || shingle),
+                                     (s % 4) * 8 + 1, 8)) AS mn
                 FROM sh CROSS JOIN generate_series(0, 15) t(s)
                 GROUP BY doc_id, s),
               sig AS (SELECT doc_id, list(mn ORDER BY s) AS sg FROM mh GROUP BY doc_id),

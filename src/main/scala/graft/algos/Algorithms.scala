@@ -248,11 +248,19 @@ object Algorithms {
     val reachable = Expand.shortestPaths(g,
       g.nodes.filter(col("id") === sourceId).select("id"), None, maxHops, Expand.Both)
       .select("end_id")
+    // guard the driver-side collect: a dense k-hop neighborhood on a huge
+    // graph must fail loudly rather than OOM the driver (bulk SSSP at that
+    // scale is dijkstra's job)
+    val MaxLocalEdges = 2000000
     val localEdges = g.edges
       .join(reachable.withColumnRenamed("end_id", "src"), Seq("src"), "left_semi")
       .select("src", "dst", "weight")
+      .limit(MaxLocalEdges + 1)
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    require(localEdges.length <= MaxLocalEdges,
+      s"aStar: bounded neighborhood of $sourceId exceeds $MaxLocalEdges edges; " +
+        "reduce maxHops or use dijkstra for bulk SSSP")
     val adj = localEdges.groupBy(_._1).map { case (s, es) =>
       s -> es.map(e => (e._2, e._3)) }
     // A* with binary-heap frontier

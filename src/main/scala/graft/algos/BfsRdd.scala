@@ -219,6 +219,66 @@ object BfsRdd {
     }
   }
 
+  /** Var-length expand `[*min..max]` — semantics identical to
+    * [[graft.graph.Expand.varLengthExpandDf]]: one (start_id, end_id, depth)
+    * row per depth-distinct pair, revisits allowed across depths (pairs,
+    * not paths), zero-hop self rows when minHops == 0.
+    */
+  def varLengthPairs(
+      g: PropertyGraph,
+      startIds: DataFrame,
+      relTypes: Seq[String],
+      minHops: Int,
+      maxHops: Int,
+      direction: Expand.Direction): DataFrame = {
+    val sp = g.nodes.sparkSession
+    val sc = sp.sparkContext
+    val c = GraphXAlgos.ctxFor(g, relTypes)
+    val adj = c.pairsByDir(dirKey(direction))
+    val part = adj.partitioner.getOrElse(new HashPartitioner(adj.getNumPartitions))
+
+    var frontier: RDD[(Long, Long)] = vids(startIds, c).map(s => (s, s))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var results = Vector.empty[RDD[((Long, Long), Int)]]
+    var depth = 0
+    var done = frontier.isEmpty()
+    while (depth < maxHops && !done) {
+      depth += 1
+      val d = depth
+      val next = frontier
+        .map { case (s, v) => (v, s) }
+        .partitionBy(part)
+        .join(adj)
+        .map { case (_, (s, dst)) => ((s, dst), ()) }
+        .reduceByKey((a, _) => a) // per-depth pair dedup
+        .map { case (k, _) => k }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (next.count() == 0) done = true
+      else {
+        if (d >= minHops) results :+= next.map(k => (k, d))
+        frontier = next
+      }
+    }
+
+    val deep: RDD[Row] =
+      (if (results.isEmpty) sc.emptyRDD[((Long, Long), Int)] else sc.union(results))
+        .map { case ((s, v), d) => (s, (v, d)) }
+        .join(c.rev)
+        .map { case (_, ((v, d), sId)) => (v, (sId, d)) }
+        .join(c.rev)
+        .map { case (_, ((sId, d), vId)) => Row(sId, vId, d) }
+    val schema = StructType(Seq(
+      StructField("start_id", StringType),
+      StructField("end_id", StringType),
+      StructField("depth", IntegerType, nullable = false)))
+    val deepDf = sp.createDataFrame(deep, schema)
+    if (minHops == 0)
+      startIds.select(col("id").as("start_id"), col("id").as("end_id"),
+          lit(0).as("depth"))
+        .unionByName(deepDf)
+    else deepDf
+  }
+
   /** BFS shortest-path LENGTHS from every start to every reachable node
     * (semantics identical to [[graft.graph.Expand.shortestPathsDf]]: one
     * (start_id, end_id, length) row per first-reached pair, plus the

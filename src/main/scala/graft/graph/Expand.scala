@@ -102,6 +102,24 @@ object Expand {
       minHops: Int,
       maxHops: Int,
       direction: Direction = Out,
+      altRelTypes: Seq[String] = Seq.empty): DataFrame =
+    if (isPointQuery(startIds))
+      graft.algos.BfsRdd.varLengthPairs(g, startIds,
+        relType.toSeq ++ altRelTypes, minHops, maxHops, direction)
+    else
+      varLengthExpandDf(g, startIds, relType, minHops, maxHops, direction,
+        altRelTypes)
+
+  /** DataFrame-join reference implementation of [[varLengthExpand]] (kept
+    * for cross-checking and bulk start sets).
+    */
+  def varLengthExpandDf(
+      g: PropertyGraph,
+      startIds: DataFrame, // single column `id`
+      relType: Option[String],
+      minHops: Int,
+      maxHops: Int,
+      direction: Direction = Out,
       altRelTypes: Seq[String] = Seq.empty): DataFrame = {
 
     val es0 = g.edgesByTypes(relType.toSeq ++ altRelTypes)

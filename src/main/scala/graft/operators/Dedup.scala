@@ -27,13 +27,18 @@ object Dedup {
     * DESCENDING [1, 0], not empty).
     */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val words = split(lower(col("text")), " ")
-    val grams = when(size(words) >= n,
+    // materialize the split ONCE as a projected column: inside the
+    // transform() lambda the split expression would be outside
+    // subexpression-elimination scope and recompute per n-gram (~3× the
+    // whole pipeline's md5 cost at 16 hashes)
+    val ws = col("ws")
+    val grams = when(size(ws) >= n,
       transform(
-        sequence(lit(1), size(words) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(words, i + o)): _*)))
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
       .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
+    docs.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
   }
 
   /** Candidate pairs by n-gram Jaccard ≥ threshold (ids filtered first to
@@ -69,11 +74,15 @@ object Dedup {
     val rowsPerBand = nHashes / nBands
     val sh = shingles(docs, shingleN).cache()
 
-    // signature: nHashes mins per doc. Seeded hash = md5("<seed>_<shingle>")
-    // hex string (min over strings) — reproducible in a DuckDB oracle.
+    // signature: nHashes mins per doc. Hash j = 8-hex-char chunk j%4 of
+    // md5("<j/4>_<shingle>") (min over strings) — reproducible in a DuckDB
+    // oracle, and 4 hash values per digest: Catalyst subexpression
+    // elimination computes each md5 once, so this costs nHashes/4 digests
+    // per shingle instead of nHashes (the round-2 bench regression).
     val hashed = sh.select(col("doc_id"),
-      array((0 until nHashes).map(seed =>
-        md5(concat(lit(s"${seed}_"), col("shingle")))): _*).as("hs"))
+      array((0 until nHashes).map(j =>
+        substring(md5(concat(lit(s"${j / 4}_"), col("shingle"))),
+          (j % 4) * 8 + 1, 8)): _*).as("hs"))
     val sig = hashed.groupBy("doc_id").agg(
       array((0 until nHashes).map(i =>
         min(element_at(col("hs"), i + 1))): _*).as("sig"))
@@ -184,6 +193,26 @@ object Dedup {
       lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)"),
       (acc, z) => (acc + z).cast("decimal(38,18)")).cast("double")
 
+  /** Plain double fold — the cheap prefilter twin of [[dotDec]]. */
+  private def dotFast(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, z) => acc + z)
+
+  /** Double-precision cosine prefilter before the exact DECIMAL verify: a
+    * 64-element double fold is within ~1e-12 of the exact sum, so pairs
+    * below `threshold - 1e-6` can never round up to ≥ threshold — the
+    * DECIMAL recompute (the dominant cost) runs only on the few pairs near
+    * or above the cut, with identical final results.
+    */
+  private def decimalCosineVerify(df: DataFrame, threshold: Double): DataFrame =
+    df.filter(dotFast(col("ea"), col("eb")) /
+        (sqrt(col("na2")) * sqrt(col("nb2"))) >= threshold - 1e-6)
+      .withColumn("cos_sim",
+        round(dotDec(col("ea"), col("eb")) /
+          (sqrt(col("na2")) * sqrt(col("nb2"))), 12))
+      .filter(col("cos_sim") >= threshold)
+      .select("a", "b", "cos_sim")
+
   /** Embedding near-duplicates: EXACT cosine ≥ threshold for vec_id < maxId,
     * DECIMAL-routed so it hash-matches the SQL oracle.
     *
@@ -215,13 +244,10 @@ object Dedup {
     val b = e.toDF("b", "eb", "nb2", "bb")
     // blocks are contiguous id ranges, so bi < bj already implies a < b;
     // the residual a < b only dedups within the diagonal blocks
-    a.join(broadcast(blockPairs), col("ba") === col("bi"))
-      .join(b, col("bb") === col("bj") && col("a") < col("b"))
-      .withColumn("cos_sim",
-        round(dotDec(col("ea"), col("eb")) /
-          (sqrt(col("na2")) * sqrt(col("nb2"))), 12))
-      .filter(col("cos_sim") >= threshold)
-      .select("a", "b", "cos_sim")
+    decimalCosineVerify(
+      a.join(broadcast(blockPairs), col("ba") === col("bi"))
+        .join(b, col("bb") === col("bj") && col("a") < col("b")),
+      threshold)
   }
 
   /** Deterministic integer hyperplane component for (table, plane, dim) —
@@ -269,14 +295,11 @@ object Dedup {
         col("tbl") === col("tbl2") && col("bkt") === col("bkt2"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    cand
-      .join(e.toDF("a", "ea", "na2"), "a")
-      .join(e.toDF("b", "eb", "nb2"), "b")
-      .withColumn("cos_sim",
-        round(dotDec(col("ea"), col("eb")) /
-          (sqrt(col("na2")) * sqrt(col("nb2"))), 12))
-      .filter(col("cos_sim") >= threshold)
-      .select("a", "b", "cos_sim")
+    decimalCosineVerify(
+      cand
+        .join(e.toDF("a", "ea", "na2"), "a")
+        .join(e.toDF("b", "eb", "nb2"), "b"),
+      threshold)
   }
 
   /** DuckDB oracle replaying the ENTIRE [[embeddingNearDupsLsh]] pipeline —

@@ -104,6 +104,19 @@ class Round3FeatureSpec extends AnyFunSuite {
       == sorted(Expand.shortestPathsDf(g, cust, Some("PLACED"), 2, Expand.Out)))
   }
 
+  test("BfsRdd varLengthPairs matches the DataFrame var-length expand") {
+    import graft.graph.Expand
+    val g = GraphQueries.graph(spark, sf)
+    val regions = g.nodesByLabel("Region").select("id")
+    for ((mn, mx) <- Seq((1, 2), (0, 2), (2, 3)))
+      assert(sorted(Expand.varLengthExpand(g, regions, None, mn, mx, Expand.In))
+        == sorted(Expand.varLengthExpandDf(g, regions, None, mn, mx, Expand.In)),
+        s"[*$mn..$mx]")
+    val cust = g.nodesByLabel("Customer").select("id").limit(20)
+    assert(sorted(Expand.varLengthExpand(g, cust, Some("PLACED"), 1, 1))
+      == sorted(Expand.varLengthExpandDf(g, cust, Some("PLACED"), 1, 1)))
+  }
+
   test("BfsRdd allShortestPaths (single + multi) matches the DataFrame BFS") {
     import graft.graph.Expand
     val sp = spark
