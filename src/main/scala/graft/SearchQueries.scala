@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.search.{BM25, Hnsw, Hybrid, VectorSearch}
+import graft.search.{BM25, Hnsw, Hybrid, Rerank, VectorSearch}
 
 /** Search surface (SURVEY.md §2.11): BM25 fulltext, vector top-k
   * (brute/exact/ANN), RRF hybrid fusion.
@@ -90,5 +90,42 @@ object SearchQueries {
                  + COALESCE(1.0 / (60 + rank_vec), 0.0) AS rrf
             FROM bmr FULL OUTER JOIN csr USING (id)
             ORDER BY rrf DESC, id LIMIT 10"""
+      }, "2.11"),
+
+    // cross-encoder rerank stage over BM25 candidates (rerank.go:132). The
+    // encoder is the disclosed lexical-overlap STUB (no model runtime in
+    // container); the oracle replays candidate generation + overlap scoring
+    // + both rankings exactly.
+    "q_hybrid_rerank" -> GQuery(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cands = BM25.search(docs, bmTerms, 20)
+          .withColumnRenamed("doc_id", "id")
+          .withColumnRenamed("score", "bi_score")
+          .join(docs.select(col("doc_id").as("id"), col("text").as("content")), "id")
+        Rerank.rerank(cands, bmTerms.mkString(" "), topK = 20)
+          .select(col("id"), col("original_rank"), col("new_rank"),
+            col("cross_score"))
+      },
+      Some {
+        val bmSql = BM25.oracleSql(bmTerms, 20)
+        val q = bmTerms.map(t => s"'$t'").mkString("[", ",", "]")
+        s"""WITH bm AS ($bmSql),
+            cand AS (
+              SELECT bm.doc_id AS id, bm.score AS bi_score,
+                     ROW_NUMBER() OVER (ORDER BY bm.score DESC, bm.doc_id) AS original_rank,
+                     list_distinct(string_split(lower(d.text), ' ')) AS ct
+              FROM bm JOIN documents d ON d.doc_id = bm.doc_id),
+            scored AS (
+              SELECT id, original_rank,
+                     len(list_filter(ct, t -> list_contains($q, t)))
+                       / CAST(len(ct) + ${bmTerms.size}
+                              - len(list_filter(ct, t -> list_contains($q, t))) AS DOUBLE)
+                       AS cross_score
+              FROM cand)
+            SELECT id, CAST(original_rank AS INT) AS original_rank,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cross_score DESC, id) AS INT) AS new_rank,
+                   cross_score
+            FROM scored"""
       }, "2.11"))
 }

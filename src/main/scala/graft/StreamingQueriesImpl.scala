@@ -65,6 +65,55 @@ object StreamingQueriesImpl {
               FROM b x JOIN b y ON x.bucket = y.bucket AND x.event_type < y.event_type
               GROUP BY 1, 2"""), "2.12"),
 
+    // cyclic access-pattern detection (pattern_detector.go:200-321): the
+    // oracle replays the daily/weekly concentration formulas and burst
+    // window with identical double arithmetic. Trend (Kalman velocity) is
+    // cross-checked in FunctionStreamingSpec instead — its 2-state fold has
+    // no compact SQL replay.
+    "q_temporal_patterns" -> GQuery(
+      (s, d) => graft.streaming.TemporalPatterns.detect(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+              nw AS (SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS now_s FROM e),
+              agg AS (
+                SELECT user_id AS entity, COUNT(*) AS total,
+                       SUM(CASE WHEN floor(epoch(ts)) > (SELECT now_s FROM nw) - 60.0
+                                THEN 1 ELSE 0 END) AS in_window
+                FROM e GROUP BY user_id),
+              hh AS (SELECT user_id AS entity, hour(ts) AS h, COUNT(*) AS c
+                     FROM e GROUP BY 1, 2),
+              hmax AS (SELECT entity, h AS peak_hour, c AS max_h FROM (
+                         SELECT entity, h, c,
+                                ROW_NUMBER() OVER (PARTITION BY entity
+                                  ORDER BY c DESC, h ASC) AS rn FROM hh)
+                       WHERE rn = 1),
+              dd AS (SELECT user_id AS entity, dayofweek(ts) AS d, COUNT(*) AS c
+                     FROM e GROUP BY 1, 2),
+              dmax AS (SELECT entity, d AS peak_day, c AS max_d FROM (
+                         SELECT entity, d, c,
+                                ROW_NUMBER() OVER (PARTITION BY entity
+                                  ORDER BY c DESC, d ASC) AS rn FROM dd)
+                       WHERE rn = 1),
+              base AS (
+                SELECT a.entity, a.total, a.in_window,
+                       hm.peak_hour, hm.max_h, dm.peak_day, dm.max_d,
+                       GREATEST(LEAST((hm.max_h / (a.total / 24.0) - 1.0) / 3.0, 1.0), 0.0) AS daily_conf,
+                       GREATEST(LEAST((dm.max_d / (a.total / 7.0) - 1.0) / 2.0, 1.0), 0.0) AS weekly_conf,
+                       LEAST(a.in_window / 60.0 / 10.0, 1.0) AS burst_conf
+                FROM agg a JOIN hmax hm ON hm.entity = a.entity
+                           JOIN dmax dm ON dm.entity = a.entity
+                WHERE a.total >= 10)
+              SELECT entity, 'daily' AS pattern, daily_conf AS confidence,
+                     CAST(peak_hour AS INT) AS peak_hour, CAST(-1 AS INT) AS peak_day,
+                     86400.0 AS period
+              FROM base WHERE daily_conf >= 0.3
+              UNION ALL
+              SELECT entity, 'weekly', weekly_conf, CAST(-1 AS INT),
+                     CAST(peak_day AS INT), 604800.0
+              FROM base WHERE weekly_conf >= 0.4
+              UNION ALL
+              SELECT entity, 'burst', burst_conf, CAST(-1 AS INT), CAST(-1 AS INT), 60.0
+              FROM base WHERE in_window >= 5"""), "2.12"),
+
     // arbitrary per-key streaming state: the Kalman fold carried in
     // GroupState across micro-batches — hash-matches the BATCH oracle
     "q_stream_kalman_state" -> GQuery(

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cyclic access-pattern detection over the events stream — the batch,
+  * whole-table form of the reference's per-node `PatternDetector`
+  * (`/root/reference/pkg/temporal/pattern_detector.go:200-342`): daily /
+  * weekly concentration patterns, burst detection, and Kalman-velocity
+  * growth/decay trends, with the reference's exact confidence formulas and
+  * default thresholds (`pattern_detector.go:86`).
+  *
+  * The reference updates one node's histograms per access; at 100 TB the
+  * same histograms are ONE grouped aggregation with 24 + 7 conditional
+  * sums — no per-entity state, no shuffle beyond the single groupBy.
+  * "Now" (burst anchoring) is the batch's max timestamp rather than
+  * wall-clock, so results are deterministic and oracle-checkable.
+  */
+object TemporalPatterns {
+
+  final case class Config(
+      minSamples: Int = 10,              // MinSamplesForPattern
+      dailyThreshold: Double = 0.3,      // DailyConfidenceThreshold
+      weeklyThreshold: Double = 0.4,     // WeeklyConfidenceThreshold
+      burstWindowSeconds: Double = 60.0, // BurstWindowSeconds
+      burstMinAccesses: Int = 5,         // BurstMinAccesses
+      growthThreshold: Double = 0.05,    // GrowthThreshold
+      decayThreshold: Double = -0.05)    // DecayThreshold
+
+  private def clamp01(c: Column): Column = greatest(least(c, lit(1.0)), lit(0.0))
+
+  /** Daily + weekly + burst patterns per entity (`user_id`). Returns
+    * (entity, pattern, confidence, peak_hour, peak_day, period) — one row
+    * per detected pattern, mirroring `DetectedPattern`.
+    */
+  def detect(events: DataFrame, cfg: Config = Config()): DataFrame = {
+    // histograms as 24 + 7 conditional sums in ONE aggregation.
+    // hour-of-day 0-23; day-of-week 0=Sunday..6 (Go's time.Weekday;
+    // Spark's dayofweek is 1=Sunday..7)
+    val hourCols = (0 until 24).map(h =>
+      sum(when(hour(col("ts")) === h, 1L).otherwise(0L)).as(s"h$h"))
+    val dayCols = (0 until 7).map(d =>
+      sum(when(dayofweek(col("ts")) - 1 === d, 1L).otherwise(0L)).as(s"d$d"))
+    val now = events.agg(max(unix_timestamp(col("ts"))).as("now_s"))
+    val aggs: Seq[Column] =
+      count(lit(1)).as("total") +:
+        sum(when(unix_timestamp(col("ts")) >
+          col("now_s") - cfg.burstWindowSeconds, 1L).otherwise(0L)).as("in_window") +:
+        (hourCols ++ dayCols)
+    val agg = events
+      .crossJoin(broadcast(now))
+      .groupBy(col("user_id").as("entity"))
+      .agg(aggs.head, aggs.tail: _*)
+
+    val hourArr = array((0 until 24).map(h => col(s"h$h")): _*)
+    val dayArr = array((0 until 7).map(d => col(s"d$d")): _*)
+    val base = agg
+      .withColumn("max_h", array_max(hourArr))
+      .withColumn("peak_hour", (array_position(hourArr, array_max(hourArr)) - 1).cast("int"))
+      .withColumn("max_d", array_max(dayArr))
+      .withColumn("peak_day", (array_position(dayArr, array_max(dayArr)) - 1).cast("int"))
+      .withColumn("daily_conf",
+        clamp01((col("max_h") / (col("total") / lit(24.0)) - 1.0) / 3.0))
+      .withColumn("weekly_conf",
+        clamp01((col("max_d") / (col("total") / lit(7.0)) - 1.0) / 2.0))
+      .withColumn("burst_conf",
+        least(col("in_window") / lit(cfg.burstWindowSeconds) / 10.0, lit(1.0)))
+      .filter(col("total") >= cfg.minSamples)
+
+    val daily = base
+      .filter(col("daily_conf") >= cfg.dailyThreshold)
+      .select(col("entity"), lit("daily").as("pattern"),
+        col("daily_conf").as("confidence"), col("peak_hour"),
+        lit(-1).cast("int").as("peak_day"), lit(86400.0).as("period"))
+    val weekly = base
+      .filter(col("weekly_conf") >= cfg.weeklyThreshold)
+      .select(col("entity"), lit("weekly").as("pattern"),
+        col("weekly_conf").as("confidence"), lit(-1).cast("int").as("peak_hour"),
+        col("peak_day"), lit(604800.0).as("period"))
+    val burst = base
+      .filter(col("in_window") >= cfg.burstMinAccesses)
+      .select(col("entity"), lit("burst").as("pattern"),
+        col("burst_conf").as("confidence"), lit(-1).cast("int").as("peak_hour"),
+        lit(-1).cast("int").as("peak_day"), lit(cfg.burstWindowSeconds).as("period"))
+    daily.unionByName(weekly).unionByName(burst)
+  }
+
+  /** Growth/decay trend per entity (`detectTrendPattern`,
+    * `pattern_detector.go:323`): the Kalman-velocity fold over the
+    * entity's daily access counts; velocity above/below the thresholds
+    * reports growing/decaying with confidence min(|v|/0.5, 1).
+    */
+  def trends(events: DataFrame, cfg: Config = Config()): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id").as("entity"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val series = daily
+      .groupBy("entity")
+      .agg(array_sort(collect_list(struct(
+        col("day").cast("double").as("t"), col("n").as("z")))).as("tv"))
+      .withColumn("kv", graft.functions.KalmanFilter.filterVelocityCol(
+        col("tv"), q = 0.01, r = 1.0))
+      .select(col("entity"), col("kv.v").as("velocity"))
+    series
+      .withColumn("pattern",
+        when(col("velocity") > cfg.growthThreshold, "growing")
+          .when(col("velocity") < cfg.decayThreshold, "decaying"))
+      .filter(col("pattern").isNotNull)
+      .withColumn("confidence", least(abs(col("velocity")) / 0.5, lit(1.0)))
+      .select("entity", "pattern", "confidence", "velocity")
+  }
+}

@@ -60,4 +60,35 @@ class FunctionStreamingSpec extends AnyFunSuite {
     assert(s3.nodesDeleted == 10)
     assert(store.snapshot.nodes.count() == beforeCount)
   }
+
+  test("temporal pattern detector: daily/burst concentration + velocity trends") {
+    import graft.streaming.TemporalPatterns
+    val sp = spark
+    import sp.implicits._
+    // user 1: 30 accesses, all at 09:xx across 30 days — strong daily
+    // pattern, peak hour 9. user 2: uniform across hours, no pattern.
+    // user 3: 12 accesses within the last minute of the data — burst.
+    val daily9 = (0 until 30).map(d => (1L, f"2024-01-${d + 1}%02d 09:15:00"))
+    val uniform = (0 until 24).map(h => (2L, f"2024-01-15 $h%02d:00:00"))
+    val burst = (0 until 12).map(i => (3L, f"2024-01-30 23:59:${i + 10}%02d"))
+    val ev = (daily9 ++ uniform ++ burst)
+      .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val pats = TemporalPatterns.detect(ev)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    assert(pats.contains((1L, "daily", 9)))
+    assert(pats.contains((3L, "burst", -1)))
+    assert(!pats.exists { case (u, p, _) => u == 2L && p == "daily" })
+
+    // trends: grower 1→20 events/day, decayer 20→1, flat stays flat
+    val grow = for (d <- 0 until 20; i <- 0 until (d + 1)) yield (10L, f"2024-01-${d + 1}%02d 08:${i}%02d:00")
+    val decay = for (d <- 0 until 20; i <- 0 until (20 - d)) yield (11L, f"2024-01-${d + 1}%02d 08:${i}%02d:00")
+    val flat = for (d <- 0 until 20; i <- 0 until 5) yield (12L, f"2024-01-${d + 1}%02d 08:${i}%02d:00")
+    val ev2 = (grow ++ decay ++ flat)
+      .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val trends = TemporalPatterns.trends(ev2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(trends.get(10L).contains("growing"), trends.toString)
+    assert(trends.get(11L).contains("decaying"), trends.toString)
+    assert(!trends.contains(12L), trends.toString)
+  }
 }

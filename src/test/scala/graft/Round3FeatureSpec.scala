@@ -235,6 +235,56 @@ class Round3FeatureSpec extends AnyFunSuite {
     assert(prof.exists { case (_, _, est, _) => est > 0L }, prof.mkString(", "))
   }
 
+  test("query cache: label-keyed invalidation keeps unrelated entries") {
+    import graft.cypher.QueryCache
+    import graft.graph.{GraphStore, PropertyGraph}
+    val g = GraphQueries.graph(spark, sf)
+    val s = new GraphStore(PropertyGraph(
+      g.nodes.filter("false").localCheckpoint(true),
+      g.edges.filter("false").localCheckpoint(true)))
+    CypherWrite.execute(s, "CREATE (a:User {key: 1, name: 'u'})")
+    CypherWrite.execute(s, "CREATE (p:Product {key: 1, name: 'p'})")
+    val cache = new QueryCache(maxSize = 10)
+    val qUser = "MATCH (u:User) RETURN count(*) AS n"
+    val qProd = "MATCH (p:Product) RETURN count(*) AS n"
+    assert(cache.run(s, qUser).collect().head.getLong(0) == 1L)
+    assert(cache.run(s, qProd).collect().head.getLong(0) == 1L)
+    assert(cache.misses.get() == 2 && cache.hits.get() == 0)
+    cache.run(s, qUser); cache.run(s, qProd)
+    assert(cache.hits.get() == 2)
+    // a :User write invalidates only the :User entry
+    CypherWrite.execute(s, "CREATE (b:User {key: 2, name: 'v'})")
+    cache.invalidateLabels(Seq("User"))
+    assert(cache.run(s, qUser).collect().head.getLong(0) == 2L) // recomputed
+    assert(cache.misses.get() == 3)
+    cache.run(s, qProd) // still cached
+    assert(cache.hits.get() == 3)
+    // label-less queries carry the wildcard dependency: any write evicts
+    val qAll = "MATCH (n) RETURN count(*) AS n"
+    assert(cache.labelsOf(qAll) == Set("*"))
+    cache.run(s, qAll)
+    cache.invalidateLabels(Seq("Product"))
+    cache.run(s, qAll)
+    assert(cache.misses.get() == 5) // qAll missed twice (wildcard evicted)
+  }
+
+  test("rerank: cross-encoder hook reorders by overlap; disabled passes through") {
+    import graft.search.Rerank
+    val sp = spark
+    import sp.implicits._
+    val cands = Seq(
+      (1L, "alpha beta gamma", 9.0), // high bi score, no query overlap
+      (2L, "spark table query extras", 5.0), // strong overlap
+      (3L, "spark unrelated words here", 3.0)).toDF("id", "content", "bi_score")
+    val rr = Rerank.rerank(cands, "spark table query")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 2 overtakes doc 1; doc 1 (zero overlap) falls last
+    assert(rr == Set((1L, 1, 3), (2L, 2, 1), (3L, 3, 2)))
+    val off = Rerank.rerank(cands, "spark table query", enabled = false)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(off == Set((1L, 1), (2L, 2), (3L, 3)))
+  }
+
   test("apoc.coll frequencies/duplicatesWithCount shapes") {
     val r = rows(
       """MATCH (p:Person {key: 1})
