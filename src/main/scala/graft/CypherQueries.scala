@@ -355,6 +355,176 @@ object CypherQueries {
                 CAST(9 AS BIGINT) AS mz
          FROM part WHERE p_partkey <= 100"""),
 
+    cq("q_cypher_apoc_num", "2.10",
+      // round-3 apoc.number/math tranche: base conversions, range remaps,
+      // primality, gcd/lcm, roman numerals, list statistics — every column
+      // replayed in DuckDB (roman via the classic repeat/replace chain)
+      """MATCH (p:Part) WHERE p.key <= 120
+         RETURN p.key AS k,
+                apoc.number.toHex(p.key) AS hx,
+                apoc.number.fromHex(apoc.number.toHex(p.key)) AS hx2,
+                apoc.number.toBinary(p.key) AS bn,
+                apoc.number.fromBinary(apoc.number.toBinary(p.key)) AS bn2,
+                apoc.number.clamp(toFloat(p.key), 10.0, 50.0) AS cl,
+                apoc.number.lerp(0.0, toFloat(p.key), 0.5) AS lp,
+                apoc.number.normalize(toFloat(p.key), 0.0, 200.0) AS nm,
+                apoc.number.map(toFloat(p.key), 0.0, 200.0, 0.0, 10.0) AS mp,
+                apoc.number.isEven(p.key) AS ev,
+                apoc.number.isPrime(p.key) AS pr,
+                apoc.number.gcd(p.key, 36) AS gc,
+                apoc.number.lcm(p.key, 4) AS lc,
+                apoc.number.fibonacci(11) AS fib,
+                apoc.number.factorial(6) AS fact,
+                apoc.number.romanize(p.key) AS rom,
+                apoc.number.arabize(apoc.number.romanize(p.key)) AS arab,
+                apoc.math.percentile([1.0, 2.0, 3.0, 4.0, toFloat(p.key)], 50.0) AS pct,
+                apoc.math.stdDev([2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]) AS sd,
+                apoc.math.mode([1.0, 2.0, 2.0, toFloat(p.key)]) AS md,
+                apoc.math.mean([toFloat(p.key), 4.0]) AS mn""",
+      """SELECT p_partkey AS k,
+                upper(format('{:x}', p_partkey)) AS hx,
+                p_partkey AS hx2,
+                bin(p_partkey) AS bn,
+                p_partkey AS bn2,
+                GREATEST(LEAST(CAST(p_partkey AS DOUBLE), 50.0), 10.0) AS cl,
+                CAST(p_partkey AS DOUBLE) * 0.5 AS lp,
+                CAST(p_partkey AS DOUBLE) / 200.0 AS nm,
+                CAST(p_partkey AS DOUBLE) / 200.0 * 10.0 AS mp,
+                p_partkey % 2 = 0 AS ev,
+                p_partkey >= 2 AND len(list_filter(range(2, CAST(floor(sqrt(p_partkey)) AS BIGINT) + 1),
+                  d -> p_partkey % d = 0)) = 0 AS pr,
+                gcd(p_partkey, 36) AS gc,
+                lcm(p_partkey, 4) AS lc,
+                CAST(89 AS BIGINT) AS fib,
+                CAST(720 AS BIGINT) AS fact,
+                replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+                  repeat('I', CAST(p_partkey AS INT)),
+                  'IIIII', 'V'), 'IIII', 'IV'), 'VV', 'X'), 'VIV', 'IX'),
+                  'XXXXX', 'L'), 'XXXX', 'XL'), 'LL', 'C'), 'LXL', 'XC'),
+                  'CCCCC', 'D'), 'CCCC', 'CD'), 'DD', 'M'), 'DMD', 'CM') AS rom,
+                p_partkey AS arab,
+                list_sort([1.0, 2.0, 3.0, 4.0, CAST(p_partkey AS DOUBLE)])[3] AS pct,
+                2.0 AS sd,
+                CASE WHEN p_partkey = 1 THEN 1.0 ELSE 2.0 END AS md,
+                (CAST(p_partkey AS DOUBLE) + 4.0) / 2 AS mn
+         FROM part WHERE p_partkey <= 120"""),
+
+    cq("q_cypher_apoc_date", "2.10",
+      // round-3 apoc.date tranche over Order.orderdate (string-map prop):
+      // parse → field extraction / arithmetic / ISO round-trip
+      """MATCH (o:Order) WHERE o.key <= 500
+         WITH o.key AS k, apoc.date.parse(o['orderdate'], 'yyyy-MM-dd HH:mm:ss') AS ts
+         RETURN k,
+                apoc.date.field(ts, 'year') AS y,
+                apoc.date.field(ts, 'dayOfWeek') AS dow,
+                apoc.date.field(ts, 'dayOfYear') AS doy,
+                apoc.date.add(ts, 3, 'days') AS ts3,
+                apoc.date.convert(86400000, 'ms', 'hours') AS cv,
+                apoc.date.toISO8601(ts) AS iso,
+                apoc.date.fromISO8601(apoc.date.toISO8601(ts)) AS rt,
+                apoc.date.toYears(ts) AS yrs,
+                apoc.date.fields(ts)['weekOfYear'] AS woy""",
+      """SELECT o_orderkey AS k,
+                CAST(year(o_orderdate) AS INT) AS y,
+                CAST(dayofweek(o_orderdate) AS INT) AS dow,
+                CAST(dayofyear(o_orderdate) AS INT) AS doy,
+                epoch(CAST(o_orderdate AS TIMESTAMP)) + 259200 AS ts3,
+                CAST(24 AS BIGINT) AS cv,
+                strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS iso,
+                epoch(CAST(o_orderdate AS TIMESTAMP)) AS rt,
+                epoch(CAST(o_orderdate AS TIMESTAMP)) / 31557600.0 AS yrs,
+                CAST(weekofyear(o_orderdate) AS INT) AS woy
+         FROM orders WHERE o_orderkey <= 500"""),
+
+    cq("q_cypher_apoc_temporal", "2.10",
+      // round-3 apoc.temporal tranche on TimestampType (datetime())
+      """MATCH (o:Order) WHERE o.key <= 500
+         WITH o.key AS k, datetime(o['orderdate']) AS t,
+              apoc.date.parse(o['orderdate'], 'yyyy-MM-dd HH:mm:ss') AS ts
+         RETURN k,
+                apoc.temporal.quarter(t) AS q,
+                apoc.temporal.weekOfYear(t) AS woy,
+                apoc.temporal.dayOfYear(t) AS doy,
+                apoc.temporal.isWeekend(t) AS we,
+                apoc.temporal.isLeapYear(apoc.date.field(ts, 'year')) AS leap,
+                apoc.temporal.daysInMonth(2024, 2) AS dim,
+                toString(apoc.temporal.startOf(t, 'month')) AS som,
+                toString(apoc.temporal.endOf(t, 'month')) AS eom,
+                apoc.temporal.difference(apoc.temporal.startOf(t, 'year'), t, 'days') AS dd,
+                apoc.temporal.toEpochMillis(t) AS ms""",
+      """SELECT o_orderkey AS k,
+                CAST(quarter(o_orderdate) AS INT) AS q,
+                CAST(weekofyear(o_orderdate) AS INT) AS woy,
+                CAST(dayofyear(o_orderdate) AS INT) AS doy,
+                dayofweek(o_orderdate) IN (0, 6) AS we,
+                (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+                  OR year(o_orderdate) % 400 = 0 AS leap,
+                CAST(29 AS INT) AS dim,
+                CAST(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS VARCHAR) AS som,
+                CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+                     + INTERVAL 1 MONTH - INTERVAL 1 MICROSECOND AS VARCHAR) AS eom,
+                CAST(dayofyear(o_orderdate) - 1 AS BIGINT) AS dd,
+                epoch(CAST(o_orderdate AS TIMESTAMP)) * 1000 AS ms
+         FROM orders WHERE o_orderkey <= 500"""),
+
+    cq("q_cypher_apoc_util_hash", "2.10",
+      // round-3 apoc.util/hashing tranche: digests, base64, FNV-1a fold,
+      // pattern validation, typeOf, repeat/range
+      """MATCH (p:Part) WHERE p.key <= 100
+         RETURN p.key AS k,
+                apoc.util.sha256(p.name) AS h256,
+                apoc.util.md5base64(p.name) AS mb64,
+                apoc.util.encodeBase64(p.name) AS eb64,
+                apoc.util.decodeBase64(apoc.util.encodeBase64(p.name)) AS rt,
+                apoc.util.validatePattern(p.name, '^[a-z ]+$') AS vp,
+                apoc.util.typeOf(p.name) AS tn,
+                apoc.util.typeOf(p.key) AS tk,
+                size(apoc.util.repeat('x', 4)) AS nrep,
+                last(apoc.util.range(1, 10, 3)) AS rng,
+                apoc.hashing.fnv1a(p.name) AS fnv,
+                apoc.hashing.consistentHash(p.name, 16) AS ch,
+                apoc.util.parseTimestamp('2024-01-15T10:30:00Z') AS pts""",
+      """SELECT p_partkey AS k,
+                sha256(p_name) AS h256,
+                to_base64(unhex(md5(p_name))) AS mb64,
+                to_base64(encode(p_name)) AS eb64,
+                p_name AS rt,
+                regexp_matches(p_name, '^[a-z ]+$') AS vp,
+                'STRING' AS tn,
+                'INTEGER' AS tk,
+                CAST(4 AS INT) AS nrep,
+                CAST(10 AS BIGINT) AS rng,
+                list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+                  list_transform(string_split(p_name, ''), c -> CAST(ord(c) AS BIGINT))),
+                  (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS fnv,
+                CAST(list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+                  list_transform(string_split(p_name, ''), c -> CAST(ord(c) AS BIGINT))),
+                  (h, c) -> (xor(h, c) * 16777619) % 4294967296) % 16 AS INT) AS ch,
+                CAST(1705314600 AS BIGINT) AS pts
+         FROM part WHERE p_partkey <= 100"""),
+
+    cq("q_cypher_apoc_json", "2.10",
+      // round-3 apoc.convert/json tranche: toJson round-trips, JSON-path
+      // extraction, keys/size/validate
+      """MATCH (p:Part) WHERE p.key <= 100
+         WITH p, apoc.convert.toJson([p.name, toString(p.key)]) AS js
+         RETURN p.key AS k, js,
+                apoc.json.validate(js) AS ok,
+                apoc.json.size(js) AS sz,
+                apoc.convert.getJsonProperty('{"a": 1, "b": 2}', 'b') AS gb,
+                apoc.json.path('{"a": {"c": 7}}', '$.a.c') AS pc,
+                apoc.text.join(apoc.convert.toStringList(apoc.convert.fromJsonList(js)), '|') AS rt,
+                apoc.text.join(apoc.json.keys('{"x": 1, "y": 2}'), ',') AS ks""",
+      """SELECT p_partkey AS k,
+                to_json([p_name, CAST(p_partkey AS VARCHAR)]) AS js,
+                true AS ok,
+                CAST(2 AS INT) AS sz,
+                '2' AS gb,
+                '7' AS pc,
+                p_name || '|' || CAST(p_partkey AS VARCHAR) AS rt,
+                'x,y' AS ks
+         FROM part WHERE p_partkey <= 100"""),
+
     cq("q_cypher_in_list", "2.2",
       """MATCH (o:Order) WHERE o.mktsegment IN ['1-URGENT', '2-HIGH']
          RETURN o.mktsegment AS pri, count(*) AS n""",

@@ -845,9 +845,13 @@ object Planner {
       val chained = branches.tail.foldLeft(start) { case (acc, (c, v)) => acc.when(c, v) }
       default.map(d => chained.otherwise(compile(d, f, params))).getOrElse(chained)
     case ListLit(items) => array(items.map(i => compile(i, f, params)): _*)
+    case Index(Variable(v), Lit(k: String))
+        if f.kinds.get(v).exists(x => x == NodeK || x == RelK) =>
+      propCol(f, v, k) // n['key'] — dynamic property, same path as n.key
     case Index(l, i) =>
       val lc = compile(l, f, params)
       i match {
+        case Lit(s: String) => element_at(lc, s) // map['key']
         case Lit(n: Long) =>
           if (n >= 0) element_at(lc, n.toInt + 1) else element_at(lc, n.toInt)
         case _ =>
@@ -911,6 +915,40 @@ object Planner {
           w => w =!= "")
       def capLower(w: Column): Column =
         concat(upper(w.substr(1, 1)), lower(w.substr(lit(2), length(w))))
+      // gcd without iteration: largest common divisor ≤ min(|a|,|b|) via a
+      // bounded HOF scan — fine for function-call-sized operands (the
+      // reference's Euclid loop is per-scalar too, apoc/math/math.go:294)
+      def gcdCol(x: Column, y: Column): Column = {
+        val (aa, bb) = (abs(x.cast("long")), abs(y.cast("long")))
+        when(aa === 0, bb).when(bb === 0, aa).otherwise(
+          array_max(filter(sequence(lit(1L), greatest(least(aa, bb), lit(1L))),
+            d => (aa % d === 0) && (bb % d === 0))))
+      }
+      // sort + linear interpolation on (n−1) — apoc/math/math.go:400
+      def pctCol(list: Column, p: Column): Column = {
+        val sorted = sort_array(transform(list, x => x.cast("double")))
+        val n = size(sorted)
+        val idx = p.cast("double") / 100.0 * (n - 1).cast("double")
+        val lo = floor(idx).cast("int")
+        val hi = ceil(idx).cast("int")
+        when(n === 0, lit(0.0))
+          .when(lo === hi, try_element_at(sorted, lo + 1))
+          .otherwise(try_element_at(sorted, lo + 1) * (lit(1.0) - (idx - lo)) +
+            try_element_at(sorted, hi + 1) * (idx - lo))
+      }
+      // apoc.date unit → seconds multiplier (apoc/date/date.go:253)
+      def dateUnitSeconds(e: Expr): Column = e match {
+        case Lit(u: String) => u match {
+          case "ms" | "millis" | "milliseconds" => lit(0.001)
+          case "s" | "seconds" => lit(1L).cast("double")
+          case "m" | "minutes" => lit(60L).cast("double")
+          case "h" | "hours" => lit(3600L).cast("double")
+          case "d" | "days" => lit(86400L).cast("double")
+          case "w" | "weeks" => lit(604800L).cast("double")
+          case _ => lit(1L).cast("double")
+        }
+        case _ => throw new IllegalArgumentException("date unit must be a literal string")
+      }
       name match {
         // aggregates
         case "count" =>
@@ -1217,6 +1255,333 @@ object Planner {
               (acc, y) => acc + y.cast("double")))
         case "apoc.coll.isempty" => size(a(0)) === 0
         case "apoc.coll.isnotempty" => size(a(0)) > 0
+
+        // ---- apoc.number.* / apoc.math.* round-3 tranche
+        // (ref apoc/number/number.go, apoc/math/math.go). All pure column
+        // arithmetic / Catalyst HOF folds — codegen-friendly, no UDFs.
+        case "apoc.number.tohex" => hex(a(0).cast("long")) // number.go:169 (upper)
+        case "apoc.number.fromhex" => conv(a(0), 16, 10).cast("long")
+        case "apoc.number.tooctal" => conv(a(0).cast("string"), 10, 8)
+        case "apoc.number.fromoctal" => conv(a(0), 8, 10).cast("long")
+        case "apoc.number.tobinary" => conv(a(0).cast("string"), 10, 2)
+        case "apoc.number.frombinary" => conv(a(0), 2, 10).cast("long")
+        case "apoc.number.tobase" => // FormatInt: lowercase digits (number.go:223)
+          lower(conv(a(0).cast("string"), 10, args(1) match {
+            case Lit(b: Long) => b.toInt; case _ => 16 }))
+        case "apoc.number.frombase" => conv(a(0), args(1) match {
+            case Lit(b: Long) => b.toInt; case _ => 16 }, 10).cast("long")
+        case "apoc.number.round" | "apoc.math.round" =>
+          if (args.size >= 2) round(a(0), args(1) match {
+            case Lit(n: Long) => n.toInt; case _ => 0 }) else round(a(0))
+        case "apoc.number.ceil" | "apoc.math.ceil" => ceil(a(0)).cast("double")
+        case "apoc.number.floor" | "apoc.math.floor" => floor(a(0)).cast("double")
+        case "apoc.number.abs" | "apoc.math.abs" => abs(a(0))
+        case "apoc.number.sign" => signum(a(0)).cast("int")
+        case "apoc.number.clamp" | "apoc.math.clamp" =>
+          greatest(least(a(0), a(2)), a(1))
+        case "apoc.number.lerp" | "apoc.math.lerp" => a(0) + (a(1) - a(0)) * a(2)
+        case "apoc.number.normalize" if args.size == 3 => // (v-min)/(max-min), 0 if degenerate
+          when(a(2) === a(1), lit(0.0)).otherwise((a(0) - a(1)) / (a(2) - a(1)))
+        case "apoc.math.normalize" | "apoc.number.normalize" => // 5-arg range remap (math.go:282)
+          when(a(2) === a(1), a(3)).otherwise(
+            a(3) + (a(0) - a(1)) / (a(2) - a(1)) * (a(4) - a(3)))
+        case "apoc.number.map" => // Normalize then Lerp (number.go:334)
+          when(a(2) === a(1), a(3)).otherwise(
+            a(3) + (a(4) - a(3)) * ((a(0) - a(1)) / (a(2) - a(1))))
+        case "apoc.number.iseven" => a(0).cast("long") % 2 === 0
+        case "apoc.number.isodd" => a(0).cast("long") % 2 =!= 0
+        case "apoc.number.isprime" | "apoc.math.isprime" =>
+          val n = a(0).cast("long")
+          when(n < 2, lit(false)).otherwise(
+            forall(sequence(lit(2L), greatest(floor(sqrt(n)).cast("long"), lit(2L))),
+              d => (n === d) || (n % d =!= 0)))
+        case "apoc.number.gcd" | "apoc.math.gcd" => gcdCol(a(0), a(1))
+        case "apoc.number.lcm" | "apoc.math.lcm" => // a/gcd*b (math.go:305)
+          val (x, y) = (abs(a(0).cast("long")), abs(a(1).cast("long")))
+          when(x === 0 || y === 0, lit(0L))
+            .otherwise((x / gcdCol(a(0), a(1))).cast("long") * y)
+        case "apoc.number.factorial" | "apoc.math.factorial" =>
+          val n = a(0).cast("long")
+          when(n <= 1, lit(1L)).otherwise(
+            aggregate(sequence(lit(2L), greatest(n, lit(2L))), lit(1L),
+              (acc, x) => try_multiply(acc, x))) // null past 20! (Go wraps)
+        case "apoc.number.fibonacci" | "apoc.math.fibonacci" =>
+          // exact int64 pair-fold, not the float closed form (number.go:424)
+          val n = a(0).cast("long")
+          when(n <= 0, lit(0L)).otherwise(
+            aggregate(sequence(lit(1L), greatest(n, lit(1L))),
+              struct(lit(0L).as("a"), lit(1L).as("b")),
+              (acc, _) => struct(acc.getField("b").as("a"),
+                // try_add: the fold carries one term past fib(n); fib(92)
+                // is the last to fit int64 (null beyond, where Go wraps)
+                try_add(acc.getField("a"), acc.getField("b")).as("b")),
+              acc => acc.getField("a")))
+        case "apoc.number.power" | "apoc.math.pow" => pow(a(0), a(1))
+        case "apoc.number.sqrt" | "apoc.math.sqrt" => sqrt(a(0))
+        case "apoc.number.log" | "apoc.math.log" => log(a(0))
+        case "apoc.number.log10" | "apoc.math.log10" => log10(a(0))
+        case "apoc.number.exp" | "apoc.math.exp" => exp(a(0))
+        case "apoc.number.romanize" => // greedy symbol fold (number.go:145)
+          val table = typedLit(Seq(
+            1000L -> "M", 900L -> "CM", 500L -> "D", 400L -> "CD", 100L -> "C",
+            90L -> "XC", 50L -> "L", 40L -> "XL", 10L -> "X", 9L -> "IX",
+            5L -> "V", 4L -> "IV", 1L -> "I"))
+          val n0 = a(0).cast("long")
+          when(n0 <= 0 || n0 >= 4000, lit("")).otherwise(
+            aggregate(table, struct(n0.as("rem"), lit("").as("s")),
+              (acc, p) => struct(
+                (acc.getField("rem") % p.getField("_1")).as("rem"),
+                concat(acc.getField("s"), call_function("repeat", p.getField("_2"),
+                  floor(acc.getField("rem") / p.getField("_1")).cast("int"))).as("s")),
+              acc => acc.getField("s")))
+        case "apoc.number.arabize" => // right-to-left subtraction rule (number.go:113)
+          val vals = transform(split(a(0), ""),
+            c => when(c === "I", 1L).when(c === "V", 5L).when(c === "X", 10L)
+              .when(c === "L", 50L).when(c === "C", 100L).when(c === "D", 500L)
+              .when(c === "M", 1000L).otherwise(0L))
+          aggregate(
+            transform(vals, (v, i) =>
+              when(coalesce(try_element_at(vals, i + 2), lit(0L)) > v, -v).otherwise(v)),
+            lit(0L), (acc, x) => acc + x)
+        case "apoc.number.random" | "apoc.math.random" | "apoc.number.randomint"
+            | "apoc.math.randomint" =>
+          throw new IllegalArgumentException(s"$name is nondeterministic — unsupported")
+        case "apoc.math.maxlong" | "apoc.math.maxdouble" =>
+          if (args.size == 1) array_max(a(0)) else greatest(args.map(x => compile(x, f, params)): _*)
+        case "apoc.math.minlong" | "apoc.math.mindouble" =>
+          if (args.size == 1) array_min(a(0)) else least(args.map(x => compile(x, f, params)): _*)
+        case "apoc.math.logit" => // NaN outside (0,1) (math.go:246)
+          when(a(0) <= 0.0 || a(0) >= 1.0, lit(Double.NaN))
+            .otherwise(log(a(0) / (lit(1.0) - a(0))))
+        case "apoc.math.percentile" => pctCol(a(0), a(1))
+        case "apoc.math.median" => pctCol(a(0), lit(50.0))
+        case "apoc.math.mean" =>
+          when(size(a(0)) === 0, lit(0.0)).otherwise(
+            aggregate(a(0), lit(0.0), (acc, x) => acc + x.cast("double")) / size(a(0)))
+        case "apoc.math.stddev" | "apoc.math.variance" => // POPULATION (÷N, math.go:456)
+          val xs = transform(a(0), x => x.cast("double"))
+          val m = aggregate(xs, lit(0.0), (acc, x) => acc + x) / size(xs)
+          val varPop = when(size(xs) === 0, lit(0.0)).otherwise(
+            aggregate(xs, lit(0.0), (acc, x) => acc + (x - m) * (x - m)) / size(xs))
+          if (name == "apoc.math.variance") pow(sqrt(varPop), 2.0) // StdDev² (math.go:477)
+          else sqrt(varPop)
+        case "apoc.math.mode" => // most frequent; ties → smallest (the
+          // reference iterates a Go map, i.e. nondeterministic ties; math.go:484)
+          val xs = transform(a(0), x => x.cast("double"))
+          val freq = (v: Column) => size(filter(xs, y => y === v))
+          val maxFreq = array_max(transform(array_distinct(xs), v => freq(v)))
+          when(size(xs) === 0, lit(0.0)).otherwise(
+            array_min(filter(array_distinct(xs), v => freq(v) === maxFreq)))
+        case "apoc.math.sum" =>
+          aggregate(a(0), lit(0.0), (acc, x) => acc + x.cast("double"))
+        case "apoc.math.product" =>
+          aggregate(a(0), lit(1.0), (acc, x) => acc * x.cast("double"))
+        case "apoc.math.range" | "apoc.util.range" =>
+          if (args.size >= 3) sequence(a(0).cast("long"), a(1).cast("long"), a(2).cast("long"))
+          else sequence(a(0).cast("long"), a(1).cast("long"))
+        case "apoc.math.sin" => sin(a(0)); case "apoc.math.cos" => cos(a(0))
+        case "apoc.math.tan" => tan(a(0)); case "apoc.math.asin" => asin(a(0))
+        case "apoc.math.acos" => acos(a(0)); case "apoc.math.atan" => atan(a(0))
+        case "apoc.math.atan2" => atan2(a(0), a(1))
+        case "apoc.math.sinh" => sinh(a(0)); case "apoc.math.cosh" => cosh(a(0))
+        case "apoc.math.tanh" => tanh(a(0))
+        case "apoc.math.sigmoid" => lit(1.0) / (lit(1.0) + exp(-a(0)))
+
+        // ---- apoc.util.* / apoc.hashing.* (ref apoc/util/util.go,
+        // apoc/hashing/hashing.go). Digests via Spark's codegen'd crypto fns.
+        case "apoc.util.sha256" | "apoc.util.sha256hex" | "apoc.hashing.sha256" =>
+          sha2(a(0).cast("string").cast("binary"), 256)
+        case "apoc.hashing.sha384" => sha2(a(0).cast("string").cast("binary"), 384)
+        case "apoc.hashing.sha512" => sha2(a(0).cast("string").cast("binary"), 512)
+        case "apoc.util.md5hex" | "apoc.hashing.md5" => md5(a(0).cast("string").cast("binary"))
+        case "apoc.util.sha1hex" | "apoc.hashing.sha1" => sha1(a(0).cast("string").cast("binary"))
+        case "apoc.util.md5base64" => base64(unhex(md5(a(0).cast("string").cast("binary"))))
+        case "apoc.util.sha1base64" => base64(unhex(sha1(a(0).cast("string").cast("binary"))))
+        case "apoc.util.sha256base64" =>
+          base64(unhex(sha2(a(0).cast("string").cast("binary"), 256)))
+        case "apoc.util.validatepattern" => a(0).rlike(args(1) match {
+          case Lit(p: String) => p
+          case _ => throw new IllegalArgumentException("validatePattern needs a literal pattern") })
+        case "apoc.util.repeat" => array_repeat(a(0), args(1) match {
+          case Lit(n: Long) => n.toInt; case _ => 1 })
+        case "apoc.util.encodebase64" => base64(a(0).cast("binary"))
+        case "apoc.util.decodebase64" => unbase64(a(0)).cast("string")
+        case "apoc.util.encodeurl" => call_function("url_encode", a(0))
+        case "apoc.util.decodeurl" => call_function("url_decode", a(0))
+        case "apoc.util.typeof" => // reference type names (util.go:215)
+          import org.apache.spark.sql.types._
+          f.df.select(a(0)).schema.head.dataType match {
+            case NullType => lit("NULL")
+            case BooleanType => lit("BOOLEAN")
+            case ByteType | ShortType | IntegerType | LongType => lit("INTEGER")
+            case FloatType | DoubleType | _: DecimalType => lit("FLOAT")
+            case StringType => lit("STRING")
+            case _: ArrayType => lit("LIST")
+            case _: MapType | _: StructType => lit("MAP")
+            case _ => lit("UNKNOWN")
+          }
+        case "apoc.util.parsetimestamp" | "apoc.date.fromiso8601" => // RFC3339 → epoch s
+          unix_timestamp(a(0), "yyyy-MM-dd'T'HH:mm:ssXXX")
+        case "apoc.util.formattimestamp" | "apoc.date.toiso8601" => // epoch s → RFC3339 UTC
+          date_format(to_utc_timestamp(timestamp_seconds(a(0)), "UTC"),
+            "yyyy-MM-dd'T'HH:mm:ssXXX")
+        case "apoc.util.sleep" | "apoc.util.uuid" | "apoc.util.randomuuid"
+            | "apoc.util.now" | "apoc.util.nowinseconds" | "apoc.util.timestamp" =>
+          throw new IllegalArgumentException(s"$name is nondeterministic — unsupported")
+        case "apoc.hashing.fnv1" => // 32-bit FNV-1 over code points; matches the
+          // reference byte fold for ASCII input (hashing.go:87)
+          aggregate(split(a(0).cast("string"), ""), lit(2166136261L),
+            (h, c) => ((h * 16777619L) % 4294967296L).bitwiseXOR(ascii(c)))
+        case "apoc.hashing.fnv1a" => // xor-then-multiply variant (hashing.go:99)
+          aggregate(split(a(0).cast("string"), ""), lit(2166136261L),
+            (h, c) => (h.bitwiseXOR(ascii(c)) * 16777619L) % 4294967296L)
+        case "apoc.hashing.consistenthash" => // fnv1a(key) % buckets (hashing.go:195)
+          aggregate(split(a(0).cast("string"), ""), lit(2166136261L),
+            (h, c) => (h.bitwiseXOR(ascii(c)) * 16777619L) % 4294967296L)
+            .%(args(1) match { case Lit(b: Long) => b; case _ => 1024L }).cast("int")
+
+        // ---- apoc.date.* completion (ref apoc/date/date.go; epoch seconds,
+        // UTC session == time.Unix in a UTC locale)
+        case "apoc.date.field" =>
+          val dt = timestamp_seconds(a(0))
+          args(1) match {
+            case Lit(u: String) => u match {
+              case "year" => year(dt); case "month" => month(dt)
+              case "day" => dayofmonth(dt); case "hour" => hour(dt)
+              case "minute" => minute(dt); case "second" => second(dt)
+              case "dayOfWeek" => dayofweek(dt) - 1 // Go: 0=Sunday (date.go:62)
+              case "dayOfYear" => dayofyear(dt)
+              case "weekOfYear" => weekofyear(dt) // ISO week, both engines
+              case _ => lit(0)
+            }
+            case _ => throw new IllegalArgumentException("apoc.date.field needs a literal unit")
+          }
+        case "apoc.date.fields" => // all 9 fields as a map (date.go:80)
+          val dt = timestamp_seconds(a(0))
+          map(lit("year"), year(dt), lit("month"), month(dt),
+            lit("day"), dayofmonth(dt), lit("hour"), hour(dt),
+            lit("minute"), minute(dt), lit("second"), second(dt),
+            lit("dayOfWeek"), dayofweek(dt) - 1, lit("dayOfYear"), dayofyear(dt),
+            lit("weekOfYear"), weekofyear(dt))
+        case "apoc.date.add" => // duration units only, no calendar math (date.go:101)
+          a(0).cast("long") + floor(a(1).cast("long") * dateUnitSeconds(args(2))).cast("long")
+        case "apoc.date.convert" => // via seconds, integer division (date.go:111)
+          floor(a(0).cast("long") * dateUnitSeconds(args(1)) /
+            dateUnitSeconds(args(2))).cast("long")
+        case "apoc.date.toyears" => a(0).cast("double") / lit(365.25 * 24 * 3600)
+        case "apoc.date.convertformat" =>
+          val fmt = (i: Int) => args(i) match {
+            case Lit(s: String) => s; case _ => "yyyy-MM-dd" }
+          from_unixtime(unix_timestamp(a(0), fmt(1)), fmt(2))
+        case "apoc.date.systemtimezone" => lit("UTC") // session-pinned zone
+        case "apoc.date.currenttimestamp" =>
+          throw new IllegalArgumentException("apoc.date.currentTimestamp is nondeterministic — unsupported")
+
+        // ---- apoc.temporal.* (ref apoc/temporal/temporal.go; operates on
+        // TimestampType columns — construct via datetime()/date())
+        case "datetime" | "localdatetime" => to_timestamp(a(0))
+        case "date" => to_date(a(0))
+        case "apoc.temporal.toepochmillis" => unix_millis(a(0).cast("timestamp"))
+        case "apoc.temporal.fromepochmillis" => timestamp_millis(a(0).cast("long"))
+        case "apoc.temporal.add" | "apoc.temporal.subtract" =>
+          val amt0 = args(1) match { case Lit(n: Long) => n
+            case _ => throw new IllegalArgumentException(s"$name needs a literal amount") }
+          val amt = if (name.endsWith("subtract")) -amt0 else amt0
+          val unit = args(2) match { case Lit(u: String) => u.stripSuffix("s")
+            case _ => "day" }
+          // calendar-aware for year/month (AddDate), duration for the rest;
+          // SQL interval clamps month-end overflow where Go normalizes —
+          // divergence only on day-31 + month edge cases (temporal.go:101)
+          unit match {
+            case "year" => a(0).cast("timestamp") + expr(s"INTERVAL $amt YEAR")
+            case "month" => a(0).cast("timestamp") + expr(s"INTERVAL $amt MONTH")
+            case "day" => a(0).cast("timestamp") + expr(s"INTERVAL $amt DAY")
+            case "hour" => a(0).cast("timestamp") + expr(s"INTERVAL $amt HOUR")
+            case "minute" => a(0).cast("timestamp") + expr(s"INTERVAL $amt MINUTE")
+            case "second" => a(0).cast("timestamp") + expr(s"INTERVAL $amt SECOND")
+            case _ => a(0).cast("timestamp")
+          }
+        case "apoc.temporal.difference" => // truncating division (temporal.go:134)
+          val secs = unix_timestamp(a(1).cast("timestamp")) -
+            unix_timestamp(a(0).cast("timestamp"))
+          args(2) match {
+            case Lit(u: String) => u.stripSuffix("s") match {
+              case "second" => secs; case "minute" => (secs / 60).cast("long")
+              case "hour" => (secs / 3600).cast("long")
+              case "day" => (secs / 86400).cast("long")
+              case _ => secs
+            }
+            case _ => secs
+          }
+        case "apoc.temporal.startof" | "apoc.temporal.truncate" =>
+          args(1) match {
+            case Lit(u: String) => date_trunc(u, a(0).cast("timestamp"))
+            case _ => throw new IllegalArgumentException(s"$name needs a literal unit")
+          }
+        case "apoc.temporal.endof" => // start + 1 unit − 1µs (ref: −1ns;
+          // Spark timestamps are µs-precision — temporal.go:182)
+          args(1) match {
+            case Lit(u: String) =>
+              date_trunc(u, a(0).cast("timestamp")) +
+                expr(s"INTERVAL 1 ${u.toUpperCase}") - expr("INTERVAL 1 MICROSECOND")
+            case _ => throw new IllegalArgumentException("endOf needs a literal unit")
+          }
+        case "apoc.temporal.isbetween" =>
+          a(0).cast("timestamp").between(a(1).cast("timestamp"), a(2).cast("timestamp"))
+        case "apoc.temporal.isweekend" => dayofweek(a(0).cast("timestamp")).isin(1, 7)
+        case "apoc.temporal.isweekday" => !dayofweek(a(0).cast("timestamp")).isin(1, 7)
+        case "apoc.temporal.dayofweek" => dayofweek(a(0).cast("timestamp")) - 1 // Go 0=Sun
+        case "apoc.temporal.dayofyear" => dayofyear(a(0).cast("timestamp"))
+        case "apoc.temporal.weekofyear" => weekofyear(a(0).cast("timestamp"))
+        case "apoc.temporal.quarter" => quarter(a(0).cast("timestamp"))
+        case "apoc.temporal.isleapyear" =>
+          val y = a(0).cast("long")
+          (y % 4 === 0 && y % 100 =!= 0) || (y % 400 === 0)
+        case "apoc.temporal.daysinmonth" =>
+          dayofmonth(last_day(make_date(a(0).cast("int"), a(1).cast("int"), lit(1))))
+        case "apoc.temporal.age" =>
+          throw new IllegalArgumentException("apoc.temporal.age depends on wall-clock now — unsupported")
+
+        // ---- apoc.convert.* / apoc.json.* (ref apoc/convert/convert.go,
+        // apoc/json/json.go). JSON via Spark's native json expressions.
+        case "apoc.convert.tojson" | "apoc.json.stringify" =>
+          import org.apache.spark.sql.types._
+          f.df.select(a(0)).schema.head.dataType match {
+            case _: ArrayType | _: MapType | _: StructType => to_json(a(0))
+            case StringType => concat(lit("\""), a(0), lit("\""))
+            case BooleanType => a(0).cast("string")
+            case _ => a(0).cast("string")
+          }
+        case "apoc.convert.fromjsonmap" => // string-valued map (the reference
+          // returns map[string]any; Columns need one value type)
+          from_json(a(0), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+        case "apoc.convert.fromjsonlist" =>
+          from_json(a(0), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType))
+        case "apoc.convert.getjsonproperty" => // convert.go:237
+          get_json_object(a(0), args(1) match {
+            case Lit(k: String) => if (k.startsWith("$")) k else s"$$.$k"
+            case _ => "$" })
+        case "apoc.json.path" => get_json_object(a(0), args(1) match {
+            case Lit(p: String) => if (p.startsWith("$")) p else s"$$.$p"
+            case _ => "$" })
+        case "apoc.json.validate" => // json.Valid accepts any JSON value (json.go:30)
+          get_json_object(a(0), "$").isNotNull
+        case "apoc.json.keys" => json_object_keys(a(0))
+        case "apoc.json.size" => // object → #keys, array → length, else 0 (json.go:161)
+          coalesce(json_array_length(a(0)), size(json_object_keys(a(0))),
+            lit(0)).cast("int")
+        case "apoc.convert.toset" => array_distinct(a(0))
+        case "apoc.convert.tointlist" => transform(a(0), x => x.cast("long"))
+        case "apoc.convert.tofloatlist" => transform(a(0), x => x.cast("double"))
+        case "apoc.convert.tostringlist" => transform(a(0), x => x.cast("string"))
+        case "apoc.convert.tobooleanlist" => transform(a(0), x => x.cast("boolean"))
+        case "apoc.convert.tostring" => a(0).cast("string")
+        case "apoc.convert.tointeger" => a(0).try_cast("long")
+        case "apoc.convert.tofloat" => a(0).try_cast("double")
+        case "apoc.convert.toboolean" => a(0).try_cast("boolean")
+
         // math
         case "abs" => abs(a(0))
         case "ceil" => ceil(a(0))

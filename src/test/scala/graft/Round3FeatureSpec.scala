@@ -293,4 +293,41 @@ class Round3FeatureSpec extends AnyFunSuite {
                 size(apoc.coll.duplicatesWithCount(l)) AS nd""").head
     assert(r(0) == 3 && r(1) == 1)
   }
+
+  test("apoc.number/math/date edge cases vs reference semantics") {
+    // romanize bounds (number.go:145: <=0 or >=4000 → ''), round trips
+    val r1 = rows(
+      """RETURN apoc.number.romanize(0) AS r0, apoc.number.romanize(4000) AS r4k,
+                apoc.number.romanize(3999) AS r3999,
+                apoc.number.arabize('MCMXCIV') AS a1994,
+                apoc.number.fibonacci(0) AS f0, apoc.number.fibonacci(1) AS f1,
+                apoc.number.fibonacci(92) AS f92,
+                apoc.number.factorial(0) AS fa0, apoc.number.factorial(20) AS fa20,
+                apoc.number.gcd(48, 18) AS g, apoc.number.lcm(4, 6) AS l,
+                apoc.number.lcm(0, 5) AS l0,
+                apoc.number.toBase(255, 16) AS b16,
+                apoc.number.fromBase('ff', 16) AS fb16""").head
+    assert(r1 == Seq("", "", "MMMCMXCIX", 1994L, 0L, 1L, 7540113804746346429L,
+      1L, 2432902008176640000L, 6L, 12L, 0L, "ff", 255L))
+    // percentile/median doc examples (math.go:400,433); population stdDev
+    val r2 = rows(
+      """WITH [1.0,2.0,3.0,4.0,5.0,6.0,7.0,8.0,9.0,10.0] AS l
+         RETURN apoc.math.percentile(l, 50.0) AS p50,
+                apoc.math.median([1.0,2.0,3.0,4.0,5.0]) AS med,
+                apoc.math.variance([2.0,4.0,4.0,4.0,5.0,5.0,7.0,9.0]) AS vr,
+                apoc.math.product([1.0,2.0,3.0,4.0]) AS prod,
+                apoc.math.maxLong(3, 9, 5) AS mx, apoc.math.minDouble(3.0, 9.0) AS mn""").head
+    assert(r2 == Seq(5.5, 3.0, 4.0, 24.0, 9L, 3.0))
+    // date.convert truncates (date.go:111); fnv1a matches the Go byte fold
+    // ('hello' → 0x4F9F2CAB)
+    val r3 = rows(
+      """RETURN apoc.date.convert(90, 'm', 'h') AS ch,
+                apoc.date.convert(1999, 'ms', 's') AS cs,
+                apoc.hashing.fnv1a('hello') AS fnv,
+                apoc.hashing.consistentHash('hello', 16) AS chash,
+                apoc.temporal.daysInMonth(2023, 2) AS dim23,
+                apoc.temporal.isLeapYear(1900) AS ly1900,
+                apoc.temporal.isLeapYear(2000) AS ly2000""").head
+    assert(r3 == Seq(1L, 1L, 0x4F9F2CABL, (0x4F9F2CABL % 16).toInt, 28, false, true))
+  }
 }
