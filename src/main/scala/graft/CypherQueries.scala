@@ -525,6 +525,48 @@ object CypherQueries {
                 'x,y' AS ks
          FROM part WHERE p_partkey <= 100"""),
 
+    cq("q_cypher_apoc_agg", "2.10",
+      // round-3 apoc.agg.* tranche: composes with collect() — the reference
+      // implements these over value slices (apoc/agg/agg.go)
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+         WITH c.key AS k, apoc.coll.sort(collect(o.acctbal)) AS prices, count(o) AS n
+         WHERE n >= 5
+         RETURN k,
+                apoc.agg.median(prices) AS med,
+                apoc.agg.percentile(prices, 25.0) AS p25,
+                apoc.agg.stdev(prices) AS sd,
+                apoc.agg.statistics(prices)['mean'] AS mean,
+                apoc.agg.statistics(prices)['count'] AS cnt,
+                apoc.agg.minItems(prices, 2)[1] AS min2,
+                apoc.agg.maxItems(prices, 2)[1] AS max2,
+                apoc.agg.nth(prices, 0) AS nth0,
+                size(apoc.agg.slice(prices, 1, 3)) AS nsl,
+                apoc.agg.first(prices) AS fst,
+                apoc.agg.last(prices) AS lst""",
+      """WITH g AS (
+           SELECT c_custkey AS k, list_sort(list(o_totalprice)) AS prices, COUNT(*) AS n
+           FROM customer JOIN orders ON o_custkey = c_custkey
+           GROUP BY c_custkey HAVING COUNT(*) >= 5),
+         s AS (SELECT k, prices AS sp, n,
+                      list_sum(prices) / n AS mean FROM g)
+         SELECT k,
+                CASE WHEN n % 2 = 1 THEN sp[(n + 1) // 2]
+                     ELSE (sp[n // 2] + sp[n // 2 + 1]) / 2.0 END AS med,
+                sp[CAST(floor(0.25 * (n - 1)) AS INT) + 1]
+                  * (1.0 - (0.25 * (n - 1) - floor(0.25 * (n - 1))))
+                + sp[CAST(ceil(0.25 * (n - 1)) AS INT) + 1]
+                  * (0.25 * (n - 1) - floor(0.25 * (n - 1))) AS p25,
+                sqrt(list_sum(list_transform(sp, x -> (x - mean) * (x - mean))) / n) AS sd,
+                mean,
+                CAST(n AS DOUBLE) AS cnt,
+                sp[2] AS min2,
+                sp[CAST(n AS INT) - 1] AS max2,
+                sp[1] AS nth0,
+                CAST(2 AS INT) AS nsl,
+                sp[1] AS fst,
+                sp[CAST(n AS INT)] AS lst
+         FROM s"""),
+
     cq("q_cypher_in_list", "2.2",
       """MATCH (o:Order) WHERE o.mktsegment IN ['1-URGENT', '2-HIGH']
          RETURN o.mktsegment AS pri, count(*) AS n""",

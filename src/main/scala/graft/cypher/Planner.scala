@@ -1190,6 +1190,58 @@ object Planner {
           case Lit(s: String) => s; case _ => "," })
         case "apoc.text.random" =>
           throw new IllegalArgumentException("apoc.text.random is nondeterministic — unsupported")
+        case "apoc.text.capitalizeall" => upper(a(0)) // literally ToUpper (text.go:68)
+        case "apoc.text.decapitalizeall" => lower(a(0)) // text.go:88
+        case "apoc.text.bytes" => // byte list, ASCII == code point (text.go:528)
+          transform(split(a(0), ""), c => ascii(c).cast("long"))
+        case "apoc.text.bytestostring" => // text.go:536
+          array_join(transform(a(0), b => call_function("char", b)), "")
+        case "apoc.text.doublemetaphone" | "apoc.text.jarowinklerdistance" =>
+          throw new IllegalArgumentException(
+            s"$name: unsupported phonetic/distance variant (apoc.text.phonetic " +
+              "(soundex) and apoc.text.distance (levenshtein) are available)")
+        case "apoc.coll.partition" => // size-based batches, like coll.split
+          // (the reference's predicate form needs a Go lambda — not
+          // expressible from the Cypher surface; coll.go:97,749)
+          val n = a(1).cast("long")
+          transform(
+            filter(sequence(lit(0L), size(a(0)).cast("long")), g => g * n < size(a(0))),
+            g => slice(a(0), (g * n + 1).cast("int"), n.cast("int")))
+        case "apoc.coll.sortmaps" => // sort list of maps by key (coll.go:207)
+          val key = args(1) match { case Lit(s: String) => s
+            case _ => throw new IllegalArgumentException("sortMaps needs a literal key") }
+          array_sort(a(0), (x, y) =>
+            when(element_at(x, key) < element_at(y, key), -1)
+              .when(element_at(x, key) === element_at(y, key), 0).otherwise(1))
+        case "apoc.coll.unionall" => // concat keeping duplicates (coll.go:815)
+          concat(args.map(x => compile(x, f, params)): _*)
+        case "apoc.coll.randomitem" | "apoc.coll.randomitems" =>
+          throw new IllegalArgumentException(s"$name is nondeterministic — unsupported")
+        // apoc.node.* column accessors (ref apoc/node/node.go; the
+        // storage-walking members (degree/neighbors) are the Expand/degree
+        // operators in this engine, not per-row functions)
+        case "apoc.node.id" => args.head match {
+          case Variable(v) if f.kinds.get(v).contains(NodeK) => col(s"${v}_id")
+          case other => compile(other, f, params).getField("id")
+        }
+        case "apoc.node.labels" => args.head match {
+          case Variable(v) if f.kinds.get(v).contains(NodeK) => col(s"${v}_labels")
+          case other => compile(other, f, params).getField("labels")
+        }
+        case "apoc.node.haslabel" =>
+          val labelsCol = args.head match {
+            case Variable(v) if f.kinds.get(v).contains(NodeK) => col(s"${v}_labels")
+            case other => compile(other, f, params).getField("labels")
+          }
+          array_contains(labelsCol, a(1))
+        case "apoc.rel.id" => args.head match {
+          case Variable(v) if f.kinds.get(v).contains(RelK) => col(s"${v}_id")
+          case other => compile(other, f, params).getField("id")
+        }
+        case "apoc.rel.type" => args.head match {
+          case Variable(v) if f.kinds.get(v).contains(RelK) => col(s"${v}_type")
+          case other => compile(other, f, params).getField("type")
+        }
         // apoc.coll.* (round-2 additions)
         case "apoc.coll.pairs" => // consecutive pairs [[a,b],[b,c],…]
           arrays_zip(
@@ -1581,6 +1633,53 @@ object Planner {
         case "apoc.convert.tointeger" => a(0).try_cast("long")
         case "apoc.convert.tofloat" => a(0).try_cast("double")
         case "apoc.convert.toboolean" => a(0).try_cast("boolean")
+
+        // ---- apoc.agg.* (ref apoc/agg/agg.go). The reference implements
+        // these over value SLICES ([]interface{}), so they compose with
+        // collect(): apoc.agg.median(collect(x)) — list functions here too.
+        case "apoc.agg.first" => try_element_at(a(0), lit(1))
+        case "apoc.agg.last" => try_element_at(a(0), lit(-1))
+        case "apoc.agg.nth" => try_element_at(a(0), a(1).cast("int") + 1) // 0-based
+        case "apoc.agg.slice" => // [start, end) (agg.go:54)
+          slice(a(0), a(1).cast("int") + 1, (a(2) - a(1)).cast("int"))
+        case "apoc.agg.product" =>
+          aggregate(a(0), lit(1.0), (acc, x) => acc * x.cast("double"))
+        case "apoc.agg.median" => pctCol(a(0), lit(50.0))
+        case "apoc.agg.percentile" => pctCol(a(0), a(1))
+        case "apoc.agg.stdev" | "apoc.agg.stddev" => // population ÷N (agg.go:143)
+          val xs = transform(a(0), x => x.cast("double"))
+          val m = aggregate(xs, lit(0.0), (acc, x) => acc + x) / size(xs)
+          when(size(xs) === 0, lit(0.0)).otherwise(
+            sqrt(aggregate(xs, lit(0.0), (acc, x) => acc + (x - m) * (x - m)) / size(xs)))
+        case "apoc.agg.mode" => // ties → smallest (Go map iteration is
+          // nondeterministic on ties, agg.go:178)
+          val freq = (v: Column) => size(filter(a(0), y => y <=> v))
+          val maxFreq = array_max(transform(array_distinct(a(0)), v => freq(v)))
+          array_min(filter(array_distinct(a(0)), v => freq(v) === maxFreq))
+        case "apoc.agg.statistics" => // min/max/mean/sum/stdev/variance/count (agg.go:205)
+          val xs = transform(a(0), x => x.cast("double"))
+          val sm = aggregate(xs, lit(0.0), (acc, x) => acc + x)
+          val m = sm / size(xs)
+          val vr = aggregate(xs, lit(0.0), (acc, x) => acc + (x - m) * (x - m)) / size(xs)
+          map(lit("min"), array_min(xs), lit("max"), array_max(xs),
+            lit("mean"), m, lit("sum"), sm, lit("stdev"), sqrt(vr),
+            lit("variance"), vr, lit("count"), size(xs).cast("double"))
+        case "apoc.agg.minitems" => // n smallest, ascending (agg.go:305)
+          slice(sort_array(transform(a(0), x => x.cast("double"))), lit(1), a(1).cast("int"))
+        case "apoc.agg.maxitems" => // n largest, descending (agg.go:331)
+          slice(sort_array(transform(a(0), x => x.cast("double")), asc = false),
+            lit(1), a(1).cast("int"))
+        case "apoc.agg.histogram" => // [{bucket, count}] sorted by bucket
+          // (deterministic; the reference iterates a Go map — agg.go:358)
+          val xs = transform(a(0), x => x.cast("double"))
+          val bs = a(1).cast("double")
+          val bucketOf = (v: Column) => floor(v / bs).cast("double") * bs
+          transform(sort_array(array_distinct(transform(xs, v => bucketOf(v)))),
+            b => struct(b.as("bucket"),
+              size(filter(xs, v => bucketOf(v) === b)).as("count")))
+        case "apoc.agg.frequencies" => // first-occurrence order (agg.go:392)
+          transform(array_distinct(a(0)),
+            x => struct(x.as("value"), size(filter(a(0), y => y <=> x)).as("count")))
 
         // math
         case "abs" => abs(a(0))

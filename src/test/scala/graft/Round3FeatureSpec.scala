@@ -330,4 +330,26 @@ class Round3FeatureSpec extends AnyFunSuite {
                 apoc.temporal.isLeapYear(2000) AS ly2000""").head
     assert(r3 == Seq(1L, 1L, 0x4F9F2CABL, (0x4F9F2CABL % 16).toInt, 28, false, true))
   }
+
+  test("apoc text/coll completion + node/rel accessors") {
+    val r = rows(
+      """MATCH (a:Person {key: 1})-[r:KNOWS]->(b:Person)
+         RETURN apoc.node.id(a) AS aid, apoc.node.labels(a)[0] AS lbl,
+                apoc.node.hasLabel(a, 'Person') AS hl,
+                apoc.rel.type(r) AS rt,
+                apoc.text.capitalizeAll('ab c') AS capall,
+                apoc.text.bytesToString(apoc.text.bytes('hello')) AS bytesrt,
+                apoc.coll.unionAll([1, 2], [2, 3]) AS ua,
+                apoc.coll.partition([1, 2, 3, 4, 5], 2) AS prt""").head
+    assert(r(0).toString.startsWith("Person"))
+    assert(r(1) == "Person" && r(2) == true && r(3) == "KNOWS")
+    assert(r(4) == "AB C" && r(5) == "hello")
+    assert(r(6) == Seq(1L, 2L, 2L, 3L))
+    assert(r(7) == Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L)))
+    val sm = rows(
+      """WITH [apoc.map.fromValues(['k', '2', 'v', 'b']),
+              apoc.map.fromValues(['k', '1', 'v', 'a'])] AS ms
+         RETURN apoc.coll.sortMaps(ms, 'k')[0]['v'] AS first""").head
+    assert(sm(0) == "a")
+  }
 }
