@@ -567,6 +567,25 @@ object CypherQueries {
                 sp[CAST(n AS INT)] AS lst
          FROM s"""),
 
+    cq("q_cypher_meta_schema", "2.11",
+      // apoc.meta.schema: label + relType inventory with counts
+      """CALL apoc.meta.schema() YIELD name, type, n
+         RETURN name, type, n""",
+      """SELECT * FROM (
+           SELECT 'Customer' AS name, 'node' AS type, (SELECT COUNT(*) FROM customer) AS n
+           UNION ALL SELECT 'Order', 'node', (SELECT COUNT(*) FROM orders)
+           UNION ALL SELECT 'Part', 'node', (SELECT COUNT(*) FROM part)
+           UNION ALL SELECT 'Supplier', 'node', (SELECT COUNT(*) FROM supplier)
+           UNION ALL SELECT 'Nation', 'node', (SELECT COUNT(*) FROM nation)
+           UNION ALL SELECT 'Region', 'node', (SELECT COUNT(*) FROM region)
+           UNION ALL SELECT 'PLACED', 'relationship', (SELECT COUNT(*) FROM orders)
+           UNION ALL SELECT 'CONTAINS', 'relationship', (SELECT COUNT(*) FROM lineitem)
+           UNION ALL SELECT 'SUPPLIES', 'relationship',
+             (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+           UNION ALL SELECT 'FROM', 'relationship', (SELECT COUNT(*) FROM customer)
+           UNION ALL SELECT 'LOCATED_IN', 'relationship', (SELECT COUNT(*) FROM supplier)
+           UNION ALL SELECT 'IN', 'relationship', (SELECT COUNT(*) FROM nation))"""),
+
     cq("q_cypher_in_list", "2.2",
       """MATCH (o:Order) WHERE o.mktsegment IN ['1-URGENT', '2-HIGH']
          RETURN o.mktsegment AS pri, count(*) AS n""",

@@ -143,7 +143,31 @@ object Planner {
           args.lift(3).map(_.toString.toDouble.toInt).getOrElse(10))
         .select(col("path"), col("length"))),
     "apoc.algo.dijkstra" -> ((g, args) => pointPathDf(g, args)),
-    "apoc.algo.astar" -> ((g, args) => pointPathDf(g, args)))
+    "apoc.algo.astar" -> ((g, args) => pointPathDf(g, args)),
+    // apoc.meta.schema / graph — label + relType inventories with counts
+    // (apoc/meta/meta.go:27,40); one pass over each table
+    "apoc.meta.schema" -> ((g, _) => {
+      val labels = g.nodes.select(explode(col("labels")).as("name"))
+        .groupBy("name").agg(count(lit(1)).as("n"))
+        .withColumn("type", lit("node"))
+      val rels = g.edges.select(col("rel_type").as("name"))
+        .groupBy("name").agg(count(lit(1)).as("n"))
+        .withColumn("type", lit("relationship"))
+      labels.unionByName(rels).select("name", "type", "n")
+        .orderBy("type", "name")
+    }),
+    "apoc.meta.graph" -> ((g, _) => {
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      Seq((g.nodes.count(), g.edges.count())).toDF("nodes", "relationships")
+    }),
+    // apoc.label.exists(label) — any node carries it (apoc/label/label.go:37)
+    "apoc.label.exists" -> ((g, args) => {
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      val l = args.head.toString
+      Seq(!g.nodes.filter(array_contains(col("labels"), l)).isEmpty).toDF("exists")
+    }))
 
   /** apoc.algo.dijkstra / aStar surface: point-to-point (path, weight) via
     * [[graft.algos.Algorithms.aStar]] with the zero heuristic (= exact
