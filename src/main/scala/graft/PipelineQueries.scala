@@ -78,6 +78,12 @@ object PipelineQueries {
               WHERE CAST(i2.i AS DOUBLE) / (za.sz + zb.sz - i2.i) >= 0.5"""),
       "pipeline"),
 
+    // murmur3 signature tier: no oracle (Spark-internal hash family) —
+    // spec asserts the verified pair set equals the md5 tier's exactly
+    "q_dedup_minhash_fast" -> GQuery(
+      (s, d) => Dedup.minhashLshPairsFast(Tables.documents(s, d), 3, 16, 4, 0.5),
+      None, "pipeline"),
+
     // md5-based word hash → signatures are engine-independent; the oracle
     // recomputes simhash from scratch and takes the EXACT Hamming join —
     // legitimate because the 4-window bucketing is lossless for dist ≤ 3

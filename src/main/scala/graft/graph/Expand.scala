@@ -337,12 +337,34 @@ object Expand {
       direction: Direction = Out): DataFrame = {
 
     val es0 = relType.map(g.edgesByType).getOrElse(g.edges)
-    val adj = (direction match {
+    val adjPlan = direction match {
       case Out  => es0.select(col("src").as("_from"), col("dst").as("_to"))
       case In   => es0.select(col("dst").as("_from"), col("src").as("_to"))
       case Both => es0.select(col("src").as("_from"), col("dst").as("_to"))
         .union(es0.select(col("dst").as("_from"), col("src").as("_to")))
-    }).cache()
+    }
+
+    // Bounded-hop fast path: unroll the levels into ONE lazy DAG —
+    // union of per-depth distinct frontiers, min(depth) per pair — instead
+    // of the eager per-level cache/count barriers below. Catalyst's
+    // ReuseExchange dedupes the shared level-k subplan between the union
+    // branch and the level-k+1 join input, so each level is still computed
+    // once, but there is no driver round-trip between levels and AQE plans
+    // the whole traversal at once. Early termination doesn't matter at
+    // <=3 hops; the iterative loop below keeps it for deep traversals.
+    if (maxHops <= 3) {
+      var cur = srcIds.select(col("id").as("start_id"), col("id").as("end_id"))
+      var levels = List(cur.withColumn("length", lit(0)))
+      for (d <- 1 to maxHops) {
+        cur = cur.join(adjPlan, col("end_id") === col("_from"))
+          .select(col("start_id"), col("_to").as("end_id")).distinct()
+        levels ::= cur.withColumn("length", lit(d))
+      }
+      return levels.reduce(_.unionByName(_))
+        .groupBy("start_id", "end_id").agg(min("length").as("length"))
+    }
+
+    val adj = adjPlan.cache()
 
     // visited: best-known (start,end,length); frontier: newly reached pairs
     var visited = srcIds.select(col("id").as("start_id"), col("id").as("end_id"),

@@ -105,6 +105,37 @@ object Dedup {
     pairJaccard(cand, sh, threshold)
   }
 
+  /** Throughput twin of [[minhashLshPairs]]: signatures from Spark's
+    * codegen'd murmur3 (`hash(seed_j, shingle)`) instead of md5 chunks —
+    * no digest cost, same banding and exact-Jaccard verify. The verify
+    * step makes the final pair set insensitive to the hash family except
+    * through candidate recall; the spec asserts pair-set equality with the
+    * md5 variant at the test threshold. Use this tier for production runs,
+    * the md5 tier when an external SQL oracle must replay signatures.
+    */
+  def minhashLshPairsFast(docs: DataFrame, shingleN: Int, nHashes: Int,
+      nBands: Int, threshold: Double): DataFrame = {
+    require(nHashes % nBands == 0, "nHashes must divide into nBands")
+    val rowsPerBand = nHashes / nBands
+    val sh = shingles(docs, shingleN).cache()
+    val sig = sh.groupBy("doc_id").agg(
+      array((0 until nHashes).map(j =>
+        min(hash(lit(j), col("shingle")))): _*).as("sig"))
+    val bands = sig.select(col("doc_id"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bsig"))
+        }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.bsig"))
+    val cand = bands.toDF("a", "band", "bsig")
+      .join(bands.toDF("b", "band2", "bsig2"),
+        col("band") === col("band2") && col("bsig") === col("bsig2"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    pairJaccard(cand, sh, threshold)
+  }
+
   /** True Jaccard for given candidate pairs against a shingle table. */
   private def pairJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))

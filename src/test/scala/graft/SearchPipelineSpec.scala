@@ -116,6 +116,17 @@ class SearchPipelineSpec extends AnyFunSuite {
       s"missed: ${exactPairs.diff(lshPairs)}")
   }
 
+  test("murmur3 minhash tier returns the same verified pairs as the md5 tier") {
+    val md5Pairs = Dedup.minhashLshPairs(docs, 3, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fastPairs = Dedup.minhashLshPairsFast(docs, 3, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact-Jaccard verify makes the pair set hash-family-independent
+    // up to candidate recall; at this threshold/banding both recall fully
+    assert(md5Pairs == fastPairs,
+      s"md5-only: ${md5Pairs.diff(fastPairs)}, fast-only: ${fastPairs.diff(md5Pairs)}")
+  }
+
   test("simhash gives identical fingerprints for identical docs") {
     val sig = Dedup.simhash(docs)
     val joined = docs.toDF("id1", "t1", "l1", "s1", "n1")
