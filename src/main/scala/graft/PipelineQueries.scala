@@ -78,6 +78,38 @@ object PipelineQueries {
               WHERE CAST(i2.i AS DOUBLE) / (za.sz + zb.sz - i2.i) >= 0.5"""),
       "pipeline"),
 
+    // cluster resolution over the (oracle-replayable) ngram-Jaccard pairs:
+    // the DuckDB oracle recomputes the pairs AND the connected components
+    // (recursive transitive-closure CTE) and the keep-first canonical
+    "q_dedup_clusters" -> GQuery(
+      (s, d) => Dedup.dedupClusters(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.5, 300L)),
+      Some("""WITH RECURSIVE
+              words AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                        FROM documents WHERE doc_id < 300),
+              sh AS (SELECT doc_id, unnest(list_distinct(
+                       [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        FOR i IN generate_series(1, len(w)-2)])) AS shingle
+                     FROM words),
+              sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+              inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS inter
+                        FROM sh s1 JOIN sh s2
+                          ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+                        GROUP BY 1, 2),
+              p AS (SELECT a, b FROM inter
+                      JOIN sz sza ON inter.a = sza.doc_id
+                      JOIN sz szb ON inter.b = szb.doc_id
+                    WHERE CAST(inter AS DOUBLE) / (sza.sz + szb.sz - inter) >= 0.5),
+              e AS (SELECT a AS x, b AS y FROM p UNION ALL SELECT b, a FROM p),
+              cc(doc_id, lbl) AS (
+                SELECT DISTINCT x AS doc_id, x AS lbl FROM e
+                UNION
+                SELECT e.x, cc.lbl FROM cc JOIN e ON e.y = cc.doc_id)
+              SELECT doc_id, MIN(lbl) AS cluster_id,
+                     doc_id = MIN(lbl) AS canonical
+              FROM cc GROUP BY doc_id"""),
+      "pipeline"),
+
     // murmur3 signature tier: no oracle (Spark-internal hash family) —
     // spec asserts the verified pair set equals the md5 tier's exactly
     "q_dedup_minhash_fast" -> GQuery(

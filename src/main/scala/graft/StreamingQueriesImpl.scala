@@ -114,6 +114,59 @@ object StreamingQueriesImpl {
               SELECT entity, 'burst', burst_conf, CAST(-1 AS INT), CAST(-1 AS INT), 60.0
               FROM base WHERE in_window >= 5"""), "2.12"),
 
+    // STREAMING pattern detector: per-entity histograms in GroupState,
+    // updated per access like the reference's RecordAccess — daily/weekly
+    // identical to the batch detector; burst anchored per-entity (the
+    // oracle replays that anchor with a per-user MAX)
+    "q_stream_temporal" -> GQuery(
+      (s, d) => graft.streaming.TemporalPatterns.detectStreaming(s, d,
+        s"tmp_pat_${System.nanoTime}"),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                                CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+                         FROM events),
+              agg AS (
+                SELECT user_id AS entity, COUNT(*) AS total, MAX(sec) AS now_s
+                FROM e GROUP BY user_id),
+              win AS (
+                SELECT e.user_id AS entity, COUNT(*) AS in_window
+                FROM e JOIN agg ON agg.entity = e.user_id
+                WHERE e.sec > agg.now_s - 60 GROUP BY 1),
+              hh AS (SELECT user_id AS entity, hour(ts) AS h, COUNT(*) AS c
+                     FROM e GROUP BY 1, 2),
+              hmax AS (SELECT entity, h AS peak_hour, c AS max_h FROM (
+                         SELECT entity, h, c,
+                                ROW_NUMBER() OVER (PARTITION BY entity
+                                  ORDER BY c DESC, h ASC) AS rn FROM hh)
+                       WHERE rn = 1),
+              dd AS (SELECT user_id AS entity, dayofweek(ts) AS d, COUNT(*) AS c
+                     FROM e GROUP BY 1, 2),
+              dmax AS (SELECT entity, d AS peak_day, c AS max_d FROM (
+                         SELECT entity, d, c,
+                                ROW_NUMBER() OVER (PARTITION BY entity
+                                  ORDER BY c DESC, d ASC) AS rn FROM dd)
+                       WHERE rn = 1),
+              base AS (
+                SELECT a.entity, a.total, w.in_window,
+                       hm.peak_hour, hm.max_h, dm.peak_day, dm.max_d,
+                       GREATEST(LEAST((hm.max_h / (a.total / 24.0) - 1.0) / 3.0, 1.0), 0.0) AS daily_conf,
+                       GREATEST(LEAST((dm.max_d / (a.total / 7.0) - 1.0) / 2.0, 1.0), 0.0) AS weekly_conf,
+                       LEAST(w.in_window / 60.0 / 10.0, 1.0) AS burst_conf
+                FROM agg a JOIN hmax hm ON hm.entity = a.entity
+                           JOIN dmax dm ON dm.entity = a.entity
+                           JOIN win w ON w.entity = a.entity
+                WHERE a.total >= 10)
+              SELECT entity, 'daily' AS pattern, daily_conf AS confidence,
+                     CAST(peak_hour AS INT) AS peak_hour, CAST(-1 AS INT) AS peak_day,
+                     86400.0 AS period
+              FROM base WHERE daily_conf >= 0.3
+              UNION ALL
+              SELECT entity, 'weekly', weekly_conf, CAST(-1 AS INT),
+                     CAST(peak_day AS INT), 604800.0
+              FROM base WHERE weekly_conf >= 0.4
+              UNION ALL
+              SELECT entity, 'burst', burst_conf, CAST(-1 AS INT), CAST(-1 AS INT), 60.0
+              FROM base WHERE in_window >= 5"""), "2.12"),
+
     // arbitrary per-key streaming state: the Kalman fold carried in
     // GroupState across micro-batches — hash-matches the BATCH oracle
     "q_stream_kalman_state" -> GQuery(

@@ -136,6 +136,40 @@ object Dedup {
     pairJaccard(cand, sh, threshold)
   }
 
+  /** Cluster resolution over near-dup pairs — the pipeline step AFTER pair
+    * generation: connected components of the pair graph, each doc labeled
+    * with its component's minimum doc id (the canonical "keep-first"
+    * survivor). Min-label propagation runs ONLY on the pair subgraph —
+    * at 100 TB dup pairs are a vanishing fraction of the corpus, and
+    * near-dup components have tiny diameter, so this is a handful of
+    * small self-joins, not a full-corpus traversal.
+    *
+    * Returns (doc_id, cluster_id, canonical) for every doc in a cluster.
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .union(pairs.select(col("b").as("x"), col("a").as("y"))).cache()
+    var labels = edges.select(col("x").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      it += 1
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("y"), col("lbl").as("nlbl")), "y")
+        .groupBy(col("x").as("doc_id")).agg(min(col("nlbl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
+        .localCheckpoint(true)
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select("doc_id", "lbl")
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+      (col("doc_id") === col("lbl")).as("canonical"))
+  }
+
   /** True Jaccard for given candidate pairs against a shingle table. */
   private def pairJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))

@@ -85,6 +85,94 @@ object TemporalPatterns {
     daily.unionByName(weekly).unionByName(burst)
   }
 
+  /** STREAMING form of [[detect]] — the reference's actual shape: the
+    * `PatternDetector` updates one node's histograms per access
+    * (`pattern_detector.go:117` `RecordAccess`) and detects on demand.
+    * Here the per-entity hour/day histograms ride in `GroupState` across
+    * micro-batches (`mapGroupsWithState`), and each update emits the
+    * entity's current daily/weekly/burst detection. Burst anchors on the
+    * entity's own latest access (the reference anchors on wall-clock now —
+    * per-entity recency is the deterministic analog). Daily/weekly rows
+    * match [[detect]] exactly (same formulas, now-independent).
+    */
+  def detectStreaming(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      queryName: String, cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
+    import org.apache.spark.sql.types._
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", sfDir).option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      // nanos → seconds; hour/day-of-week derived UTC like the batch path
+      .select(col("user_id"), (col("ts") / 1000000000L).cast("long").as("s"))
+      .as[(Long, Long)]
+
+    // state: (hour histogram [24], weekday histogram [7], recent-second
+    // list for the burst window, max seen second)
+    val out = stream.groupByKey(_._1)
+      .mapGroupsWithState[(Seq[Long], Seq[Long], Seq[Long], Long),
+        (Long, Long, Int, Long, Int, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long)],
+         state: GroupState[(Seq[Long], Seq[Long], Seq[Long], Long)]) =>
+          var (hs, ds, recent, maxS) = state.getOption
+            .getOrElse((Seq.fill(24)(0L), Seq.fill(7)(0L), Seq.empty[Long], 0L))
+          val hh = hs.toArray; val dd = ds.toArray
+          var rec = recent.toList
+          it.foreach { case (_, s) =>
+            val z = java.time.Instant.ofEpochSecond(s).atZone(java.time.ZoneOffset.UTC)
+            hh(z.getHour) += 1
+            dd(z.getDayOfWeek.getValue % 7) += 1 // ISO Mon=1..Sun=7 → Go Sun=0
+            if (s > maxS) maxS = s
+            rec ::= s
+          }
+          rec = rec.filter(_ > maxS - 60) // only the burst window survives
+          state.update((hh.toSeq, dd.toSeq, rec, maxS))
+          val total = hh.sum
+          val peakH = hh.indexOf(hh.max); val peakD = dd.indexOf(dd.max)
+          (uid, total, peakH, hh(peakH), peakD, dd(peakD), rec.size.toLong)
+      }
+    val q = out.toDF("entity", "total", "peak_hour", "max_h", "peak_day", "max_d", "in_window")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+
+    // Update mode emits one row per entity per micro-batch — keep the
+    // latest (total is monotone, so max-by-total = last update)
+    val latest = spark.table(queryName)
+      .groupBy("entity")
+      .agg(max(struct(col("total"), col("peak_hour"), col("max_h"),
+        col("peak_day"), col("max_d"), col("in_window"))).as("s"))
+      .select(col("entity"), col("s.*"))
+    val base = latest
+      .filter(col("total") >= cfg.minSamples)
+      .withColumn("daily_conf",
+        clamp01((col("max_h") / (col("total") / lit(24.0)) - 1.0) / 3.0))
+      .withColumn("weekly_conf",
+        clamp01((col("max_d") / (col("total") / lit(7.0)) - 1.0) / 2.0))
+      .withColumn("burst_conf",
+        least(col("in_window") / lit(cfg.burstWindowSeconds) / 10.0, lit(1.0)))
+    val daily = base.filter(col("daily_conf") >= cfg.dailyThreshold)
+      .select(col("entity"), lit("daily").as("pattern"),
+        col("daily_conf").as("confidence"), col("peak_hour").cast("int"),
+        lit(-1).cast("int").as("peak_day"), lit(86400.0).as("period"))
+    val weekly = base.filter(col("weekly_conf") >= cfg.weeklyThreshold)
+      .select(col("entity"), lit("weekly").as("pattern"),
+        col("weekly_conf").as("confidence"), lit(-1).cast("int").as("peak_hour"),
+        col("peak_day").cast("int"), lit(604800.0).as("period"))
+    val burst = base.filter(col("in_window") >= cfg.burstMinAccesses)
+      .select(col("entity"), lit("burst").as("pattern"),
+        col("burst_conf").as("confidence"), lit(-1).cast("int").as("peak_hour"),
+        lit(-1).cast("int").as("peak_day"), lit(cfg.burstWindowSeconds).as("period"))
+    daily.unionByName(weekly).unionByName(burst)
+  }
+
   /** Growth/decay trend per entity (`detectTrendPattern`,
     * `pattern_detector.go:323`): the Kalman-velocity fold over the
     * entity's daily access counts; velocity above/below the thresholds

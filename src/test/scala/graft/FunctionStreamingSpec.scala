@@ -91,4 +91,18 @@ class FunctionStreamingSpec extends AnyFunSuite {
     assert(trends.get(11L).contains("decaying"), trends.toString)
     assert(!trends.contains(12L), trends.toString)
   }
+
+  test("streaming pattern detector matches batch daily/weekly rows exactly") {
+    import graft.streaming.TemporalPatterns
+    val batch = TemporalPatterns.detect(Tables.events(spark, sf))
+      .filter(col("pattern").isin("daily", "weekly"))
+      .collect().map(_.toSeq.toSeq).toSet
+    val streamed = TemporalPatterns.detectStreaming(spark, sf, "tmp_pat_spec")
+      .filter(col("pattern").isin("daily", "weekly"))
+      .collect().map(_.toSeq.toSeq).toSet
+    // daily/weekly are now-independent: GroupState histograms must land on
+    // the identical confidence doubles as the one-pass batch aggregation
+    assert(batch == streamed,
+      s"batch-only: ${batch.diff(streamed).take(3)}, stream-only: ${streamed.diff(batch).take(3)}")
+  }
 }
