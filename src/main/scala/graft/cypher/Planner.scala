@@ -1658,6 +1658,52 @@ object Planner {
         case "apoc.convert.tofloat" => a(0).try_cast("double")
         case "apoc.convert.toboolean" => a(0).try_cast("boolean")
 
+        // ---- apoc.diff.* / apoc.label.* list forms (ref apoc/diff/diff.go,
+        // apoc/label/label.go — storage-free members only; store-backed
+        // label ops are the SchemaCatalog/Procedures surface)
+        case "apoc.diff.maps" => // {added, removed, changed, unchanged} keys (diff.go:119)
+          val (m1, m2) = (a(0), a(1))
+          val k1 = map_keys(m1); val k2 = map_keys(m2)
+          struct(
+            sort_array(array_except(k2, k1)).as("added"),
+            sort_array(array_except(k1, k2)).as("removed"),
+            sort_array(filter(array_intersect(k1, k2),
+              k => !(element_at(m1, k) <=> element_at(m2, k)))).as("changed"),
+            sort_array(filter(array_intersect(k1, k2),
+              k => element_at(m1, k) <=> element_at(m2, k))).as("unchanged"))
+        case "apoc.diff.lists" => // {added, removed, common} (diff.go:158)
+          struct(
+            array_except(a(1), a(0)).as("added"),
+            array_except(a(0), a(1)).as("removed"),
+            array_intersect(a(1), a(0)).as("common"))
+        case "apoc.diff.deep" => a(0) <=> a(1) // DeepEqual (diff.go:235)
+        case "apoc.diff.strings" => // positions where the chars differ (diff.go:200)
+          val c1 = split(a(0), ""); val c2 = split(a(1), "")
+          filter(sequence(lit(0L), greatest(length(a(0)), length(a(1))).cast("long") - 1),
+            i => !(try_element_at(c1, i.cast("int") + 1) <=>
+              try_element_at(c2, i.cast("int") + 1)))
+        case "apoc.label.union" => // distinct union preserving first-seen order
+          array_distinct(concat(args.map(x => compile(x, f, params)): _*))
+        case "apoc.label.intersection" =>
+          args.map(x => compile(x, f, params)).reduce(array_intersect)
+        case "apoc.label.diff" =>
+          struct(array_except(a(0), a(1)).as("only1"),
+            array_except(a(1), a(0)).as("only2"),
+            array_intersect(a(0), a(1)).as("common"))
+        case "apoc.label.normalize" => // CamelCase from separators (label.go:413)
+          array_join(transform(textWords(a(0)), w => capLower(w)), "")
+        case "apoc.label.pattern" => concat(lit(":"), array_join(a(0), ":")) // label.go:426
+        case "apoc.label.frompattern" => // ':A:B' → ['A','B'] (label.go:438)
+          filter(split(a(0), ":"), s => s =!= "")
+        case "apoc.label.tostring" => array_join(a(0), ":")
+        case "apoc.label.fromstring" => filter(split(a(0), ":"), s => s =!= "")
+        case "apoc.label.has" =>
+          val labelsCol = args.head match {
+            case Variable(v) if f.kinds.get(v).contains(NodeK) => col(s"${v}_labels")
+            case other => compile(other, f, params).getField("labels")
+          }
+          array_contains(labelsCol, a(1))
+
         // ---- apoc.agg.* (ref apoc/agg/agg.go). The reference implements
         // these over value SLICES ([]interface{}), so they compose with
         // collect(): apoc.agg.median(collect(x)) — list functions here too.

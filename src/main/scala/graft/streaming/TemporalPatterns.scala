@@ -67,23 +67,32 @@ object TemporalPatterns {
         least(col("in_window") / lit(cfg.burstWindowSeconds) / 10.0, lit(1.0)))
       .filter(col("total") >= cfg.minSamples)
 
-    val daily = base
-      .filter(col("daily_conf") >= cfg.dailyThreshold)
-      .select(col("entity"), lit("daily").as("pattern"),
-        col("daily_conf").as("confidence"), col("peak_hour"),
-        lit(-1).cast("int").as("peak_day"), lit(86400.0).as("period"))
-    val weekly = base
-      .filter(col("weekly_conf") >= cfg.weeklyThreshold)
-      .select(col("entity"), lit("weekly").as("pattern"),
-        col("weekly_conf").as("confidence"), lit(-1).cast("int").as("peak_hour"),
-        col("peak_day"), lit(604800.0).as("period"))
-    val burst = base
-      .filter(col("in_window") >= cfg.burstMinAccesses)
-      .select(col("entity"), lit("burst").as("pattern"),
-        col("burst_conf").as("confidence"), lit(-1).cast("int").as("peak_hour"),
-        lit(-1).cast("int").as("peak_day"), lit(cfg.burstWindowSeconds).as("period"))
-    daily.unionByName(weekly).unionByName(burst)
+    explodePatterns(base, cfg)
   }
+
+  /** One-pass pattern emission: explode the three candidate patterns from
+    * the single aggregated row, filter by each one's threshold — the
+    * aggregation is computed ONCE (a 3-way union of filters over the same
+    * agg would re-run it per branch without an explicit cache).
+    */
+  private def explodePatterns(base: DataFrame, cfg: Config): DataFrame =
+    base.select(col("entity"), explode(array(
+        struct(lit("daily").as("pattern"), col("daily_conf").as("confidence"),
+          col("peak_hour").cast("int").as("peak_hour"),
+          lit(-1).cast("int").as("peak_day"), lit(86400.0).as("period"),
+          (col("daily_conf") >= cfg.dailyThreshold).as("keep")),
+        struct(lit("weekly").as("pattern"), col("weekly_conf").as("confidence"),
+          lit(-1).cast("int").as("peak_hour"),
+          col("peak_day").cast("int").as("peak_day"), lit(604800.0).as("period"),
+          (col("weekly_conf") >= cfg.weeklyThreshold).as("keep")),
+        struct(lit("burst").as("pattern"), col("burst_conf").as("confidence"),
+          lit(-1).cast("int").as("peak_hour"),
+          lit(-1).cast("int").as("peak_day"),
+          lit(cfg.burstWindowSeconds).as("period"),
+          (col("in_window") >= cfg.burstMinAccesses).as("keep")))).as("p"))
+      .filter(col("p.keep"))
+      .select(col("entity"), col("p.pattern"), col("p.confidence"),
+        col("p.peak_hour"), col("p.peak_day"), col("p.period"))
 
   /** STREAMING form of [[detect]] — the reference's actual shape: the
     * `PatternDetector` updates one node's histograms per access
@@ -158,19 +167,7 @@ object TemporalPatterns {
         clamp01((col("max_d") / (col("total") / lit(7.0)) - 1.0) / 2.0))
       .withColumn("burst_conf",
         least(col("in_window") / lit(cfg.burstWindowSeconds) / 10.0, lit(1.0)))
-    val daily = base.filter(col("daily_conf") >= cfg.dailyThreshold)
-      .select(col("entity"), lit("daily").as("pattern"),
-        col("daily_conf").as("confidence"), col("peak_hour").cast("int"),
-        lit(-1).cast("int").as("peak_day"), lit(86400.0).as("period"))
-    val weekly = base.filter(col("weekly_conf") >= cfg.weeklyThreshold)
-      .select(col("entity"), lit("weekly").as("pattern"),
-        col("weekly_conf").as("confidence"), lit(-1).cast("int").as("peak_hour"),
-        col("peak_day").cast("int"), lit(604800.0).as("period"))
-    val burst = base.filter(col("in_window") >= cfg.burstMinAccesses)
-      .select(col("entity"), lit("burst").as("pattern"),
-        col("burst_conf").as("confidence"), lit(-1).cast("int").as("peak_hour"),
-        lit(-1).cast("int").as("peak_day"), lit(cfg.burstWindowSeconds).as("period"))
-    daily.unionByName(weekly).unionByName(burst)
+    explodePatterns(base, cfg)
   }
 
   /** Growth/decay trend per entity (`detectTrendPattern`,

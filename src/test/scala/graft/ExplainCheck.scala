@@ -1,0 +1,25 @@
+package graft
+/** Scratch: plan-shape audit (run manually, not a test suite). */
+object ExplainCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    val d = "/root/testdata/sf0.01"
+    val tp = graft.streaming.TemporalPatterns.detect(Tables.events(spark, d))
+    val plan = tp.queryExecution.executedPlan.toString
+    println("== temporal exchanges: " + "Exchange hash".r.findAllIn(plan).size)
+    val cl = graft.operators.Dedup.dedupClusters(
+      graft.operators.Dedup.ngramJaccardPairs(Tables.documents(spark, d), 3, 0.5, 300L))
+    val p2 = cl.queryExecution.executedPlan.toString
+    println("== clusters BNLJ: " + "BroadcastNestedLoop".r.findAllIn(p2).size)
+    println("== clusters cartesian: " + "CartesianProduct".r.findAllIn(p2).size)
+    val g = GraphQueries.graph(spark, d)
+    val sp = graft.graph.Expand.shortestPathsDf(g, g.nodesByLabel("Customer").select("id"), None, 2)
+    val p3 = sp.queryExecution.executedPlan.toString
+    println("== bfs BNLJ: " + "BroadcastNestedLoop".r.findAllIn(p3).size)
+    println("== bfs exchanges: " + "Exchange hash".r.findAllIn(p3).size)
+    val rr = QueryRegistry.all("q_hybrid_rerank").fn(spark, d)
+    println("== rerank single-partition windows: " +
+      "Window".r.findAllIn(rr.queryExecution.executedPlan.toString).size)
+    spark.stop()
+  }
+}

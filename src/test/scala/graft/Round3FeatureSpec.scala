@@ -352,4 +352,29 @@ class Round3FeatureSpec extends AnyFunSuite {
          RETURN apoc.coll.sortMaps(ms, 'k')[0]['v'] AS first""").head
     assert(sm(0) == "a")
   }
+
+  test("apoc.diff and apoc.label families") {
+    val r = rows(
+      """WITH apoc.map.fromValues(['a', '1', 'b', '2']) AS m1,
+              apoc.map.fromValues(['b', '3', 'c', '4']) AS m2
+         RETURN apoc.diff.maps(m1, m2) AS dm,
+                apoc.diff.lists([1, 2, 3], [2, 3, 4]) AS dl,
+                apoc.diff.deep([1, 2], [1, 2]) AS eq,
+                apoc.diff.strings('abc', 'axc') AS ds,
+                apoc.label.union(['A', 'B'], ['B', 'C']) AS lu,
+                apoc.label.intersection(['A', 'B'], ['B', 'C']) AS li,
+                apoc.label.normalize('user account') AS ln,
+                apoc.label.pattern(['A', 'B']) AS lp,
+                apoc.label.fromPattern(':A:B') AS lf""").head
+    val dm = r(0).asInstanceOf[org.apache.spark.sql.Row]
+    assert(dm.getSeq[String](0) == Seq("c")) // added
+    assert(dm.getSeq[String](1) == Seq("a")) // removed
+    assert(dm.getSeq[String](2) == Seq("b")) // changed (2 → 3)
+    val dl = r(1).asInstanceOf[org.apache.spark.sql.Row]
+    assert(dl.getSeq[Long](0) == Seq(4L) && dl.getSeq[Long](1) == Seq(1L))
+    assert(r(2) == true)
+    assert(r(3) == Seq(1L)) // position 1 differs
+    assert(r(4) == Seq("A", "B", "C") && r(5) == Seq("B"))
+    assert(r(6) == "UserAccount" && r(7) == ":A:B" && r(8) == Seq("A", "B"))
+  }
 }
