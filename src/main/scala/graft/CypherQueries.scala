@@ -586,6 +586,48 @@ object CypherQueries {
            UNION ALL SELECT 'LOCATED_IN', 'relationship', (SELECT COUNT(*) FROM supplier)
            UNION ALL SELECT 'IN', 'relationship', (SELECT COUNT(*) FROM nation))"""),
 
+    cq("q_cypher_apoc_scoring", "2.10",
+      // apoc.scoring.* tranche: IR/statistics scoring math, every column
+      // replayed in DuckDB (set similarity over part-name words)
+      """MATCH (p:Part) WHERE p.key <= 100
+         WITH p, split(p.name, ' ') AS ws
+         RETURN p.key AS k,
+                apoc.scoring.tf('red', p.name) AS tf,
+                apoc.scoring.idf('red', 100, 30) AS idf,
+                apoc.scoring.bm25(2.0, toFloat(size(ws)), 3.0, 1.2, 0.75) AS bm,
+                apoc.scoring.jaccard(ws, ['red', 'bolt']) AS jac,
+                apoc.scoring.overlap(ws, ['red', 'bolt']) AS ov,
+                apoc.scoring.dice(ws, ['red', 'bolt']) AS dc,
+                apoc.scoring.pageRank([0.25, 0.5], 0.5) AS pr,
+                apoc.scoring.percentile(toFloat(p.key), [25.0, 50.0, 75.0]) AS pct,
+                apoc.scoring.zScore(toFloat(p.key), 50.0, 10.0) AS zs,
+                apoc.scoring.minMax(toFloat(p.key), 0.0, 200.0, 0.0, 1.0) AS mm,
+                apoc.scoring.pareto(10.0, toFloat(p.key), 200.0, 0.5) AS par,
+                apoc.scoring.existence(p.name, true) AS ex""",
+      """SELECT p_partkey AS k,
+                CAST(len(list_filter(ws, w -> w = 'red')) AS DOUBLE) / len(ws) AS tf,
+                ln(CAST(100 AS DOUBLE) / CAST(30 AS DOUBLE)) AS idf,
+                2.0 * (1.2 + 1.0) /
+                  (2.0 + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(len(ws) AS DOUBLE) / 3.0))) AS bm,
+                CAST(len(list_intersect(dws, ['red', 'bolt'])) AS DOUBLE)
+                  / (len(dws) + 2 - len(list_intersect(dws, ['red', 'bolt']))) AS jac,
+                CAST(len(list_intersect(dws, ['red', 'bolt'])) AS DOUBLE)
+                  / LEAST(len(dws), 2) AS ov,
+                2.0 * len(list_intersect(dws, ['red', 'bolt']))
+                  / (len(dws) + 2) AS dc,
+                (1.0 - 0.5) + 0.5 * (0.25 + 0.5) AS pr,
+                CAST(len(list_filter([25.0, 50.0, 75.0], v -> v < p_partkey)) AS DOUBLE) / 3 AS pct,
+                (CAST(p_partkey AS DOUBLE) - 50.0) / 10.0 AS zs,
+                CAST(p_partkey AS DOUBLE) / 200.0 AS mm,
+                CASE WHEN p_partkey <= 10 THEN 0.0
+                     WHEN p_partkey >= 200 THEN 0.5
+                     ELSE (CAST(p_partkey AS DOUBLE) - 10.0) / 190.0 * 0.5 END AS par,
+                1.0 AS ex
+         FROM (SELECT p_partkey,
+                      list_filter(string_split_regex(lower(p_name), '\s+'), w -> w <> '') AS ws,
+                      list_distinct(list_filter(string_split_regex(lower(p_name), '\s+'), w -> w <> '')) AS dws
+               FROM part WHERE p_partkey <= 100)"""),
+
     cq("q_cypher_in_list", "2.2",
       """MATCH (o:Order) WHERE o.mktsegment IN ['1-URGENT', '2-HIGH']
          RETURN o.mktsegment AS pri, count(*) AS n""",

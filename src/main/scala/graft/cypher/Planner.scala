@@ -1658,6 +1658,94 @@ object Planner {
         case "apoc.convert.tofloat" => a(0).try_cast("double")
         case "apoc.convert.toboolean" => a(0).try_cast("boolean")
 
+        // ---- apoc.scoring.* (ref apoc/scoring/scoring.go) — pure math,
+        // all codegen column expressions / HOF folds
+        case "apoc.scoring.existence" => // weightless indicator (scoring.go:18)
+          when(a(1) && a(0).isNotNull, lit(1.0)).otherwise(lit(0.0))
+        case "apoc.scoring.pareto" => // scoring.go:30
+          val (mn, e, mx, w) = (a(0), a(1), a(2), a(3))
+          when(e <= mn, lit(0.0)).when(e >= mx, w)
+            .otherwise((e - mn) / (mx - mn) * w)
+        case "apoc.scoring.cosine" => // scoring.go:49
+          val dot = aggregate(zip_with(a(0), a(1), (x, y) => x * y), lit(0.0), _ + _)
+          val n1 = aggregate(a(0), lit(0.0), (acc, x) => acc + x * x)
+          val n2 = aggregate(a(1), lit(0.0), (acc, x) => acc + x * x)
+          when(size(a(0)) =!= size(a(1)) || size(a(0)) === 0 ||
+            n1 === 0.0 || n2 === 0.0, lit(0.0))
+            .otherwise(dot / (sqrt(n1) * sqrt(n2)))
+        case "apoc.scoring.euclidean" => // distance (scoring.go:76)
+          when(size(a(0)) =!= size(a(1)), lit(0.0)).otherwise(
+            sqrt(aggregate(zip_with(a(0), a(1), (x, y) => (x - y) * (x - y)),
+              lit(0.0), _ + _)))
+        case "apoc.scoring.manhattan" => // scoring.go:95
+          when(size(a(0)) =!= size(a(1)), lit(0.0)).otherwise(
+            aggregate(zip_with(a(0), a(1), (x, y) => abs(x - y)), lit(0.0), _ + _))
+        case "apoc.scoring.jaccard" => // set Jaccard; both-empty → 1 (scoring.go:113)
+          val (d1, d2) = (array_distinct(a(0)), array_distinct(a(1)))
+          val inter = size(array_intersect(d1, d2))
+          val un = size(d1) + size(d2) - inter
+          when(size(a(0)) === 0 && size(a(1)) === 0, lit(1.0))
+            .when(un === 0, lit(0.0))
+            .otherwise(inter.cast("double") / un)
+        case "apoc.scoring.overlap" => // inter / min size (scoring.go:152)
+          val (d1, d2) = (array_distinct(a(0)), array_distinct(a(1)))
+          when(size(a(0)) === 0 || size(a(1)) === 0, lit(0.0)).otherwise(
+            size(array_intersect(d1, d2)).cast("double") / least(size(d1), size(d2)))
+        case "apoc.scoring.dice" => // 2·inter / (|1|+|2|) (scoring.go:182)
+          val (d1, d2) = (array_distinct(a(0)), array_distinct(a(1)))
+          when(size(d1) + size(d2) === 0, lit(0.0)).otherwise(
+            lit(2.0) * size(array_intersect(d1, d2)) / (size(d1) + size(d2)))
+        case "apoc.scoring.pearson" => // scoring.go:211
+          val xs = transform(a(0), x => x.cast("double"))
+          val ys = transform(a(1), y => y.cast("double"))
+          val n = size(xs).cast("double")
+          val mx = aggregate(xs, lit(0.0), _ + _) / n
+          val my = aggregate(ys, lit(0.0), _ + _) / n
+          val num = aggregate(zip_with(xs, ys, (x, y) => (x - mx) * (y - my)), lit(0.0), _ + _)
+          val dx = aggregate(xs, lit(0.0), (acc, x) => acc + (x - mx) * (x - mx))
+          val dy = aggregate(ys, lit(0.0), (acc, y) => acc + (y - my) * (y - my))
+          when(size(xs) =!= size(ys) || size(xs) === 0 || dx === 0.0 || dy === 0.0,
+            lit(0.0)).otherwise(num / sqrt(dx * dy))
+        case "apoc.scoring.tf" => // occurrences / word count (scoring.go:253)
+          val words = filter(split(lower(a(1)), "\\s+"), w => w =!= "")
+          when(size(words) === 0, lit(0.0)).otherwise(
+            size(filter(words, w => w === lower(a(0)))).cast("double") / size(words))
+        case "apoc.scoring.idf" => // ln(total/with) (scoring.go:275)
+          when(a(2) === 0, lit(0.0)).otherwise(
+            log(a(1).cast("double") / a(2).cast("double")))
+        case "apoc.scoring.tfidf" =>
+          val words = filter(split(lower(a(1)), "\\s+"), w => w =!= "")
+          val tf = when(size(words) === 0, lit(0.0)).otherwise(
+            size(filter(words, w => w === lower(a(0)))).cast("double") / size(words))
+          val idf = when(a(3) === 0, lit(0.0)).otherwise(
+            log(a(2).cast("double") / a(3).cast("double")))
+          tf * idf
+        case "apoc.scoring.bm25" => // scalar form (scoring.go:299)
+          val (tfq, dl, avgdl, k1, b) = (a(0), a(1), a(2), a(3), a(4))
+          tfq * (k1 + 1.0) / (tfq + k1 * (lit(1.0) - b + b * (dl / avgdl)))
+        case "apoc.scoring.pagerank" => // (1−d) + d·Σ (scoring.go:310)
+          (lit(1.0) - a(1)) + a(1) * aggregate(a(0), lit(0.0), (acc, x) => acc + x.cast("double"))
+        case "apoc.scoring.normalize" => // min-max to [0,1] (scoring.go:324)
+          val xs = transform(a(0), x => x.cast("double"))
+          val mn = array_min(xs); val mx = array_max(xs)
+          when(mx === mn, transform(xs, _ => lit(0.0)))
+            .otherwise(transform(xs, x => (x - mn) / (mx - mn)))
+        case "apoc.scoring.percentile" => // fraction strictly below (scoring.go:400)
+          when(size(a(1)) === 0, lit(0.0)).otherwise(
+            size(filter(a(1), v => v < a(0))).cast("double") / size(a(1)))
+        case "apoc.scoring.zscore" =>
+          when(a(2) === 0.0, lit(0.0)).otherwise((a(0) - a(1)) / a(2))
+        case "apoc.scoring.minmax" => // scoring.go:433
+          when(a(2) === a(1), a(3)).otherwise(
+            a(3) + (a(0) - a(1)) / (a(2) - a(1)) * (a(4) - a(3)))
+        case "apoc.scoring.sigmoid" => lit(1.0) / (lit(1.0) + exp(-a(0)))
+        case "apoc.scoring.softmax" => // max-stabilized (scoring.go:456)
+          val xs = transform(a(0), x => x.cast("double"))
+          val mx = array_max(xs)
+          val exps = transform(xs, x => exp(x - mx))
+          val sm = aggregate(exps, lit(0.0), _ + _)
+          transform(exps, e => e / sm)
+
         // ---- apoc.diff.* / apoc.label.* list forms (ref apoc/diff/diff.go,
         // apoc/label/label.go — storage-free members only; store-backed
         // label ops are the SchemaCatalog/Procedures surface)

@@ -377,4 +377,21 @@ class Round3FeatureSpec extends AnyFunSuite {
     assert(r(4) == Seq("A", "B", "C") && r(5) == Seq("B"))
     assert(r(6) == "UserAccount" && r(7) == ":A:B" && r(8) == Seq("A", "B"))
   }
+
+  test("apoc.scoring vector/statistics forms match hand-computed values") {
+    val r = rows(
+      """RETURN apoc.scoring.cosine([1.0, 0.0], [1.0, 0.0]) AS cos1,
+                apoc.scoring.cosine([1.0, 0.0], [0.0, 1.0]) AS cos0,
+                apoc.scoring.euclidean([0.0, 3.0], [4.0, 0.0]) AS euc,
+                apoc.scoring.manhattan([1.0, 2.0], [4.0, 6.0]) AS man,
+                apoc.scoring.pearson([1.0, 2.0, 3.0], [2.0, 4.0, 6.0]) AS pear,
+                apoc.scoring.softmax([1.0, 1.0]) AS sm,
+                apoc.scoring.normalize([1.0, 3.0, 5.0]) AS nrm,
+                apoc.scoring.jaccard([], []) AS jempty""").head
+    assert(r(0) == 1.0 && r(1) == 0.0 && r(2) == 5.0 && r(3) == 7.0)
+    assert(math.abs(r(4).asInstanceOf[Double] - 1.0) < 1e-12) // perfectly correlated
+    assert(r(5) == Seq(0.5, 0.5))
+    assert(r(6) == Seq(0.0, 0.5, 1.0))
+    assert(r(7) == 1.0)
+  }
 }
