@@ -628,6 +628,18 @@ object CypherQueries {
                       list_distinct(list_filter(string_split_regex(lower(p_name), '\s+'), w -> w <> '')) AS dws
                FROM part WHERE p_partkey <= 100)"""),
 
+    // CALL-surface export → load round-trip (apoc/load, apoc/export):
+    // export region nodes to JSON, re-load through apoc.load.json, count
+    "q_cypher_load_export" -> GQuery(
+      (s, d) => {
+        Cypher.run(GraphQueries.graph(s, d),
+          "CALL apoc.export.json('/tmp/graft_export/region_call', 'Region') YIELD nodes RETURN nodes")
+        Cypher.run(GraphQueries.graph(s, d),
+          """CALL apoc.load.json('/tmp/graft_export/region_call')
+             YIELD id RETURN count(id) AS n_loaded""")
+      },
+      Some("SELECT CAST(COUNT(*) AS BIGINT) AS n_loaded FROM region"), "2.1"),
+
     cq("q_cypher_in_list", "2.2",
       """MATCH (o:Order) WHERE o.mktsegment IN ['1-URGENT', '2-HIGH']
          RETURN o.mktsegment AS pri, count(*) AS n""",

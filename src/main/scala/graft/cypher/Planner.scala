@@ -167,6 +167,23 @@ object Planner {
       import spark.implicits._
       val l = args.head.toString
       Seq(!g.nodes.filter(array_contains(col("labels"), l)).isEmpty).toDF("exists")
+    }),
+    // apoc.load.json/csv — file source procedures over the Formats layer
+    // (ref apoc/load; the reference streams rows from disk, here a
+    // distributed spark.read over the same path)
+    "apoc.load.json" -> ((g, args) =>
+      graft.sources.Formats.importNodesJson(g.nodes.sparkSession, args.head.toString)),
+    "apoc.load.csv" -> ((g, args) =>
+      graft.sources.Formats.loadCsv(g.nodes.sparkSession, args.head.toString)),
+    // apoc.export.json — writes the (optionally label-filtered) node set,
+    // returns the reference's summary row shape (file, nodes, done)
+    "apoc.export.json" -> ((g, args) => {
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      val path = args.head.toString
+      val label = args.lift(1).map(_.toString).filter(_.nonEmpty)
+      val n = graft.sources.Formats.exportNodesJson(g, label, path)
+      Seq((path, n, true)).toDF("file", "nodes", "done")
     }))
 
   /** apoc.algo.dijkstra / aStar surface: point-to-point (path, weight) via
@@ -875,7 +892,11 @@ object Planner {
     case Index(l, i) =>
       val lc = compile(l, f, params)
       i match {
-        case Lit(s: String) => element_at(lc, s) // map['key']
+        case Lit(s: String) => // map['key'] / struct['field'] by analyzed type
+          f.df.select(lc).schema.head.dataType match {
+            case _: org.apache.spark.sql.types.StructType => lc.getField(s)
+            case _ => element_at(lc, s)
+          }
         case Lit(n: Long) =>
           if (n >= 0) element_at(lc, n.toInt + 1) else element_at(lc, n.toInt)
         case _ =>
@@ -1657,6 +1678,18 @@ object Planner {
         case "apoc.convert.tointeger" => a(0).try_cast("long")
         case "apoc.convert.tofloat" => a(0).try_cast("double")
         case "apoc.convert.toboolean" => a(0).try_cast("boolean")
+
+        // ---- apoc.create.* virtual entities (ref apoc/create/create.go:73):
+        // negative deterministic ids mark virtual (the reference uses a
+        // negated sequence; a content hash keeps Columns deterministic)
+        case "apoc.create.vnode" => // hash() rejects MAP — hash the JSON form
+          struct((-abs(hash(a(0), to_json(a(1))))).cast("long").as("id"),
+            a(0).as("labels"), a(1).as("properties"))
+        case "apoc.create.vrelationship" =>
+          struct((-abs(hash(to_json(a(0)), a(1), to_json(a(2)), to_json(a(3)))))
+              .cast("long").as("id"),
+            a(1).as("type"), a(0).getField("id").as("start"),
+            a(3).getField("id").as("end"), a(2).as("properties"))
 
         // ---- apoc.scoring.* (ref apoc/scoring/scoring.go) — pure math,
         // all codegen column expressions / HOF folds

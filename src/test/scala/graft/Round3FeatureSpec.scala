@@ -394,4 +394,16 @@ class Round3FeatureSpec extends AnyFunSuite {
     assert(r(6) == Seq(0.0, 0.5, 1.0))
     assert(r(7) == 1.0)
   }
+
+  test("apoc.create virtual entities carry negative ids and full payload") {
+    val r = rows(
+      """WITH apoc.create.vNode(['Person'], apoc.map.fromValues(['name', 'A'])) AS v1,
+              apoc.create.vNode(['Person'], apoc.map.fromValues(['name', 'B'])) AS v2
+         RETURN v1['id'] < 0 AS neg, v1['labels'][0] AS lbl,
+                v1['properties']['name'] AS nm,
+                apoc.create.vRelationship(v1, 'KNOWS', apoc.map.fromValues([]), v2)['type'] AS rt,
+                v1['id'] = v2['id'] AS clash""").head
+    assert(r(0) == true && r(1) == "Person" && r(2) == "A")
+    assert(r(3) == "KNOWS" && r(4) == false)
+  }
 }
