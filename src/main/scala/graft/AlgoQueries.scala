@@ -13,10 +13,100 @@ import graft.graph.Expand
   */
 object AlgoQueries {
 
+  /** Bounded part co-occurrence graph (parts < 150 sharing an order) —
+    * a unipartite long-keyed pair graph with genuine triangles, used by
+    * the community-analysis queries below. DuckDB replays the same pairs.
+    */
+  private def coPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d).filter(col("l_partkey") < 150)
+      .select(col("l_orderkey").as("o"), col("l_partkey"))
+    li.select(col("o"), col("l_partkey").as("a"))
+      .join(li.select(col("o").as("o2"), col("l_partkey").as("b")),
+        col("o") === col("o2") && col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  private val coPairsSql =
+    """co AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+              FROM lineitem l1 JOIN lineitem l2
+                ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+              WHERE l1.l_partkey < 150 AND l2.l_partkey < 150),
+       und AS (SELECT a, b FROM co UNION ALL SELECT b, a FROM co)"""
+
   val queries: Map[String, GQuery] = Map(
     "q_algo_pagerank" -> GQuery(
       (s, d) => Algorithms.pageRank(GraphQueries.graph(s, d), 2, exact = true),
       Some(Algorithms.pageRankOracleSql(2)), "2.11"),
+
+    // per-node triangle counts (community.go:324) on the co-occurrence
+    // graph — GraphX triangleCount; the oracle counts center-at-v wedges
+    // whose endpoints are themselves an edge
+    "q_algo_triangles" -> GQuery(
+      (s, d) => graft.algos.GraphXAlgos.triangleCounts(coPairs(s, d)),
+      Some(s"""WITH $coPairsSql
+               SELECT n.id, COALESCE(t.tri, 0) AS triangles FROM
+                 (SELECT DISTINCT a AS id FROM und) n LEFT JOIN
+                 (SELECT u1.a AS id, COUNT(*) AS tri
+                  FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+                  JOIN co e ON e.a = u1.b AND e.b = u2.b
+                  GROUP BY u1.a) t ON t.id = n.id"""), "2.11"),
+
+    // local clustering coefficient 2·tri/(k·(k−1)) (community.go:390)
+    "q_algo_clustering_coeff" -> GQuery(
+      (s, d) => graft.algos.GraphXAlgos.clusteringCoefficients(coPairs(s, d)),
+      Some(s"""WITH $coPairsSql,
+               deg AS (SELECT a AS id, COUNT(*) AS k FROM und GROUP BY a),
+               tri AS (SELECT u1.a AS id, COUNT(*) AS tri
+                       FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+                       JOIN co e ON e.a = u1.b AND e.b = u2.b
+                       GROUP BY u1.a)
+               SELECT deg.id,
+                      CASE WHEN deg.k < 2 THEN 0.0
+                           ELSE 2.0 * COALESCE(tri.tri, 0) / (deg.k * (deg.k - 1)) END
+                        AS coefficient
+               FROM deg LEFT JOIN tri ON tri.id = deg.id"""), "2.11"),
+
+    // modularity of the connected-component partition (community.go:288):
+    // exact-integer sums, single final double division; components (and
+    // their min-id labels) replayed with a recursive closure CTE
+    "q_algo_modularity" -> GQuery(
+      (s, d) => {
+        val pairs = coPairs(s, d)
+        val comm = graft.operators.Dedup.dedupClusters(pairs)
+          .select(col("doc_id").as("id"), col("cluster_id").as("component"))
+        Algorithms.modularity(pairs, comm)
+      },
+      Some(s"""WITH RECURSIVE $coPairsSql,
+               cc(id, lbl) AS (
+                 SELECT DISTINCT a, a FROM und
+                 UNION
+                 SELECT u.a, cc.lbl FROM cc JOIN und u ON u.b = cc.id),
+               comm AS (SELECT id, MIN(lbl) AS component FROM cc GROUP BY id),
+               deg AS (SELECT a AS id, COUNT(*) AS deg FROM und GROUP BY a),
+               m AS (SELECT COUNT(*) AS m FROM co),
+               dc2 AS (SELECT SUM(dc * dc) AS sum_dc2 FROM (
+                         SELECT SUM(deg) AS dc FROM deg JOIN comm USING (id)
+                         GROUP BY component)),
+               intra AS (SELECT COUNT(*) AS intra FROM co
+                         JOIN comm ca ON ca.id = co.a
+                         JOIN comm cb ON cb.id = co.b
+                         WHERE ca.component = cb.component)
+               SELECT CAST(intra AS DOUBLE) / m -
+                      CAST(sum_dc2 AS DOUBLE) / (4.0 * m * m) AS modularity
+               FROM m, dc2, intra"""), "2.11"),
+
+    // strongly connected components (community.go:517) — the TPC-H
+    // projection is a DAG, so every node is its own SCC (the cyclic case
+    // is spec-asserted on a mutated store)
+    "q_algo_scc" -> GQuery(
+      (s, d) => graft.algos.GraphXAlgos.scc(GraphQueries.graph(s, d))
+        .agg(countDistinct(col("component")).as("n_components"),
+          count(lit(1)).as("n_nodes")),
+      Some("""SELECT CAST(n AS BIGINT) AS n_components, CAST(n AS BIGINT) AS n_nodes FROM (
+                SELECT (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM orders)
+                     + (SELECT COUNT(*) FROM part) + (SELECT COUNT(*) FROM supplier)
+                     + (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS n)"""),
+      "2.11"),
 
     "q_algo_wcc" -> GQuery(
       (s, d) => graft.algos.GraphXAlgos.wcc(GraphQueries.graph(s, d), Some("CONTAINS"))

@@ -98,6 +98,33 @@ object Algorithms {
     * (id, component). Converges in O(diameter) rounds; each round is one
     * join+agg. `relType` restricts the edge set.
     */
+  /** Modularity of a node partition over an undirected simple pair graph
+    * (reference `apoc/community/community.go:288`):
+    * Q = intra/m − Σ_c d_c² / (4m²). All accumulation is exact-integer
+    * (edge counts, degree sums) with the two double divisions applied once
+    * at the end — bit-exact against a SQL oracle, no float-sum order
+    * sensitivity. One row out: (modularity).
+    */
+  def modularity(pairs: DataFrame, communities: DataFrame): DataFrame = {
+    val e = pairs.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b")).distinct().cache()
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    val mDf = e.agg(count(lit(1)).as("m"))
+    val dc2 = deg.join(communities, "id")
+      .groupBy("component").agg(sum("deg").as("dc"))
+      .agg(sum(col("dc") * col("dc")).as("sum_dc2"))
+    val intra = e
+      .join(communities.toDF("a", "ca"), "a")
+      .join(communities.toDF("b", "cb"), "b")
+      .filter(col("ca") === col("cb"))
+      .agg(count(lit(1)).as("intra"))
+    mDf.crossJoin(intra).crossJoin(dc2)
+      .select((col("intra").cast("double") / col("m") -
+        col("sum_dc2").cast("double") / (lit(4.0) * col("m") * col("m")))
+        .as("modularity"))
+  }
+
   def wcc(g: PropertyGraph, relType: Option[String] = None, maxIter: Int = 20): DataFrame = {
     val es = relType.map(g.edgesByType).getOrElse(g.edges)
     val und = es.select(col("src").as("a"), col("dst").as("b"))

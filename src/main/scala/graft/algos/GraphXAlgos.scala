@@ -157,6 +157,60 @@ object GraphXAlgos {
       StructField("id", StringType), StructField("component", StringType))))
   }
 
+  /** Per-node triangle counts over a long-keyed undirected pair-edge
+    * DataFrame (`a`, `b`) — e.g. the part co-occurrence graph. GraphX
+    * `triangleCount` on the canonicalized simple graph (reference
+    * `apoc/community/community.go:324`). Returns (id, triangles).
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgeRdd = pairs.select(col("a").cast("long"), col("b").cast("long")).rdd
+      .map { r =>
+        val (x, y) = (r.getLong(0), r.getLong(1))
+        Edge(math.min(x, y), math.max(x, y), ())
+      }
+      .distinct()
+    val graph = Graph.fromEdges(edgeRdd, (), StorageLevel.MEMORY_AND_DISK,
+        StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    val rows = graph.triangleCount().vertices.map { case (id, n) => Row(id, n.toLong) }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType), StructField("triangles", LongType))))
+  }
+
+  /** Local clustering coefficient 2·tri / (k·(k−1)) per node of a pair
+    * graph (`community.go:390`); k = distinct-neighbor degree.
+    */
+  def clusteringCoefficients(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("k"))
+    triangleCounts(pairs).join(deg, Seq("id"), "left")
+      .select(col("id"),
+        when(coalesce(col("k"), lit(0L)) < 2, lit(0.0))
+          .otherwise(lit(2.0) * col("triangles") / (col("k") * (col("k") - 1)))
+          .as("coefficient"))
+  }
+
+  /** Strongly connected components (Tarjan semantics via GraphX's
+    * iterative SCC, `community.go:517`). Returns (id, component) with the
+    * component labeled by its minimum string id, like [[wcc]].
+    */
+  def scc(g: PropertyGraph, relType: Option[String] = None,
+      numIter: Int = 8): DataFrame = {
+    val c = ctx(g, relType)
+    val graph = Graph.fromEdges(c.edges, (), StorageLevel.MEMORY_AND_DISK,
+      StorageLevel.MEMORY_AND_DISK)
+    val comp = graph.stronglyConnectedComponents(numIter)
+    val assigned = comp.vertices.join(c.rev)
+      .map { case (_, (rootIdx, id)) => (rootIdx, id) }
+    val rootToMin = assigned.reduceByKey((a, b) => if (a <= b) a else b)
+    val rows = assigned.join(rootToMin).map { case (_, (id, minId)) => Row(id, minId) }
+    toDf(g, rows, StructType(Seq(
+      StructField("id", StringType), StructField("component", StringType))))
+  }
+
   /** Static PageRank (same update rule as [[Algorithms.pageRank]]:
     * r ← 0.15 + 0.85·Σ r(src)·mult/outdeg, where outdeg counts parallel
     * edges) as aggregateMessages rounds on the contracted graph.

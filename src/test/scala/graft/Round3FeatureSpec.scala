@@ -406,4 +406,29 @@ class Round3FeatureSpec extends AnyFunSuite {
     assert(r(0) == true && r(1) == "Person" && r(2) == "A")
     assert(r(3) == "KNOWS" && r(4) == false)
   }
+
+  test("scc merges cycle members, keeps DAG nodes separate; triangles count") {
+    val sp = spark
+    import sp.implicits._
+    val nodes = Seq("A", "B", "C", "D").toDF("id")
+      .withColumn("labels", array(lit("N")))
+    // A↔B cycle; B→C→D chain
+    val edges = Seq(("A", "B"), ("B", "A"), ("B", "C"), ("C", "D"))
+      .toDF("src", "dst")
+      .withColumn("id", concat_ws(":", col("src"), col("dst")))
+      .withColumn("rel_type", lit("E"))
+      .withColumn("properties", map_from_arrays(array(), array()))
+      .withColumn("weight", lit(1.0))
+    val g = graft.graph.PropertyGraph(nodes, edges)
+    val comp = graft.algos.GraphXAlgos.scc(g)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp("A") == comp("B")) // the cycle collapses
+    assert(comp("C") != comp("A") && comp("D") != comp("C"))
+
+    // triangle: 1-2-3 closed, 4 hangs off
+    val tri = graft.algos.GraphXAlgos.triangleCounts(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
 }
