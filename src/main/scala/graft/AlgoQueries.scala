@@ -95,6 +95,53 @@ object AlgoQueries {
                       CAST(sum_dc2 AS DOUBLE) / (4.0 * m * m) AS modularity
                FROM m, dc2, intra"""), "2.11"),
 
+    // k-core peeling (community.go:605): rows-only (iterative deletion has
+    // no SQL replay); invariants spec-asserted on a hand-built graph
+    "q_algo_kcore" -> GQuery(
+      (s, d) => Algorithms.kCore(coPairs(s, d), 3).orderBy("id"),
+      None, "2.11"),
+
+    // subgraph density (community.go:780): exact counts, one division
+    "q_algo_density" -> GQuery(
+      (s, d) => Algorithms.density(coPairs(s, d)),
+      Some(s"""WITH $coPairsSql,
+               n AS (SELECT COUNT(DISTINCT a) AS n FROM und),
+               m AS (SELECT COUNT(*) AS m FROM co)
+               SELECT CASE WHEN n < 2 THEN 0.0
+                           ELSE CAST(m AS DOUBLE) / (n * (n - 1) / 2) END AS density
+               FROM n, m"""), "2.11"),
+
+    // conductance of the component holding the minimum part id
+    // (community.go:747): integer cut counts, single division
+    "q_algo_conductance" -> GQuery(
+      (s, d) => {
+        val pairs = coPairs(s, d)
+        val comm = graft.operators.Dedup.dedupClusters(pairs)
+        val target = comm
+          .filter(col("cluster_id") === comm.agg(min("cluster_id")).head.getLong(0))
+          .select(col("doc_id").as("id"))
+        Algorithms.conductance(pairs, target)
+      },
+      Some(s"""WITH RECURSIVE $coPairsSql,
+               cc(id, lbl) AS (
+                 SELECT DISTINCT a, a FROM und
+                 UNION
+                 SELECT u.a, cc.lbl FROM cc JOIN und u ON u.b = cc.id),
+               comm AS (SELECT id, MIN(lbl) AS component FROM cc GROUP BY id),
+               target AS (SELECT id FROM comm
+                          WHERE component = (SELECT MIN(component) FROM comm)),
+               marked AS (SELECT
+                   CASE WHEN a IN (SELECT id FROM target) THEN 1 ELSE 0 END AS ina,
+                   CASE WHEN b IN (SELECT id FROM target) THEN 1 ELSE 0 END AS inb
+                 FROM co),
+               agg AS (SELECT SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS internal,
+                              SUM(CASE WHEN ina + inb = 1 THEN 1 ELSE 0 END) AS external
+                       FROM marked)
+               SELECT CASE WHEN 2 * internal + external = 0 THEN 0.0
+                           ELSE CAST(external AS DOUBLE) / (2 * internal + external) END
+                        AS conductance
+               FROM agg"""), "2.11"),
+
     // strongly connected components (community.go:517) — the TPC-H
     // projection is a DAG, so every node is its own SCC (the cyclic case
     // is spec-asserted on a mutated store)

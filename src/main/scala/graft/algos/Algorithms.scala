@@ -125,6 +125,67 @@ object Algorithms {
         .as("modularity"))
   }
 
+  /** k-core of an undirected pair graph (`community.go:605`): iteratively
+    * peel nodes with degree < k until stable. Each round is one grouped
+    * degree count + two semi-joins over the surviving edge set — the
+    * standard distributed peeling shape; rounds ≤ the peeling depth, not
+    * the node count. Returns the surviving node ids.
+    */
+  def kCore(pairs: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    var und = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    var n = und.count()
+    var stable = false
+    var it = 0
+    while (!stable && it < maxIter && n > 0) {
+      it += 1
+      val keep = und.groupBy("a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("a").as("kid"))
+      val next = und
+        .join(keep, col("a") === col("kid")).drop("kid")
+        .join(keep, col("b") === col("kid")).drop("kid")
+        .localCheckpoint(true)
+      val n2 = next.count()
+      stable = n2 == n
+      und = next; n = n2
+    }
+    und.select(col("a").as("id")).distinct()
+  }
+
+  /** Edge density m / (n·(n−1)/2) of a pair graph (`community.go:780`). */
+  def density(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b")).distinct()
+    val nDf = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .agg(countDistinct(col("id")).as("n"))
+    e.agg(count(lit(1)).as("m")).crossJoin(nDf)
+      .select(when(col("n") < 2, lit(0.0))
+        .otherwise(col("m").cast("double") / (col("n") * (col("n") - 1) / 2))
+        .as("density"))
+  }
+
+  /** Conductance of a node set: external / (2·internal + external), exact
+    * integer edge counts, one final division (`community.go:747`).
+    */
+  def conductance(pairs: DataFrame, community: DataFrame): DataFrame = {
+    val cm = community.select(col("id")).distinct()
+    val e = pairs.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b")).distinct()
+    val marked = e
+      .join(cm.select(col("id").as("a"), lit(1).as("ina")), Seq("a"), "left")
+      .join(cm.select(col("id").as("b"), lit(1).as("inb")), Seq("b"), "left")
+      .select(coalesce(col("ina"), lit(0)).as("ina"),
+        coalesce(col("inb"), lit(0)).as("inb"))
+    marked.agg(
+        sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L)).as("internal"),
+        sum(when(col("ina") + col("inb") === 1, 1L).otherwise(0L)).as("external"))
+      .select(when(lit(2L) * col("internal") + col("external") === 0, lit(0.0))
+        .otherwise(col("external").cast("double") /
+          (lit(2L) * col("internal") + col("external")))
+        .as("conductance"))
+  }
+
   def wcc(g: PropertyGraph, relType: Option[String] = None, maxIter: Int = 20): DataFrame = {
     val es = relType.map(g.edgesByType).getOrElse(g.edges)
     val und = es.select(col("src").as("a"), col("dst").as("b"))

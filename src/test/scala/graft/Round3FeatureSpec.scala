@@ -431,4 +431,25 @@ class Round3FeatureSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tri == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
+
+  test("kCore peels tails, keeps the clique") {
+    val sp = spark
+    import sp.implicits._
+    // K4 on 1-4, tail 4-5-6: 3-core = the K4, 2-core drops only the tail
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val core3 = graft.algos.Algorithms.kCore(pairs, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(core3 == Set(1L, 2L, 3L, 4L))
+    val core2 = graft.algos.Algorithms.kCore(pairs, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(core2 == Set(1L, 2L, 3L, 4L)) // 5,6 peel: deg(6)=1, then deg(5)=1
+    // every survivor keeps degree >= k inside the core (k-core invariant)
+    val undirected = pairs.flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+      (r.getLong(1), r.getLong(0)))).toDF("a", "b")
+    val degIn = undirected
+      .filter(col("a").isin(core3.toSeq: _*) && col("b").isin(core3.toSeq: _*))
+      .groupBy("a").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3.forall(id => degIn(id) >= 3))
+  }
 }
