@@ -807,5 +807,107 @@ object CypherQueries {
                 CAST(SUM(DISTINCT c_custkey) AS BIGINT) AS key_sum,
                 CAST(AVG(DISTINCT c_custkey) AS DOUBLE) AS key_avg
          FROM customer JOIN orders ON o_custkey = c_custkey
-         GROUP BY c_mktsegment"""))
+         GROUP BY c_mktsegment"""),
+
+    cq("q_cypher_apoc_bitwise", "2.10",
+      // full apoc.bitwise family (apoc/bitwise/bitwise.go); inputs are
+      // small non-negatives so Go's arithmetic shifts = logical shifts
+      """MATCH (c:Customer) WHERE c.key <= 100
+         RETURN c.key AS k,
+                apoc.bitwise.and(c.key, 12) AS b_and,
+                apoc.bitwise.or(c.key, 5) AS b_or,
+                apoc.bitwise.xor(c.key, 9) AS b_xor,
+                apoc.bitwise.not(c.key) AS b_not,
+                apoc.bitwise.leftShift(c.key, 3) AS b_shl,
+                apoc.bitwise.rightShift(c.key, 1) AS b_shr,
+                apoc.bitwise.setBit(c.key, 10) AS b_set,
+                apoc.bitwise.clearBit(c.key, 2) AS b_clr,
+                apoc.bitwise.toggleBit(c.key, 0) AS b_tgl,
+                apoc.bitwise.testBit(c.key, 1) AS b_tst,
+                apoc.bitwise.countBits(c.key) AS b_cnt,
+                apoc.bitwise.reverseBits(c.key * 2) AS b_rev,
+                apoc.bitwise.rotateLeft(c.key, 4) AS b_rol,
+                apoc.bitwise.rotateRight(c.key * 16, 4) AS b_ror""",
+      """WITH t AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+                    WHERE c_custkey <= 100)
+         SELECT k, k & 12 AS b_and, k | 5 AS b_or, xor(k, 9) AS b_xor,
+                ~k AS b_not, k << 3 AS b_shl, k >> 1 AS b_shr,
+                k | (1 << 10) AS b_set, k & ~(1 << 2) AS b_clr,
+                xor(k, 1) AS b_tgl, (k & 2) <> 0 AS b_tst,
+                CAST(bit_count(k) AS BIGINT) AS b_cnt,
+                list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 64)),
+                  (acc, i) -> (acc << 1) | ((k * 2 >> i) & 1)) AS b_rev,
+                (k << 4) | (k >> 60) AS b_rol,
+                -- (k*16)<<60 is exactly 0 (low 4 bits are 0); DuckDB raises
+                -- on overflowing shifts, so the zero term is dropped here
+                (k * 16) >> 4 AS b_ror
+         FROM t"""),
+
+    // ---- lambda expression surface (§2.2, ref functions_eval_math.go) ----
+
+    cq("q_cypher_list_comp", "2.2",
+      // [x IN list WHERE p | e] → Catalyst filter+transform HOFs
+      // (joined to a string: the driver's row-sort can't hash arrays)
+      """MATCH (n:Nation)
+         WITH n.key % 5 AS grp, sort(collect(n.key)) AS ks
+         RETURN grp,
+                apoc.text.join([x IN ks WHERE x % 2 = 0 | toString(x * 10)], ',') AS evens""",
+      """SELECT CAST(n_nationkey % 5 AS BIGINT) AS grp,
+                array_to_string(list_transform(
+                  list_filter(list_sort(list(CAST(n_nationkey AS BIGINT))),
+                              x -> x % 2 = 0),
+                  x -> CAST(x * 10 AS VARCHAR)), ',') AS evens
+         FROM nation GROUP BY 1"""),
+
+    cq("q_cypher_reduce", "2.2",
+      // reduce(acc = init, x IN list | step) → aggregate HOF; the sorted
+      // input makes the non-commutative fold order-deterministic
+      """MATCH (n:Nation)
+         WITH n.key % 5 AS grp, sort(collect(n.key)) AS ks
+         RETURN grp, reduce(acc = 0, x IN ks | acc * 2 + x) AS folded""",
+      """SELECT CAST(n_nationkey % 5 AS BIGINT) AS grp,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_sort(list(CAST(n_nationkey AS BIGINT)))),
+                  (acc, x) -> acc * 2 + x) AS folded
+         FROM nation GROUP BY 1"""),
+
+    cq("q_cypher_quantifiers", "2.2",
+      // all/any/none/single(x IN list WHERE p) → forall/exists HOFs
+      """MATCH (c:Customer) WHERE c.key <= 200
+         WITH c.mktsegment AS seg, collect(c.acctbal) AS bals
+         RETURN seg,
+                all(x IN bals WHERE x > -1000) AS all_ok,
+                any(x IN bals WHERE x > 9000) AS any_big,
+                none(x IN bals WHERE x > 99999) AS none_huge,
+                single(x IN bals WHERE x < -900) AS one_deep""",
+      """SELECT c_mktsegment AS seg,
+                len(list_filter(list(c_acctbal), x -> x > -1000)) = len(list(c_acctbal)) AS all_ok,
+                len(list_filter(list(c_acctbal), x -> x > 9000)) > 0 AS any_big,
+                len(list_filter(list(c_acctbal), x -> x > 99999)) = 0 AS none_huge,
+                len(list_filter(list(c_acctbal), x -> x < -900)) = 1 AS one_deep
+         FROM customer WHERE c_custkey <= 200 GROUP BY c_mktsegment"""),
+
+    cq("q_cypher_map_projection", "2.2",
+      // n{.prop, computed: e} + {map literal} → named structs; fields are
+      // re-extracted so the driver hashes scalars, not structs
+      """MATCH (c:Customer) WHERE c.key <= 50
+         WITH c{.name, .mktsegment, key2: c.key + 1} AS m, {tag: 'x', v: c.key} AS lit
+         RETURN m.name AS name, m.mktsegment AS seg, m.key2 AS key2,
+                lit.tag AS tag, lit.v AS v""",
+      """SELECT c_name AS name, c_mktsegment AS seg,
+                c_custkey + 1 AS key2, 'x' AS tag, c_custkey AS v
+         FROM customer WHERE c_custkey <= 50"""),
+
+    cq("q_cypher_pattern_comp", "2.9",
+      // [(n)<-[:T]-(c) WHERE p | e] — desugared to the COLLECT {} grouped
+      // left join (no ORDER BY → deterministic value sort)
+      """MATCH (n:Nation)
+         RETURN n.name AS nation,
+                apoc.text.join([(n)<-[:FROM]-(c:Customer) WHERE c.key <= 100 | c.name], ',') AS custs""",
+      """SELECT n_name AS nation,
+                COALESCE(array_to_string(list_sort(
+                  list(c_name) FILTER (c_name IS NOT NULL)), ','), '') AS custs
+         FROM nation LEFT JOIN customer
+           ON c_nationkey = n_nationkey AND c_custkey <= 100
+         GROUP BY n_name"""))
 }

@@ -30,6 +30,32 @@ object Ast {
     */
   case class CollectSubquery(inner: SingleQuery) extends Expr
   case class CountStar() extends Expr
+  /** `[x IN list WHERE pred | proj]` — either part optional
+    * (ref `functions_eval_math.go:1411-1560`). Compiles to Catalyst
+    * `filter`/`transform` HOFs (codegen'd, no UDF).
+    */
+  case class ListComp(variable: String, list: Expr, where: Option[Expr],
+      proj: Option[Expr]) extends Expr
+  /** `reduce(acc = init, x IN list | step)` (ref
+    * `functions_eval_math.go:499-548`) → Catalyst `aggregate` HOF.
+    */
+  case class ReduceExpr(acc: String, init: Expr, variable: String, list: Expr,
+      step: Expr) extends Expr
+  /** `all/any/none/single(x IN list WHERE pred)` list predicates →
+    * `forall`/`exists` HOFs (3-valued logic matches openCypher).
+    */
+  case class Quantifier(kind: String, variable: String, list: Expr,
+      where: Expr) extends Expr
+  /** One item of a map projection: `.key` (property), `key: expr`
+    * (computed), `.*` (all properties), or `var` (outer variable by name).
+    */
+  case class MapProjItem(key: String, value: Option[Expr])
+  /** `n{.name, total: x, .*}` (ref `executor_mutations.go:680-857`) →
+    * named struct column.
+    */
+  case class MapProjection(variable: String, items: Seq[MapProjItem]) extends Expr
+  /** `{k1: e1, k2: e2}` map literal in expression position → named struct. */
+  case class MapLit(items: Seq[(String, Expr)]) extends Expr
 
   // ---- patterns -------------------------------------------------------
   sealed trait Dir

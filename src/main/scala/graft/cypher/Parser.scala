@@ -512,6 +512,27 @@ final class Parser(tokens: Vector[Tok]) {
             next(); val lbl = identName(); e = HasLabel(v, lbl)
           case _ => done = true
         }
+      } else if (isSym("{")) {
+        // map projection n{.key, alias: expr, .*, var} (only on a variable)
+        e match {
+          case Variable(v) =>
+            next()
+            val items = Vector.newBuilder[MapProjItem]
+            def one(): Unit = {
+              if (trySym(".")) {
+                if (trySym("*")) items += MapProjItem("*", None)
+                else { val k = identName(); items += MapProjItem(k, Some(Prop(v, k))) }
+              } else {
+                val k = identName()
+                if (trySym(":")) items += MapProjItem(k, Some(parseExpr()))
+                else items += MapProjItem(k, Some(Variable(k)))
+              }
+            }
+            if (!isSym("}")) { one(); while (trySym(",")) one() }
+            eatSym("}")
+            e = MapProjection(v, items.result())
+          case _ => done = true
+        }
       } else done = true
     }
     e
@@ -573,17 +594,50 @@ final class Parser(tokens: Vector[Tok]) {
       case Sym("(") =>
         next(); val e = parseExpr(); eatSym(")"); e
       case Sym("[") =>
+        // `[x IN list …]` → list comprehension; `[(a)-[…]->(b) … | e]` →
+        // pattern comprehension (backtracks to list literal); else literal
+        if (tokens.lift(pos + 1).exists { case Ident(_) => true; case _ => false } &&
+            tokens.lift(pos + 2).exists { case Kw("IN") => true; case _ => false })
+          parseListComprehension()
+        else if (tokens.lift(pos + 1).exists { case Sym("(") => true; case _ => false })
+          parsePatternComprehensionOrList()
+        else
+          parseListLiteral()
+      case Sym("{") =>
+        // map literal in expression position → ordered named struct
         next()
-        val items = Vector.newBuilder[Expr]
-        if (!isSym("]")) {
-          items += parseExpr()
-          while (trySym(",")) items += parseExpr()
+        val items = Vector.newBuilder[(String, Expr)]
+        if (!isSym("}")) {
+          def one(): Unit = { val k = identName(); eatSym(":"); items += ((k, parseExpr())) }
+          one()
+          while (trySym(",")) one()
         }
-        eatSym("]")
-        ListLit(items.result())
+        eatSym("}")
+        MapLit(items.result())
+      case Kw("ALL") if tokens.lift(pos + 1).exists { case Sym("(") => true; case _ => false } =>
+        next()
+        parseQuantifierBody("all")
       case Ident(nm) =>
         next()
-        if (nm.equalsIgnoreCase("collect") && isSym("{")) {
+        if (nm.equalsIgnoreCase("reduce") && isSym("(")) {
+          // reduce(acc = init, x IN list | step)
+          next()
+          val accName = identName()
+          eatSym("=")
+          val init = parseExpr()
+          eatSym(",")
+          val v = identName()
+          eatKw("IN")
+          val listE = parseExpr()
+          eatSym("|")
+          val step = parseExpr()
+          eatSym(")")
+          ReduceExpr(accName, init, v, listE, step)
+        } else if (Set("any", "none", "single").contains(nm.toLowerCase) && isSym("(") &&
+            tokens.lift(pos + 1).exists { case Ident(_) => true; case _ => false } &&
+            tokens.lift(pos + 2).exists { case Kw("IN") => true; case _ => false }) {
+          parseQuantifierBody(nm.toLowerCase)
+        } else if (nm.equalsIgnoreCase("collect") && isSym("{")) {
           // COLLECT { MATCH … RETURN x } expression subquery
           next()
           val inner = parseSingle()
@@ -633,6 +687,65 @@ final class Parser(tokens: Vector[Tok]) {
           } else Variable(nm)
         } else Variable(nm)
       case t => fail(s"unexpected token ${t.text}")
+    }
+  }
+
+  private def parseListLiteral(): Expr = {
+    eatSym("[")
+    val items = Vector.newBuilder[Expr]
+    if (!isSym("]")) {
+      items += parseExpr()
+      while (trySym(",")) items += parseExpr()
+    }
+    eatSym("]")
+    ListLit(items.result())
+  }
+
+  /** `[x IN list [WHERE pred] [| proj]]` (both tails optional). */
+  private def parseListComprehension(): Expr = {
+    eatSym("[")
+    val v = identName()
+    eatKw("IN")
+    val listE = parseExpr()
+    val whereE = if (tryKw("WHERE")) Some(parseExpr()) else None
+    val projE = if (trySym("|")) Some(parseExpr()) else None
+    eatSym("]")
+    ListComp(v, listE, whereE, projE)
+  }
+
+  /** `(x IN list WHERE pred)` body of all/any/none/single. */
+  private def parseQuantifierBody(kind: String): Expr = {
+    eatSym("(")
+    val v = identName()
+    eatKw("IN")
+    val listE = parseExpr()
+    eatKw("WHERE")
+    val pred = parseExpr()
+    eatSym(")")
+    Quantifier(kind, v, listE, pred)
+  }
+
+  /** `[(a)-[:T]->(b) [WHERE w] | proj]` — desugars to the COLLECT {}
+    * expression subquery (grouped left join, never per-row). Backtracks to a
+    * plain list literal if the bracket body isn't a pattern.
+    */
+  private def parsePatternComprehensionOrList(): Expr = {
+    val start = pos
+    try {
+      eatSym("[")
+      val p = parsePath()
+      val w = if (tryKw("WHERE")) Some(parseExpr()) else None
+      eatSym("|")
+      val proj = parseExpr()
+      eatSym("]")
+      CollectSubquery(SingleQuery(Seq(
+        MatchClause(Seq(p), optional = false, where = w),
+        ReturnClause(Seq(ProjectionItem(proj, Some("_pc"))),
+          distinct = false, Seq.empty, None, None))))
+    } catch {
+      case _: IllegalArgumentException =>
+        pos = start
+        parseListLiteral()
     }
   }
 }

@@ -45,6 +45,17 @@ object Planner {
   private val aggFns = Set("count", "sum", "avg", "min", "max", "collect",
     "stdev", "stdevp", "percentilecont", "percentiledisc")
 
+  /** Lambda-variable bindings for list comprehensions / reduce / quantifiers.
+    * Catalyst HOF builders (`filter`/`transform`/`aggregate`/`forall`/
+    * `exists`) invoke their Column→Column function synchronously at plan
+    * time, so a dynamically-scoped map is sufficient — inner `compile` calls
+    * see the binding, and nesting restores the outer scope on exit.
+    */
+  private val lambdaEnv =
+    new scala.util.DynamicVariable[Map[String, Column]](Map.empty)
+  private def withLambda[T](bindings: (String, Column)*)(body: => T): T =
+    lambdaEnv.withValue(lambdaEnv.value ++ bindings)(body)
+
   private var tmpCounter = 0
   private def fresh(): String = synchronized { tmpCounter += 1; s"__v$tmpCounter" }
 
@@ -468,6 +479,12 @@ object Planner {
       case CaseExpr(s, ws, d) => CaseExpr(s.map(rw), ws.map(t => (rw(t._1), rw(t._2))), d.map(rw))
       case ListLit(xs) => ListLit(xs.map(rw))
       case Index(l, i) => Index(rw(l), rw(i))
+      case ListComp(v, l, w, p) => ListComp(v, rw(l), w.map(rw), p.map(rw))
+      case ReduceExpr(a2, i, v, l, s) => ReduceExpr(a2, rw(i), v, rw(l), rw(s))
+      case Quantifier(k, v, l, w) => Quantifier(k, v, rw(l), rw(w))
+      case MapProjection(v, items) =>
+        MapProjection(v, items.map(it => MapProjItem(it.key, it.value.map(rw))))
+      case MapLit(xs) => MapLit(xs.map(t => (t._1, rw(t._2))))
       case other => other
     }
     val e2 = rw(e0)
@@ -833,6 +850,7 @@ object Planner {
     case CountPattern(_, _) => "count"
     case CollectSubquery(_) => "collect"
     case Variable(v) => v
+    case MapProjection(v, _) => v // Neo4j names `n{…}` columns after the variable
     case _ => fresh()
   }
 
@@ -846,6 +864,13 @@ object Planner {
       s.exists(containsAgg) || ws.exists(t => containsAgg(t._1) || containsAgg(t._2)) || d.exists(containsAgg)
     case Index(l, i) => containsAgg(l) || containsAgg(i)
     case ListLit(xs) => xs.exists(containsAgg)
+    case MapLit(xs) => xs.exists(t => containsAgg(t._2))
+    case ListComp(_, l, w, p) =>
+      containsAgg(l) || w.exists(containsAgg) || p.exists(containsAgg)
+    case ReduceExpr(_, i, _, l, s) =>
+      containsAgg(i) || containsAgg(l) || containsAgg(s)
+    case Quantifier(_, _, l, w) => containsAgg(l) || containsAgg(w)
+    case MapProjection(_, items) => items.exists(_.value.exists(containsAgg))
     case _ => false
   }
 
@@ -861,12 +886,15 @@ object Planner {
         case Some(v) => lit(v)
         case None => throw new IllegalArgumentException(s"missing parameter $$n")
       }
+    case Variable(v) if lambdaEnv.value.contains(v) => lambdaEnv.value(v)
     case Variable(v) => f.kinds.get(v) match {
       case Some(NodeK) => struct(nodeFields.map(fld => col(s"${v}_$fld").as(fld)): _*)
       case Some(RelK) => struct(relFields.map(fld => col(s"${v}_$fld").as(fld)): _*)
       case Some(ValK) => col(v)
       case None => col(v) // let Catalyst resolve (post-projection aliases)
     }
+    case Prop(v, k) if lambdaEnv.value.contains(v) =>
+      lambdaEnv.value(v).getField(k) // lambda var holding a struct/map element
     case Prop(v, k) => propCol(f, v, k)
     case HasLabel(v, l) => array_contains(col(s"${v}_labels"), l)
     case Not(x) => !compile(x, f, params)
@@ -886,6 +914,72 @@ object Planner {
       val chained = branches.tail.foldLeft(start) { case (acc, (c, v)) => acc.when(c, v) }
       default.map(d => chained.otherwise(compile(d, f, params))).getOrElse(chained)
     case ListLit(items) => array(items.map(i => compile(i, f, params)): _*)
+    case MapLit(items) =>
+      struct(items.map { case (k, v) => compile(v, f, params).as(k) }: _*)
+    case ListComp(v, listE, whereE, projE) =>
+      val listC = compile(listE, f, params)
+      val filtered = whereE match {
+        case Some(w) => filter(listC, x => withLambda(v -> x)(compile(w, f, params)))
+        case None => listC
+      }
+      projE match {
+        case Some(p) => transform(filtered, x => withLambda(v -> x)(compile(p, f, params)))
+        case None => filtered
+      }
+    case ReduceExpr(accName, init, v, listE, step) =>
+      import org.apache.spark.sql.types._
+      val listC = compile(listE, f, params)
+      val initC0 = compile(init, f, params)
+      def tpe(c: Column): Option[DataType] =
+        try Some(f.df.select(c).schema.head.dataType)
+        catch { case _: Exception => None }
+      val elemT = tpe(listC) match {
+        case Some(ArrayType(et, _)) => Some(et)
+        case _ => None
+      }
+      // aggregate() keeps a fixed accumulator type across iterations; widen
+      // a numeric seed to the joint family (0 over doubles → 0.0) so
+      // `acc + x` type-checks, and pin the merge result back to it
+      val accT: Option[DataType] = (tpe(initC0), elemT) match {
+        case (Some(a: NumericType), Some(b: NumericType)) =>
+          if (Seq(a, b).exists(t => t == DoubleType || t == FloatType)) Some(DoubleType)
+          else if (Seq(a, b).exists(_.isInstanceOf[DecimalType])) Some(DecimalType(38, 18))
+          else Some(LongType)
+        case _ => None
+      }
+      val initC = accT.map(initC0.cast).getOrElse(initC0)
+      aggregate(listC, initC, (acc, x) =>
+        withLambda(accName -> acc, v -> x) {
+          val r = compile(step, f, params)
+          accT.map(r.cast).getOrElse(r)
+        })
+    case Quantifier(kind, v, listE, whereE) =>
+      val listC = compile(listE, f, params)
+      def pred(x: Column): Column = withLambda(v -> x)(compile(whereE, f, params))
+      kind match {
+        case "all" => forall(listC, pred)
+        case "any" => exists(listC, pred)
+        case "none" => !exists(listC, pred)
+        case "single" => size(filter(listC, x => pred(x))) === 1
+        case other => throw new IllegalArgumentException(s"unknown quantifier $other")
+      }
+    case MapProjection(v, items) =>
+      val fields = items.flatMap {
+        case MapProjItem("*", None) =>
+          // all hoisted property fields (id/labels are not properties);
+          // dynamic map stragglers stay reachable via explicit .key items
+          f.kinds.get(v) match {
+            case Some(NodeK) =>
+              nodeFields.filterNot(x => x == "id" || x == "labels")
+                .map(k => propCol(f, v, k).as(k))
+            case Some(RelK) => Seq(col(s"${v}_weight").as("weight"))
+            case _ => throw new IllegalArgumentException(
+              s"map projection .* needs an entity variable, got $v")
+          }
+        case MapProjItem(k, Some(e)) => Seq(compile(e, f, params).as(k))
+        case MapProjItem(k, None) => Seq(propCol(f, v, k).as(k))
+      }
+      struct(fields: _*)
     case Index(Variable(v), Lit(k: String))
         if f.kinds.get(v).exists(x => x == NodeK || x == RelK) =>
       propCol(f, v, k) // n['key'] — dynamic property, same path as n.key
@@ -1150,6 +1244,49 @@ object Planner {
           }
           case _ => throw new IllegalArgumentException("apoc.bitwise.op needs a literal operator")
         }
+        // apoc.bitwise family (apoc/bitwise/bitwise.go:34-196); variadic
+        // and/or/xor fold left like the reference. AND/OR names collide with
+        // Cypher keywords at the lexer, hence only the dotted forms.
+        case "apoc.bitwise.and" =>
+          args.map(x => compile(x, f, params)).reduceLeft(_.bitwiseAND(_))
+        case "apoc.bitwise.or" =>
+          args.map(x => compile(x, f, params)).reduceLeft(_.bitwiseOR(_))
+        case "apoc.bitwise.xor" =>
+          args.map(x => compile(x, f, params)).reduceLeft(_.bitwiseXOR(_))
+        case "apoc.bitwise.not" => bitwise_not(a(0).cast("long"))
+        case "apoc.bitwise.leftshift" =>
+          call_function("shiftleft", a(0).cast("long"), a(1).cast("int"))
+        case "apoc.bitwise.rightshift" => // Go >> on int64 = arithmetic
+          call_function("shiftright", a(0).cast("long"), a(1).cast("int"))
+        case "apoc.bitwise.setbit" =>
+          a(0).cast("long").bitwiseOR(call_function("shiftleft", lit(1L), a(1).cast("int")))
+        case "apoc.bitwise.clearbit" =>
+          a(0).cast("long").bitwiseAND(
+            bitwise_not(call_function("shiftleft", lit(1L), a(1).cast("int"))))
+        case "apoc.bitwise.togglebit" =>
+          a(0).cast("long").bitwiseXOR(call_function("shiftleft", lit(1L), a(1).cast("int")))
+        case "apoc.bitwise.testbit" =>
+          a(0).cast("long").bitwiseAND(
+            call_function("shiftleft", lit(1L), a(1).cast("int"))) =!= 0L
+        case "apoc.bitwise.countbits" => bit_count(a(0).cast("long")).cast("long")
+        case "apoc.bitwise.reversebits" =>
+          // full 64-bit reverse via a shift-only fold (no checked arithmetic,
+          // so the sign-bit step can't trip ANSI overflow)
+          aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) =>
+            call_function("shiftleft", acc, lit(1)).bitwiseOR(
+              call_function("shiftrightunsigned", a(0).cast("long"), i).bitwiseAND(lit(1L))))
+        case "apoc.bitwise.rotateleft" =>
+          val v = a(0).cast("long")
+          val p = (a(1).cast("int") % 64 + 64) % 64
+          when(p === 0, v).otherwise(
+            call_function("shiftleft", v, p).bitwiseOR(
+              call_function("shiftrightunsigned", v, lit(64) - p)))
+        case "apoc.bitwise.rotateright" =>
+          val v = a(0).cast("long")
+          val p = (a(1).cast("int") % 64 + 64) % 64
+          when(p === 0, v).otherwise(
+            call_function("shiftrightunsigned", v, p).bitwiseOR(
+              call_function("shiftleft", v, lit(64) - p)))
         // string functions
         case "tolower" | "lower" | "apoc.text.tolower" => lower(a(0))
         case "toupper" | "upper" | "apoc.text.toupper" => upper(a(0))
