@@ -497,9 +497,11 @@ object CypherQueries {
                 list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
                   list_transform(string_split(p_name, ''), c -> CAST(ord(c) AS BIGINT))),
                   (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS fnv,
-                CAST(list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
-                  list_transform(string_split(p_name, ''), c -> CAST(ord(c) AS BIGINT))),
-                  (h, c) -> (xor(h, c) * 16777619) % 4294967296) % 16 AS INT) AS ch,
+                CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                  list_transform(string_split(p_name, ''), c -> CAST(ord(c) AS UBIGINT))),
+                  (h, c) -> CAST(CAST(xor(h, c) AS HUGEINT) * 1099511628211
+                    % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT))
+                  % 16 AS INT) AS ch,
                 CAST(1705314600 AS BIGINT) AS pts
          FROM part WHERE p_partkey <= 100"""),
 
@@ -524,6 +526,215 @@ object CypherQueries {
                 p_name || '|' || CAST(p_partkey AS VARCHAR) AS rt,
                 'x,y' AS ks
          FROM part WHERE p_partkey <= 100"""),
+
+    cq("q_cypher_apoc_json2", "2.10",
+      // round-3 long-tail tranche: the Go-marshal-shaped tree rewrites
+      // (sorted keys, shortest numbers) — every column is a string-level
+      // DuckDB replay of the canonical rendering
+      """MATCH (p:Part) WHERE p.key <= 50
+         WITH p, '{"key":' + toString(p.key) + ',"name":"' + p.name + '"}' AS j
+         RETURN p.key AS k,
+                apoc.json.compact(' ' + j + ' ') AS cj,
+                apoc.json.type(j) AS tj,
+                apoc.json.type('[1]') AS ta,
+                apoc.json.type('{oops') AS tb,
+                apoc.json.flatten('{"a":{"b":' + toString(p.key) + '}}') AS fl,
+                apoc.json.unflatten('{"a.b":' + toString(p.key) + '}') AS uf,
+                apoc.json.set('{"k":1}', '$.m', p.key) AS st,
+                apoc.json.delete(j, '$.name') AS dl,
+                apoc.json.merge('{"a":1}', j) AS mg,
+                apoc.json.pretty('{"k":' + toString(p.key) + '}') AS pr""",
+      """SELECT p_partkey AS k,
+                '{"key":' || p_partkey || ',"name":"' || p_name || '"}' AS cj,
+                'object' AS tj, 'array' AS ta, 'invalid' AS tb,
+                '{"a.b":' || p_partkey || '}' AS fl,
+                '{"a":{"b":' || p_partkey || '}}' AS uf,
+                '{"k":1,"m":' || p_partkey || '}' AS st,
+                '{"key":' || p_partkey || '}' AS dl,
+                '{"a":1,"key":' || p_partkey || ',"name":"' || p_name || '"}' AS mg,
+                '{' || chr(10) || '  "k": ' || p_partkey || chr(10) || '}' AS pr
+         FROM part WHERE p_partkey <= 50"""),
+
+    cq("q_cypher_apoc_hash64", "2.10",
+      // 64-bit FNV family (native wrapping-multiply Catalyst expressions,
+      // HashExprs.scala) — DuckDB replays the byte fold in HUGEINT modulo
+      // 2^64 and converts to the same signed-64 bits
+      """MATCH (p:Part) WHERE p.key <= 50
+         RETURN p.key AS k,
+                apoc.hashing.fnv164(p.name) AS f1,
+                apoc.hashing.fnv1a64(p.name) AS f1a,
+                apoc.hashing.cityHash64(p.name) AS city,
+                apoc.hashing.consistentHash(p.name, 7) AS ch7""",
+      """WITH f AS (
+           SELECT p_partkey AS k,
+             list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+               list_transform(string_split(p_name, ''), c -> CAST(ord(c) AS UBIGINT))),
+               (h, c) -> xor(CAST(CAST(h AS HUGEINT) * 1099511628211
+                 % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT), c)) AS u1,
+             list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+               list_transform(string_split(p_name, ''), c -> CAST(ord(c) AS UBIGINT))),
+               (h, c) -> CAST(CAST(xor(h, c) AS HUGEINT) * 1099511628211
+                 % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT)) AS u1a
+           FROM part WHERE p_partkey <= 50)
+         SELECT k,
+           CASE WHEN u1 >= 9223372036854775808
+                THEN CAST(CAST(u1 AS HUGEINT) - 18446744073709551616 AS BIGINT)
+                ELSE CAST(u1 AS BIGINT) END AS f1,
+           CASE WHEN u1a >= 9223372036854775808
+                THEN CAST(CAST(u1a AS HUGEINT) - 18446744073709551616 AS BIGINT)
+                ELSE CAST(u1a AS BIGINT) END AS f1a,
+           CASE WHEN u1a >= 9223372036854775808
+                THEN CAST(CAST(u1a AS HUGEINT) - 18446744073709551616 AS BIGINT)
+                ELSE CAST(u1a AS BIGINT) END AS city,
+           CAST(u1a % 7 AS INT) AS ch7
+         FROM f"""),
+
+    cq("q_cypher_apoc_breadth", "2.10",
+      // map/util/diff/number/math/temporal long-tail completion — constants
+      // and per-row arithmetic DuckDB can replay directly
+      """MATCH (p:Part) WHERE p.key <= 50
+         WITH p, apoc.map.fromLists(['a', 'b'], [p.key, p.key + 1]) AS m
+         RETURN p.key AS k,
+                apoc.map.get(apoc.map.mergeList([m, apoc.map.fromLists(['a'], [p.key + 5])]), 'a') AS ml,
+                apoc.map.get(apoc.map.setLists(m, ['c'], [p.key * 2]), 'c') AS sl,
+                size(apoc.map.keys(m)) AS nk,
+                apoc.util.when(p.key > 25, 'hi', 'lo') AS w,
+                apoc.util.case([p.key > 25, 'hi'], 'lo') AS uc,
+                apoc.util.coalesce(null, p.name) AS co,
+                apoc.map.get(apoc.util.merge(m, apoc.map.fromLists(['a'], [p.key * 10])), 'a') AS um,
+                apoc.diff.summary(apoc.diff.maps(m, apoc.map.fromLists(['a', 'c'], [p.key, 9])))['added'] AS da,
+                apoc.map.get(apoc.diff.merge(m, apoc.map.fromLists(['a'], [p.key]), 'combine'), 'a') AS cb,
+                apoc.number.exact(p.key + 0.5) AS ne,
+                apoc.number.parse(toString(p.key) + ',000') AS np,
+                apoc.math.nextPrime(p.key) AS pr,
+                apoc.math.stdev([p.key, p.key + 2.0]) AS sd,
+                apoc.temporal.formatDuration(apoc.temporal.duration(p.key, 'minutes'), 'x') AS fd,
+                apoc.date.toUnixTime(apoc.date.fromUnixTime(p.key * 1000)) AS tu,
+                apoc.temporal.format(apoc.date.fromUnixTime(p.key * 86400), 'yyyy-MM-dd') AS tf""",
+      """SELECT p_partkey AS k,
+                CAST(p_partkey + 5 AS BIGINT) AS ml,
+                CAST(p_partkey * 2 AS BIGINT) AS sl,
+                CAST(2 AS INT) AS nk,
+                CASE WHEN p_partkey > 25 THEN 'hi' ELSE 'lo' END AS w,
+                CASE WHEN p_partkey > 25 THEN 'hi' ELSE 'lo' END AS uc,
+                p_name AS co,
+                CAST(p_partkey * 10 AS BIGINT) AS um,
+                CAST(1 AS INT) AS da,
+                CAST(p_partkey * 2 AS BIGINT) AS cb,
+                CAST(p_partkey AS VARCHAR) || '.5' AS ne,
+                CAST(p_partkey * 1000 AS DOUBLE) AS np,
+                list_min(list_filter(range(p_partkey + 1, p_partkey + 301),
+                  c -> c >= 2 AND len(list_filter(
+                    range(2, CAST(floor(sqrt(c)) AS BIGINT) + 1),
+                    d -> d < c AND c % d = 0)) = 0)) AS pr,
+                CAST(1.0 AS DOUBLE) AS sd,
+                printf('%02d:%02d:%02d', p_partkey // 60, p_partkey % 60, 0) AS fd,
+                CAST(p_partkey * 1000 AS BIGINT) AS tu,
+                strftime(to_timestamp(p_partkey * 86400), '%Y-%m-%d') AS tf
+         FROM part WHERE p_partkey <= 50"""),
+
+    cq("q_cypher_apoc_node_rel", "2.10",
+      // apoc.node/rel entity accessors (apoc/node/node.go, apoc/rel/rel.go):
+      // degree rides the COUNT{} grouped-join machinery (never per-row);
+      // endpoint accessors read the carried src/dst columns
+      """MATCH (c:Customer)-[r:PLACED]->(o:Order) WHERE c.key <= 30
+         RETURN c.key AS k, o.key AS ok,
+                apoc.node.degreeOut(c, 'PLACED') AS dout,
+                apoc.rel.startNode(r) AS sn,
+                apoc.rel.endNode(r) AS en,
+                apoc.rel.direction(r, c) AS dir,
+                apoc.rel.otherNode(r, c) AS onid,
+                apoc.rel.isLoop(r) AS lp,
+                apoc.rel.isDirectedBetween(r, c, o) AS idb,
+                apoc.rel.isType(r, 'PLACED') AS it,
+                apoc.rel.weight(r, 'missing', 2.5) AS w,
+                apoc.node.property(c, 'name') AS nm""",
+      """SELECT c_custkey AS k, o_orderkey AS ok,
+                (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = c.c_custkey) AS dout,
+                'Customer:' || c_custkey AS sn,
+                'Order:' || o_orderkey AS en,
+                'OUTGOING' AS dir,
+                'Order:' || o_orderkey AS onid,
+                false AS lp, true AS idb, true AS it,
+                CAST(2.5 AS DOUBLE) AS w,
+                c_name AS nm
+         FROM customer c JOIN orders o ON o_custkey = c_custkey
+         WHERE c_custkey <= 30"""),
+
+    cq("q_cypher_apoc_stats", "2.10",
+      // apoc.stats.* list statistics (apoc/stats/stats.go): population
+      // moments, [0,1]-fraction percentiles, min-max normalize, IQR
+      // outlier fences — folds replayed LEFT-TO-RIGHT over the same sorted
+      // list in DuckDB so double sums agree bit-for-bit (skewness/kurtosis
+      // use pow() whose low bits differ across libm — spec-checked instead)
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+         WITH c.key AS k, apoc.coll.sort(collect(o.acctbal)) AS xs, count(o) AS n
+         WHERE n >= 5
+         RETURN k,
+                apoc.stats.mean(xs) AS mn,
+                apoc.stats.median(xs) AS md,
+                apoc.stats.variance(xs) AS vr,
+                apoc.stats.stdDev(xs) AS sd,
+                apoc.stats.percentile(xs, 0.95) AS p95,
+                apoc.stats.iqr(xs) AS iqr,
+                apoc.stats.range(xs) AS rg,
+                apoc.stats.sum(xs) AS sm,
+                apoc.stats.count(xs) AS ct,
+                apoc.stats.zScore(xs)[1] AS z1,
+                apoc.stats.normalize(xs)[1] AS n1,
+                [x IN apoc.stats.histogram(xs, 4) | toFloat(x)] AS hg,
+                size(apoc.stats.outliers(xs)) AS no,
+                apoc.stats.correlation(xs, xs) AS cor,
+                apoc.stats.covariance(xs, xs) AS cov,
+                apoc.stats.quartiles(xs)['Q2'] AS q2""",
+      """WITH g AS (
+           SELECT c_custkey AS k, list_sort(list(o_totalprice)) AS xs, COUNT(*) AS n
+           FROM customer JOIN orders ON o_custkey = c_custkey
+           GROUP BY c_custkey HAVING COUNT(*) >= 5),
+         s AS (SELECT k, xs, n,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+                   (a, x) -> a + x) / n AS mn FROM g),
+         v AS (SELECT *, dx, dx / n AS vr FROM (
+                 SELECT *, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(xs, x -> (x - mn) * (x - mn))),
+                   (a, x) -> a + x) AS dx FROM s)),
+         p AS (SELECT *,
+                 xs[CAST(floor(CAST(0.95 AS DOUBLE) * (n - 1)) AS INT) + 1]
+                   * (1.0 - (CAST(0.95 AS DOUBLE) * (n - 1)
+                        - floor(CAST(0.95 AS DOUBLE) * (n - 1))))
+                 + xs[CAST(ceil(CAST(0.95 AS DOUBLE) * (n - 1)) AS INT) + 1]
+                   * (CAST(0.95 AS DOUBLE) * (n - 1)
+                        - floor(CAST(0.95 AS DOUBLE) * (n - 1))) AS p95,
+                 xs[CAST(floor(0.25 * (n - 1)) AS INT) + 1]
+                   * (1.0 - (0.25 * (n - 1) - floor(0.25 * (n - 1))))
+                 + xs[CAST(ceil(0.25 * (n - 1)) AS INT) + 1]
+                   * (0.25 * (n - 1) - floor(0.25 * (n - 1))) AS q1,
+                 xs[CAST(floor(0.5 * (n - 1)) AS INT) + 1]
+                   * (1.0 - (0.5 * (n - 1) - floor(0.5 * (n - 1))))
+                 + xs[CAST(ceil(0.5 * (n - 1)) AS INT) + 1]
+                   * (0.5 * (n - 1) - floor(0.5 * (n - 1))) AS q2,
+                 xs[CAST(floor(0.75 * (n - 1)) AS INT) + 1]
+                   * (1.0 - (0.75 * (n - 1) - floor(0.75 * (n - 1))))
+                 + xs[CAST(ceil(0.75 * (n - 1)) AS INT) + 1]
+                   * (0.75 * (n - 1) - floor(0.75 * (n - 1))) AS q3
+               FROM v)
+         SELECT k, mn, q2 AS md, vr, sqrt(vr) AS sd, p95,
+                q3 - q1 AS iqr,
+                xs[n] - xs[1] AS rg,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+                  (a, x) -> a + x) AS sm,
+                CAST(n AS INT) AS ct,
+                (xs[2] - mn) / sqrt(vr) AS z1,
+                (xs[2] - xs[1]) / (xs[n] - xs[1]) AS n1,
+                list_transform(range(0, 4), b -> CAST(len(list_filter(xs,
+                  v -> least(CAST(floor((v - xs[1]) / ((xs[n] - xs[1]) / 4.0)) AS INT),
+                    3) = b)) AS DOUBLE)) AS hg,
+                CAST(len(list_filter(xs,
+                  v -> v < q1 - 1.5 * (q3 - q1) OR v > q3 + 1.5 * (q3 - q1))) AS INT) AS no,
+                CASE WHEN dx = 0 THEN 0.0 ELSE dx / sqrt(dx * dx) END AS cor,
+                vr AS cov,
+                q2
+         FROM p"""),
 
     cq("q_cypher_apoc_agg", "2.10",
       // round-3 apoc.agg.* tranche: composes with collect() — the reference
@@ -758,6 +969,59 @@ object CypherQueries {
          FROM nation LEFT JOIN customer
            ON c_nationkey = n_nationkey AND c_custkey <= 100
          GROUP BY n_name"""),
+
+    cq("q_cypher_apoc_neighbors", "2.11",
+      // apoc.neighbors CALL surface (apoc/neighbors/neighbors.go) —
+      // toHop replays the reference's ≤ maxHops−1 pop loop, so maxHops=2
+      // yields distance ≤ 1 from Nation:1 over ALL edge types
+      """CALL apoc.neighbors.toHop('Nation:1', '', 2) YIELD node_id, depth
+         RETURN depth, count(*) AS n ORDER BY depth""",
+      """SELECT CAST(0 AS INT) AS depth, CAST(1 AS BIGINT) AS n
+         UNION ALL
+         SELECT 1,
+           (SELECT COUNT(*) FROM customer WHERE c_nationkey = 1)
+           + (SELECT COUNT(*) FROM supplier WHERE s_nationkey = 1)
+           + 1"""),
+
+    cq("q_cypher_apoc_algo_degree", "2.11",
+      // apoc.algo.degreeCentrality (algo.go:220): undirected degree per
+      // node over PLACED edges — one distributed count, no driver loop
+      """CALL apoc.algo.degreeCentrality('PLACED') YIELD id, score
+         RETURN id, score""",
+      """SELECT 'Customer:' || o_custkey AS id, COUNT(*) AS score
+         FROM orders GROUP BY o_custkey
+         UNION ALL
+         SELECT 'Order:' || o_orderkey, 1 FROM orders"""),
+
+    cq("q_cypher_apoc_paths", "2.11",
+      // apoc.paths traversal surface (paths.go) riding the bounded
+      // distributed simple-path BFS; the oracle enumerates the 2-hop
+      // Customer→Order→Part paths
+      """CALL apoc.paths.withinLength('Customer:102', 'Part:1784', '', 0, 2)
+           YIELD path, length
+         RETURN apoc.text.join(path, '>') AS p, length""",
+      """SELECT DISTINCT 'Customer:102>Order:' || o_orderkey || '>Part:1784' AS p,
+                CAST(2 AS INT) AS length
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_custkey = 102 AND l_partkey = 1784"""),
+
+    cq("q_cypher_apoc_paths_dist", "2.11",
+      // apoc.paths.distance = shortest hop count (paths.go:359)
+      """CALL apoc.paths.distance('Customer:102', 'Part:1784', '') YIELD value
+         RETURN value""",
+      "SELECT CAST(2 AS INT) AS value"),
+
+    cq("q_cypher_apoc_allpairs", "2.11",
+      // apoc.algo.allPairs (algo.go:392): label-bounded pairwise distances
+      // as ONE multi-source BFS — nations meet at distance 2 through their
+      // shared region
+      """CALL apoc.algo.allPairs('Nation', '', 2) YIELD source, target, distance
+         RETURN source, target, distance""",
+      """SELECT 'Nation:' || a.n_nationkey AS source,
+                'Nation:' || b.n_nationkey AS target,
+                CAST(2 AS INT) AS distance
+         FROM nation a JOIN nation b
+           ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey"""),
 
     cq("q_cypher_call_proc", "2.9",
       // CALL + YIELD + WHERE through the string surface (call.go:36-56)

@@ -21,6 +21,9 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Cypher/APOC map semantics: duplicate keys resolve to the LAST
+      // value (Go map overwrite), not an ANSI error
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

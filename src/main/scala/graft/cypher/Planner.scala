@@ -33,11 +33,17 @@ object Planner {
     */
   val nodeCarry: Seq[String] = nodeFields :+ "properties"
   val relFields: Seq[String] = Seq("id", "type", "properties", "weight")
+  /** Columns carried per rel binding: output fields + the ORIGINAL
+    * endpoints (src/dst), which `apoc.rel.startNode/direction/isLoop` need
+    * — like `properties` on nodes, src/dst ride the frame but stay out of
+    * RETURN structs (`relFields` above keeps the output shape).
+    */
+  val relCarry: Seq[String] = relFields ++ Seq("src", "dst")
 
   case class Frame(df: DataFrame, kinds: Map[String, Kind]) {
     def varCols(v: String): Seq[String] = kinds(v) match {
       case NodeK => nodeCarry.map(f => s"${v}_$f")
-      case RelK  => relFields.map(f => s"${v}_$f")
+      case RelK  => relCarry.map(f => s"${v}_$f")
       case ValK  => Seq(v)
     }
   }
@@ -107,7 +113,7 @@ object Planner {
     * procedure is a Scala function returning a DataFrame; YIELD is a
     * select, its WHERE a filter (`applyYieldFilter` analog).
     */
-  private val procedures: Map[String, (PropertyGraph, Seq[Any]) => DataFrame] = Map(
+  private val baseProcedures: Map[String, (PropertyGraph, Seq[Any]) => DataFrame] = Map(
     "db.labels" -> ((g, _) => graft.graph.Procedures.dbLabels(g)),
     "db.relationshiptypes" -> ((g, _) => graft.graph.Procedures.dbRelationshipTypes(g)),
     "db.propertykeys" -> ((g, _) => graft.graph.Procedures.dbPropertyKeys(g)),
@@ -196,6 +202,9 @@ object Planner {
       val n = graft.sources.Formats.exportNodesJson(g, label, path)
       Seq((path, n, true)).toDF("file", "nodes", "done")
     }))
+
+  private val procedures: Map[String, (PropertyGraph, Seq[Any]) => DataFrame] =
+    baseProcedures ++ ApocProcs.procedures
 
   /** apoc.algo.dijkstra / aStar surface: point-to-point (path, weight) via
     * [[graft.algos.Algorithms.aStar]] with the zero heuristic (= exact
@@ -469,9 +478,83 @@ object Planner {
       Variable(name)
     }
 
+    /** (v)-[:T]-() single-hop pattern for the degree/connected family. */
+    def hopPath(v: String, relType: Option[String], dir: Dir,
+        end: Option[String] = None): PatternPath =
+      PatternPath(NodePat(Some(v), None, Map.empty),
+        Seq((RelPat(None, relType, dir, None, Map.empty),
+          NodePat(end, None, Map.empty))))
+
+    def litType(e: Option[Expr]): Option[String] = e.collect {
+      case Lit(s: String) if s.nonEmpty => s }
+
+    /** Sorted neighbor-id list — apoc.node.neighbors/In/Out. */
+    def attachNeighborIds(v: String, relType: Option[String], dir: Dir): Expr = {
+      val mv = fresh()
+      val pf = patternFrame(g, hopPath(v, relType, dir, Some(mv)), None, params)
+      val name = fresh()
+      val grouped = pf.df.groupBy(col(s"${v}_id"))
+        .agg(sort_array(collect_set(col(s"${mv}_id"))).as(name))
+      f = Frame(
+        f.df.join(grouped, Seq(s"${v}_id"), "left_outer")
+          .withColumn(name, coalesce(col(name), array().cast("array<string>"))),
+        f.kinds + (name -> ValK))
+      tmps :+= name
+      Variable(name)
+    }
+
     def rw(e: Expr): Expr = e match {
       case CountPattern(p, w) => attachCount(p, w)
       case CollectSubquery(inner) => attachCollect(inner)
+      // ---- apoc.node degree / connectivity family (apoc/node/node.go:26-292)
+      // — rewritten onto the COUNT{}/EXISTS{} grouped-join machinery, never
+      // a per-row lookup
+      case FnCall("apoc.node.degree", Variable(v) +: rest, _) =>
+        attachCount(hopPath(v, litType(rest.headOption), DirBoth), None)
+      case FnCall("apoc.node.degreein", Variable(v) +: rest, _) =>
+        attachCount(hopPath(v, litType(rest.headOption), DirIn), None)
+      case FnCall("apoc.node.degreeout", Variable(v) +: rest, _) =>
+        attachCount(hopPath(v, litType(rest.headOption), DirOut), None)
+      case FnCall("apoc.node.isdense", Variable(v) +: rest, _) =>
+        // degree("") > threshold (node.go:290)
+        Bin(">", attachCount(hopPath(v, None, DirBoth), None),
+          rest.headOption.getOrElse(Lit(50L)))
+      case FnCall("apoc.node.relationshipexists", Variable(v) +: rest, _) =>
+        // pattern 'T' | 'T>' | '<T' (node.go:222)
+        val (t, dir) = litType(rest.headOption) match {
+          case Some(p) if p.endsWith(">") => (Some(p.dropRight(1)), DirOut)
+          case Some(p) if p.startsWith("<") => (Some(p.drop(1)), DirIn)
+          case other => (other, DirBoth)
+        }
+        Bin(">", attachCount(hopPath(v, t.filter(_.nonEmpty), dir), None), Lit(0L))
+      case FnCall("apoc.node.connected", Seq(Variable(a0), Variable(b0), rest @ _*), _) =>
+        // 1-hop adjacency either direction (node.go:245)
+        Bin(">", attachCount(
+          hopPath(a0, litType(rest.headOption), DirBoth, Some(b0)), None), Lit(0L))
+      case FnCall("apoc.node.neighbors", Variable(v) +: rest, _) =>
+        attachNeighborIds(v, litType(rest.headOption), DirBoth)
+      case FnCall("apoc.node.neighborsin", Variable(v) +: rest, _) =>
+        attachNeighborIds(v, litType(rest.headOption), DirIn)
+      case FnCall("apoc.node.neighborsout", Variable(v) +: rest, _) =>
+        attachNeighborIds(v, litType(rest.headOption), DirOut)
+      case FnCall(nrt @ ("apoc.node.relationshiptypes" | "apoc.node.relationshiptypesin"
+          | "apoc.node.relationshiptypesout"), Seq(Variable(v)), _) =>
+        // distinct incident types (node.go:120-184)
+        val dir = if (nrt.endsWith("in")) DirIn
+          else if (nrt.endsWith("out")) DirOut else DirBoth
+        val rv = fresh()
+        val pf = patternFrame(g, PatternPath(NodePat(Some(v), None, Map.empty),
+          Seq((RelPat(Some(rv), None, dir, None, Map.empty),
+            NodePat(None, None, Map.empty)))), None, params)
+        val name = fresh()
+        val grouped = pf.df.groupBy(col(s"${v}_id"))
+          .agg(sort_array(collect_set(col(s"${rv}_type"))).as(name))
+        f = Frame(
+          f.df.join(grouped, Seq(s"${v}_id"), "left_outer")
+            .withColumn(name, coalesce(col(name), array().cast("array<string>"))),
+          f.kinds + (name -> ValK))
+        tmps :+= name
+        Variable(name)
       case Bin(op, l, r) => Bin(op, rw(l), rw(r))
       case Not(x) => Not(rw(x))
       case IsNull(x, n) => IsNull(rw(x), n)
@@ -1007,7 +1090,20 @@ object Planner {
       lazy val lc = compile(l, f, params)
       lazy val rc = compile(r, f, params)
       op match {
-        case "+" => lc + rc
+        case "+" => // Cypher +: string concat, list concat/append, else
+          // numeric (Neo4j semantics: 'a' + 1 = 'a1', [1] + 2 = [1, 2]).
+          // Inside lambda bodies the operand type is unresolvable from the
+          // frame — those keep numeric + (the dominant reduce() use).
+          import org.apache.spark.sql.types.{ArrayType, StringType}
+          def dtOf(c: Column) =
+            scala.util.Try(f.df.select(c).schema.head.dataType).toOption
+          (dtOf(lc), dtOf(rc)) match {
+            case (Some(StringType), _) | (_, Some(StringType)) =>
+              concat(lc.cast("string"), rc.cast("string"))
+            case (Some(_: ArrayType), Some(_: ArrayType)) => concat(lc, rc)
+            case (Some(_: ArrayType), _) => array_append(lc, rc)
+            case _ => lc + rc
+          }
         case "-" => lc - rc
         case "*" => lc * rc
         case "/" => lc / rc
@@ -1669,10 +1765,49 @@ object Planner {
         case "apoc.hashing.fnv1a" => // xor-then-multiply variant (hashing.go:99)
           aggregate(split(a(0).cast("string"), ""), lit(2166136261L),
             (h, c) => (h.bitwiseXOR(ascii(c)) * 16777619L) % 4294967296L)
-        case "apoc.hashing.consistenthash" => // fnv1a(key) % buckets (hashing.go:195)
-          aggregate(split(a(0).cast("string"), ""), lit(2166136261L),
-            (h, c) => (h.bitwiseXOR(ascii(c)) * 16777619L) % 4294967296L)
-            .%(args(1) match { case Lit(b: Long) => b; case _ => 1024L }).cast("int")
+        case "apoc.hashing.consistenthash" => // unsigned fnv1a64(key) % buckets
+          // (hashing.go:195). The long carries the raw uint64 bits; widen to
+          // decimal and add 2^64 when negative to take the UNSIGNED modulo.
+          graft.functions.HashExprs.ensure(f.df.sparkSession)
+          val h64 = call_function("graft_fnv1a64", a(0).cast("string"))
+          val udec = h64.cast("decimal(38,0)") +
+            when(h64 < 0, lit(new java.math.BigDecimal("18446744073709551616"))
+              .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)"))
+          (udec % a(1).cast("decimal(38,0)")).cast("int")
+        // 64-bit families need wrapping multiply — native Catalyst
+        // expressions (codegen'd), registered per session (HashExprs.scala)
+        case "apoc.hashing.fnv164" | "apoc.hashing.fnv1a64"
+            | "apoc.hashing.cityhash64" | "apoc.hashing.murmurhash3"
+            | "apoc.hashing.xxhash32" | "apoc.hashing.xxhash64"
+            | "apoc.hashing.jumphash" | "apoc.hashing.rendezvoushash" =>
+          graft.functions.HashExprs.ensure(f.df.sparkSession)
+          name match {
+            case "apoc.hashing.fnv164" =>
+              call_function("graft_fnv164", a(0).cast("string"))
+            case "apoc.hashing.fnv1a64" =>
+              call_function("graft_fnv1a64", a(0).cast("string"))
+            case "apoc.hashing.cityhash64" => // alias of fnv1a64 (hashing.go:297)
+              call_function("graft_cityhash64", a(0).cast("string"))
+            case "apoc.hashing.murmurhash3" => // canonical murmur3-32 w/ seed
+              call_function("graft_murmur3", a(0).cast("string"),
+                (if (args.size >= 2) a(1) else lit(0L)).cast("long"))
+            case "apoc.hashing.xxhash32" => // reference's simplified loop
+              call_function("graft_xxhash32", a(0).cast("string"),
+                (if (args.size >= 2) a(1) else lit(0L)).cast("long"))
+            case "apoc.hashing.xxhash64" =>
+              call_function("graft_xxhash64", a(0).cast("string"),
+                (if (args.size >= 2) a(1) else lit(0L)).cast("long"))
+            case "apoc.hashing.jumphash" =>
+              call_function("graft_jumphash", a(0).cast("long"), a(1).cast("int"))
+            case _ => // rendezvoushash(key, [nodes])
+              call_function("graft_rendezvous", a(0).cast("string"), a(1))
+          }
+        case "apoc.hashing.fingerprint" => // sha256 of the %v rendering —
+          // over our struct entities the rendering is engine-specific, so
+          // hash the canonical JSON instead (disclosed deviation)
+          sha2(to_json(a(0)).cast("binary"), 256)
+        case "apoc.hashing.fingerprintgraph" => // sha256(nodes ++ rels)
+          sha2(concat(to_json(a(0)), to_json(a(1))).cast("binary"), 256)
 
         // ---- apoc.date.* completion (ref apoc/date/date.go; epoch seconds,
         // UTC session == time.Unix in a UTC locale)
@@ -1961,6 +2096,669 @@ object Planner {
             case other => compile(other, f, params).getField("labels")
           }
           array_contains(labelsCol, a(1))
+
+        // ---- apoc.util completion (ref apoc/util/util.go)
+        case "apoc.util.when" => when(a(0), a(1)).otherwise(a(2))
+        case "apoc.util.coalesce" =>
+          coalesce(args.map(x => compile(x, f, params)): _*)
+        case "apoc.util.case" => // [cond, val, cond, val…], default (util.go:188)
+          args.head match {
+            case ListLit(items) =>
+              val default = if (args.size >= 2) a(1) else lit(null)
+              items.grouped(2).collect { case scala.collection.Seq(c, v) =>
+                (compile(c, f, params), compile(v, f, params))
+              }.toSeq.foldRight(default) { case ((c, v), acc) =>
+                when(c, v).otherwise(acc)
+              }
+            case _ => throw new IllegalArgumentException(
+              "apoc.util.case needs a literal [cond, value, …] list")
+          }
+        case "apoc.util.validate" => // raises when the condition holds (util.go:95)
+          when(a(0), raise_error(a(1).cast("string"))).otherwise(lit(true))
+        case "apoc.util.merge" => // maps: right wins; lists: concat (util.go:141)
+          // Cypher map LITERALS compile to structs — merge those at plan
+          // time by field name (right wins), true maps via map_concat
+          (f.df.select(a(0)).schema.head.dataType,
+            f.df.select(a(1)).schema.head.dataType) match {
+            case (_: org.apache.spark.sql.types.MapType, _) =>
+              f.df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+              map_concat(a(0), a(1))
+            case (_: org.apache.spark.sql.types.ArrayType, _) => concat(a(0), a(1))
+            case (s1: org.apache.spark.sql.types.StructType,
+                  s2: org.apache.spark.sql.types.StructType) =>
+              struct(
+                (s1.fieldNames.filterNot(s2.fieldNames.contains).map(n =>
+                  a(0).getField(n).as(n)) ++
+                  s2.fieldNames.map(n => a(1).getField(n).as(n))).toSeq: _*)
+            case _ => a(1)
+          }
+        case "apoc.util.isnode" | "apoc.util.isrelationship" | "apoc.util.ispath" =>
+          // resolved at plan time from the variable's kind / struct shape
+          args.head match {
+            case Variable(v) if f.kinds.contains(v) => f.kinds(v) match {
+              case NodeK => lit(name == "apoc.util.isnode")
+              case RelK => lit(name == "apoc.util.isrelationship")
+              case _ => lit(false)
+            }
+            case other =>
+              val dt = f.df.select(compile(other, f, params)).schema.head.dataType
+              dt match {
+                case st: org.apache.spark.sql.types.StructType =>
+                  if (st.fieldNames.contains("labels")) lit(name == "apoc.util.isnode")
+                  else if (st.fieldNames.contains("path")) lit(name == "apoc.util.ispath")
+                  else if (st.fieldNames.contains("type")) lit(name == "apoc.util.isrelationship")
+                  else lit(false)
+                case _ => lit(false)
+              }
+          }
+        // the reference's compress is an explicit identity placeholder
+        // (util.go:75 "Placeholder") — replayed as the same identity
+        case "apoc.util.compress" | "apoc.util.compresswithalgorithm" =>
+          a(0).cast("binary")
+        case "apoc.util.decompress" | "apoc.util.decompresswithalgorithm" =>
+          a(0).cast("string")
+        case "apoc.util.partition" => throw new IllegalArgumentException(
+          "apoc.util.partition takes a Go function argument (util.go:379) — " +
+            "not callable from Cypher; apoc.coll.partition(list, n) is")
+
+        // ---- apoc.map completion (ref apoc/map/map.go)
+        case "apoc.map.keys" => map_keys(a(0))
+        case "apoc.map.dropnullvalues" => map_filter(a(0), (_, v) => v.isNotNull)
+        case "apoc.map.mergelist" => // later maps win (map.go:81)
+          f.df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+          map_from_entries(flatten(transform(a(0), m => map_entries(m))))
+        case "apoc.map.setlists" => // zip keys/values onto m (map.go:137)
+          f.df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+          map_concat(a(0), map_from_arrays(
+            transform(a(1), k => k.cast("string")), a(2)))
+        case "apoc.map.setpairs" => // [[k,v]…] onto m (map.go:117)
+          f.df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+          map_concat(a(0), map_from_entries(transform(a(1),
+            p => struct(element_at(p, 1).cast("string"), element_at(p, 2)))))
+        case "apoc.map.setvalues" => // alternating [k1,v1,k2,v2…] (map.go:160)
+          f.df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+          map_concat(a(0), map_from_entries(
+            transform(sequence(lit(1), (size(a(1)) / 2).cast("int")), i =>
+              struct(element_at(a(1), i * 2 - 1).cast("string"),
+                element_at(a(1), i * 2)))))
+        case "apoc.map.groupby" => // key-value → list of maps (map.go:382)
+          val (list, key) = (a(0), a(1))
+          val keys = array_distinct(transform(list,
+            m => element_at(m, key).cast("string")))
+          map_from_arrays(keys, transform(keys,
+            k => filter(list, m => element_at(m, key).cast("string") === k)))
+        case "apoc.map.groupbymulti" => // '|'-joined composite key (map.go:397)
+          val list = a(0)
+          val keyOf = (m: Column) => args(1) match {
+            case ListLit(ks) => concat_ws("|", ks.map(ke =>
+              element_at(m, compile(ke, f, params)).cast("string")): _*)
+            case _ => throw new IllegalArgumentException(
+              "apoc.map.groupByMulti needs a literal key list")
+          }
+          val keys = array_distinct(transform(list, m => keyOf(m)))
+          map_from_arrays(keys, transform(keys,
+            k => filter(list, m => keyOf(m) === k)))
+        case "apoc.map.flatten" => // one typed nesting level (map.go:332 recurses
+          // over dynamic maps; our maps are uniformly typed, so one level IS
+          // the full nesting)
+          val delim = if (args.size >= 2) a(1) else lit(".")
+          f.df.select(a(0)).schema.head.dataType match {
+            case org.apache.spark.sql.types.MapType(_,
+                _: org.apache.spark.sql.types.MapType, _) =>
+              map_from_entries(flatten(transform(map_entries(a(0)),
+                e => transform(map_entries(e.getField("value")), i =>
+                  struct(concat(e.getField("key"), delim, i.getField("key")).as("key"),
+                    i.getField("value").as("value"))))))
+            case _ => a(0)
+          }
+        case "apoc.map.unflatten" => // inverse: 'a.b' keys → nested (map.go:357)
+          val m = a(0)
+          val tops = array_distinct(transform(map_keys(m),
+            k => element_at(split(k, "\\."), 1)))
+          map_from_arrays(tops, transform(tops, t =>
+            map_from_entries(transform(
+              filter(map_entries(m),
+                e => element_at(split(e.getField("key"), "\\."), 1) === t),
+              e => struct(
+                when(size(split(e.getField("key"), "\\.")) > 1,
+                  element_at(split(e.getField("key"), "\\."), 2))
+                  .otherwise(e.getField("key")).as("key"),
+                e.getField("value").as("value"))))))
+        case "apoc.map.updatetree" => throw new IllegalArgumentException(
+          "apoc.map.updateTree needs arbitrarily-nested dynamic maps " +
+            "(map.go:416) — unsupported over typed maps; use apoc.map.setKey")
+
+        // ---- apoc.convert completion (ref apoc/convert/convert.go)
+        case "apoc.convert.tolist" =>
+          f.df.select(a(0)).schema.head.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType => a(0)
+            case _ => array(a(0))
+          }
+        case "apoc.convert.tomap" | "apoc.convert.fromjsonmap" =>
+          f.df.select(a(0)).schema.head.dataType match {
+            case _: org.apache.spark.sql.types.MapType => a(0)
+            case _: org.apache.spark.sql.types.StructType =>
+              from_json(to_json(a(0)),
+                org.apache.spark.sql.types.DataType.fromDDL("map<string,variant>"))
+            case org.apache.spark.sql.types.StringType =>
+              from_json(a(0),
+                org.apache.spark.sql.types.DataType.fromDDL("map<string,variant>"))
+            case _ => throw new IllegalArgumentException(
+              s"apoc.convert.toMap: cannot convert ${args.head}")
+          }
+        case "apoc.convert.tosortedjsonmap" => // sorted-key JSON text
+          to_json(parse_json(to_json(a(0))))
+        case "apoc.convert.fromjsonnode" =>
+          from_json(a(0), org.apache.spark.sql.types.DataType.fromDDL(
+            "struct<id:string,labels:array<string>,properties:map<string,string>>"))
+        case "apoc.convert.tonode" | "apoc.convert.torelationship" =>
+          f.df.select(a(0)).schema.head.dataType match {
+            case _: org.apache.spark.sql.types.StructType => a(0)
+            case org.apache.spark.sql.types.StringType if name.endsWith("tonode") =>
+              from_json(a(0), org.apache.spark.sql.types.DataType.fromDDL(
+                "struct<id:string,labels:array<string>,properties:map<string,string>>"))
+            case org.apache.spark.sql.types.StringType =>
+              from_json(a(0), org.apache.spark.sql.types.DataType.fromDDL(
+                "struct<id:string,type:string,start:string,end:string,properties:map<string,string>>"))
+            case _ => throw new IllegalArgumentException(s"$name: need struct or JSON")
+          }
+        case "apoc.convert.tonodelist" | "apoc.convert.torelationshiplist" =>
+          a(0) // entity lists are already typed arrays of entity structs
+        case "apoc.convert.getjsonpropertymap" => // parse a JSON-valued property
+          val props = args.head match {
+            case Variable(v) if f.kinds.get(v).exists(k => k == NodeK || k == RelK) =>
+              col(s"${v}_properties")
+            case other => compile(other, f, params).getField("properties")
+          }
+          from_json(element_at(props, a(1)),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,variant>"))
+        case "apoc.convert.setjsonproperty" => // returns the UPDATED property map
+          // (the reference mutates the node in place; writes go through SET)
+          val props = args.head match {
+            case Variable(v) if f.kinds.get(v).exists(k => k == NodeK || k == RelK) =>
+              col(s"${v}_properties")
+            case other => compile(other, f, params).getField("properties")
+          }
+          f.df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+          map_concat(props, map(a(1).cast("string"), to_json(parse_json(a(2).cast("string")))))
+        case "apoc.convert.totree" => throw new IllegalArgumentException(
+          "apoc.convert.toTree is procedure-shaped (row set → nested tree); " +
+            "use CALL-surface export instead")
+
+        // ---- apoc.json completion (ref apoc/json/json.go). parse/compact/
+        // type/values ride Spark 4 VariantType (codegen'd); tree rewrites
+        // (pretty/flatten/set/delete) are native expressions (JsonExprs.scala)
+        case "apoc.json.parse" => parse_json(a(0))
+        case "apoc.json.compact" => // canonical compact, keys sorted like Go
+          to_json(parse_json(a(0)))
+        case "apoc.json.type" => // object|array|string|number|boolean|null|invalid
+          val t = ltrim(a(0))
+          when(try_parse_json(a(0)).isNull, lit("invalid"))
+            .when(t.startsWith("{"), lit("object"))
+            .when(t.startsWith("["), lit("array"))
+            .when(t.startsWith("\""), lit("string"))
+            .when(trim(a(0)).isin("true", "false"), lit("boolean"))
+            .when(trim(a(0)) === "null", lit("null"))
+            .otherwise(lit("number"))
+        case "apoc.json.values" => // object values, dynamic (variant) typed
+          map_values(from_json(a(0),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,variant>")))
+        case "apoc.json.merge" => // later objects win; sorted-key render
+          f.df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+          val vm = org.apache.spark.sql.types.DataType.fromDDL("map<string,variant>")
+          to_json(parse_json(to_json(args.map(x =>
+            from_json(compile(x, f, params), vm)).reduce((x, y) => map_concat(x, y)))))
+        case "apoc.json.pretty" =>
+          graft.functions.HashExprs.ensure(f.df.sparkSession)
+          call_function("graft_json_pretty", a(0).cast("string"))
+        case "apoc.json.flatten" =>
+          graft.functions.HashExprs.ensure(f.df.sparkSession)
+          call_function("graft_json_flatten", a(0).cast("string"))
+        case "apoc.json.unflatten" =>
+          graft.functions.HashExprs.ensure(f.df.sparkSession)
+          call_function("graft_json_unflatten", a(0).cast("string"))
+        case "apoc.json.set" =>
+          graft.functions.HashExprs.ensure(f.df.sparkSession)
+          call_function("graft_json_set", a(0).cast("string"), a(1).cast("string"), a(2))
+        case "apoc.json.delete" =>
+          graft.functions.HashExprs.ensure(f.df.sparkSession)
+          call_function("graft_json_delete", a(0).cast("string"), a(1).cast("string"))
+        case "apoc.json.filter" | "apoc.json.map" | "apoc.json.reduce" =>
+          throw new IllegalArgumentException(
+            s"$name takes a Go function argument (json.go:285) — not callable from Cypher")
+
+        // ---- apoc.temporal completion (ref apoc/temporal/temporal.go).
+        // Formats are Java SimpleDateFormat on BOTH sides (the reference
+        // converts Java patterns to Go layouts, temporal.go:24).
+        case "apoc.temporal.format" => date_format(a(0), args(1) match {
+          case Lit(s: String) => s
+          case _ => throw new IllegalArgumentException("format must be literal") })
+        case "apoc.temporal.parse" => to_timestamp(a(0), args(1) match {
+          case Lit(s: String) => s
+          case _ => throw new IllegalArgumentException("format must be literal") })
+        case "apoc.temporal.duration" => // amount×unit → int64 nanos, unknown
+          // unit → 0 (temporal.go:293; Go Duration marshals as nanoseconds)
+          val mult: Column = args(1) match {
+            case Lit(u: String) => u match {
+              case "hours" | "hour" => lit(3600L * 1000000000L)
+              case "minutes" | "minute" => lit(60L * 1000000000L)
+              case "seconds" | "second" => lit(1000000000L)
+              case "milliseconds" | "millisecond" => lit(1000000L)
+              case _ => lit(0L)
+            }
+            case _ => throw new IllegalArgumentException("unit must be literal")
+          }
+          a(0).cast("long") * mult
+        case "apoc.temporal.formatduration" => // HH:mm:ss of nanos, the format
+          // arg is ignored by the reference too (temporal.go:70)
+          val secs = (a(0).cast("long") / 1000000000L).cast("long")
+          format_string("%02d:%02d:%02d", (secs / 3600L).cast("long"),
+            ((secs / 60L) % 60L).cast("long"), secs % 60L)
+        case "apoc.temporal.round" => // nearest unit boundary (temporal.go:322)
+          val unit = args(1) match {
+            case Lit(s: String) => s
+            case _ => throw new IllegalArgumentException("unit must be literal") }
+          val start = date_trunc(unit, a(0))
+          val end = unit match {
+            case "minute" => start + expr("INTERVAL 1 MINUTE")
+            case "hour" => start + expr("INTERVAL 1 HOUR")
+            case "day" => start + expr("INTERVAL 1 DAY")
+            case "week" => start + expr("INTERVAL 7 DAY")
+            case "month" => start + expr("INTERVAL 1 MONTH")
+            case "year" => start + expr("INTERVAL 1 YEAR")
+            case _ => start + expr("INTERVAL 1 SECOND")
+          }
+          // t-start < end-t → start else end (half-up at the midpoint)
+          when(unix_micros(a(0)) - unix_micros(start) <
+            unix_micros(end) - unix_micros(a(0)), start).otherwise(end)
+        case "apoc.temporal.timezone" => // UTC wall time → tz wall time
+          from_utc_timestamp(a(0), args(1) match {
+            case Lit(s: String) => s
+            case _ => throw new IllegalArgumentException("tz must be literal") })
+        case "apoc.temporal.toutc" | "apoc.temporal.tolocal" =>
+          a(0) // session TZ is UTC: local == UTC (temporal.go:350,359)
+
+        // ---- apoc.date completion (ref apoc/date/date.go)
+        case "apoc.date.tounixtime" => unix_timestamp(a(0))
+        case "apoc.date.fromunixtime" => timestamp_seconds(a(0).cast("long"))
+        case "apoc.date.parseaszoneddatetime" => // alias of parse (date.go:170)
+          unix_timestamp(a(0), args(1) match {
+            case Lit(s: String) => s
+            case _ => throw new IllegalArgumentException("format must be literal") })
+
+        // ---- apoc.number / apoc.math completion
+        case "apoc.number.exact" => // shortest 'f'-format double (number.go:104);
+          // integral doubles drop the ".0" Go-style
+          val d = a(0).cast("double")
+          when(d === d.cast("long").cast("double"), d.cast("long").cast("string"))
+            .otherwise(d.cast("string"))
+        case "apoc.number.parse" => // strip , and spaces then parse (number.go:71)
+          regexp_replace(a(0), "[, ]", "").cast("double")
+        case "apoc.math.stdev" => // population ÷N over a list (math.go StdDev)
+          val xs = transform(a(0), x => x.cast("double"))
+          val m = aggregate(xs, lit(0.0), (acc, x) => acc + x) / size(xs)
+          when(size(xs) === 0, lit(0.0)).otherwise(
+            sqrt(aggregate(xs, lit(0.0), (acc, x) => acc + (x - m) * (x - m)) / size(xs)))
+        case "apoc.math.nextprime" => // smallest prime > n (math.go:369);
+          // bounded 300-candidate scan — prime gaps below 10^6 are < 150
+          val n = a(0).cast("long")
+          val isP = (c: Column) => when(c < 2, lit(false)).otherwise(
+            forall(sequence(lit(2L), greatest(floor(sqrt(c)).cast("long"), lit(2L))),
+              d => (c === d) || (c % d =!= 0)))
+          array_min(filter(sequence(n + 1, n + 300), c => isP(c)))
+
+        // ---- apoc.diff completion (ref apoc/diff/diff.go)
+        case "apoc.diff.nodes" | "apoc.diff.relationships" =>
+          // property-map diff of two entities (diff.go:41,80) — same shape
+          // as apoc.diff.maps over their property maps
+          def pm(e: Expr): Column = e match {
+            case Variable(v) if f.kinds.get(v).exists(k => k == NodeK || k == RelK) =>
+              col(s"${v}_properties")
+            case other => compile(other, f, params).getField("properties")
+          }
+          val (m1, m2) = (pm(args(0)), pm(args(1)))
+          val k1 = map_keys(m1); val k2 = map_keys(m2)
+          struct(
+            sort_array(array_except(k2, k1)).as("added"),
+            sort_array(array_except(k1, k2)).as("removed"),
+            sort_array(filter(array_intersect(k1, k2),
+              k => !(element_at(m1, k) <=> element_at(m2, k)))).as("changed"),
+            sort_array(filter(array_intersect(k1, k2),
+              k => element_at(m1, k) <=> element_at(m2, k))).as("unchanged"))
+        case "apoc.diff.summary" => // counts per diff bucket (diff.go:338)
+          val d = a(0)
+          map(lit("added"), size(d.getField("added")),
+            lit("removed"), size(d.getField("removed")),
+            lit("changed"), size(d.getField("changed")),
+            lit("unchanged"), size(d.getField("unchanged")))
+        case "apoc.diff.merge" => // strategy ∈ prefer_new|prefer_old|combine
+          val strategy = args.lift(2).collect { case Lit(s: String) => s }
+            .getOrElse("prefer_new")
+          f.df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+          strategy match {
+            case "prefer_old" => map_concat(a(1), a(0))
+            case "combine" => // numbers add, strings concat, lists concat
+              // (diff.go:307 combineValues) — dispatch on the value type
+              val (m1, m2) = (a(0), a(1))
+              val allKeys = array_distinct(concat(map_keys(m1), map_keys(m2)))
+              val vt = f.df.select(m1).schema.head.dataType
+                .asInstanceOf[org.apache.spark.sql.types.MapType].valueType
+              val comb = (k: Column) => {
+                val (v1, v2) = (element_at(m1, k), element_at(m2, k))
+                val both = v1.isNotNull && v2.isNotNull
+                vt match {
+                  case org.apache.spark.sql.types.DoubleType |
+                       org.apache.spark.sql.types.LongType |
+                       org.apache.spark.sql.types.IntegerType =>
+                    when(both, v1 + v2).otherwise(coalesce(v2, v1))
+                  case org.apache.spark.sql.types.StringType =>
+                    when(both, concat(v1, v2)).otherwise(coalesce(v2, v1))
+                  case _: org.apache.spark.sql.types.ArrayType =>
+                    when(both, concat(v1, v2)).otherwise(coalesce(v2, v1))
+                  case _ => coalesce(v2, v1)
+                }
+              }
+              map_from_arrays(allKeys, transform(allKeys, k => comb(k)))
+            case _ => map_concat(a(0), a(1))
+          }
+        case "apoc.diff.patch" => // our DiffResult carries key sets (not value
+          // maps — disclosed deviation from diff.go:244), so patch takes the
+          // TARGET map to pull added/changed values from:
+          // patch(original, diff, source)
+          val (orig, d, src) = (a(0), a(1), a(2))
+          val kept = filter(map_keys(orig),
+            k => !array_contains(d.getField("removed"), k) &&
+              !array_contains(d.getField("changed"), k))
+          val pulled = concat(d.getField("added"), d.getField("changed"))
+          map_from_arrays(
+            concat(kept, pulled),
+            concat(transform(kept, k => element_at(orig, k)),
+              transform(pulled, k => element_at(src, k))))
+
+        // ---- apoc.paths.* path-value functions (ref apoc/paths/paths.go;
+        // traversal members live in the CALL registry, ApocProcs.scala).
+        // A path value is struct<path: array<node_id>, length>.
+        case "apoc.paths.reverse" => // paths.go:454
+          struct(reverse(a(0).getField("path")).as("path"),
+            a(0).getField("length").as("length"))
+        case "apoc.paths.slice" => // nodes [start, end) (paths.go:479)
+          val (s, e) = (a(1).cast("int"), a(2).cast("int"))
+          val n = slice(a(0).getField("path"), s + 1, greatest(e - s, lit(0)))
+          struct(n.as("path"), greatest(size(n) - 1, lit(0)).as("length"))
+        case "apoc.paths.merge" => // concat node lists; length = Σ rels
+          // (paths.go:430)
+          struct(
+            flatten(transform(a(0), p => p.getField("path"))).as("path"),
+            aggregate(a(0), lit(0),
+              (acc, p) => acc + p.getField("length")).as("length"))
+        case "apoc.paths.common" => // nodes present in EVERY path (paths.go:372)
+          sort_array(aggregate(
+            slice(a(0), 2, 1000000),
+            array_distinct(try_element_at(a(0), lit(1)).getField("path")),
+            (acc, p) => array_intersect(acc, p.getField("path"))))
+        case "apoc.paths.unique" => // distinct nodes across paths (paths.go:408)
+          sort_array(array_distinct(
+            flatten(transform(a(0), p => p.getField("path")))))
+
+        // ---- apoc.stats.* list statistics (ref apoc/stats/stats.go).
+        // Population moments (÷N), percentile takes p ∈ [0,1] over (n−1),
+        // empty lists → 0 — all replayed exactly. Same HOF style as
+        // apoc.agg.*: composes with collect().
+        case n0 if n0.startsWith("apoc.stats.") =>
+          val xs = transform(a(0), x => x.cast("double"))
+          val nn = size(xs).cast("double")
+          val mean = aggregate(xs, lit(0.0), (acc, x) => acc + x) / nn
+          val variance = when(size(xs) === 0, lit(0.0)).otherwise(
+            aggregate(xs, lit(0.0), (acc, x) => acc + (x - mean) * (x - mean)) / nn)
+          val sd = sqrt(variance)
+          // p ∈ [0,1] linear interpolation on (n−1) — stats.go:166
+          def pct(p: Column): Column = {
+            val sorted = sort_array(xs)
+            val idx = p.cast("double") * (size(xs) - 1).cast("double")
+            val lo = floor(idx).cast("int"); val hi = ceil(idx).cast("int")
+            when(size(xs) === 0, lit(0.0))
+              .when(lo === hi, try_element_at(sorted, lo + 1))
+              .otherwise(try_element_at(sorted, lo + 1) * (lit(1.0) - (idx - lo)) +
+                try_element_at(sorted, hi + 1) * (idx - lo))
+          }
+          def stdMoment(k: Int): Column =
+            aggregate(xs, lit(0.0), (acc, x) => acc + pow((x - mean) / sd, k))
+          name.stripPrefix("apoc.stats.") match {
+            case "mean" => when(size(xs) === 0, lit(0.0)).otherwise(mean)
+            case "median" => pct(lit(0.5)) // == Go's mid-pair average
+            case "mode" => // most frequent; ties → smallest (Go map order)
+              val freq = (v: Column) => size(filter(xs, y => y <=> v))
+              val maxFreq = array_max(transform(array_distinct(xs), v => freq(v)))
+              when(size(xs) === 0, lit(0.0)).otherwise(
+                array_min(filter(array_distinct(xs), v => freq(v) === maxFreq)))
+            case "stddev" => sd
+            case "variance" => variance
+            case "percentile" => pct(a(1))
+            case "quartiles" =>
+              map(lit("Q1"), pct(lit(0.25)), lit("Q2"), pct(lit(0.5)),
+                lit("Q3"), pct(lit(0.75)))
+            case "iqr" => pct(lit(0.75)) - pct(lit(0.25))
+            case "min" => coalesce(array_min(xs), lit(0.0))
+            case "max" => coalesce(array_max(xs), lit(0.0))
+            case "range" => coalesce(array_max(xs) - array_min(xs), lit(0.0))
+            case "sum" => aggregate(xs, lit(0.0), (acc, x) => acc + x)
+            case "count" => size(xs)
+            case "skewness" => // (n/((n−1)(n−2)))·Σz³, n ≥ 3 (stats.go:286)
+              when(size(xs) < 3 || sd === 0, lit(0.0)).otherwise(
+                nn / ((nn - 1) * (nn - 2)) * stdMoment(3))
+            case "kurtosis" => // stats.go:312, n ≥ 4
+              when(size(xs) < 4 || sd === 0, lit(0.0)).otherwise(
+                nn * (nn + 1) / ((nn - 1) * (nn - 2) * (nn - 3)) * stdMoment(4) -
+                  lit(3.0) * (nn - 1) * (nn - 1) / ((nn - 2) * (nn - 3)))
+            case "correlation" => // Pearson (stats.go:339)
+              val ys = transform(a(1), x => x.cast("double"))
+              val my = aggregate(ys, lit(0.0), (acc, x) => acc + x) / size(ys)
+              val num = aggregate(zip_with(xs, ys, (x, y) => (x - mean) * (y - my)),
+                lit(0.0), (acc, z) => acc + z)
+              val dx = aggregate(xs, lit(0.0), (acc, x) => acc + (x - mean) * (x - mean))
+              val dy = aggregate(ys, lit(0.0), (acc, y) => acc + (y - my) * (y - my))
+              when(size(xs) =!= size(ys) || size(xs) === 0 || dx === 0 || dy === 0,
+                lit(0.0)).otherwise(num / sqrt(dx * dy))
+            case "covariance" => // ÷N (stats.go:371)
+              val ys = transform(a(1), x => x.cast("double"))
+              val my = aggregate(ys, lit(0.0), (acc, x) => acc + x) / size(ys)
+              when(size(xs) =!= size(ys) || size(xs) === 0, lit(0.0)).otherwise(
+                aggregate(zip_with(xs, ys, (x, y) => (x - mean) * (y - my)),
+                  lit(0.0), (acc, z) => acc + z) / nn)
+            case "zscore" =>
+              when(sd === 0, transform(xs, _ => lit(0.0)))
+                .otherwise(transform(xs, x => (x - mean) / sd))
+            case "normalize" => // min-max to [0,1]; flat list → all 1.0
+              val (mn, mx) = (array_min(xs), array_max(xs))
+              when(mx === mn, transform(xs, _ => lit(1.0)))
+                .otherwise(transform(xs, x => (x - mn) / (mx - mn)))
+            case "histogram" => // fixed bin count, top value clamped in
+              val (mn, mx) = (array_min(xs), array_max(xs))
+              val bins = a(1).cast("int")
+              val w = (mx - mn) / bins.cast("double")
+              transform(sequence(lit(0), bins - 1), b =>
+                size(filter(xs, v => least(floor((v - mn) / w).cast("int"),
+                  bins - 1) === b)))
+            case "outliers" => // 1.5·IQR fences (stats.go:466)
+              val (q1, q3) = (pct(lit(0.25)), pct(lit(0.75)))
+              val iqr = q3 - q1
+              filter(xs, v => v < q1 - lit(1.5) * iqr || v > q3 + lit(1.5) * iqr)
+            case "summary" => // every measure, double-valued (count too —
+              // map values must unify; disclosed like agg.statistics)
+              map(
+                lit("count"), nn, lit("sum"),
+                aggregate(xs, lit(0.0), (acc, x) => acc + x),
+                lit("mean"), when(size(xs) === 0, lit(0.0)).otherwise(mean),
+                lit("median"), pct(lit(0.5)),
+                lit("stdDev"), sd, lit("variance"), variance,
+                lit("min"), coalesce(array_min(xs), lit(0.0)),
+                lit("max"), coalesce(array_max(xs), lit(0.0)),
+                lit("range"), coalesce(array_max(xs) - array_min(xs), lit(0.0)),
+                lit("Q1"), pct(lit(0.25)), lit("Q2"), pct(lit(0.5)),
+                lit("Q3"), pct(lit(0.75)),
+                lit("IQR"), pct(lit(0.75)) - pct(lit(0.25)),
+                lit("mode"), {
+                  val freq = (v: Column) => size(filter(xs, y => y <=> v))
+                  val maxFreq = array_max(transform(array_distinct(xs), v => freq(v)))
+                  when(size(xs) === 0, lit(0.0)).otherwise(
+                    array_min(filter(array_distinct(xs), v => freq(v) === maxFreq)))
+                },
+                lit("skewness"), when(size(xs) < 3 || sd === 0, lit(0.0))
+                  .otherwise(nn / ((nn - 1) * (nn - 2)) * stdMoment(3)),
+                lit("kurtosis"), when(size(xs) < 4 || sd === 0, lit(0.0))
+                  .otherwise(nn * (nn + 1) / ((nn - 1) * (nn - 2) * (nn - 3)) *
+                    stdMoment(4) -
+                    lit(3.0) * (nn - 1) * (nn - 1) / ((nn - 2) * (nn - 3))))
+            case other0 => throw new IllegalArgumentException(
+              s"unknown function apoc.stats.$other0")
+          }
+
+        // ---- apoc.node.* / apoc.rel.* entity accessors (ref apoc/node/
+        // node.go, apoc/rel/rel.go). Degree/connected/neighbors are handled
+        // by the rewrite phase (grouped joins); everything here is a pure
+        // column expression over the binding's carried fields. The mutators
+        // return the UPDATED entity as struct<id, labels, properties> — the
+        // reference mutates in place; persistent writes go through SET.
+        case n0 if n0.startsWith("apoc.node.") || n0.startsWith("apoc.rel.") =>
+          def fieldOf(e: Expr, fld: String): Column = e match {
+            case Variable(v) if f.kinds.contains(v) => col(s"${v}_$fld")
+            case other => compile(other, f, params).getField(fld)
+          }
+          def props0(e: Expr): Column = fieldOf(e, "properties")
+          def nodeStruct(id: Column, labels: Column, props: Column): Column =
+            struct(id.as("id"), labels.as("labels"), props.as("properties"))
+          def updatedNode(e: Expr, labels: Column => Column,
+              props: Column => Column): Column =
+            nodeStruct(fieldOf(e, "id"), labels(fieldOf(e, "labels")),
+              props(props0(e)))
+          def relStruct(e: Expr, src: Column, dst: Column, props: Column): Column =
+            struct(fieldOf(e, "id").as("id"), fieldOf(e, "type").as("type"),
+              src.as("src"), dst.as("dst"), props.as("properties"))
+          name match {
+            case "apoc.node.properties" | "apoc.rel.properties" => props0(args.head)
+            case "apoc.node.property" | "apoc.rel.property" =>
+              element_at(props0(args.head), a(1))
+            case "apoc.node.haslabels" => // ALL of (node.go:107)
+              forall(a(1), l => array_contains(fieldOf(args.head, "labels"), l))
+            case "apoc.node.tomap" => // heterogeneous map → struct (disclosed)
+              nodeStruct(fieldOf(args.head, "id"), fieldOf(args.head, "labels"),
+                props0(args.head))
+            case "apoc.rel.tomap" =>
+              relStruct(args.head, fieldOf(args.head, "src"),
+                fieldOf(args.head, "dst"), props0(args.head))
+            case "apoc.node.frommap" | "apoc.rel.frommap" =>
+              f.df.select(a(0)).schema.head.dataType match {
+                case _: org.apache.spark.sql.types.StructType => a(0)
+                case _: org.apache.spark.sql.types.MapType if name.contains("node") =>
+                  nodeStruct(element_at(a(0), "id"),
+                    array().cast("array<string>"), a(0).cast("map<string,string>"))
+                case _ => throw new IllegalArgumentException(s"$name: need struct or map")
+              }
+            case "apoc.node.clone" | "apoc.rel.clone" => // copy (node.go:427)
+              if (name.contains("node"))
+                nodeStruct(fieldOf(args.head, "id"), fieldOf(args.head, "labels"),
+                  props0(args.head))
+              else relStruct(args.head, fieldOf(args.head, "src"),
+                fieldOf(args.head, "dst"), props0(args.head))
+            // maps have no ordering for <=>; equality via sorted entry lists
+            case "apoc.node.equals" => // id + labels + properties (node.go:485)
+              fieldOf(args(0), "id") === fieldOf(args(1), "id") &&
+                (fieldOf(args(0), "labels") <=> fieldOf(args(1), "labels")) &&
+                (sort_array(map_entries(props0(args(0)))) <=>
+                  sort_array(map_entries(props0(args(1)))))
+            case "apoc.rel.equals" => // id + type + endpoints + props (rel.go:276)
+              fieldOf(args(0), "id") === fieldOf(args(1), "id") &&
+                fieldOf(args(0), "type") === fieldOf(args(1), "type") &&
+                (sort_array(map_entries(props0(args(0)))) <=>
+                  sort_array(map_entries(props0(args(1)))))
+            case "apoc.node.diff" | "apoc.rel.compare" => // property-map diff
+              val (m1, m2) = (props0(args(0)), props0(args(1)))
+              val k1 = map_keys(m1); val k2 = map_keys(m2)
+              struct(
+                sort_array(array_except(k2, k1)).as("added"),
+                sort_array(array_except(k1, k2)).as("removed"),
+                sort_array(filter(array_intersect(k1, k2),
+                  k => !(element_at(m1, k) <=> element_at(m2, k)))).as("changed"),
+                sort_array(filter(array_intersect(k1, k2),
+                  k => element_at(m1, k) <=> element_at(m2, k))).as("unchanged"))
+            case "apoc.node.setproperty" =>
+              f.df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+              updatedNode(args.head, identity,
+                p => map_concat(p, map(a(1).cast("string"), a(2).cast("string"))))
+            case "apoc.node.setproperties" =>
+              f.df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+              updatedNode(args.head, identity,
+                p => map_concat(p, a(1).cast("map<string,string>")))
+            case "apoc.node.removeproperty" =>
+              updatedNode(args.head, identity,
+                p => map_filter(p, (k, _) => k =!= a(1)))
+            case "apoc.node.removeproperties" =>
+              updatedNode(args.head, identity,
+                p => map_filter(p, (k, _) => !array_contains(a(1), k)))
+            case "apoc.node.addlabel" =>
+              updatedNode(args.head, l => array_union(l, array(a(1))), identity)
+            case "apoc.node.addlabels" =>
+              updatedNode(args.head, l => array_union(l, a(1)), identity)
+            case "apoc.node.removelabel" =>
+              updatedNode(args.head, l => array_remove(l, a(1)), identity)
+            case "apoc.node.removelabels" =>
+              updatedNode(args.head, l => array_except(l, a(1)), identity)
+            case "apoc.rel.setproperty" =>
+              f.df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+              relStruct(args.head, fieldOf(args.head, "src"), fieldOf(args.head, "dst"),
+                map_concat(props0(args.head), map(a(1).cast("string"), a(2).cast("string"))))
+            case "apoc.rel.setproperties" =>
+              f.df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+              relStruct(args.head, fieldOf(args.head, "src"), fieldOf(args.head, "dst"),
+                map_concat(props0(args.head), a(1).cast("map<string,string>")))
+            case "apoc.rel.removeproperty" =>
+              relStruct(args.head, fieldOf(args.head, "src"), fieldOf(args.head, "dst"),
+                map_filter(props0(args.head), (k, _) => k =!= a(1)))
+            case "apoc.rel.removeproperties" =>
+              relStruct(args.head, fieldOf(args.head, "src"), fieldOf(args.head, "dst"),
+                map_filter(props0(args.head), (k, _) => !array_contains(a(1), k)))
+            case "apoc.rel.reverse" => // endpoints swapped (rel.go:219)
+              relStruct(args.head, fieldOf(args.head, "dst"),
+                fieldOf(args.head, "src"), props0(args.head))
+            // endpoint accessors return node IDs (the reference returns the
+            // stored *Node; the ID is the join key to fetch it)
+            case "apoc.rel.startnode" => fieldOf(args.head, "src")
+            case "apoc.rel.endnode" => fieldOf(args.head, "dst")
+            case "apoc.rel.nodes" =>
+              array(fieldOf(args.head, "src"), fieldOf(args.head, "dst"))
+            case "apoc.rel.othernode" => // rel.go:339
+              val nid = fieldOf(args(1), "id")
+              when(fieldOf(args.head, "src") === nid, fieldOf(args.head, "dst"))
+                .when(fieldOf(args.head, "dst") === nid, fieldOf(args.head, "src"))
+                .otherwise(lit(null))
+            case "apoc.rel.direction" => // OUTGOING | INCOMING | NONE (rel.go:325)
+              val nid = fieldOf(args(1), "id")
+              when(fieldOf(args.head, "src") === nid, lit("OUTGOING"))
+                .when(fieldOf(args.head, "dst") === nid, lit("INCOMING"))
+                .otherwise(lit("NONE"))
+            case "apoc.rel.isloop" =>
+              fieldOf(args.head, "src") === fieldOf(args.head, "dst")
+            case "apoc.rel.isbetween" => // either orientation (rel.go:364)
+              val (x, y) = (fieldOf(args(1), "id"), fieldOf(args(2), "id"))
+              (fieldOf(args.head, "src") === x && fieldOf(args.head, "dst") === y) ||
+                (fieldOf(args.head, "src") === y && fieldOf(args.head, "dst") === x)
+            case "apoc.rel.isdirectedbetween" => // src→dst only (rel.go:374)
+              fieldOf(args.head, "src") === fieldOf(args(1), "id") &&
+                fieldOf(args.head, "dst") === fieldOf(args(2), "id")
+            case "apoc.rel.istype" => fieldOf(args.head, "type") === a(1)
+            case "apoc.rel.isanytype" => array_contains(a(1), fieldOf(args.head, "type"))
+            case "apoc.rel.hasproperty" =>
+              map_contains_key(props0(args.head), a(1))
+            case "apoc.rel.hasproperties" => // ALL keys present (rel.go:262)
+              forall(a(1), k => map_contains_key(props0(args.head), k))
+            case "apoc.rel.weight" => // numeric property w/ default (rel.go:311)
+              coalesce(element_at(props0(args.head), a(1)).cast("double"),
+                a(2).cast("double"))
+            case "apoc.rel.delete" => throw new IllegalArgumentException(
+              "apoc.rel.delete is a write — use MATCH …  DELETE r")
+            case other0 => throw new IllegalArgumentException(
+              s"unknown function $other0")
+          }
 
         // ---- apoc.agg.* (ref apoc/agg/agg.go). The reference implements
         // these over value SLICES ([]interface{}), so they compose with

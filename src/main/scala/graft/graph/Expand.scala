@@ -54,20 +54,17 @@ object Expand {
       altRelTypes: Seq[String] = Seq.empty): DataFrame = {
 
     val es0 = g.edgesByTypes(relType.toSeq ++ altRelTypes)
-    // orient edges so `from` is the bound side
+    // orient edges so `from` is the bound side; the ORIGINAL endpoints ride
+    // along (_rsrc/_rdst) for the apoc.rel.* endpoint accessors
+    def cols(from: org.apache.spark.sql.Column, to: org.apache.spark.sql.Column) = Seq(from.as("_from"), to.as("_to"),
+      col("id").as("_rid"), col("rel_type").as("_rtype"),
+      col("properties").as("_rprops"), col("weight").as("_rweight"),
+      col("src").as("_rsrc"), col("dst").as("_rdst"))
     val oriented = direction match {
-      case Out  => es0.select(col("src").as("_from"), col("dst").as("_to"),
-        col("id").as("_rid"), col("rel_type").as("_rtype"),
-        col("properties").as("_rprops"), col("weight").as("_rweight"))
-      case In   => es0.select(col("dst").as("_from"), col("src").as("_to"),
-        col("id").as("_rid"), col("rel_type").as("_rtype"),
-        col("properties").as("_rprops"), col("weight").as("_rweight"))
-      case Both => es0.select(col("src").as("_from"), col("dst").as("_to"),
-        col("id").as("_rid"), col("rel_type").as("_rtype"),
-        col("properties").as("_rprops"), col("weight").as("_rweight"))
-        .union(es0.select(col("dst").as("_from"), col("src").as("_to"),
-          col("id").as("_rid"), col("rel_type").as("_rtype"),
-          col("properties").as("_rprops"), col("weight").as("_rweight")))
+      case Out  => es0.select(cols(col("src"), col("dst")): _*)
+      case In   => es0.select(cols(col("dst"), col("src")): _*)
+      case Both => es0.select(cols(col("src"), col("dst")): _*)
+        .union(es0.select(cols(col("dst"), col("src")): _*))
     }
 
     val dstNodes = dstLabel.map(g.nodesByLabel).getOrElse(g.nodes)
@@ -83,9 +80,12 @@ object Expand {
         .withColumn(s"${r}_type", col("_rtype"))
         .withColumn(s"${r}_properties", col("_rprops"))
         .withColumn(s"${r}_weight", col("_rweight"))
+        .withColumn(s"${r}_src", col("_rsrc"))
+        .withColumn(s"${r}_dst", col("_rdst"))
       case None => joined
     }
-    withRel.drop("_from", "_to", "_rid", "_rtype", "_rprops", "_rweight")
+    withRel.drop("_from", "_to", "_rid", "_rtype", "_rprops", "_rweight",
+      "_rsrc", "_rdst")
   }
 
   /** Var-length expand `[*min..max]` as an iterative frontier loop.

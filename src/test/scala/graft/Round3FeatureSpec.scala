@@ -328,7 +328,9 @@ class Round3FeatureSpec extends AnyFunSuite {
                 apoc.temporal.daysInMonth(2023, 2) AS dim23,
                 apoc.temporal.isLeapYear(1900) AS ly1900,
                 apoc.temporal.isLeapYear(2000) AS ly2000""").head
-    assert(r3 == Seq(1L, 1L, 0x4F9F2CABL, (0x4F9F2CABL % 16).toInt, 28, false, true))
+    // consistentHash = UNSIGNED fnv1a64('hello') % 16
+    // = 11831194018420276491 % 16 (hashing.go:113 docstring value) = 11
+    assert(r3 == Seq(1L, 1L, 0x4F9F2CABL, 11, 28, false, true))
   }
 
   test("apoc text/coll completion + node/rel accessors") {
