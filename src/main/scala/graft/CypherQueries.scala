@@ -633,6 +633,119 @@ object CypherQueries {
                 strftime(to_timestamp(p_partkey * 86400), '%Y-%m-%d') AS tf
          FROM part WHERE p_partkey <= 50"""),
 
+    cq("q_cypher_apoc_label_stats", "2.11",
+      // apoc.label.stats (apoc/label): per-label node counts — one
+      // exploded aggregation
+      """CALL apoc.label.stats() YIELD label, n RETURN label, n""",
+      """SELECT label, n FROM (
+           SELECT 'Customer' AS label, COUNT(*) AS n FROM customer
+           UNION ALL SELECT 'Order', COUNT(*) FROM orders
+           UNION ALL SELECT 'Part', COUNT(*) FROM part
+           UNION ALL SELECT 'Supplier', COUNT(*) FROM supplier
+           UNION ALL SELECT 'Nation', COUNT(*) FROM nation
+           UNION ALL SELECT 'Region', COUNT(*) FROM region)"""),
+
+    cq("q_cypher_apoc_community_density", "2.11",
+      // apoc.community.density over SUPPLIES — integer counts, one division
+      """CALL apoc.community.density('SUPPLIES') YIELD density RETURN density""",
+      """WITH p AS (SELECT DISTINCT least('Supplier:' || l_suppkey, 'Part:' || l_partkey) AS a,
+                           greatest('Supplier:' || l_suppkey, 'Part:' || l_partkey) AS b
+                    FROM lineitem),
+           n AS (SELECT COUNT(DISTINCT x) AS n FROM
+                   (SELECT a AS x FROM p UNION SELECT b FROM p)),
+           m AS (SELECT COUNT(*) AS m FROM p)
+         SELECT CASE WHEN n < 2 THEN 0.0
+                     ELSE CAST(m AS DOUBLE) / (n * (n - 1) / 2) END AS density
+         FROM n, m"""),
+
+    cq("q_cypher_apoc_search", "2.11",
+      // apoc.search surface (apoc/search/search.go): one distributed filter
+      // per call over the label shard (the reference loops all nodes)
+      """CALL apoc.search.contains('Customer', 'name', '00000042')
+           YIELD id, value RETURN id, value""",
+      """SELECT 'Customer:' || c_custkey AS id, c_name AS value
+         FROM customer WHERE c_name LIKE '%00000042%'"""),
+
+    cq("q_cypher_apoc_search_all", "2.11",
+      // nodeAll with a JSON criteria map — conjunctive property equality
+      """CALL apoc.search.nodeAll('Customer', '{"mktsegment": "BUILDING"}')
+           YIELD id RETURN count(*) AS n""",
+      """SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment = 'BUILDING'"""),
+
+    cq("q_cypher_apoc_spatial", "2.10",
+      // apoc.spatial arithmetic members (bbox/within/centroid/geojson —
+      // min/max/avg only; the trig members ride the spec and the existing
+      // haversine oracle in q_fn_point_distance)
+      """MATCH (c:Customer) WHERE c.key <= 100
+         WITH c, point({longitude: toFloat(c.key % 180 - 90),
+                        latitude: toFloat(c.key % 90 - 45)}) AS p,
+              point({longitude: 0.0, latitude: 0.0}) AS o
+         RETURN c.key AS k,
+                apoc.spatial.boundingBox([p, o])['maxLat'] AS bbmax,
+                apoc.spatial.boundingBox([p, o])['minLon'] AS bbmin,
+                apoc.spatial.within(p, apoc.spatial.boundingBox([p, o])) AS w,
+                apoc.spatial.centroid([p, o]).y AS cy,
+                apoc.spatial.toGeoJSON(p).coordinates[0] AS gx,
+                apoc.spatial.contains(apoc.spatial.boundingBox([p, o]),
+                                      apoc.spatial.boundingBox([o, o])) AS ct""",
+      """SELECT c_custkey AS k,
+                greatest(CAST(c_custkey % 90 - 45 AS DOUBLE), 0.0) AS bbmax,
+                least(CAST(c_custkey % 180 - 90 AS DOUBLE), 0.0) AS bbmin,
+                true AS w,
+                (CAST(c_custkey % 90 - 45 AS DOUBLE) + 0.0) / 2 AS cy,
+                CAST(c_custkey % 180 - 90 AS DOUBLE) AS gx,
+                true AS ct
+         FROM customer WHERE c_custkey <= 100"""),
+
+    cq("q_cypher_apoc_xml", "2.10",
+      // apoc.xml family (apoc/xml/xml.go): parse/canonicalize, attribute
+      // and text access, //tag query, Go-style JSON conversion — all
+      // string-level DuckDB replays
+      """MATCH (p:Part) WHERE p.key <= 50
+         WITH p, '<part id="' + toString(p.key) + '"><name>' + p.name + '</name></part>' AS x
+         RETURN p.key AS k,
+                apoc.xml.parse(' ' + x) AS canon,
+                apoc.xml.validate(x) AS ok,
+                apoc.xml.getAttribute(x, 'id') AS gid,
+                apoc.xml.getText(apoc.xml.query(x, '//name')[0]) AS nm,
+                apoc.xml.setAttribute(x, 'v', '2') AS sa,
+                apoc.xml.toJson(x) AS tj,
+                apoc.xml.escape('<' + p.name) AS esc""",
+      """SELECT p_partkey AS k,
+                '<part id="' || p_partkey || '"><name>' || p_name || '</name></part>' AS canon,
+                true AS ok,
+                CAST(p_partkey AS VARCHAR) AS gid,
+                p_name AS nm,
+                '<part id="' || p_partkey || '" v="2"><name>' || p_name || '</name></part>' AS sa,
+                '{"attributes":{"id":"' || p_partkey
+                  || '"},"children":[{"attributes":{},"name":"name","text":"'
+                  || p_name || '"}],"name":"part"}' AS tj,
+                '&lt;' || p_name AS esc
+         FROM part WHERE p_partkey <= 50"""),
+
+    cq("q_cypher_apoc_meta_card", "2.11",
+      // apoc.meta.cardinality (meta.go:503): three distributed counts
+      """CALL apoc.meta.cardinality('Customer', 'PLACED', 'Order')
+           YIELD startCount, relCount, endCount
+         RETURN startCount, relCount, endCount""",
+      """SELECT (SELECT COUNT(*) FROM customer) AS startCount,
+                (SELECT COUNT(*) FROM orders) AS relCount,
+                (SELECT COUNT(*) FROM orders) AS endCount"""),
+
+    cq("q_cypher_apoc_schema_nodes", "2.11",
+      // apoc.schema.nodes (schema.go:56): label → observed property keys —
+      // one grouped aggregation over the exploded property map
+      """CALL apoc.schema.nodes() YIELD label, properties
+         RETURN label, properties""",
+      """SELECT * FROM (VALUES
+           ('Customer', ['acctbal','key','mktsegment','name']),
+           ('Nation',   ['acctbal','key','mktsegment','name']),
+           ('Order',    ['acctbal','key','mktsegment','name','orderdate','orderstatus']),
+           ('Part',     ['acctbal','key','mktsegment','name','size','type']),
+           ('Region',   ['acctbal','key','mktsegment','name']),
+           ('Supplier', ['acctbal','key','mktsegment','name']))
+         AS t(label, properties)"""),
+
     cq("q_cypher_apoc_node_rel", "2.10",
       // apoc.node/rel entity accessors (apoc/node/node.go, apoc/rel/rel.go):
       // degree rides the COUNT{} grouped-join machinery (never per-row);

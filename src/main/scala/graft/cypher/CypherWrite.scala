@@ -28,7 +28,11 @@ object CypherWrite {
       params: Map[String, Any] = Map.empty): WriteResult = {
     val q = Parser.parse(query)
     require(q.parts.size == 1, "UNION not supported in write statements")
-    executeClauses(store, q.parts.head.clauses, params, None)
+    val r = executeClauses(store, q.parts.head.clauses, params, None)
+    // installed apoc.trigger statements fire after each top-level write
+    // (trigger.go After semantics); recursion-guarded inside the registry
+    ApocSysProcs.TriggerRegistry.fireAfter(store)
+    r
   }
 
   /** Run write clauses from an optional starting frame — the entry point

@@ -538,8 +538,19 @@ final class Parser(tokens: Vector[Tok]) {
     e
   }
 
+  /** COUNT/EXISTS used as a plain identifier (a YIELD column, an alias)
+    * rather than the aggregate/subquery form: next token is neither '('
+    * nor '{'.
+    */
+  private def kwAsVariable: Boolean = tokens.lift(pos + 1) match {
+    case Some(Sym("(")) | Some(Sym("{")) => false
+    case _ => true
+  }
+
   private def parsePrimary(): Expr = {
     peek match {
+      case Kw("COUNT") if kwAsVariable => next(); Variable("count")
+      case Kw("EXISTS") if kwAsVariable => next(); Variable("exists")
       case Kw("COUNT") =>
         next()
         if (trySym("{")) { // COUNT { [MATCH] <path> [WHERE …] } subquery

@@ -204,7 +204,11 @@ object Planner {
     }))
 
   private val procedures: Map[String, (PropertyGraph, Seq[Any]) => DataFrame] =
-    baseProcedures ++ ApocProcs.procedures
+    baseProcedures ++ ApocProcs.procedures ++ ApocSysProcs.procedures ++
+      ApocSearchProcs.procedures ++ ApocGraphProcs.procedures
+
+  /** Sorted CALL-surface names — apoc.meta.procedures' row source. */
+  def procedureNames: Seq[String] = procedures.keys.toSeq.sorted
 
   /** apoc.algo.dijkstra / aStar surface: point-to-point (path, weight) via
     * [[graft.algos.Algorithms.aStar]] with the zero heuristic (= exact
@@ -2612,6 +2616,213 @@ object Planner {
             case other0 => throw new IllegalArgumentException(
               s"unknown function apoc.stats.$other0")
           }
+
+        // ---- apoc.xml.* (ref apoc/xml/xml.go): XML values travel as TEXT
+        // between calls (the reference passes Go structs); ops run in the
+        // native expressions of XmlExprs.scala
+        case n0 if n0.startsWith("apoc.xml.") =>
+          graft.functions.HashExprs.ensure(f.df.sparkSession)
+          val op = name.stripPrefix("apoc.xml.")
+          val compiled = args.map(x => compile(x, f, params).cast("string"))
+          op match {
+            case "validate" => call_function("graft_xml_validate", compiled.head)
+            case "query" =>
+              call_function("graft_xml_query", compiled(0), compiled(1))
+            case _ =>
+              call_function("graft_xml", (lit(op) +: compiled): _*)
+          }
+
+        // apoc.search.highlight(text, query, pre, post) — the one scalar in
+        // the search family (search.go:702)
+        case "apoc.search.highlight" =>
+          (args(1), args(2), args(3)) match {
+            case (Lit(q: String), Lit(pre: String), Lit(post: String)) =>
+              ApocSearchProcs.highlight(a(0), q, pre, post)
+            case _ => throw new IllegalArgumentException(
+              "apoc.search.highlight needs literal query/prefix/suffix")
+          }
+
+        // postfix field access on a non-variable expression:
+        // fn(...).field / map.key — struct getField, map element_at
+        case "_propOf" | "_propof" =>
+          val base = a(0)
+          val key = args(1) match {
+            case Lit(s: String) => s
+            case _ => throw new IllegalArgumentException("field name must be literal")
+          }
+          f.df.select(base).schema.head.dataType match {
+            case _: org.apache.spark.sql.types.MapType => element_at(base, key)
+            case _ => base.getField(key)
+          }
+
+        // Cypher point() constructor: {x, y} (cartesian) or
+        // {longitude, latitude} (WGS-84) map literal → the engine's point
+        // struct (functions_eval_math.go:720 point creation)
+        case "point" => args.head match {
+          case MapLit(items) =>
+            val m = items.toMap
+            val geo = m.contains("latitude") || m.contains("longitude")
+            def pick(k1: String, k2: String): Expr =
+              m.getOrElse(k1, m.getOrElse(k2, Lit(null)))
+            struct(
+              compile(pick("x", "longitude"), f, params).cast("double").as("x"),
+              compile(pick("y", "latitude"), f, params).cast("double").as("y"),
+              lit(if (geo) 4326 else 7203).as("srid"))
+          case other => compile(other, f, params) // already a point struct
+        }
+
+        // ---- apoc.spatial.* (ref apoc/spatial/spatial.go). Points are the
+        // engine's point struct (x = longitude, y = latitude); distances in
+        // KILOMETERS like the reference's R = 6371 haversine.
+        case n0 if n0.startsWith("apoc.spatial.") =>
+          def lat(p: Column) = p.getField("y")
+          def lon(p: Column) = p.getField("x")
+          def hav(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+            val (la1, la2) = (radians(lat1), radians(lat2))
+            val dLat = radians(lat2 - lat1); val dLon = radians(lon2 - lon1)
+            val h = sin(dLat / 2) * sin(dLat / 2) +
+              cos(la1) * cos(la2) * sin(dLon / 2) * sin(dLon / 2)
+            lit(6371.0) * lit(2.0) * atan2(sqrt(h), sqrt(lit(1.0) - h))
+          }
+          def mkPoint(x: Column, y: Column): Column =
+            struct(x.cast("double").as("x"), y.cast("double").as("y"),
+              lit(4326).as("srid"))
+          name.stripPrefix("apoc.spatial.") match {
+            case "distance" => hav(lat(a(0)), lon(a(0)), lat(a(1)), lon(a(1)))
+            case "haversinedistance" => hav(a(0), a(1), a(2), a(3))
+            case "vincentydistance" => // the reference's 'Vincenty' is
+              // haversine × 1000 (spatial.go:55 "Simplified")
+              hav(a(0), a(1), a(2), a(3)) * 1000.0
+            case "bearing" => // initial bearing, 0-360 (spatial.go:66)
+              val la1 = radians(lat(a(0))); val la2 = radians(lat(a(1)))
+              val dLon = radians(lon(a(1)) - lon(a(0)))
+              val y = sin(dLon) * cos(la2)
+              val x = cos(la1) * sin(la2) - sin(la1) * cos(la2) * cos(dLon)
+              pmod(degrees(atan2(y, x)) + 360.0, lit(360.0))
+            case "destination" => // (point, bearing°, meters) (spatial.go:85)
+              val la1 = radians(lat(a(0))); val lo1 = radians(lon(a(0)))
+              val br = radians(a(1).cast("double"))
+              val dr = a(2).cast("double") / 6371000.0
+              val la2 = asin(sin(la1) * cos(dr) + cos(la1) * sin(dr) * cos(br))
+              val lo2 = lo1 + atan2(sin(br) * sin(dr) * cos(la1),
+                cos(dr) - sin(la1) * sin(la2))
+              mkPoint(degrees(lo2), degrees(la2))
+            case "midpoint" => // spatial.go:110
+              val la1 = radians(lat(a(0))); val lo1 = radians(lon(a(0)))
+              val la2 = radians(lat(a(1)))
+              val dLon = radians(lon(a(1)) - lon(a(0)))
+              val bx = cos(la2) * cos(dLon); val by = cos(la2) * sin(dLon)
+              val la3 = atan2(sin(la1) + sin(la2),
+                sqrt((cos(la1) + bx) * (cos(la1) + bx) + by * by))
+              val lo3 = lo1 + atan2(by, cos(la1) + bx)
+              mkPoint(degrees(lo3), degrees(la3))
+            case "boundingbox" => // {minLat,maxLat,minLon,maxLon} (spatial.go:136)
+              map(lit("minLat"), array_min(transform(a(0), p => lat(p))),
+                lit("maxLat"), array_max(transform(a(0), p => lat(p))),
+                lit("minLon"), array_min(transform(a(0), p => lon(p))),
+                lit("maxLon"), array_max(transform(a(0), p => lon(p))))
+            case "within" => // point inside bbox map (spatial.go:174)
+              lat(a(0)) >= element_at(a(1), "minLat") &&
+                lat(a(0)) <= element_at(a(1), "maxLat") &&
+                lon(a(0)) >= element_at(a(1), "minLon") &&
+                lon(a(0)) <= element_at(a(1), "maxLon")
+            case "area" => // spherical excess, m² (spatial.go:186)
+              val ps = a(0); val n = size(ps)
+              val terms = transform(sequence(lit(1), n), i => {
+                val p1 = element_at(ps, i)
+                val p2 = element_at(ps, (i % n) + 1)
+                radians(lon(p2) - lon(p1)) *
+                  (lit(2.0) + sin(radians(lat(p1))) + sin(radians(lat(p2))))
+              })
+              when(n < 3, lit(0.0)).otherwise(
+                abs(aggregate(terms, lit(0.0), (acc, x) => acc + x) *
+                  lit(6371000.0) * lit(6371000.0) / 2))
+            case "centroid" => // arithmetic mean (spatial.go:216)
+              mkPoint(
+                aggregate(transform(a(0), p => lon(p)), lit(0.0),
+                  (acc, x) => acc + x) / size(a(0)),
+                aggregate(transform(a(0), p => lat(p)), lit(0.0),
+                  (acc, x) => acc + x) / size(a(0)))
+            case "nearest" | "knearest" =>
+              val sorted = array_sort(transform(a(1), p =>
+                struct(hav(lat(a(0)), lon(a(0)), lat(p), lon(p)).as("d"),
+                  p.as("p"))))
+              if (name.endsWith("knearest"))
+                transform(slice(sorted, lit(1), a(2).cast("int")),
+                  s => s.getField("p"))
+              else try_element_at(sorted, lit(1)).getField("p")
+            case "withindistance" => // km radius (spatial.go:306)
+              filter(a(1), p =>
+                hav(lat(a(0)), lon(a(0)), lat(p), lon(p)) <= a(2).cast("double"))
+            case "intersects" => // bbox overlap (spatial.go:323)
+              !(element_at(a(0), "maxLat") < element_at(a(1), "minLat") ||
+                element_at(a(1), "maxLat") < element_at(a(0), "minLat") ||
+                element_at(a(0), "maxLon") < element_at(a(1), "minLon") ||
+                element_at(a(1), "maxLon") < element_at(a(0), "minLon"))
+            case "contains" => // bbox1 ⊇ bbox2 (spatial.go:335)
+              element_at(a(0), "minLat") <= element_at(a(1), "minLat") &&
+                element_at(a(0), "maxLat") >= element_at(a(1), "maxLat") &&
+                element_at(a(0), "minLon") <= element_at(a(1), "minLon") &&
+                element_at(a(0), "maxLon") >= element_at(a(1), "maxLon")
+            case "togeojson" => // {type, coordinates:[lon,lat]} (spatial.go:347)
+              struct(lit("Point").as("type"),
+                array(lon(a(0)), lat(a(0))).as("coordinates"))
+            case "fromgeojson" =>
+              mkPoint(try_element_at(a(0).getField("coordinates"), lit(1)),
+                try_element_at(a(0).getField("coordinates"), lit(2)))
+            // the reference's geohash codec is an explicit hardcoded
+            // placeholder (spatial.go:377-395) — replayed verbatim
+            case "decodegeohash" => mkPoint(lit(-0.1278), lit(51.5074))
+            case "encodegeohash" => lit("u4pruydqq")
+            case other0 => throw new IllegalArgumentException(
+              s"unknown function apoc.spatial.$other0")
+          }
+
+        // ---- apoc.meta.* type scalars (meta.go:106-273). Catalog members
+        // live in the CALL registry (ApocSysProcs).
+        case "apoc.meta.type" | "apoc.meta.cyphertype" =>
+          import org.apache.spark.sql.types._
+          args.head match {
+            case Variable(v) if f.kinds.get(v).contains(NodeK) => lit("NODE")
+            case Variable(v) if f.kinds.get(v).contains(RelK) => lit("RELATIONSHIP")
+            case _ => f.df.select(a(0)).schema.head.dataType match {
+              case NullType => lit("UNKNOWN") // Go's nil hits default
+              case BooleanType => lit("BOOLEAN")
+              case ByteType | ShortType | IntegerType | LongType => lit("INTEGER")
+              case FloatType | DoubleType | _: DecimalType => lit("FLOAT")
+              case StringType => lit("STRING")
+              case _: ArrayType => lit("LIST")
+              case _: MapType | _: StructType => lit("MAP")
+              case _ => lit("UNKNOWN")
+            }
+          }
+        case "apoc.meta.istype" => args(1) match {
+          case Lit(t: String) =>
+            val tc = compile(FnCall("apoc.meta.type", Seq(args.head), distinct = false),
+              f, params)
+            tc === lit(t)
+          case _ => throw new IllegalArgumentException("type name must be literal")
+        }
+        case "apoc.meta.typeof" => // {type, nullable} (meta.go:134)
+          val tc = compile(FnCall("apoc.meta.type", Seq(args.head), distinct = false),
+            f, params)
+          struct(tc.as("type"), a(0).isNull.as("nullable"))
+        case "apoc.meta.types" | "apoc.meta.cyphertypes" =>
+          // property → type name; the string property map carries every
+          // value as STRING (typed hoisted columns are the exception —
+          // disclosed, matches the map's actual runtime type)
+          val props = args.head match {
+            case Variable(v) if f.kinds.get(v).exists(k => k == NodeK || k == RelK) =>
+              col(s"${v}_properties")
+            case other => compile(other, f, params).getField("properties")
+          }
+          transform_values(props, (_, _) => lit("STRING"))
+        case "apoc.meta.isnode" =>
+          compile(FnCall("apoc.util.isnode", args, distinct = false), f, params)
+        case "apoc.meta.isrelationship" =>
+          compile(FnCall("apoc.util.isrelationship", args, distinct = false), f, params)
+        case "apoc.meta.ispath" =>
+          compile(FnCall("apoc.util.ispath", args, distinct = false), f, params)
 
         // ---- apoc.node.* / apoc.rel.* entity accessors (ref apoc/node/
         // node.go, apoc/rel/rel.go). Degree/connected/neighbors are handled

@@ -275,6 +275,9 @@ object HashExprs {
     one("graft_json_unflatten")(a => JsonUnaryExpr(a.head, "unflatten"))
     one("graft_json_set")(a => JsonSetExpr(a(0), a(1), a(2)))
     one("graft_json_delete")(a => JsonDeleteExpr(a(0), a(1)))
+    one("graft_xml")(a => XmlStrExpr(a))
+    one("graft_xml_validate")(a => XmlBoolExpr(a))
+    one("graft_xml_query")(a => XmlArrExpr(a))
     registered.add(spark)
   }
 

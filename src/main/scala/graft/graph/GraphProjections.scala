@@ -30,6 +30,16 @@ object GraphProjections {
     p
   }
 
+  /** Register an arbitrary pre-built graph under a name (apoc.graph.from*
+    * constructors, clones, subgraphs).
+    */
+  def register(name: String, graph: PropertyGraph): Projection = {
+    reg.remove(name)
+    val p = Projection(name, graph, graph.nodes.count(), graph.edges.count())
+    reg.put(name, p)
+    p
+  }
+
   def get(name: String): Projection =
     reg.getOrElse(name, sys.error(s"no such graph projection $name"))
 

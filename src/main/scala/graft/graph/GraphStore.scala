@@ -14,7 +14,23 @@ import org.apache.spark.sql.functions._
   * the transaction.go analog). At scale the swap is a Delta-style commit of
   * appended/rewritten partitions; in-memory it is a reference swap.
   */
-final class GraphStore(initial: PropertyGraph) {
+/** Global registry of the most recently constructed store — the engine's
+  * analog of the reference's package-level `Storage` variable
+  * (`apoc/storage`); the store-backed CALL procedures (apoc.schema DDL,
+  * apoc.atomic, apoc.trigger, apoc.periodic) resolve their write target
+  * here, exactly as the reference's apoc packages do.
+  */
+object GraphStore {
+  private val cur = new java.util.concurrent.atomic.AtomicReference[GraphStore]()
+  private[graph] def registerCurrent(s: GraphStore): Unit = cur.set(s)
+  def currentOption: Option[GraphStore] = Option(cur.get)
+  def currentStore: GraphStore = currentOption.getOrElse(
+    throw new IllegalStateException("no GraphStore constructed in this JVM"))
+}
+
+final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
+  // transaction-private stores must NOT hijack the global registry
+  if (registerGlobal) GraphStore.registerCurrent(this)
 
   case class QueryStats(
       nodesCreated: Long = 0, nodesDeleted: Long = 0,
@@ -31,8 +47,16 @@ final class GraphStore(initial: PropertyGraph) {
   def version: Long = versionCounter
 
   private def swap(g: PropertyGraph): Unit = synchronized {
-    current = g
     versionCounter += 1
+    // bound the logical-plan lineage: every few versions, materialize the
+    // snapshot (localCheckpoint) so a long write sequence doesn't stack
+    // unbounded join/withColumn layers — Catalyst analysis cost grows
+    // super-linearly with depth. A durable deployment's Delta-style commit
+    // materializes every version anyway; this is the in-memory analog.
+    current =
+      if (versionCounter % 6 == 0)
+        PropertyGraph(g.nodes.localCheckpoint(true), g.edges.localCheckpoint(true))
+      else g
   }
 
   /** Optimistic explicit transaction (§2.9 `transaction.go`): `f` runs
@@ -43,7 +67,7 @@ final class GraphStore(initial: PropertyGraph) {
     */
   def transaction[T](f: GraphStore => T): T = {
     val baseVersion = version
-    val tx = new GraphStore(current)
+    val tx = new GraphStore(current, registerGlobal = false)
     val out = f(tx) // throw → nothing swapped (rollback)
     synchronized {
       require(versionCounter == baseVersion,
@@ -108,27 +132,58 @@ final class GraphStore(initial: PropertyGraph) {
     QueryStats(nodesCreated = n)
   }
 
-  /** SET a hoisted property to per-row values: `updates` = (id, newval). */
+  /** SET a property to per-row values: `updates` = (id, newval). Hoisted
+    * properties update their typed column; EVERY property (hoisted or not)
+    * is kept in sync in the string property map — Neo4j properties are
+    * schema-free, so a SET on a never-hoisted key lands in the map alone
+    * (a null newval removes the key, REMOVE semantics).
+    */
   def setNodeProperties(updates: DataFrame, property: String): QueryStats = {
     val g = current
     val u = updates.select(col("id"), col("newval")).withColumn("_upd", lit(true))
-    val dtype = g.nodes.schema(property).dataType
-    val updated = g.nodes.join(u, Seq("id"), "left_outer")
-      .withColumn(property,
-        when(col("_upd"), col("newval").cast(dtype)).otherwise(col(property)))
+    val joined = g.nodes.join(u, Seq("id"), "left_outer")
+    val withCol =
+      if (g.nodes.columns.contains(property)) {
+        val dtype = g.nodes.schema(property).dataType
+        joined.withColumn(property,
+          when(col("_upd"), col("newval").cast(dtype)).otherwise(col(property)))
+      } else joined
+    val updated = withCol.withColumn("properties",
+      when(col("_upd") && col("newval").isNotNull,
+        map_concat(
+          map_filter(col("properties"), (k, _) => k =!= property),
+          map(lit(property), col("newval").cast("string"))))
+        .when(col("_upd"), // null newval: drop the key
+          map_filter(col("properties"), (k, _) => k =!= property))
+        .otherwise(col("properties")))
       .drop("newval", "_upd")
     val n = updates.count()
     swap(PropertyGraph(updated, g.edges))
     QueryStats(propertiesSet = n)
   }
 
-  /** SET a hoisted property for matching node ids. */
+  /** SET a property to ONE value for matching node ids (same hoisted-or-
+    * map contract as [[setNodeProperties]]).
+    */
   def setNodeProperty(ids: DataFrame, property: String, value: Column): QueryStats = {
     val g = current
     val marked = g.nodes.join(ids.select(col("id")).withColumn("_hit", lit(true)),
       Seq("id"), "left_outer")
-    val updated = marked.withColumn(property,
-      when(col("_hit"), value).otherwise(col(property))).drop("_hit")
+    val withCol =
+      if (g.nodes.columns.contains(property))
+        marked.withColumn(property,
+          when(col("_hit"), value.cast(g.nodes.schema(property).dataType))
+            .otherwise(col(property)))
+      else marked
+    val updated = withCol.withColumn("properties",
+      when(col("_hit") && value.isNotNull,
+        map_concat(
+          map_filter(col("properties"), (k, _) => k =!= property),
+          map(lit(property), value.cast("string"))))
+        .when(col("_hit"),
+          map_filter(col("properties"), (k, _) => k =!= property))
+        .otherwise(col("properties")))
+      .drop("_hit")
     val n = ids.count()
     swap(PropertyGraph(updated, g.edges))
     QueryStats(propertiesSet = n)
@@ -185,6 +240,12 @@ final class GraphStore(initial: PropertyGraph) {
     swap(PropertyGraph(g.nodes, updated))
     QueryStats(propertiesSet = n)
   }
+
+  /** Replace the node set wholesale (label rewrites — apoc.label.add/
+    * remove/replace mutate the labels array per node).
+    */
+  def replaceNodes(nodes: DataFrame): Unit =
+    swap(PropertyGraph(nodes, current.edges))
 
   /** CREATE relationships. */
   def createEdges(newEdges: DataFrame): QueryStats = {

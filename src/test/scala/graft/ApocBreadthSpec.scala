@@ -356,6 +356,74 @@ class ApocBreadthSpec extends AnyFunSuite {
     assert(r == Seq(0L, 3L, 2.0, 2.0))
   }
 
+  test("apoc.xml family: parse/manipulate/query/convert") {
+    val r = one(
+      """WITH '<a x="1"><b>hi</b><c/></a>' AS x
+         RETURN apoc.xml.parse(' ' + x) AS canon,
+                apoc.xml.validate(x) AS ok,
+                apoc.xml.validate('<oops') AS bad,
+                apoc.xml.getAttribute(x, 'x') AS ga,
+                apoc.xml.getText(apoc.xml.query(x, '//b')[0]) AS bt,
+                size(apoc.xml.query(x, '/b')) AS nb,
+                apoc.xml.setAttribute(x, 'y', '2') AS sa,
+                apoc.xml.setText('<t/>', 'v') AS st,
+                apoc.xml.addChild('<p/>', '<q>z</q>') AS ac,
+                apoc.xml.removeChild(x, 'c') AS rc,
+                apoc.xml.create('item', '{"id":"1"}', 'txt') AS cr,
+                apoc.xml.toJson('<m k="v">t</m>') AS tj,
+                apoc.xml.escape('<x> & "y"') AS esc,
+                apoc.xml.unescape(apoc.xml.escape('<x> & "y"')) AS rt,
+                apoc.xml.minify('<a>' + apoc.text.fromCodePoint(10) + '  <b/>' + apoc.text.fromCodePoint(10) + '</a>') AS mf,
+                apoc.xml.getNamespace(apoc.xml.namespace('<n/>', 'ns', 'http://e.x'), 'ns') AS gns""")
+    assert(r(0) == """<a x="1"><b>hi</b><c/></a>""")
+    assert(r(1) == true && r(2) == false)
+    assert(r(3) == "1" && r(4) == "hi" && r(5) == 1)
+    assert(r(6) == """<a x="1" y="2"><b>hi</b><c/></a>""")
+    assert(r(7) == "<t>v</t>")
+    assert(r(8) == "<p><q>z</q></p>")
+    assert(r(9) == """<a x="1"><b>hi</b></a>""")
+    assert(r(10) == """<item id="1">txt</item>""")
+    assert(r(11) == """{"attributes":{"k":"v"},"name":"m","text":"t"}""")
+    assert(r(12) == "&lt;x&gt; &amp; &quot;y&quot;")
+    assert(r(13) == """<x> & "y"""")
+    assert(r(14) == "<a><b/></a>")
+    assert(r(15) == "http://e.x")
+  }
+
+  test("apoc.spatial family: great-circle geometry over point structs") {
+    val r = one(
+      """WITH point({x: -0.1278, y: 51.5074}) AS london,
+              point({x: 2.3522, y: 48.8566}) AS paris
+         RETURN apoc.spatial.distance(london, paris) AS d,
+                apoc.spatial.haversineDistance(51.5074, -0.1278, 48.8566, 2.3522) AS hd,
+                apoc.spatial.vincentyDistance(51.5074, -0.1278, 48.8566, 2.3522) AS vd,
+                apoc.spatial.bearing(london, paris) AS br,
+                apoc.spatial.midpoint(london, paris).y AS mlat,
+                apoc.spatial.boundingBox([london, paris])['minLat'] AS bb,
+                apoc.spatial.within(london, apoc.spatial.boundingBox([london, paris])) AS w,
+                apoc.spatial.centroid([london, paris]).y AS cy,
+                apoc.spatial.nearest(london, [paris, london]).y AS ny,
+                size(apoc.spatial.kNearest(london, [paris, london], 1)) AS kn,
+                size(apoc.spatial.withinDistance(london, [paris, london], 100.0)) AS wd,
+                apoc.spatial.toGeoJSON(london).coordinates[1] AS gj,
+                apoc.spatial.encodeGeohash(london, 9) AS gh,
+                apoc.spatial.decodeGeohash('u4pruydqq').y AS dg""")
+    // London→Paris great-circle ≈ 343.6 km; the exact value comes from the
+    // same double arithmetic on both sides
+    assert(math.abs(r(0).asInstanceOf[Double] - 343.6) < 1.0)
+    assert(r(1) == r(0))
+    assert(r(2).asInstanceOf[Double] == r(0).asInstanceOf[Double] * 1000)
+    assert(math.abs(r(3).asInstanceOf[Double] - 148.1) < 1.0) // SSE bearing
+    assert(math.abs(r(4).asInstanceOf[Double] - 50.2) < 0.2)
+    assert(r(5) == 48.8566)
+    assert(r(6) == true)
+    assert(math.abs(r(7).asInstanceOf[Double] - 50.182) < 0.001)
+    assert(r(8) == 51.5074) // london itself is nearest to london
+    assert(r(9) == 1 && r(10) == 1) // only london within 100 km
+    assert(r(11) == 51.5074) // geojson coordinates = [lon, lat]
+    assert(r(12) == "u4pruydqq" && r(13) == 51.5074) // reference placeholders
+  }
+
   test("diff.nodes mirrors diff.maps over entity property maps") {
     val r = one(
       """MATCH (a:Person {key: 1}), (b:Person {key: 2})
