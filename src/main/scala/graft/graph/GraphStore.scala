@@ -247,6 +247,17 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
   def replaceNodes(nodes: DataFrame): Unit =
     swap(PropertyGraph(nodes, current.edges))
 
+  /** Replace the edge set wholesale (apoc.refactor rel rewrites: rename
+    * type, invert, redirect).
+    */
+  def replaceEdges(edges: DataFrame): Unit =
+    swap(PropertyGraph(current.nodes, edges))
+
+  /** Replace both sides in one version (refactor operations that rewrite
+    * nodes and their incident edges together).
+    */
+  def replaceGraph(g: PropertyGraph): Unit = swap(g)
+
   /** CREATE relationships. */
   def createEdges(newEdges: DataFrame): QueryStats = {
     val g = current
