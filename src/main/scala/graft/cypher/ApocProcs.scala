@@ -237,6 +237,16 @@ object ApocProcs {
         .filter(col("depth") >= minL)
     }),
 
+    // apoc.path.shortestPath / allShortestPaths — the singular-path CALL
+    // names over the same bounded BFS (apoc/path)
+    "apoc.path.allshortestpaths" -> ((g, args) =>
+      Expand.allShortestPaths(g, args(0).toString, args(1).toString,
+        arg(args, 2), argInt(args, 3, 6), Expand.Both)),
+    "apoc.path.shortestpath" -> ((g, args) =>
+      Expand.allShortestPaths(g, args(0).toString, args(1).toString,
+          arg(args, 2), argInt(args, 3, 6), Expand.Both)
+        .orderBy(col("path")).limit(1)),
+
     // ---- apoc.paths.* traversal surface (paths.go) — every member routes
     // through the SAME bounded simple-path machinery as the reference's
     // findAllPaths

@@ -526,6 +526,150 @@ object ApocWriteProcs {
       val st = rows.map(s.createNodes)
       oneRow(g, "nodesCreated" -> st.map(_.nodesCreated).getOrElse(0L))
     }),
+    // ---- merge/refactor/export/import leftovers (aliases + small forms)
+    "apoc.merge.mergenode" -> ((g, args) =>
+      ApocWriteProcs.procedures("apoc.merge.node")(g, args)),
+    "apoc.merge.mergerelationship" -> ((g, args) =>
+      ApocWriteProcs.procedures("apoc.merge.relationship")(g, args)),
+    "apoc.merge.nodes" -> ((g, args) => {
+      // JSON [{labelsCsv: identJson}, …] shorthand: {labels: propsJson}
+      val specs = jsonProps(args(0).toString)
+      var created = 0L
+      specs.foreach { case (labels, props) =>
+        val df = ApocWriteProcs.procedures("apoc.merge.node")(g, Seq(labels, props))
+        created += df.collect().head.getAs[Long]("nodesCreated")
+      }
+      oneRow(g, "nodesCreated" -> created)
+    }),
+    "apoc.merge.batch" -> ((g, args) =>
+      ApocWriteProcs.procedures("apoc.merge.nodes")(g, args)),
+    "apoc.merge.pattern" -> ((g, args) => {
+      // (srcId, relType, dstId): ensure both-direction pattern edge
+      ApocWriteProcs.procedures("apoc.merge.relationship")(g, args)
+    }),
+    "apoc.refactor.clonesubgraph" -> ((g, args) =>
+      ApocWriteProcs.procedures("apoc.create.clonesubgraph")(g, args)),
+    "apoc.refactor.clonesubgraphfrompaths" -> ((g, args) =>
+      ApocWriteProcs.procedures("apoc.create.clonesubgraph")(g, args)),
+    "apoc.refactor.mergerelationships" -> ((g, args) => {
+      // keep the FIRST rel id, drop the rest (refactor.go:64; props of the
+      // kept edge win — the reference's config default)
+      val s = store
+      val ids = csv(args(0).toString)
+      require(ids.size >= 2, "apoc.refactor.mergeRelationships needs >= 2 ids")
+      s.replaceEdges(s.snapshot.edges.filter(!col("id").isin(ids.tail: _*)))
+      oneRow(g, "kept" -> ids.head, "removed" -> (ids.size - 1).toLong)
+    }),
+    "apoc.refactor.normalize" -> ((g, args) => {
+      // (prop, newLabel, relType): extract a property value into its own
+      // node, linked per owner (refactor.go:481)
+      val s = store
+      val (prop, label, rt) = (args(0).toString, args(1).toString, args(2).toString)
+      val g0 = s.snapshot
+      val v = element_at(col("properties"), prop)
+      val owners = g0.nodes.filter(v.isNotNull)
+        .select(col("id").as("owner"), v.as("value"))
+      val newNodes = owners.select(col("value")).distinct()
+        .select(
+          concat(lit(s"$label:"), col("value")).as("id"),
+          array(lit(label)).as("labels"),
+          lit(null).cast("long").as("key"),
+          col("value").as("name"),
+          lit(null).cast("double").as("acctbal"),
+          lit(null).cast("string").as("mktsegment"),
+          map(lit("value"), col("value")).as("properties"))
+      val newEdges = owners.select(
+        concat_ws("|", lit(rt), col("owner"), col("value")).as("id"),
+        col("owner").as("src"),
+        concat(lit(s"$label:"), col("value")).as("dst"),
+        lit(rt).as("rel_type"),
+        map().cast("map<string,string>").as("properties"),
+        lit(1.0).as("weight"))
+      s.replaceGraph(PropertyGraph(
+        g0.nodes.unionByName(
+          g0.nodes.limit(0).unionByName(newNodes, allowMissingColumns = true)),
+        g0.edges.unionByName(
+          g0.edges.limit(0).unionByName(newEdges, allowMissingColumns = true))))
+      oneRow(g, "extracted" -> prop, "label" -> label)
+    }),
+    "apoc.refactor.denormalize" -> ((g, args) => {
+      // copy the neighbor's `prop` back onto each src (refactor.go:511)
+      val s = store
+      val (rt, prop) = (args(0).toString, args(1).toString)
+      val g0 = s.snapshot
+      val vals = g0.edges.filter(col("rel_type") === rt)
+        .join(g0.nodes.select(col("id").as("dst"),
+          element_at(col("properties"), prop).as("_v")), "dst")
+        .groupBy(col("src").as("id")).agg(max(col("_v")).as("newval"))
+        .filter(col("newval").isNotNull)
+      val st = s.setNodeProperties(vals, prop)
+      oneRow(g, "updated" -> st.propertiesSet)
+    }),
+    "apoc.export.tostring" -> ((g, _) =>
+      g.nodes.orderBy("id").limit(1000)
+        .select(to_json(struct(col("id"), col("labels"))).as("value"))),
+    "apoc.export.tofile" -> ((g, args) => {
+      val n = graft.sources.Formats.exportNodesJson(g, None, args(0).toString)
+      oneRow(g, "file" -> args(0).toString, "nodes" -> n, "done" -> true)
+    }),
+    "apoc.export.csvdata" -> ((g, args) => {
+      val n = graft.sources.Formats.exportCsv(
+        g.nodes.select(col("id"), col("key"), col("name")), args(0).toString)
+      oneRow(g, "file" -> args(0).toString, "rows" -> n, "done" -> true)
+    }),
+    "apoc.export.jsondata" -> ((g, args) => {
+      val n = graft.sources.Formats.exportNodesJson(g, arg(args, 1), args(0).toString)
+      oneRow(g, "file" -> args(0).toString, "nodes" -> n, "done" -> true)
+    }),
+    "apoc.export.cypherall" -> ((g, args) =>
+      ApocGraphProcs.procedures("apoc.export.cypher")(g, args)),
+    "apoc.export.cypherdata" -> ((g, args) =>
+      ApocGraphProcs.procedures("apoc.export.cypher")(g, args)),
+    "apoc.export.graphmlall" -> ((g, args) =>
+      ApocGraphProcs.procedures("apoc.export.graphml")(g, args)),
+    "apoc.export.graphmldata" -> ((g, args) =>
+      ApocGraphProcs.procedures("apoc.export.graphml")(g, args)),
+    "apoc.import.cypher" -> ((g, args) =>
+      ApocSysProcs.procedures("apoc.cypher.runfile")(g, args)),
+    "apoc.import.cypherdata" -> ((g, args) =>
+      ApocSysProcs.procedures("apoc.cypher.runmany")(g, args)),
+    "apoc.import.jsondata" -> ((g, args) => {
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      Seq(graft.functions.JsonImpls.parse(args(0).toString)
+        .map(graft.functions.JsonImpls.renderGo).getOrElse("")).toDF("value")
+    }),
+    "apoc.import.csvdata" -> ((g, args) => {
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      args(0).toString.split("\n").map(_.split(",").map(_.trim).toSeq)
+        .toSeq.toDF("fields")
+    }),
+    "apoc.import.graphmldata" -> ((g, args) => {
+      val nodes = "<node id=\"([^\"]+)\"".r
+        .findAllMatchIn(args(0).toString).map(_.group(1)).toSeq
+      oneRow(g, "nodes" -> nodes.size.toLong)
+    }),
+    "apoc.import.validateschema" -> ((g, args) =>
+      oneRow(g, "valid" ->
+        graft.functions.JsonImpls.parse(args(0).toString).isDefined)),
+    "apoc.import.batch" -> ((g, args) => throw new IllegalArgumentException(
+      "apoc.import.batch takes a Go function — use CALL {} IN TRANSACTIONS")),
+    "apoc.import.filter" -> ((g, args) => throw new IllegalArgumentException(
+      "apoc.import.filter takes a Go function — filter with WHERE after load")),
+    "apoc.import.transform" -> ((g, args) => throw new IllegalArgumentException(
+      "apoc.import.transform takes a Go function — project after load")),
+    "apoc.import.stream" -> ((g, args) => throw new IllegalArgumentException(
+      "apoc.import.stream: use Structured Streaming readStream instead")),
+    "apoc.import.merge" -> ((g, args) =>
+      ApocWriteProcs.procedures("apoc.merge.nodes")(g, args)),
+    "apoc.load.jsonparams" -> ((g, args) =>
+      graft.sources.Formats.importNodesJson(g.nodes.sparkSession, args(0).toString)),
+    "apoc.load.jsonschema" -> ((g, args) => {
+      val df = g.nodes.sparkSession.read.json(args(0).toString)
+      oneRow(g, "schema" -> df.schema.toDDL)
+    }),
+
     "apoc.nodes.filter" -> ((g, args) => throw new IllegalArgumentException(
       "apoc.nodes.filter takes a Go function (nodes.go:301) — use MATCH … WHERE")),
     "apoc.nodes.map" -> ((g, args) => throw new IllegalArgumentException(

@@ -1138,7 +1138,7 @@ object Planner {
         }
         case other => throw new IllegalArgumentException(s"unknown operator $other")
       }
-    case FnCall(name, args, distinct) =>
+    case FnCall(rawName, args, distinct) =>
       def a(i: Int): Column = compile(args(i), f, params)
       // entity args to aggregates count/group by their id, not the struct —
       // a struct of all-null fields is non-null, which would make
@@ -1189,6 +1189,26 @@ object Planner {
         }
         case _ => throw new IllegalArgumentException("date unit must be a literal string")
       }
+      // alias names that share another family's implementation exactly
+      // (apoc.create property/label setters ARE the node/rel mutators;
+      // apoc.merge map ops ARE the setters; label.hasAll is haslabels)
+      val name = Map(
+        "apoc.create.setproperty" -> "apoc.node.setproperty",
+        "apoc.create.setproperties" -> "apoc.node.setproperties",
+        "apoc.create.removeproperties" -> "apoc.node.removeproperties",
+        "apoc.create.addlabels" -> "apoc.node.addlabels",
+        "apoc.create.removelabels" -> "apoc.node.removelabels",
+        "apoc.create.setrelproperty" -> "apoc.rel.setproperty",
+        "apoc.create.setrelproperties" -> "apoc.rel.setproperties",
+        "apoc.create.removerelproperties" -> "apoc.rel.removeproperties",
+        "apoc.label.hasall" -> "apoc.node.haslabels",
+        "apoc.merge.properties" -> "apoc.node.setproperties",
+        "apoc.merge.deepmerge" -> "apoc.node.setproperties",
+        "apoc.merge.labels" -> "apoc.node.addlabels",
+        "apoc.merge.strategy" -> "apoc.diff.merge",
+        "apoc.path.slice" -> "apoc.paths.slice",
+        "apoc.path.combine" -> "apoc.paths.merge"
+      ).getOrElse(rawName, rawName)
       name match {
         // aggregates
         case "count" =>
@@ -2510,6 +2530,247 @@ object Planner {
         // empty lists → 0 — all replayed exactly. Same HOF style as
         // apoc.agg.*: composes with collect().
         case n0 if n0.startsWith("apoc.stats.") =>
+          compileStats(name, args, f, params)
+        // ---- apoc.xml.* (ref apoc/xml/xml.go): XML values travel as TEXT
+        // between calls (the reference passes Go structs); ops run in the
+        // native expressions of XmlExprs.scala
+        case n0 if n0.startsWith("apoc.xml.") =>
+          graft.functions.HashExprs.ensure(f.df.sparkSession)
+          val op = name.stripPrefix("apoc.xml.")
+          val compiled = args.map(x => compile(x, f, params).cast("string"))
+          op match {
+            case "validate" => call_function("graft_xml_validate", compiled.head)
+            case "query" =>
+              call_function("graft_xml_query", compiled(0), compiled(1))
+            case _ =>
+              call_function("graft_xml", (lit(op) +: compiled): _*)
+          }
+
+        // apoc.search.highlight(text, query, pre, post) — the one scalar in
+        // the search family (search.go:702)
+        case "apoc.search.highlight" =>
+          (args(1), args(2), args(3)) match {
+            case (Lit(q: String), Lit(pre: String), Lit(post: String)) =>
+              ApocSearchProcs.highlight(a(0), q, pre, post)
+            case _ => throw new IllegalArgumentException(
+              "apoc.search.highlight needs literal query/prefix/suffix")
+          }
+
+        // postfix field access on a non-variable expression:
+        // fn(...).field / map.key — struct getField, map element_at
+        case "_propOf" | "_propof" =>
+          val base = a(0)
+          val key = args(1) match {
+            case Lit(s: String) => s
+            case _ => throw new IllegalArgumentException("field name must be literal")
+          }
+          f.df.select(base).schema.head.dataType match {
+            case _: org.apache.spark.sql.types.MapType => element_at(base, key)
+            case _ => base.getField(key)
+          }
+
+        // ---- final alias-wave scalars
+        case "apoc.label.hasany" => // ANY of the labels (label.go)
+          val lblCol = args.head match {
+            case Variable(v) if f.kinds.get(v).contains(NodeK) => col(s"${v}_labels")
+            case other => compile(other, f, params).getField("labels")
+          }
+          exists(a(1), l => array_contains(lblCol, l))
+        case "apoc.create.vnodes" => // plural vnode (create.go:86)
+          transform(a(1), m => struct(a(0).as("labels"), m.as("properties")))
+        case "apoc.create.vpattern" => // (startProps, relType, relProps,
+          // endProps) → {start, rel, end} (create.go:114)
+          struct(
+            struct(array().cast("array<string>").as("labels"),
+              a(0).as("properties")).as("start"),
+            struct(a(1).as("type"), a(2).as("properties")).as("rel"),
+            struct(array().cast("array<string>").as("labels"),
+              a(3).as("properties")).as("end"))
+        case "apoc.agg.graph" => // collected ids → {nodes, relationships}
+          struct(sort_array(array_distinct(a(0))).as("nodes"),
+            sort_array(array_distinct(a(1))).as("relationships"))
+        case "apoc.path.elements" => // node sequence (rel ids are not part
+          // of our path struct — disclosed vs paths.go interleaving)
+          a(0).getField("path")
+        case "apoc.merge.conditional" => // merge only when cond (merge.go:260)
+          f.df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+          when(a(1), map_concat(a(0), a(2))).otherwise(a(0))
+        case "apoc.merge.validate" => // conflicting keys (merge.go:312)
+          val ks = array_intersect(map_keys(a(0)), map_keys(a(1)))
+          struct(
+            sort_array(filter(ks, k =>
+              !(element_at(a(0), k) <=> element_at(a(1), k)))).as("conflicts"),
+            size(map_keys(a(1))).as("incoming"))
+        case "apoc.merge.preview" => // merged result WITHOUT applying
+          f.df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+          map_concat(a(0), a(1))
+        case "apoc.merge.snapshot" => a(0) // immutable copy (merge.go:376)
+        case "apoc.merge.rollback" => a(1) // restore the snapshot (merge.go:361)
+        case "apoc.merge.conflict" => throw new IllegalArgumentException(
+          "apoc.merge.conflict takes a Go resolver function (merge.go:296) — " +
+            "use apoc.diff.merge with a strategy")
+        case "apoc.import.converttype" => // cast helper (apoc/import)
+          args(1) match {
+            case Lit("int") | Lit("integer") | Lit("long") => a(0).cast("long")
+            case Lit("float") | Lit("double") => a(0).cast("double")
+            case Lit("bool") | Lit("boolean") => a(0).cast("boolean")
+            case _ => a(0).cast("string")
+          }
+
+        // Cypher point() constructor: {x, y} (cartesian) or
+        // {longitude, latitude} (WGS-84) map literal → the engine's point
+        // struct (functions_eval_math.go:720 point creation)
+        case "point" => args.head match {
+          case MapLit(items) =>
+            val m = items.toMap
+            val geo = m.contains("latitude") || m.contains("longitude")
+            def pick(k1: String, k2: String): Expr =
+              m.getOrElse(k1, m.getOrElse(k2, Lit(null)))
+            struct(
+              compile(pick("x", "longitude"), f, params).cast("double").as("x"),
+              compile(pick("y", "latitude"), f, params).cast("double").as("y"),
+              lit(if (geo) 4326 else 7203).as("srid"))
+          case other => compile(other, f, params) // already a point struct
+        }
+
+        // ---- apoc.spatial.* (ref apoc/spatial/spatial.go). Points are the
+        // engine's point struct (x = longitude, y = latitude); distances in
+        // KILOMETERS like the reference's R = 6371 haversine.
+        case n0 if n0.startsWith("apoc.spatial.") =>
+          compileSpatial(name, args, f, params)
+        // ---- apoc.meta.* type scalars (meta.go:106-273). Catalog members
+        // live in the CALL registry (ApocSysProcs).
+        case "apoc.meta.type" | "apoc.meta.cyphertype" =>
+          import org.apache.spark.sql.types._
+          args.head match {
+            case Variable(v) if f.kinds.get(v).contains(NodeK) => lit("NODE")
+            case Variable(v) if f.kinds.get(v).contains(RelK) => lit("RELATIONSHIP")
+            case _ => f.df.select(a(0)).schema.head.dataType match {
+              case NullType => lit("UNKNOWN") // Go's nil hits default
+              case BooleanType => lit("BOOLEAN")
+              case ByteType | ShortType | IntegerType | LongType => lit("INTEGER")
+              case FloatType | DoubleType | _: DecimalType => lit("FLOAT")
+              case StringType => lit("STRING")
+              case _: ArrayType => lit("LIST")
+              case _: MapType | _: StructType => lit("MAP")
+              case _ => lit("UNKNOWN")
+            }
+          }
+        case "apoc.meta.istype" => args(1) match {
+          case Lit(t: String) =>
+            val tc = compile(FnCall("apoc.meta.type", Seq(args.head), distinct = false),
+              f, params)
+            tc === lit(t)
+          case _ => throw new IllegalArgumentException("type name must be literal")
+        }
+        case "apoc.meta.typeof" => // {type, nullable} (meta.go:134)
+          val tc = compile(FnCall("apoc.meta.type", Seq(args.head), distinct = false),
+            f, params)
+          struct(tc.as("type"), a(0).isNull.as("nullable"))
+        case "apoc.meta.types" | "apoc.meta.cyphertypes" =>
+          // property → type name; the string property map carries every
+          // value as STRING (typed hoisted columns are the exception —
+          // disclosed, matches the map's actual runtime type)
+          val props = args.head match {
+            case Variable(v) if f.kinds.get(v).exists(k => k == NodeK || k == RelK) =>
+              col(s"${v}_properties")
+            case other => compile(other, f, params).getField("properties")
+          }
+          transform_values(props, (_, _) => lit("STRING"))
+        case "apoc.meta.isnode" =>
+          compile(FnCall("apoc.util.isnode", args, distinct = false), f, params)
+        case "apoc.meta.isrelationship" =>
+          compile(FnCall("apoc.util.isrelationship", args, distinct = false), f, params)
+        case "apoc.meta.ispath" =>
+          compile(FnCall("apoc.util.ispath", args, distinct = false), f, params)
+
+        // ---- apoc.node.* / apoc.rel.* entity accessors (ref apoc/node/
+        // node.go, apoc/rel/rel.go). Degree/connected/neighbors are handled
+        // by the rewrite phase (grouped joins); everything here is a pure
+        // column expression over the binding's carried fields. The mutators
+        // return the UPDATED entity as struct<id, labels, properties> — the
+        // reference mutates in place; persistent writes go through SET.
+        case n0 if n0.startsWith("apoc.node.") || n0.startsWith("apoc.rel.") =>
+          compileNodeRel(name, args, f, params)
+        // ---- apoc.agg.* (ref apoc/agg/agg.go). The reference implements
+        // these over value SLICES ([]interface{}), so they compose with
+        // collect(): apoc.agg.median(collect(x)) — list functions here too.
+        case "apoc.agg.first" => try_element_at(a(0), lit(1))
+        case "apoc.agg.last" => try_element_at(a(0), lit(-1))
+        case "apoc.agg.nth" => try_element_at(a(0), a(1).cast("int") + 1) // 0-based
+        case "apoc.agg.slice" => // [start, end) (agg.go:54)
+          slice(a(0), a(1).cast("int") + 1, (a(2) - a(1)).cast("int"))
+        case "apoc.agg.product" =>
+          aggregate(a(0), lit(1.0), (acc, x) => acc * x.cast("double"))
+        case "apoc.agg.median" => pctCol(a(0), lit(50.0))
+        case "apoc.agg.percentile" => pctCol(a(0), a(1))
+        case "apoc.agg.stdev" | "apoc.agg.stddev" => // population ÷N (agg.go:143)
+          val xs = transform(a(0), x => x.cast("double"))
+          val m = aggregate(xs, lit(0.0), (acc, x) => acc + x) / size(xs)
+          when(size(xs) === 0, lit(0.0)).otherwise(
+            sqrt(aggregate(xs, lit(0.0), (acc, x) => acc + (x - m) * (x - m)) / size(xs)))
+        case "apoc.agg.mode" => // ties → smallest (Go map iteration is
+          // nondeterministic on ties, agg.go:178)
+          val freq = (v: Column) => size(filter(a(0), y => y <=> v))
+          val maxFreq = array_max(transform(array_distinct(a(0)), v => freq(v)))
+          array_min(filter(array_distinct(a(0)), v => freq(v) === maxFreq))
+        case "apoc.agg.statistics" => // min/max/mean/sum/stdev/variance/count (agg.go:205)
+          val xs = transform(a(0), x => x.cast("double"))
+          val sm = aggregate(xs, lit(0.0), (acc, x) => acc + x)
+          val m = sm / size(xs)
+          val vr = aggregate(xs, lit(0.0), (acc, x) => acc + (x - m) * (x - m)) / size(xs)
+          map(lit("min"), array_min(xs), lit("max"), array_max(xs),
+            lit("mean"), m, lit("sum"), sm, lit("stdev"), sqrt(vr),
+            lit("variance"), vr, lit("count"), size(xs).cast("double"))
+        case "apoc.agg.minitems" => // n smallest, ascending (agg.go:305)
+          slice(sort_array(transform(a(0), x => x.cast("double"))), lit(1), a(1).cast("int"))
+        case "apoc.agg.maxitems" => // n largest, descending (agg.go:331)
+          slice(sort_array(transform(a(0), x => x.cast("double")), asc = false),
+            lit(1), a(1).cast("int"))
+        case "apoc.agg.histogram" => // [{bucket, count}] sorted by bucket
+          // (deterministic; the reference iterates a Go map — agg.go:358)
+          val xs = transform(a(0), x => x.cast("double"))
+          val bs = a(1).cast("double")
+          val bucketOf = (v: Column) => floor(v / bs).cast("double") * bs
+          transform(sort_array(array_distinct(transform(xs, v => bucketOf(v)))),
+            b => struct(b.as("bucket"),
+              size(filter(xs, v => bucketOf(v) === b)).as("count")))
+        case "apoc.agg.frequencies" => // first-occurrence order (agg.go:392)
+          transform(array_distinct(a(0)),
+            x => struct(x.as("value"), size(filter(a(0), y => y <=> x)).as("count")))
+
+        // math
+        case "abs" => abs(a(0))
+        case "ceil" => ceil(a(0))
+        case "floor" => floor(a(0))
+        case "round" => if (args.size >= 2) round(a(0), args(1) match { case Lit(n: Long) => n.toInt; case _ => 0 }) else round(a(0))
+        case "sign" => signum(a(0))
+        case "sqrt" => sqrt(a(0))
+        case "exp" => exp(a(0))
+        case "log" => log(a(0))
+        case "log10" => log10(a(0))
+        case "sin" => sin(a(0)); case "cos" => cos(a(0)); case "tan" => tan(a(0))
+        case "asin" => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
+        case "atan2" => atan2(a(0), a(1))
+        case "pi" => lit(math.Pi)
+        case "rand" => rand()
+        case "randomuuid" | "apoc.create.uuid" => expr("uuid()")
+        case "coalesce" => coalesce(args.map(x => compile(x, f, params)): _*)
+        case "nullif" => when(a(0) === a(1), lit(null)).otherwise(a(0))
+        case "isempty" => size(a(0)) === 0
+        // higher-order list predicates
+        case "all" | "any" | "none" | "single" =>
+          throw new IllegalArgumentException(s"$name(...) list predicate: use forall/exists via the functions API")
+        case "vector.similarity.cosine" => graft.functions.VectorFns.cosineCol(a(0), a(1))
+        case "vector.similarity.euclidean" => graft.functions.VectorFns.euclideanSimCol(a(0), a(1))
+        case other =>
+          throw new IllegalArgumentException(s"unknown function $other")
+      }
+  }
+  /** Extracted from compile() — the JVM 64KB method limit. */
+  private def compileStats(name: String, args: Seq[Expr], f: Frame,
+      params: Map[String, Any]): Column = {
+    def a(i: Int): Column = compile(args(i), f, params)
           val xs = transform(a(0), x => x.cast("double"))
           val nn = size(xs).cast("double")
           val mean = aggregate(xs, lit(0.0), (acc, x) => acc + x) / nn
@@ -2618,64 +2879,12 @@ object Planner {
               s"unknown function apoc.stats.$other0")
           }
 
-        // ---- apoc.xml.* (ref apoc/xml/xml.go): XML values travel as TEXT
-        // between calls (the reference passes Go structs); ops run in the
-        // native expressions of XmlExprs.scala
-        case n0 if n0.startsWith("apoc.xml.") =>
-          graft.functions.HashExprs.ensure(f.df.sparkSession)
-          val op = name.stripPrefix("apoc.xml.")
-          val compiled = args.map(x => compile(x, f, params).cast("string"))
-          op match {
-            case "validate" => call_function("graft_xml_validate", compiled.head)
-            case "query" =>
-              call_function("graft_xml_query", compiled(0), compiled(1))
-            case _ =>
-              call_function("graft_xml", (lit(op) +: compiled): _*)
-          }
+  }
 
-        // apoc.search.highlight(text, query, pre, post) — the one scalar in
-        // the search family (search.go:702)
-        case "apoc.search.highlight" =>
-          (args(1), args(2), args(3)) match {
-            case (Lit(q: String), Lit(pre: String), Lit(post: String)) =>
-              ApocSearchProcs.highlight(a(0), q, pre, post)
-            case _ => throw new IllegalArgumentException(
-              "apoc.search.highlight needs literal query/prefix/suffix")
-          }
-
-        // postfix field access on a non-variable expression:
-        // fn(...).field / map.key — struct getField, map element_at
-        case "_propOf" | "_propof" =>
-          val base = a(0)
-          val key = args(1) match {
-            case Lit(s: String) => s
-            case _ => throw new IllegalArgumentException("field name must be literal")
-          }
-          f.df.select(base).schema.head.dataType match {
-            case _: org.apache.spark.sql.types.MapType => element_at(base, key)
-            case _ => base.getField(key)
-          }
-
-        // Cypher point() constructor: {x, y} (cartesian) or
-        // {longitude, latitude} (WGS-84) map literal → the engine's point
-        // struct (functions_eval_math.go:720 point creation)
-        case "point" => args.head match {
-          case MapLit(items) =>
-            val m = items.toMap
-            val geo = m.contains("latitude") || m.contains("longitude")
-            def pick(k1: String, k2: String): Expr =
-              m.getOrElse(k1, m.getOrElse(k2, Lit(null)))
-            struct(
-              compile(pick("x", "longitude"), f, params).cast("double").as("x"),
-              compile(pick("y", "latitude"), f, params).cast("double").as("y"),
-              lit(if (geo) 4326 else 7203).as("srid"))
-          case other => compile(other, f, params) // already a point struct
-        }
-
-        // ---- apoc.spatial.* (ref apoc/spatial/spatial.go). Points are the
-        // engine's point struct (x = longitude, y = latitude); distances in
-        // KILOMETERS like the reference's R = 6371 haversine.
-        case n0 if n0.startsWith("apoc.spatial.") =>
+  /** Extracted from compile() — the JVM 64KB method limit. */
+  private def compileSpatial(name: String, args: Seq[Expr], f: Frame,
+      params: Map[String, Any]): Column = {
+    def a(i: Int): Column = compile(args(i), f, params)
           def lat(p: Column) = p.getField("y")
           def lon(p: Column) = p.getField("x")
           def hav(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
@@ -2779,59 +2988,12 @@ object Planner {
               s"unknown function apoc.spatial.$other0")
           }
 
-        // ---- apoc.meta.* type scalars (meta.go:106-273). Catalog members
-        // live in the CALL registry (ApocSysProcs).
-        case "apoc.meta.type" | "apoc.meta.cyphertype" =>
-          import org.apache.spark.sql.types._
-          args.head match {
-            case Variable(v) if f.kinds.get(v).contains(NodeK) => lit("NODE")
-            case Variable(v) if f.kinds.get(v).contains(RelK) => lit("RELATIONSHIP")
-            case _ => f.df.select(a(0)).schema.head.dataType match {
-              case NullType => lit("UNKNOWN") // Go's nil hits default
-              case BooleanType => lit("BOOLEAN")
-              case ByteType | ShortType | IntegerType | LongType => lit("INTEGER")
-              case FloatType | DoubleType | _: DecimalType => lit("FLOAT")
-              case StringType => lit("STRING")
-              case _: ArrayType => lit("LIST")
-              case _: MapType | _: StructType => lit("MAP")
-              case _ => lit("UNKNOWN")
-            }
-          }
-        case "apoc.meta.istype" => args(1) match {
-          case Lit(t: String) =>
-            val tc = compile(FnCall("apoc.meta.type", Seq(args.head), distinct = false),
-              f, params)
-            tc === lit(t)
-          case _ => throw new IllegalArgumentException("type name must be literal")
-        }
-        case "apoc.meta.typeof" => // {type, nullable} (meta.go:134)
-          val tc = compile(FnCall("apoc.meta.type", Seq(args.head), distinct = false),
-            f, params)
-          struct(tc.as("type"), a(0).isNull.as("nullable"))
-        case "apoc.meta.types" | "apoc.meta.cyphertypes" =>
-          // property → type name; the string property map carries every
-          // value as STRING (typed hoisted columns are the exception —
-          // disclosed, matches the map's actual runtime type)
-          val props = args.head match {
-            case Variable(v) if f.kinds.get(v).exists(k => k == NodeK || k == RelK) =>
-              col(s"${v}_properties")
-            case other => compile(other, f, params).getField("properties")
-          }
-          transform_values(props, (_, _) => lit("STRING"))
-        case "apoc.meta.isnode" =>
-          compile(FnCall("apoc.util.isnode", args, distinct = false), f, params)
-        case "apoc.meta.isrelationship" =>
-          compile(FnCall("apoc.util.isrelationship", args, distinct = false), f, params)
-        case "apoc.meta.ispath" =>
-          compile(FnCall("apoc.util.ispath", args, distinct = false), f, params)
+  }
 
-        // ---- apoc.node.* / apoc.rel.* entity accessors (ref apoc/node/
-        // node.go, apoc/rel/rel.go). Degree/connected/neighbors are handled
-        // by the rewrite phase (grouped joins); everything here is a pure
-        // column expression over the binding's carried fields. The mutators
-        // return the UPDATED entity as struct<id, labels, properties> — the
-        // reference mutates in place; persistent writes go through SET.
-        case n0 if n0.startsWith("apoc.node.") || n0.startsWith("apoc.rel.") =>
+  /** Extracted from compile() — the JVM 64KB method limit. */
+  private def compileNodeRel(name: String, args: Seq[Expr], f: Frame,
+      params: Map[String, Any]): Column = {
+    def a(i: Int): Column = compile(args(i), f, params)
           def fieldOf(e: Expr, fld: String): Column = e match {
             case Variable(v) if f.kinds.contains(v) => col(s"${v}_$fld")
             case other => compile(other, f, params).getField(fld)
@@ -2972,79 +3134,6 @@ object Planner {
               s"unknown function $other0")
           }
 
-        // ---- apoc.agg.* (ref apoc/agg/agg.go). The reference implements
-        // these over value SLICES ([]interface{}), so they compose with
-        // collect(): apoc.agg.median(collect(x)) — list functions here too.
-        case "apoc.agg.first" => try_element_at(a(0), lit(1))
-        case "apoc.agg.last" => try_element_at(a(0), lit(-1))
-        case "apoc.agg.nth" => try_element_at(a(0), a(1).cast("int") + 1) // 0-based
-        case "apoc.agg.slice" => // [start, end) (agg.go:54)
-          slice(a(0), a(1).cast("int") + 1, (a(2) - a(1)).cast("int"))
-        case "apoc.agg.product" =>
-          aggregate(a(0), lit(1.0), (acc, x) => acc * x.cast("double"))
-        case "apoc.agg.median" => pctCol(a(0), lit(50.0))
-        case "apoc.agg.percentile" => pctCol(a(0), a(1))
-        case "apoc.agg.stdev" | "apoc.agg.stddev" => // population ÷N (agg.go:143)
-          val xs = transform(a(0), x => x.cast("double"))
-          val m = aggregate(xs, lit(0.0), (acc, x) => acc + x) / size(xs)
-          when(size(xs) === 0, lit(0.0)).otherwise(
-            sqrt(aggregate(xs, lit(0.0), (acc, x) => acc + (x - m) * (x - m)) / size(xs)))
-        case "apoc.agg.mode" => // ties → smallest (Go map iteration is
-          // nondeterministic on ties, agg.go:178)
-          val freq = (v: Column) => size(filter(a(0), y => y <=> v))
-          val maxFreq = array_max(transform(array_distinct(a(0)), v => freq(v)))
-          array_min(filter(array_distinct(a(0)), v => freq(v) === maxFreq))
-        case "apoc.agg.statistics" => // min/max/mean/sum/stdev/variance/count (agg.go:205)
-          val xs = transform(a(0), x => x.cast("double"))
-          val sm = aggregate(xs, lit(0.0), (acc, x) => acc + x)
-          val m = sm / size(xs)
-          val vr = aggregate(xs, lit(0.0), (acc, x) => acc + (x - m) * (x - m)) / size(xs)
-          map(lit("min"), array_min(xs), lit("max"), array_max(xs),
-            lit("mean"), m, lit("sum"), sm, lit("stdev"), sqrt(vr),
-            lit("variance"), vr, lit("count"), size(xs).cast("double"))
-        case "apoc.agg.minitems" => // n smallest, ascending (agg.go:305)
-          slice(sort_array(transform(a(0), x => x.cast("double"))), lit(1), a(1).cast("int"))
-        case "apoc.agg.maxitems" => // n largest, descending (agg.go:331)
-          slice(sort_array(transform(a(0), x => x.cast("double")), asc = false),
-            lit(1), a(1).cast("int"))
-        case "apoc.agg.histogram" => // [{bucket, count}] sorted by bucket
-          // (deterministic; the reference iterates a Go map — agg.go:358)
-          val xs = transform(a(0), x => x.cast("double"))
-          val bs = a(1).cast("double")
-          val bucketOf = (v: Column) => floor(v / bs).cast("double") * bs
-          transform(sort_array(array_distinct(transform(xs, v => bucketOf(v)))),
-            b => struct(b.as("bucket"),
-              size(filter(xs, v => bucketOf(v) === b)).as("count")))
-        case "apoc.agg.frequencies" => // first-occurrence order (agg.go:392)
-          transform(array_distinct(a(0)),
-            x => struct(x.as("value"), size(filter(a(0), y => y <=> x)).as("count")))
-
-        // math
-        case "abs" => abs(a(0))
-        case "ceil" => ceil(a(0))
-        case "floor" => floor(a(0))
-        case "round" => if (args.size >= 2) round(a(0), args(1) match { case Lit(n: Long) => n.toInt; case _ => 0 }) else round(a(0))
-        case "sign" => signum(a(0))
-        case "sqrt" => sqrt(a(0))
-        case "exp" => exp(a(0))
-        case "log" => log(a(0))
-        case "log10" => log10(a(0))
-        case "sin" => sin(a(0)); case "cos" => cos(a(0)); case "tan" => tan(a(0))
-        case "asin" => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
-        case "atan2" => atan2(a(0), a(1))
-        case "pi" => lit(math.Pi)
-        case "rand" => rand()
-        case "randomuuid" | "apoc.create.uuid" => expr("uuid()")
-        case "coalesce" => coalesce(args.map(x => compile(x, f, params)): _*)
-        case "nullif" => when(a(0) === a(1), lit(null)).otherwise(a(0))
-        case "isempty" => size(a(0)) === 0
-        // higher-order list predicates
-        case "all" | "any" | "none" | "single" =>
-          throw new IllegalArgumentException(s"$name(...) list predicate: use forall/exists via the functions API")
-        case "vector.similarity.cosine" => graft.functions.VectorFns.cosineCol(a(0), a(1))
-        case "vector.similarity.euclidean" => graft.functions.VectorFns.euclideanSimCol(a(0), a(1))
-        case other =>
-          throw new IllegalArgumentException(s"unknown function $other")
-      }
   }
+
 }
