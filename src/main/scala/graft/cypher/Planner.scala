@@ -542,6 +542,25 @@ object Planner {
         attachNeighborIds(v, litType(rest.headOption), DirIn)
       case FnCall("apoc.node.neighborsout", Variable(v) +: rest, _) =>
         attachNeighborIds(v, litType(rest.headOption), DirOut)
+      case FnCall(nr @ ("apoc.node.relationships" | "apoc.node.relationshipsin"
+          | "apoc.node.relationshipsout"), Variable(v) +: rest, _) =>
+        // sorted incident rel-id list (node.go:186-220) — the reference
+        // returns *Relationship structs; the ids are the fetch keys
+        val dir = if (nr.endsWith("sin")) DirIn
+          else if (nr.endsWith("sout")) DirOut else DirBoth
+        val rv = fresh()
+        val pf = patternFrame(g, PatternPath(NodePat(Some(v), None, Map.empty),
+          Seq((RelPat(Some(rv), litType(rest.headOption), dir, None, Map.empty),
+            NodePat(None, None, Map.empty)))), None, params)
+        val name = fresh()
+        val grouped = pf.df.groupBy(col(s"${v}_id"))
+          .agg(sort_array(collect_set(col(s"${rv}_id"))).as(name))
+        f = Frame(
+          f.df.join(grouped, Seq(s"${v}_id"), "left_outer")
+            .withColumn(name, coalesce(col(name), array().cast("array<string>"))),
+          f.kinds + (name -> ValK))
+        tmps :+= name
+        Variable(name)
       case FnCall(nrt @ ("apoc.node.relationshiptypes" | "apoc.node.relationshiptypesin"
           | "apoc.node.relationshiptypesout"), Seq(Variable(v)), _) =>
         // distinct incident types (node.go:120-184)

@@ -282,14 +282,18 @@ class ApocBreadthSpec extends AnyFunSuite {
                 apoc.node.isDense(a, 5) AS dense5,
                 apoc.node.relationshipExists(a, 'KNOWS>') AS reOut,
                 apoc.node.relationshipExists(a, '<KNOWS') AS reIn,
-                apoc.node.relationshipExists(a, 'MISSING') AS reNo""")
+                apoc.node.relationshipExists(a, 'MISSING') AS reNo,
+                size(apoc.node.relationships(a, 'KNOWS')) AS nrels,
+                size(apoc.node.relationshipsOut(a, 'KNOWS')) AS nout,
+                size(apoc.node.relationshipsIn(a, 'KNOWS')) AS nin""")
     assert(r.take(3) == Seq(3L, 1L, 2L))
+    assert(r.takeRight(3) == Seq(3, 2, 1)) // incident rel-id lists
     assert(r(3).asInstanceOf[scala.collection.Seq[String]].toSeq ==
       Seq("Person:2", "Person:4", "Person:5"))
     assert(r(4).asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("Person:2", "Person:4"))
     assert(r(5).asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("Person:5"))
     assert(r(6).asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("KNOWS"))
-    assert(r.drop(7) == Seq(true, false, true, true, false))
+    assert(r.slice(7, 12) == Seq(true, false, true, true, false))
 
     val r2 = one(
       """MATCH (a:Person {key: 1}), (b:Person {key: 2})
