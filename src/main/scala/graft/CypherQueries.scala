@@ -428,11 +428,11 @@ object CypherQueries {
                 CAST(year(o_orderdate) AS INT) AS y,
                 CAST(dayofweek(o_orderdate) AS INT) AS dow,
                 CAST(dayofyear(o_orderdate) AS INT) AS doy,
-                epoch(CAST(o_orderdate AS TIMESTAMP)) + 259200 AS ts3,
+                CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) + 259200 AS ts3,
                 CAST(24 AS BIGINT) AS cv,
                 strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS iso,
-                epoch(CAST(o_orderdate AS TIMESTAMP)) AS rt,
-                epoch(CAST(o_orderdate AS TIMESTAMP)) / 31557600.0 AS yrs,
+                CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS rt,
+                CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) / 31557600.0 AS yrs,
                 CAST(weekofyear(o_orderdate) AS INT) AS woy
          FROM orders WHERE o_orderkey <= 500"""),
 
@@ -464,7 +464,7 @@ object CypherQueries {
                 CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
                      + INTERVAL 1 MONTH - INTERVAL 1 MICROSECOND AS VARCHAR) AS eom,
                 CAST(dayofyear(o_orderdate) - 1 AS BIGINT) AS dd,
-                epoch(CAST(o_orderdate AS TIMESTAMP)) * 1000 AS ms
+                CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) * 1000 AS ms
          FROM orders WHERE o_orderkey <= 500"""),
 
     cq("q_cypher_apoc_util_hash", "2.10",
@@ -734,16 +734,18 @@ object CypherQueries {
 
     cq("q_cypher_apoc_schema_nodes", "2.11",
       // apoc.schema.nodes (schema.go:56): label → observed property keys —
-      // one grouped aggregation over the exploded property map
+      // one grouped aggregation over the exploded property map. The list is
+      // string-joined: the driver's pandas row-sort can't hash raw array
+      // columns (round-1 lesson, RelationalQueries.scala:244).
       """CALL apoc.schema.nodes() YIELD label, properties
-         RETURN label, properties""",
+         RETURN label, apoc.text.join(properties, ',') AS properties""",
       """SELECT * FROM (VALUES
-           ('Customer', ['acctbal','key','mktsegment','name']),
-           ('Nation',   ['acctbal','key','mktsegment','name']),
-           ('Order',    ['acctbal','key','mktsegment','name','orderdate','orderstatus']),
-           ('Part',     ['acctbal','key','mktsegment','name','size','type']),
-           ('Region',   ['acctbal','key','mktsegment','name']),
-           ('Supplier', ['acctbal','key','mktsegment','name']))
+           ('Customer', 'acctbal,key,mktsegment,name'),
+           ('Nation',   'acctbal,key,mktsegment,name'),
+           ('Order',    'acctbal,key,mktsegment,name,orderdate,orderstatus'),
+           ('Part',     'acctbal,key,mktsegment,name,size,type'),
+           ('Region',   'acctbal,key,mktsegment,name'),
+           ('Supplier', 'acctbal,key,mktsegment,name'))
          AS t(label, properties)"""),
 
     cq("q_cypher_apoc_node_rel", "2.10",
@@ -795,7 +797,7 @@ object CypherQueries {
                 apoc.stats.count(xs) AS ct,
                 apoc.stats.zScore(xs)[1] AS z1,
                 apoc.stats.normalize(xs)[1] AS n1,
-                [x IN apoc.stats.histogram(xs, 4) | toFloat(x)] AS hg,
+                apoc.text.join([x IN apoc.stats.histogram(xs, 4) | toString(x)], ',') AS hg,
                 size(apoc.stats.outliers(xs)) AS no,
                 apoc.stats.correlation(xs, xs) AS cor,
                 apoc.stats.covariance(xs, xs) AS cov,
@@ -839,9 +841,9 @@ object CypherQueries {
                 CAST(n AS INT) AS ct,
                 (xs[2] - mn) / sqrt(vr) AS z1,
                 (xs[2] - xs[1]) / (xs[n] - xs[1]) AS n1,
-                list_transform(range(0, 4), b -> CAST(len(list_filter(xs,
+                array_to_string(list_transform(range(0, 4), b -> CAST(len(list_filter(xs,
                   v -> least(CAST(floor((v - xs[1]) / ((xs[n] - xs[1]) / 4.0)) AS INT),
-                    3) = b)) AS DOUBLE)) AS hg,
+                    3) = b)) AS VARCHAR)), ',') AS hg,
                 CAST(len(list_filter(xs,
                   v -> v < q1 - 1.5 * (q3 - q1) OR v > q3 + 1.5 * (q3 - q1))) AS INT) AS no,
                 CASE WHEN dx = 0 THEN 0.0 ELSE dx / sqrt(dx * dx) END AS cor,
