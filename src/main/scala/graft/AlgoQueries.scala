@@ -227,6 +227,90 @@ object AlgoQueries {
               FROM pairs JOIN sdeg d1 ON s1 = d1.s JOIN sdeg d2 ON s2 = d2.s"""),
       "2.11"),
 
+    // gds.linkPrediction CALL surface (linkprediction.go:162): per-source
+    // adamic-adar over the SUPPLIES bipartite graph from Part:1 — the
+    // CALL-surface twin of q_algo_linkpred, YIELD through the Cypher string
+    "q_cypher_gds_linkpred" -> GQuery(
+      (s, d) => graft.cypher.Cypher.run(GraphQueries.graph(s, d),
+        """CALL gds.linkPrediction.adamicAdar.stream(
+             {sourceNode: 'Part:1', topK: 10, relationshipTypes: ['SUPPLIES']})
+           YIELD node1, node2, score
+           RETURN node1, node2, score"""),
+      Some("""WITH adj AS (SELECT DISTINCT 'Supplier:' || l_suppkey AS s,
+                                           'Part:' || l_partkey AS p FROM lineitem),
+              deg AS (SELECT s, COUNT(*) AS deg FROM adj GROUP BY s),
+              nbrs AS (SELECT s FROM adj WHERE p = 'Part:1'),
+              cand AS (
+                SELECT a.p,
+                       CAST(SUM(CAST(round(1.0 / ln(deg), 9) AS DECIMAL(28,12))) AS DOUBLE) AS score
+                FROM adj a JOIN nbrs USING (s) JOIN deg USING (s)
+                WHERE a.p <> 'Part:1'
+                GROUP BY a.p)
+              SELECT 'Part:1' AS node1, p AS node2, score
+              FROM cand ORDER BY score DESC, node2 LIMIT 10"""),
+      "2.11"),
+
+    // gds.fastRP.stream over a named projection (fastrp.go:360) — embedding
+    // arrays are rows-only here (floats don't hash across engines);
+    // bit-identity with the direct Algorithms.fastRP API is spec-asserted
+    "q_cypher_gds_fastrp" -> GQuery(
+      (s, d) => {
+        val g = GraphQueries.graph(s, d)
+        graft.graph.GraphProjections.register("fastrp_g", graft.graph.PropertyGraph(
+          g.nodes, g.edgesByType("SUPPLIES")))
+        graft.cypher.Cypher.run(g,
+          """CALL gds.fastRP.stream('fastrp_g',
+               {embeddingDimension: 8, iterationWeights: [0.0, 1.0]})
+             YIELD nodeId, embedding
+             RETURN nodeId, apoc.text.join([x IN embedding | toString(x)], ';') AS emb_str""")
+      },
+      None, "2.11"),
+
+    // hybrid link prediction (pkg/linkpredict/hybrid.go:159): adamic-adar
+    // min-max normalized per source, blended 0.5/0.5 with embedding cosine
+    // (vec_id = supplier key), minThreshold 0.3 — the oracle replays the
+    // whole blend: decimal-routed aa, window normalize, decimal cosine
+    "q_algo_linkpred_hybrid" -> GQuery(
+      (s, d) => Algorithms.linkPredictionHybrid(
+        Tables.lineitem(s, d).select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct(),
+        Tables.embeddings(s, d), 20L),
+      Some("""WITH adj AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+              pdeg AS (SELECT p, COUNT(*) AS pdeg FROM adj GROUP BY p),
+              pairs AS (
+                SELECT a.s AS s1, b.s AS s2,
+                       CAST(SUM(CAST(round(1.0 / ln(pdeg), 9) AS DECIMAL(28,12))) AS DOUBLE) AS aa
+                FROM adj a
+                  JOIN adj b ON a.p = b.p AND a.s < b.s
+                  JOIN pdeg ON a.p = pdeg.p
+                WHERE a.s <= 20 AND b.s <= 20
+                GROUP BY a.s, b.s),
+              norm AS (
+                SELECT s1, s2, aa,
+                       CASE WHEN max(aa) OVER (PARTITION BY s1) = min(aa) OVER (PARTITION BY s1)
+                            THEN 1.0
+                            ELSE (aa - min(aa) OVER (PARTITION BY s1))
+                               / (max(aa) OVER (PARTITION BY s1) - min(aa) OVER (PARTITION BY s1))
+                       END AS topology_score
+                FROM pairs),
+              cosv AS (
+                SELECT n.s1, n.s2,
+                  round(CAST(SUM(CAST(CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+                    / (sqrt(CAST(SUM(CAST(CAST(e1.embedding[i] AS DOUBLE) * CAST(e1.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE))
+                     * sqrt(CAST(SUM(CAST(CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE))), 12)
+                    AS semantic_score
+                FROM norm n
+                  JOIN embeddings e1 ON e1.vec_id = n.s1
+                  JOIN embeddings e2 ON e2.vec_id = n.s2
+                  CROSS JOIN generate_series(1, 64) t(i)
+                GROUP BY n.s1, n.s2)
+              SELECT n.s1 AS node1, n.s2 AS node2,
+                     0.5 * n.topology_score + 0.5 * c.semantic_score AS score,
+                     n.topology_score, c.semantic_score
+              FROM norm n JOIN cosv c ON n.s1 = c.s1 AND n.s2 = c.s2
+              WHERE 0.5 * n.topology_score + 0.5 * c.semantic_score
+                      >= CAST(0.3 AS DOUBLE)"""),
+      "2.11"),
+
     // embedding stringified: the driver's pandas row-sort can't hash raw
     // array columns (round-1 compare failure)
     "q_algo_fastrp" -> GQuery(

@@ -127,5 +127,107 @@ object SearchQueries {
                    CAST(ROW_NUMBER() OVER (ORDER BY cross_score DESC, id) AS INT) AS new_rank,
                    cross_score
             FROM scored"""
-      }, "2.11"))
+      }, "2.11"),
+
+    // ---- CALL-procedure surface over the same engines (SURVEY §2.11,
+    // call_vector.go:35 / call_fulltext.go:38 / search.go:890). Each runs
+    // through the Cypher string surface (CALL … YIELD … WHERE) and must
+    // match the direct-API twins above.
+
+    // db.index.vector.queryNodes: index over the embeddings table; query
+    // vector = vec 0's embedding passed as a $param; k=11 then YIELD-WHERE
+    // drops the query row itself (score 1.0) → identical to the exact
+    // brute top-10 oracle that excludes vec 0.
+    "q_cypher_call_vector_index" -> GQuery(
+      (s, d) => {
+        graft.search.SearchIndexes.registerVector(graft.search.SearchIndexes.VectorIdx(
+          "emb64", () => Tables.embeddings(s, d), "vec_id", "embedding", "DATASET"))
+        val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+          .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+        graft.cypher.Cypher.run(GraphQueries.graph(s, d),
+          """CALL db.index.vector.queryNodes('emb64', 11, $qv) YIELD node, score
+             WHERE node <> 0
+             RETURN node AS vec_id, score AS cos_sim""",
+          Map("qv" -> qv))
+      },
+      Some(VectorSearch.bruteTopKExactOracle(0L, 10, 64)), "2.11"),
+
+    // db.index.fulltext.queryNodes over a documents-backed index — same
+    // BM25 pipeline and oracle as q_bm25_topk
+    "q_cypher_call_fulltext" -> GQuery(
+      (s, d) => {
+        graft.search.SearchIndexes.registerFulltext(graft.search.SearchIndexes.FulltextIdx(
+          "docs_ft", () => Tables.documents(s, d), "doc_id", "text", "DATASET"))
+        graft.cypher.Cypher.run(GraphQueries.graph(s, d),
+          s"""CALL db.index.fulltext.queryNodes('docs_ft', '${bmTerms.mkString(" ")}', 20)
+              YIELD node, score
+              RETURN node AS doc_id, score""")
+      },
+      Some(BM25.oracleSql(bmTerms, 20)), "2.11"),
+
+    // db.index.hybrid.queryNodes — the CALL projection of the reference's
+    // rrfHybridSearch (search.go:890, candidateLimit = 2·k): vector list
+    // here INCLUDES the query row (the caller passes an external vector)
+    "q_cypher_call_hybrid" -> GQuery(
+      (s, d) => {
+        graft.search.SearchIndexes.registerVector(graft.search.SearchIndexes.VectorIdx(
+          "emb64", () => Tables.embeddings(s, d), "vec_id", "embedding", "DATASET"))
+        graft.search.SearchIndexes.registerFulltext(graft.search.SearchIndexes.FulltextIdx(
+          "docs_ft", () => Tables.documents(s, d), "doc_id", "text", "DATASET"))
+        val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+          .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+        graft.cypher.Cypher.run(GraphQueries.graph(s, d),
+          s"""CALL db.index.hybrid.queryNodes('emb64', 'docs_ft', 10,
+                '${bmTerms.mkString(" ")}', $$qv)
+              YIELD node, score
+              RETURN node, score""",
+          Map("qv" -> qv))
+      },
+      Some {
+        val bmSql = BM25.oracleSql(bmTerms, 20)
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            comp AS (
+              SELECT e.vec_id,
+                CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+                CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na2,
+                CAST(SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nb2
+              FROM embeddings e CROSS JOIN q CROSS JOIN generate_series(1, 64) t(i)
+              GROUP BY e.vec_id),
+            vs AS (SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 12) AS cos_sim
+                   FROM comp ORDER BY cos_sim DESC, vec_id LIMIT 20),
+            csr AS (SELECT vec_id AS id,
+                      ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rank_vec
+                    FROM vs),
+            bm AS ($bmSql),
+            bmr AS (SELECT doc_id AS id,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_text
+                    FROM bm)
+            SELECT id AS node,
+                   COALESCE(1.0 / (60 + rank_text), 0.0)
+                 + COALESCE(1.0 / (60 + rank_vec), 0.0) AS score
+            FROM bmr FULL OUTER JOIN csr USING (id)
+            ORDER BY score DESC, node LIMIT 10"""
+      }, "2.11"),
+
+    // named per-node embeddings round-trip (types.go:196 NamedEmbeddings,
+    // call_compat.go:663 setNodeVectorProperty, call_compat.go:344
+    // createNodeIndex): set three vectors through the store, index them,
+    // query back — scores are exact rationals, the oracle is closed-form
+    "q_cypher_vector_property" -> GQuery(
+      (s, d) => {
+        val g = GraphQueries.graph(s, d)
+        new graft.graph.GraphStore(g) // registers as currentStore
+        def run(q: String) = graft.cypher.Cypher.run(g, q)
+        run("CALL db.create.setNodeVectorProperty('Customer:1', 'profile', [3.0, 4.0, 0.0])")
+        run("CALL db.create.setNodeVectorProperty('Customer:2', 'profile', [6.0, 8.0, 0.0])")
+        run("CALL db.create.setNodeVectorProperty('Customer:3', 'profile', [4.0, -3.0, 0.0])")
+        run("CALL db.index.vector.createNodeIndex('cust_profile', 'Customer', 'profile', 3, 'cosine')")
+        run("""CALL db.index.vector.queryNodes('cust_profile', 3, [3.0, 4.0, 0.0])
+               YIELD node, score RETURN node, score""")
+      },
+      Some("""SELECT * FROM (VALUES
+                ('Customer:1', CAST(1.0 AS DOUBLE)),
+                ('Customer:2', CAST(1.0 AS DOUBLE)),
+                ('Customer:3', CAST(0.0 AS DOUBLE))) AS t(node, score)"""),
+      "2.11"))
 }

@@ -408,6 +408,43 @@ object Algorithms {
         (col("cn").cast("double") / (col("deg1") + col("deg2") - col("cn"))).as("jac"))
   }
 
+  /** Hybrid link prediction (`pkg/linkpredict/hybrid.go:159,222-280`):
+    * blend = w_t·topology + w_s·cosine(emb_a, emb_b), with the topology
+    * score (adamic-adar, the reference default) min-max normalized over
+    * each source's candidate list and a minThreshold cut (defaults
+    * `hybrid.go:120`: 0.5/0.5, normalize on, threshold 0.3).
+    *
+    * Candidates are the SAME adjacency self-join pairs as
+    * [[linkPrediction]] — no new quadratic work — and the embedding join
+    * touches only those pairs. `emb` maps entity id (LONG) → vector.
+    */
+  def linkPredictionHybrid(adj: DataFrame, emb: DataFrame, maxEntity: Long,
+      topologyWeight: Double = 0.5, semanticWeight: Double = 0.5,
+      minThreshold: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = linkPrediction(adj, maxEntity) // (s1, s2, cn, aa, pa, jac)
+    val w = Window.partitionBy("s1")
+    val rng = max("aa").over(w) - min("aa").over(w)
+    val topoN = when(rng === 0.0, lit(1.0))
+      .otherwise((col("aa") - min("aa").over(w)) / rng)
+    def dotDec(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(38,18)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)"),
+      (acc, x) => (acc + x).cast("decimal(38,18)")).cast("double")
+    base.withColumn("topology_score", topoN)
+      .join(emb.select(col("vec_id").as("s1"), col("embedding").as("e1")), "s1")
+      .join(emb.select(col("vec_id").as("s2"), col("embedding").as("e2")), "s2")
+      .withColumn("semantic_score",
+        round(dotDec(col("e1"), col("e2")) /
+          (sqrt(dotDec(col("e1"), col("e1"))) * sqrt(dotDec(col("e2"), col("e2")))), 12))
+      .withColumn("score",
+        lit(topologyWeight) * col("topology_score") +
+          lit(semanticWeight) * col("semantic_score"))
+      .filter(col("score") >= minThreshold)
+      .select(col("s1").as("node1"), col("s2").as("node2"), col("score"),
+        col("topology_score"), col("semantic_score"))
+  }
+
   // =====================================================================
   // FastRP node embeddings (fastrp.go:361)
   // =====================================================================

@@ -206,7 +206,7 @@ object Planner {
   private val procedures: Map[String, (PropertyGraph, Seq[Any]) => DataFrame] =
     baseProcedures ++ ApocProcs.procedures ++ ApocSysProcs.procedures ++
       ApocSearchProcs.procedures ++ ApocGraphProcs.procedures ++
-      ApocWriteProcs.procedures
+      ApocWriteProcs.procedures ++ SearchCallProcs.procedures
 
   /** Sorted CALL-surface names — apoc.meta.procedures' row source. */
   def procedureNames: Seq[String] = procedures.keys.toSeq.sorted
@@ -228,13 +228,26 @@ object Planner {
     val fn = procedures.getOrElse(cp.name,
       throw new IllegalArgumentException(
         s"unknown procedure ${cp.name} (have: ${procedures.keys.toSeq.sorted.mkString(", ")})"))
-    val argVals = cp.args.map {
+    // CALL arguments evaluate driver-side (never per-row): literals,
+    // parameters, and literal-composed lists/maps — the GDS config-map and
+    // query-vector surfaces (`linkprediction.go:85`, `call_vector.go:37`)
+    def litVal(e: Expr): Any = e match {
       case Lit(v) => v
       case Param(n) => params.getOrElse(n,
         throw new IllegalArgumentException(s"missing parameter $$$n"))
+      case ListLit(items) => items.map(litVal)
+      case MapLit(items) => items.map { case (k, v) => k -> litVal(v) }.toMap
+      // the lexer has no negative-number token: -3.0 arrives as 0 - 3.0
+      case Bin("-", Lit(z), e2) if z == 0L || z == 0.0 => litVal(e2) match {
+        case d: Double => -d
+        case l: Long => -l
+        case other => throw new IllegalArgumentException(
+          s"cannot negate procedure argument $other")
+      }
       case other => throw new IllegalArgumentException(
         s"procedure arguments must be literals or parameters, got $other")
     }
+    val argVals = cp.args.map(litVal)
     var res = fn(g, argVals)
     if (cp.yields.nonEmpty)
       res = res.select(cp.yields.map { case (c, al) => col(c).as(al.getOrElse(c)) }: _*)
@@ -1757,9 +1770,7 @@ object Planner {
         case "apoc.math.tan" => tan(a(0)); case "apoc.math.asin" => asin(a(0))
         case "apoc.math.acos" => acos(a(0)); case "apoc.math.atan" => atan(a(0))
         case "apoc.math.atan2" => atan2(a(0), a(1))
-        case "apoc.math.sinh" => sinh(a(0)); case "apoc.math.cosh" => cosh(a(0))
         case "apoc.math.tanh" => tanh(a(0))
-        case "apoc.math.sigmoid" => lit(1.0) / (lit(1.0) + exp(-a(0)))
 
         // ---- apoc.util.* / apoc.hashing.* (ref apoc/util/util.go,
         // apoc/hashing/hashing.go). Digests via Spark's codegen'd crypto fns.

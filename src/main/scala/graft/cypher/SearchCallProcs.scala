@@ -1,0 +1,278 @@
+package graft.cypher
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+import graft.graph.{GraphStore, PropertyGraph}
+import graft.search.{BM25, Hybrid, SearchIndexes, VectorSearch}
+import graft.algos.LinkPredict
+
+/** The search + GDS CALL surface (SURVEY §2.11):
+  *
+  *  - `db.index.vector.queryNodes/queryRelationships` —
+  *    `/root/reference/pkg/cypher/call_vector.go:35`, `call_compat.go:139`
+  *  - `db.index.fulltext.queryNodes/queryRelationships` —
+  *    `call_fulltext.go:38`, `call_compat.go:92`
+  *  - index management (`create*Index`, `drop`, analyzers) —
+  *    `call_compat.go:344-560`, `call_index_mgmt.go`
+  *  - `db.create.setNodeVectorProperty` / `setRelationshipVectorProperty`
+  *    — `call_compat.go:663`; writes the named-embedding side table
+  *    (`pkg/storage/types.go:196` NamedEmbeddings analog)
+  *  - `gds.fastRP.stream/stats` — `pkg/cypher/fastrp.go:360,395`
+  *  - `gds.linkPrediction.{adamicAdar,commonNeighbors,resourceAllocation,
+  *    preferentialAttachment,jaccard,predict}.stream` —
+  *    `pkg/cypher/linkprediction.go:162-380`
+  *
+  * All of these are registry glue over engines that already exist
+  * ([[graft.search.VectorSearch]], [[graft.search.BM25]],
+  * [[graft.search.Hybrid]], [[graft.algos.Algorithms.fastRP]],
+  * [[graft.algos.LinkPredict]]); nothing here collects or loops on the
+  * driver.
+  */
+object SearchCallProcs {
+
+  private def store: GraphStore = GraphStore.currentStore
+
+  // ---- argument helpers (CALL args arrive as Any from the planner) ----
+  private def asVec(v: Any): Seq[Double] = v match {
+    case s: Seq[_] => s.map(x => x.toString.toDouble)
+    case a: Array[_] => a.toSeq.map(x => x.toString.toDouble)
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric list for the query vector, got $other")
+  }
+  private def asStrList(v: Any): Seq[String] = v match {
+    case s: Seq[_] => s.map(_.toString)
+    case s: String => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    case other => Seq(other.toString)
+  }
+  private def cfg(args: Seq[Any]): Map[String, Any] =
+    args.collectFirst { case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]] }.getOrElse(Map.empty)
+  private def cfgInt(c: Map[String, Any], k: String, dflt: Int): Int =
+    c.get(k).map(_.toString.toDouble.toInt).getOrElse(dflt)
+  private def cfgDouble(c: Map[String, Any], k: String, dflt: Double): Double =
+    c.get(k).map(_.toString.toDouble).getOrElse(dflt)
+  private def cfgStr(c: Map[String, Any], k: String, dflt: String): String =
+    c.get(k).map(_.toString).getOrElse(dflt)
+  private def cfgList(c: Map[String, Any], k: String): Seq[String] =
+    c.get(k).map(asStrList).getOrElse(Nil)
+
+  private def oneRow(g: PropertyGraph, cols: (String, Any)*): DataFrame =
+    cols.foldLeft(g.nodes.sparkSession.range(1).toDF("_one")) {
+      case (d, (n, v)) => d.withColumn(n, lit(v)) }.drop("_one")
+
+  /** Node-embedding-backed vector/fulltext index frame: the CURRENT
+    * store's named embeddings for `prop`, label-restricted. Resolved per
+    * query (thunk) so writes through the store are visible, like the
+    * reference re-reading storage per call.
+    */
+  private def nodeEmbDf(label: String, prop: String): DataFrame = {
+    val ne = store.nodeEmbeddings.filter(col("name") === prop)
+      .select(col("entity_id").as("id"), col("embedding"))
+    if (label.isEmpty || label == "*") ne
+    else ne.join(store.snapshot.nodesByLabel(label).select("id"), "id")
+  }
+  private def relEmbDf(relType: String, prop: String): DataFrame = {
+    val re = store.relEmbeddings.filter(col("name") === prop)
+      .select(col("entity_id").as("id"), col("embedding"))
+    if (relType.isEmpty || relType == "*") re
+    else re.join(store.snapshot.edgesByType(relType).select("id"), "id")
+  }
+
+  /** Fulltext frame over nodes: (id, text) where text is the
+    * space-concatenation of the indexed properties (hoisted column or
+    * string-map fallback — `call_fulltext.go:95` extractTextContent).
+    */
+  private def nodeTextDf(g: PropertyGraph, labels: Seq[String],
+      props: Seq[String]): DataFrame = {
+    val base = labels match {
+      case Nil | Seq("*") => g.nodes
+      case ls => g.nodes.filter(ls.map(l =>
+        array_contains(col("labels"), l)).reduce(_ || _))
+    }
+    val cols = props.map { p =>
+      if (g.nodes.columns.contains(p))
+        coalesce(col(p).cast("string"), element_at(col("properties"), p))
+      else element_at(col("properties"), p)
+    }
+    base.select(col("id"), concat_ws(" ", cols: _*).as("text"))
+      .filter(length(col("text")) > 0)
+  }
+  private def relTextDf(g: PropertyGraph, relTypes: Seq[String],
+      props: Seq[String]): DataFrame = {
+    val base = g.edgesByTypes(relTypes.filterNot(_ == "*"))
+    val cols = props.map(p => element_at(col("properties"), p))
+    base.select(col("id"), concat_ws(" ", cols: _*).as("text"))
+      .filter(length(col("text")) > 0)
+  }
+
+  private def ftQuery(idx: SearchIndexes.FulltextIdx, query: String,
+      k: Int, outCol: String): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val docs = idx.df().select(col(idx.idCol).as("doc_id"), col(idx.textCol).as("text"))
+    BM25.search(docs, terms, k).select(col("doc_id").as(outCol), col("score"))
+  }
+
+  private def vQuery(idx: SearchIndexes.VectorIdx, k: Int, qv: Seq[Double],
+      outCol: String): DataFrame =
+    VectorSearch.topKExactLit(idx.df(), idx.idCol, idx.embCol, qv, k)
+      .withColumnRenamed("node", outCol)
+
+  /** The GDS graph for linkPrediction/fastRP calls: the named projection
+    * when `graphName` is configured, else the session graph.
+    */
+  private def gdsGraph(g: PropertyGraph, c: Map[String, Any]): PropertyGraph =
+    c.get("graphName").map(n =>
+      graft.graph.GraphProjections.get(n.toString).graph).getOrElse(g)
+
+  private def linkPredStream(algo: String)(g: PropertyGraph, args: Seq[Any]): DataFrame = {
+    val c = cfg(args)
+    val src = c.getOrElse("sourceNode",
+      throw new IllegalArgumentException("sourceNode is required")).toString
+    LinkPredict.predictFrom(gdsGraph(g, c), src, algo,
+      cfgInt(c, "topK", 10), cfgList(c, "relationshipTypes"))
+  }
+
+  val procedures: Map[String, (PropertyGraph, Seq[Any]) => DataFrame] = Map(
+    // ---- vector index management (call_compat.go:344,394) ----
+    "db.index.vector.createnodeindex" -> ((g, args) => {
+      val (name, label, prop) = (args(0).toString, args(1).toString, args(2).toString)
+      val dim = args.lift(3).map(_.toString.toDouble.toInt).getOrElse(0)
+      val sim = args.lift(4).map(_.toString).getOrElse("cosine")
+      SearchIndexes.registerVector(SearchIndexes.VectorIdx(name,
+        () => nodeEmbDf(label, prop), "id", "embedding", "NODE", label, prop, dim, sim))
+      oneRow(g, "name" -> name, "label" -> label, "property" -> prop,
+        "dimension" -> dim, "similarity" -> sim)
+    }),
+    "db.index.vector.createrelationshipindex" -> ((g, args) => {
+      val (name, rt, prop) = (args(0).toString, args(1).toString, args(2).toString)
+      val dim = args.lift(3).map(_.toString.toDouble.toInt).getOrElse(0)
+      val sim = args.lift(4).map(_.toString).getOrElse("cosine")
+      SearchIndexes.registerVector(SearchIndexes.VectorIdx(name,
+        () => relEmbDf(rt, prop), "id", "embedding", "RELATIONSHIP", rt, prop, dim, sim))
+      oneRow(g, "name" -> name, "relationshipType" -> rt, "property" -> prop,
+        "dimension" -> dim, "similarity" -> sim)
+    }),
+    "db.index.vector.drop" -> ((g, args) =>
+      oneRow(g, "name" -> args(0).toString,
+        "dropped" -> SearchIndexes.dropVector(args(0).toString))),
+
+    // ---- fulltext index management (call_compat.go:445,487) ----
+    "db.index.fulltext.createnodeindex" -> ((g, args) => {
+      val name = args(0).toString
+      val labels = asStrList(args(1))
+      val props = asStrList(args(2))
+      SearchIndexes.registerFulltext(SearchIndexes.FulltextIdx(name,
+        () => nodeTextDf(store.snapshot, labels, props), "id", "text",
+        "NODE", labels, props))
+      oneRow(g, "name" -> name, "labels" -> labels.mkString(","),
+        "properties" -> props.mkString(","))
+    }),
+    "db.index.fulltext.createrelationshipindex" -> ((g, args) => {
+      val name = args(0).toString
+      val rts = asStrList(args(1))
+      val props = asStrList(args(2))
+      SearchIndexes.registerFulltext(SearchIndexes.FulltextIdx(name,
+        () => relTextDf(store.snapshot, rts, props), "id", "text",
+        "RELATIONSHIP", rts, props))
+      oneRow(g, "name" -> name, "relationshipTypes" -> rts.mkString(","),
+        "properties" -> props.mkString(","))
+    }),
+    "db.index.fulltext.drop" -> ((g, args) =>
+      oneRow(g, "name" -> args(0).toString,
+        "dropped" -> SearchIndexes.dropFulltext(args(0).toString))),
+    "db.index.fulltext.listavailableanalyzers" -> ((g, _) => {
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      // call_compat.go:80 — the reference's fixed analyzer inventory
+      Seq(
+        ("standard-no-stop-words", "Standard analyzer without stop words"),
+        ("simple", "Simple analyzer with lowercase tokenizer"),
+        ("whitespace", "Whitespace analyzer"),
+        ("keyword", "Keyword analyzer - entire string as single token"),
+        ("url-or-email", "URL or email analyzer")
+      ).toDF("analyzer", "description")
+    }),
+
+    // ---- named-embedding writers (call_compat.go:663) ----
+    "db.create.setnodevectorproperty" -> ((g, args) => {
+      val (id, key) = (args(0).toString, args(1).toString)
+      val v = asVec(args(2))
+      store.setNodeVectorProperty(id, key, v)
+      oneRow(g, "node" -> id, "key" -> key, "dimension" -> v.size)
+    }),
+    "db.create.setrelationshipvectorproperty" -> ((g, args) => {
+      val (id, key) = (args(0).toString, args(1).toString)
+      val v = asVec(args(2))
+      store.setRelationshipVectorProperty(id, key, v)
+      oneRow(g, "relationship" -> id, "key" -> key, "dimension" -> v.size)
+    }),
+
+    // ---- search procedures ----
+    "db.index.vector.querynodes" -> ((g, args) =>
+      vQuery(SearchIndexes.vector(args(0).toString),
+        args(1).toString.toDouble.toInt, asVec(args(2)), "node")),
+    "db.index.vector.queryrelationships" -> ((g, args) =>
+      vQuery(SearchIndexes.vector(args(0).toString),
+        args(1).toString.toDouble.toInt, asVec(args(2)), "relationship")),
+    "db.index.fulltext.querynodes" -> ((g, args) =>
+      ftQuery(SearchIndexes.fulltext(args(0).toString), args(1).toString,
+        args.lift(2).map(_.toString.toDouble.toInt).getOrElse(100), "node")),
+    "db.index.fulltext.queryrelationships" -> ((g, args) =>
+      ftQuery(SearchIndexes.fulltext(args(0).toString), args(1).toString,
+        args.lift(2).map(_.toString.toDouble.toInt).getOrElse(100), "relationship")),
+
+    // RRF hybrid search over one vector + one fulltext index — the CALL
+    // projection of the reference's DB.HybridSearch / rrfHybridSearch
+    // (`pkg/search/search.go:890`; candidateLimit = 2·k per search.go:896)
+    "db.index.hybrid.querynodes" -> ((g, args) => {
+      val (vIdx, ftIdx) = (SearchIndexes.vector(args(0).toString),
+        SearchIndexes.fulltext(args(1).toString))
+      val k = args(2).toString.toDouble.toInt
+      val query = args(3).toString
+      val qv = asVec(args(4))
+      val bm = ftQuery(ftIdx, query, 2 * k, "node")
+      val vs = vQuery(vIdx, 2 * k, qv, "node").withColumnRenamed("score", "cos_sim")
+      Hybrid.rrf(bm, vs, "node", "node", 2 * k, k)
+        .select(col("id").as("node"), col("rrf").as("score"))
+    }),
+
+    // ---- gds.fastRP (fastrp.go:360,395) ----
+    "gds.fastrp.stream" -> ((g, args) => {
+      val proj = graft.graph.GraphProjections.get(args(0).toString)
+      val c = cfg(args)
+      val dim = cfgInt(c, "embeddingDimension", 64)
+      val iw = c.get("iterationWeights").map(asStrList(_).map(_.toDouble))
+        .getOrElse(Seq(0.0, 1.0, 1.0, 1.0))
+      graft.algos.Algorithms.fastRP(proj.graph, dim, iw)
+        .select(col("id").as("nodeId"), col("emb").as("embedding"))
+    }),
+    "gds.fastrp.stats" -> ((g, args) => {
+      val proj = graft.graph.GraphProjections.get(args(0).toString)
+      val c = cfg(args)
+      // computeMillis pinned to the reference's own fixed stub (fastrp.go:419)
+      oneRow(g, "nodeCount" -> proj.nodeCount,
+        "embeddingDimension" -> cfgInt(c, "embeddingDimension", 64),
+        "computeMillis" -> 5L)
+    }),
+
+    // ---- gds.linkPrediction.* (linkprediction.go:162-335) ----
+    "gds.linkprediction.adamicadar.stream" -> linkPredStream("adamic_adar") _,
+    "gds.linkprediction.commonneighbors.stream" -> linkPredStream("common_neighbors") _,
+    "gds.linkprediction.resourceallocation.stream" -> linkPredStream("resource_allocation") _,
+    "gds.linkprediction.preferentialattachment.stream" -> linkPredStream("preferential_attachment") _,
+    "gds.linkprediction.jaccard.stream" -> linkPredStream("jaccard") _,
+    // hybrid predict.stream (linkprediction.go:336, hybrid.go:222)
+    "gds.linkprediction.predict.stream" -> ((g, args) => {
+      val c = cfg(args)
+      val src = c.getOrElse("sourceNode",
+        throw new IllegalArgumentException("sourceNode is required")).toString
+      val embName = cfgStr(c, "embeddingProperty", "embedding")
+      val emb = store.nodeEmbeddings.filter(col("name") === embName)
+        .select(col("entity_id").as("id"), col("embedding"))
+      LinkPredict.hybridFrom(gdsGraph(g, c), src, emb,
+        cfgInt(c, "topK", 10), cfgList(c, "relationshipTypes"),
+        cfgDouble(c, "topologyWeight", 0.5), cfgDouble(c, "semanticWeight", 0.5),
+        cfgStr(c, "algorithm", "adamic_adar"), cfgDouble(c, "minThreshold", 0.3))
+    }))
+}

@@ -265,4 +265,67 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
     swap(PropertyGraph(g.nodes, g.edges.unionByName(newEdges)))
     QueryStats(relationshipsCreated = n)
   }
+
+  // =====================================================================
+  // Named per-entity embeddings (the reference's NamedEmbeddings
+  // map[string][]float32 on nodes/edges, `pkg/storage/types.go:196`,
+  // written via db.create.setNodeVectorProperty, `call.go:747-768`).
+  // Columnar analog: one (entity_id, name, embedding) side table per
+  // entity kind — at 100 TB a bucketed-by-id parquet table, so the
+  // vector-index scan over ($label, $name) is one partition-pruned read,
+  // never a per-node map lookup.
+  // =====================================================================
+
+  @volatile private var nodeEmbs: Option[DataFrame] = None
+  @volatile private var relEmbs: Option[DataFrame] = None
+  private var embWrites: Long = 0
+
+  private def emptyEmb: DataFrame = {
+    val spark = current.nodes.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("entity_id", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))))
+  }
+
+  def nodeEmbeddings: DataFrame = nodeEmbs.getOrElse(emptyEmb)
+  def relEmbeddings: DataFrame = relEmbs.getOrElse(emptyEmb)
+
+  /** Upsert a batch of (entity_id, name, embedding) rows — anti-join out
+    * the overwritten keys, union the new rows. Lineage is bounded the
+    * same way [[swap]] bounds the snapshot's: every few writes the table
+    * is materialized (a Delta-style commit at scale).
+    */
+  private def upsertEmb(cur: DataFrame, rows: DataFrame): DataFrame = synchronized {
+    embWrites += 1
+    val next = cur.join(rows.select("entity_id", "name"), Seq("entity_id", "name"),
+        "left_anti")
+      .unionByName(rows)
+    if (embWrites % 6 == 0) next.localCheckpoint(true) else next
+  }
+
+  def setNodeVectorProperties(rows: DataFrame): Unit =
+    nodeEmbs = Some(upsertEmb(nodeEmbeddings, rows))
+  def setRelationshipVectorProperties(rows: DataFrame): Unit =
+    relEmbs = Some(upsertEmb(relEmbeddings, rows))
+
+  /** db.create.setNodeVectorProperty point write. */
+  def setNodeVectorProperty(nodeId: String, name: String, vec: Seq[Double]): Unit = {
+    val spark = current.nodes.sparkSession
+    import org.apache.spark.sql.functions.{array, lit}
+    setNodeVectorProperties(spark.range(1).select(
+      lit(nodeId).as("entity_id"), lit(name).as("name"),
+      array(vec.map(lit(_)): _*).as("embedding")))
+  }
+
+  def setRelationshipVectorProperty(relId: String, name: String, vec: Seq[Double]): Unit = {
+    val spark = current.nodes.sparkSession
+    import org.apache.spark.sql.functions.{array, lit}
+    setRelationshipVectorProperties(spark.range(1).select(
+      lit(relId).as("entity_id"), lit(name).as("name"),
+      array(vec.map(lit(_)): _*).as("embedding")))
+  }
 }

@@ -49,6 +49,26 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Oracle-exact cosine top-k against a LITERAL query vector — the
+    * `db.index.vector.queryNodes('idx', k, $vec)` engine
+    * (`call_vector.go:35`): the query vector arrives as a CALL argument,
+    * not a row of the table. Output is the procedure's (node, score)
+    * shape. Same DECIMAL routing as [[bruteTopKExact]] so a SQL oracle
+    * replays scores bit-for-bit.
+    */
+  def topKExactLit(emb: DataFrame, idCol: String, embCol: String,
+      qv: Seq[Double], k: Int): DataFrame = {
+    val qe = array(qv.map(lit): _*)
+    emb
+      .withColumn("dot", dotDec(col(embCol), qe))
+      .withColumn("na2", dotDec(col(embCol), col(embCol)))
+      .withColumn("nb2", dotDec(qe, qe))
+      .withColumn("score", round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 12))
+      .select(col(idCol).as("node"), col("score"))
+      .orderBy(col("score").desc, col("node").asc)
+      .limit(k)
+  }
+
   def bruteTopKExactOracle(queryId: Long, k: Int, dim: Int): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId),
         comp AS (
