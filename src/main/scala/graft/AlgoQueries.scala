@@ -17,14 +17,21 @@ object AlgoQueries {
     * a unipartite long-keyed pair graph with genuine triangles, used by
     * the community-analysis queries below. DuckDB replays the same pairs.
     */
-  private def coPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val li = Tables.lineitem(s, d).filter(col("l_partkey") < 150)
-      .select(col("l_orderkey").as("o"), col("l_partkey"))
-    li.select(col("o"), col("l_partkey").as("a"))
-      .join(li.select(col("o").as("o2"), col("l_partkey").as("b")),
-        col("o") === col("o2") && col("a") < col("b"))
-      .select("a", "b").distinct()
-  }
+  private val coPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  private def coPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    // built once per sf-dir and CACHED: six community queries share it
+    // (triangles, clustering, modularity, kcore, density, conductance) —
+    // rebuilding the self-join per query was ~2 s each at sf0.1
+    coPairsCache.computeIfAbsent(d, _ => {
+      val li = Tables.lineitem(s, d).filter(col("l_partkey") < 150)
+        .select(col("l_orderkey").as("o"), col("l_partkey"))
+      li.select(col("o"), col("l_partkey").as("a"))
+        .join(li.select(col("o").as("o2"), col("l_partkey").as("b")),
+          col("o") === col("o2") && col("a") < col("b"))
+        .select("a", "b").distinct().cache()
+    })
 
   private val coPairsSql =
     """co AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
@@ -190,6 +197,36 @@ object AlgoQueries {
       },
       None, "2.11"),
 
+    // hash-checked oracle twins of the GraphX LPA/Louvain rows on the
+    // PLACED star fixture: synchronous LPA on a star oscillates with known
+    // phase, so after 3 (odd) rounds the closed form is exact — the center
+    // holds the string-max order label, each order holds its customer
+    // (tie-break = max label, GraphXAlgos.labelPropagation reduce)
+    "q_algo_label_prop_star" -> GQuery(
+      (s, d) => graft.algos.GraphXAlgos.labelPropagation(
+        GraphQueries.graph(s, d), 3, Some("PLACED")),
+      Some("""SELECT 'Customer:' || o_custkey AS id,
+                     MAX('Order:' || o_orderkey) AS label
+              FROM orders GROUP BY o_custkey
+              UNION ALL
+              SELECT 'Order:' || o_orderkey, 'Customer:' || o_custkey
+              FROM orders"""),
+      "2.11"),
+
+    // weighted flavor (louvain's label stage): PLACED weights are uniform
+    // 1.0, so the weighted vote tally follows the same closed form while
+    // exercising the weight-sum path; modularity is spec-asserted
+    "q_algo_louvain_star" -> GQuery(
+      (s, d) => graft.algos.GraphXAlgos.louvain(
+        GraphQueries.graph(s, d), 3, Some("PLACED"))._1,
+      Some("""SELECT 'Customer:' || o_custkey AS id,
+                     MAX('Order:' || o_orderkey) AS label
+              FROM orders GROUP BY o_custkey
+              UNION ALL
+              SELECT 'Order:' || o_orderkey, 'Customer:' || o_custkey
+              FROM orders"""),
+      "2.11"),
+
     "q_algo_dijkstra" -> GQuery(
       (s, d) => Algorithms.dijkstra(GraphQueries.graph(s, d), "Customer:1", 2),
       Some("""SELECT id, dist FROM (
@@ -256,8 +293,12 @@ object AlgoQueries {
     "q_cypher_gds_fastrp" -> GQuery(
       (s, d) => {
         val g = GraphQueries.graph(s, d)
+        // project only the SUPPLIES endpoints — a projection over every
+        // node would drag the full node table through each iteration join
         graft.graph.GraphProjections.register("fastrp_g", graft.graph.PropertyGraph(
-          g.nodes, g.edgesByType("SUPPLIES")))
+          g.nodes.filter(array_contains(col("labels"), "Supplier") ||
+            array_contains(col("labels"), "Part")),
+          g.edgesByType("SUPPLIES")))
         graft.cypher.Cypher.run(g,
           """CALL gds.fastRP.stream('fastrp_g',
                {embeddingDimension: 8, iterationWeights: [0.0, 1.0]})

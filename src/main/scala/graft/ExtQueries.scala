@@ -270,6 +270,36 @@ object ProcQueries {
       Some("""SELECT (SELECT COUNT(*) FROM customer) AS nodeCount,
                      (SELECT COUNT(*) FROM orders) AS relationshipCount"""), "2.11"),
 
+    // the CALL-surface twin of q_cypher_periodic_iterate below: same
+    // engine, invoked as CALL apoc.periodic.iterate(outer, inner, config)
+    // through the Cypher string, returning the summary row
+    "q_cypher_apoc_periodic_call" -> GQuery(
+      (s, d) => {
+        val g = GraphQueries.graph(s, d)
+        new graft.graph.GraphStore(g) // fresh store = the CALL's write target
+        graft.cypher.Cypher.run(g,
+          """CALL apoc.periodic.iterate('MATCH (r:Region) RETURN r',
+               'SET r.acctbal = 1', {batchSize: 2})
+             YIELD batches, total, operations
+             RETURN batches, total, operations""")
+      },
+      Some("""SELECT CAST(ceil(COUNT(*) / 2.0) AS BIGINT) AS batches,
+                     COUNT(*) AS total, COUNT(*) AS operations FROM region"""),
+      "2.11"),
+
+    // registry coverage proof: apoc.help('') lists the full 983-name APOC
+    // surface (ApocCatalog; every member probe-asserted in ApocCatalogSpec)
+    "q_cypher_apoc_help" -> GQuery(
+      (s, d) => graft.cypher.Cypher.run(GraphQueries.graph(s, d),
+        """CALL apoc.help('coll.') YIELD name WHERE name <> ''
+           RETURN count(*) AS n_coll"""),
+      Some("SELECT CAST(45 AS BIGINT) AS n_coll"), "2.13"),
+
+    "q_cypher_apoc_help_count" -> GQuery(
+      (s, d) => graft.cypher.Cypher.run(GraphQueries.graph(s, d),
+        "CALL apoc.help('') YIELD name RETURN count(*) AS n"),
+      Some("SELECT CAST(983 AS BIGINT) AS n"), "2.13"),
+
     // apoc.periodic.iterate: outer read once, inner write applied in
     // row batches (3 batches of ≤2 over the 5 regions)
     "q_cypher_periodic_iterate" -> GQuery(

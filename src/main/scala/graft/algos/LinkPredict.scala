@@ -26,13 +26,30 @@ import graft.graph.PropertyGraph
   */
 object LinkPredict {
 
-  /** Undirected, deduplicated (a, b) adjacency over the given rel types. */
+  private val undCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[PropertyGraph,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  /** Undirected, deduplicated (a, b) adjacency over the given rel types —
+    * CACHED per (graph, relTypes): every predictFrom/hybridFrom call on
+    * the same graph is a point query over this shared build.
+    */
   private def undirected(g: PropertyGraph, relTypes: Seq[String]): DataFrame = {
-    val es = g.edgesByTypes(relTypes)
-    es.select(col("src").as("a"), col("dst").as("b"))
-      .union(es.select(col("dst").as("a"), col("src").as("b")))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    val inner = undCache.synchronized {
+      var m = undCache.get(g)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        undCache.put(g, m)
+      }
+      m
+    }
+    inner.computeIfAbsent(relTypes.distinct.sorted.mkString("|"), _ => {
+      val es = g.edgesByTypes(relTypes)
+      es.select(col("src").as("a"), col("dst").as("b"))
+        .union(es.select(col("dst").as("a"), col("src").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct().cache()
+    })
   }
 
   private def decSum9(term: Column): Column =

@@ -31,14 +31,31 @@ object ApocGraphProcs {
       d.withColumn(n, lit(v)) }.drop("_one")
   }
 
+  private val pairsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[PropertyGraph,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
   /** Undirected distinct pair list of the (optionally type-filtered) edge
-    * set — the input shape of the community family.
+    * set — the input shape of the community family. CACHED per
+    * (graph, relType): density/conductance/triangles on the same graph
+    * share one build instead of re-shuffling the edge distinct per CALL
+    * (weak-keyed so dropped graphs release their cache).
     */
   private def pairs(g: PropertyGraph, relType: Option[String]): DataFrame = {
-    val es = relType.map(g.edgesByType).getOrElse(g.edges)
-    es.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    val inner = pairsCache.synchronized {
+      var m = pairsCache.get(g)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        pairsCache.put(g, m)
+      }
+      m
+    }
+    inner.computeIfAbsent(relType.getOrElse("*"), _ => {
+      val es = relType.map(g.edgesByType).getOrElse(g.edges)
+      es.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().cache()
+    })
   }
 
   private def store: GraphStore = GraphStore.currentStore

@@ -638,7 +638,22 @@ object ApocSysProcs {
         "enabled" -> TriggerRegistry.triggers.values.count(t =>
           t.enabled && !t.paused).toLong)),
 
-    // ---- apoc.periodic.* remainder (iterate already registered)
+    // apoc.periodic.iterate CALL surface (call_apoc_periodic.go): outer
+    // read once, inner write in batches, through the versioned store —
+    // engine = CypherWrite.periodicIterate (also behind CALL {} IN
+    // TRANSACTIONS); config map or bare number for batchSize
+    "apoc.periodic.iterate" -> ((g, args) => {
+      val (outer, inner) = (args(0).toString, args(1).toString)
+      val batch = args.lift(2) match {
+        case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+          .get("batchSize").map(_.toString.toDouble.toLong).getOrElse(1000L)
+        case Some(other) => other.toString.toDouble.toLong
+        case None => 1000L
+      }
+      val (batches, total, ops) = CypherWrite.periodicIterate(store, outer, inner, batch)
+      oneRow(g, "batches" -> batches, "total" -> total, "operations" -> ops)
+    }),
+    // ---- apoc.periodic.* remainder
     "apoc.periodic.submit" -> ((g, args) => periodicRun(g, args, "submit")),
     "apoc.periodic.repeat" -> ((g, args) => periodicRun(g, args, "repeat")),
     "apoc.periodic.rock" -> ((g, args) => periodicRun(g, args, "repeat")),

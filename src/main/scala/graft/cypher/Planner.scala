@@ -129,6 +129,18 @@ object Planner {
     }),
     // apoc.cypher.run(query) — recursive engine invocation (call.go:786)
     "apoc.cypher.run" -> ((g, args) => Cypher.run(g, args.head.toString)),
+    // apoc.help(search) — the registry listing (apoc/registry/registry.go
+    // ListFunctions; reference surface apoc.go:124): every name in
+    // [[ApocCatalog]], typed procedure/function by live registry membership
+    "apoc.help" -> ((g, args) => {
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      val q = args.lift(0).map(_.toString.toLowerCase).getOrElse("")
+      val procs = procedureNames.toSet
+      ApocCatalog.all.filter(_.contains(q))
+        .map(n => (n, if (procs(n)) "procedure" else "function"))
+        .toDF("name", "type").orderBy("name")
+    }),
     // gds.graph.project / list / drop (call.go:711-721)
     "gds.graph.project" -> ((g, args) => {
       val spark = g.nodes.sparkSession

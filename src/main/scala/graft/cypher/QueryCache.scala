@@ -20,7 +20,8 @@ import graft.graph.GraphStore
   * pattern + HasLabel predicate); a query with no label anywhere depends
   * on the wildcard and is invalidated by every write.
   */
-final class QueryCache(maxSize: Int = 1000, ttlMillis: Long = 5 * 60 * 1000) {
+final class QueryCache(maxSize: Int = 1000, ttlMillis: Long = 5 * 60 * 1000,
+    maxRowsPerEntry: Int = 10000) {
 
   private final case class Entry(rows: Array[Row], schema: org.apache.spark.sql.types.StructType,
       labels: Set[String], storedAtMs: Long, version: Long)
@@ -96,13 +97,21 @@ final class QueryCache(maxSize: Int = 1000, ttlMillis: Long = 5 * 60 * 1000) {
         other.foreach(_ => removeKey(k)) // expired
         misses.incrementAndGet()
         val df = Cypher.run(store.snapshot, query, params)
-        val rows = df.collect()
-        val labels = labelsOf(query)
-        if (entries.size >= maxSize) entries.headOption.foreach(h => removeKey(h._1))
-        entries(k) = Entry(rows, df.schema, labels, System.currentTimeMillis(),
-          store.version)
-        labels.foreach(l => labelIndex.getOrElseUpdate(l, mutable.Set.empty) += k)
-        spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+        // maxSize caps ENTRIES; this caps ROWS PER ENTRY. The reference's
+        // cache holds protocol-sized result sets — a full-table read must
+        // not land on the driver just because it was cacheable. The probe
+        // is one short-circuited limit; past the cap the distributed frame
+        // is returned uncached.
+        val probe = df.limit(maxRowsPerEntry + 1).collect()
+        if (probe.length > maxRowsPerEntry) df
+        else {
+          val labels = labelsOf(query)
+          if (entries.size >= maxSize) entries.headOption.foreach(h => removeKey(h._1))
+          entries(k) = Entry(probe, df.schema, labels, System.currentTimeMillis(),
+            store.version)
+          labels.foreach(l => labelIndex.getOrElseUpdate(l, mutable.Set.empty) += k)
+          spark.createDataFrame(spark.sparkContext.parallelize(probe.toSeq, 1), df.schema)
+        }
     }
   }
 

@@ -268,6 +268,25 @@ class Round3FeatureSpec extends AnyFunSuite {
     assert(cache.misses.get() == 5) // qAll missed twice (wildcard evicted)
   }
 
+  test("query cache: results past maxRowsPerEntry are served distributed, never pinned") {
+    import graft.cypher.QueryCache
+    import graft.graph.GraphStore
+    val g = GraphQueries.graph(spark, sf)
+    val s = new GraphStore(g)
+    val cache = new QueryCache(maxSize = 10, maxRowsPerEntry = 50)
+    val big = "MATCH (o:Order) RETURN o.key AS k" // thousands of rows at sf0.001
+    val n1 = cache.run(s, big).count()
+    assert(n1 > 50)
+    assert(cache.size == 0, "oversized result must not be cached")
+    // second run recomputes (miss), same rows — behavior, not staleness
+    assert(cache.run(s, big).count() == n1)
+    assert(cache.misses.get() == 2 && cache.hits.get() == 0)
+    // small results still cache and hit
+    val small = "MATCH (r:Region) RETURN r.key AS k"
+    cache.run(s, small); cache.run(s, small)
+    assert(cache.hits.get() == 1 && cache.size == 1)
+  }
+
   test("rerank: cross-encoder hook reorders by overlap; disabled passes through") {
     import graft.search.Rerank
     val sp = spark
