@@ -17,6 +17,30 @@ object AlgoQueries {
     * a unipartite long-keyed pair graph with genuine triangles, used by
     * the community-analysis queries below. DuckDB replays the same pairs.
     */
+  /** Bounded PLACED star subgraph (customers ≤ 1000 + their orders) for
+    * the GraphX closed-form oracle twins — cached per sf-dir so the three
+    * star queries share one PropertyGraph instance (and therefore one
+    * GraphX id-dictionary context).
+    */
+  private val starCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.graph.PropertyGraph]()
+  private def starFixture(s: org.apache.spark.sql.SparkSession, d: String) =
+    starCache.computeIfAbsent(d, _ => {
+      val g = GraphQueries.graph(s, d)
+      graft.graph.PropertyGraph(
+        g.nodes,
+        g.edgesByType("PLACED")
+          .filter(split(col("src"), ":").getItem(1).cast("long") <= 1000L))
+    })
+
+  private val starLpaOracle =
+    """SELECT 'Customer:' || o_custkey AS id,
+              MAX('Order:' || o_orderkey) AS label
+       FROM orders WHERE o_custkey <= 1000 GROUP BY o_custkey
+       UNION ALL
+       SELECT 'Order:' || o_orderkey, 'Customer:' || o_custkey
+       FROM orders WHERE o_custkey <= 1000"""
+
   private val coPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
@@ -197,35 +221,38 @@ object AlgoQueries {
       },
       None, "2.11"),
 
+    // GraphX Pregel WCC oracle twin on the PLACED star fixture (bounded to
+    // 1000 customers — these rows prove ALGORITHM correctness with a
+    // closed form; the full-graph perf rows are q_algo_wcc/_label_prop/
+    // _louvain above): every component is one customer star, so
+    // component = min string id = 'Customer:<k>' ('C' < 'O')
+    "q_algo_wcc_star" -> GQuery(
+      (s, d) => graft.algos.GraphXAlgos.wcc(starFixture(s, d), Some("PLACED")),
+      Some("""SELECT DISTINCT 'Customer:' || o_custkey AS id,
+                     'Customer:' || o_custkey AS component
+              FROM orders WHERE o_custkey <= 1000
+              UNION ALL
+              SELECT 'Order:' || o_orderkey, 'Customer:' || o_custkey
+              FROM orders WHERE o_custkey <= 1000"""),
+      "2.11"),
+
     // hash-checked oracle twins of the GraphX LPA/Louvain rows on the
-    // PLACED star fixture: synchronous LPA on a star oscillates with known
+    // star fixture: synchronous LPA on a star oscillates with known
     // phase, so after 3 (odd) rounds the closed form is exact — the center
     // holds the string-max order label, each order holds its customer
     // (tie-break = max label, GraphXAlgos.labelPropagation reduce)
     "q_algo_label_prop_star" -> GQuery(
       (s, d) => graft.algos.GraphXAlgos.labelPropagation(
-        GraphQueries.graph(s, d), 3, Some("PLACED")),
-      Some("""SELECT 'Customer:' || o_custkey AS id,
-                     MAX('Order:' || o_orderkey) AS label
-              FROM orders GROUP BY o_custkey
-              UNION ALL
-              SELECT 'Order:' || o_orderkey, 'Customer:' || o_custkey
-              FROM orders"""),
-      "2.11"),
+        starFixture(s, d), 3, Some("PLACED")),
+      Some(starLpaOracle), "2.11"),
 
     // weighted flavor (louvain's label stage): PLACED weights are uniform
     // 1.0, so the weighted vote tally follows the same closed form while
     // exercising the weight-sum path; modularity is spec-asserted
     "q_algo_louvain_star" -> GQuery(
       (s, d) => graft.algos.GraphXAlgos.louvain(
-        GraphQueries.graph(s, d), 3, Some("PLACED"))._1,
-      Some("""SELECT 'Customer:' || o_custkey AS id,
-                     MAX('Order:' || o_orderkey) AS label
-              FROM orders GROUP BY o_custkey
-              UNION ALL
-              SELECT 'Order:' || o_orderkey, 'Customer:' || o_custkey
-              FROM orders"""),
-      "2.11"),
+        starFixture(s, d), 3, Some("PLACED"))._1,
+      Some(starLpaOracle), "2.11"),
 
     "q_algo_dijkstra" -> GQuery(
       (s, d) => Algorithms.dijkstra(GraphQueries.graph(s, d), "Customer:1", 2),
@@ -355,10 +382,20 @@ object AlgoQueries {
     // embedding stringified: the driver's pandas row-sort can't hash raw
     // array columns (round-1 compare failure)
     "q_algo_fastrp" -> GQuery(
-      (s, d) => Algorithms.fastRP(GraphQueries.graph(s, d), dim = 8,
-        iterWeights = Seq(0.0, 1.0), relType = Some("SUPPLIES"))
-        .select(col("id"),
-          array_join(transform(col("emb"), x => format_string("%.6f", x)), ";").as("emb_str")),
+      (s, d) => {
+        // embed the SUPPLIES projection, as gds.fastRP does over a
+        // gds.graph.project subgraph — running the iteration joins over
+        // every node in the full graph only adds zero vectors for the
+        // 90% of nodes with no SUPPLIES edge
+        val g = GraphQueries.graph(s, d)
+        val proj = graft.graph.PropertyGraph(
+          g.nodes.filter(array_contains(col("labels"), "Supplier") ||
+            array_contains(col("labels"), "Part")),
+          g.edgesByType("SUPPLIES"))
+        Algorithms.fastRP(proj, dim = 8, iterWeights = Seq(0.0, 1.0))
+          .select(col("id"),
+            array_join(transform(col("emb"), x => format_string("%.6f", x)), ";").as("emb_str"))
+      },
       None, "2.11"),
 
     "q_algo_closeness" -> GQuery(

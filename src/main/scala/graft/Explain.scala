@@ -16,7 +16,9 @@ object Explain {
     "q_bm25_topk",
     "q_vector_topk",
     "q_dedup_embedding",      // block-pair equi-join, no BroadcastNestedLoop
-    "q_dedup_embedding_lsh")  // bucketed candidates, equi-join on (tbl, bkt)
+    "q_dedup_embedding_lsh",  // bucketed candidates, equi-join on (tbl, bkt)
+    "q_cypher_call_vector_index", // literal-vector topK: scan + TakeOrdered
+    "q_cypher_gds_linkpred")  // broadcast neighbor set over filtered edges
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outFile) = args

@@ -43,9 +43,11 @@ object SearchQueries {
     // bit-count tuned for weakly-similar corpora: P[collision] per table is
     // (1 - θ/π)^nBits; at cosine≈0.37 (θ≈68°) 4 bits × 8 tables ⇒ ~0.73
     // recall. High-similarity near-dup corpora would use 8–16 bits.
+    // Oracle-checked: the md5-integer planes + bucket match + DECIMAL
+    // rerank replay bit-for-bit in SQL (was rows-only through round 3).
     "q_vector_ann_lsh" -> GQuery(
       (s, d) => VectorSearch.annTopK(Tables.embeddings(s, d), 0L, 10, nBits = 4, nTables = 8),
-      None, "2.11"),
+      Some(VectorSearch.annLshOracle(0L, 10, nBits = 4, nTables = 8, dim = 64)), "2.11"),
 
     // IVF: k-means coarse quantizer, probe the 4 nearest of 16 lists —
     // the partition-pruned scale path (rows-only; exactness at

@@ -82,44 +82,41 @@ object VectorSearch {
         SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 12) AS cos_sim
         FROM comp ORDER BY cos_sim DESC, vec_id LIMIT $k"""
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim). Hash-based uniform in [-1, 1] — seed-stable across runs and
-    * executors, no driver-side randomness to ship.
+  /** Deterministic integer hyperplane component for (table, plane, j) —
+    * the SAME md5-derived constants as [[graft.operators.Dedup
+    * .lshPlaneComponent]], so a SQL oracle inlines them and the projection
+    * SIGN is engine-independent (integer × float32-as-double products are
+    * exact; the fold is left-to-right from 0.0 in both engines).
     */
-  private def planeComponent(table: Int, plane: Int, i: Column): Column = {
-    val h = hash(lit(table), lit(plane), i, lit(42))
-    (h.cast("double") / lit(Int.MaxValue.toDouble))
-  }
+  private def planeComponent(table: Int, plane: Int, j: Int): Int =
+    graft.operators.Dedup.lshPlaneComponent(table, plane, j)
 
-  /** nBits-bit signature for hash table `table`:
-    * bit_p = sign(Σ_i v_i · plane_{t,p,i}).
+  /** nBits-bit signature string for hash table `table`:
+    * char_p = sign(Σ_i v_i · plane_{t,p,i}).
     */
-  private def bucketExpr(table: Int, nBits: Int): Column = {
-    val sigBits: Seq[Column] = (0 until nBits).map { p =>
+  private def bucketExpr(table: Int, nBits: Int, dim: Int): Column =
+    concat((0 until nBits).map { p =>
+      val plane = array((0 until dim).map(j =>
+        lit(planeComponent(table, p, j).toDouble)): _*)
       val proj = aggregate(
-        zip_with(col("embedding"),
-          transform(sequence(lit(1), size(col("embedding"))),
-            i => planeComponent(table, p, i)),
-          (x, w) => x.cast("double") * w),
+        zip_with(col("embedding"), plane, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    sigBits.reduce(_ + _)
-  }
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
 
   /** Single-table signature (kept for inspection/tests). */
-  def lshBuckets(emb: DataFrame, nBits: Int): DataFrame =
-    emb.withColumn("bucket", bucketExpr(0, nBits))
+  def lshBuckets(emb: DataFrame, nBits: Int, dim: Int = 64): DataFrame =
+    emb.withColumn("bucket", bucketExpr(0, nBits, dim))
 
   /** (vec_id, embedding, tbl, bucket) — one row per hash table. This is the
     * batch-built distributed "index": written bucketed-by (tbl, bucket), a
     * probe touches only matching buckets (OR-construction over nTables
     * tables trades candidate count for recall, AND-over-bits for precision).
     */
-  def lshIndex(emb: DataFrame, nBits: Int, nTables: Int): DataFrame =
+  def lshIndex(emb: DataFrame, nBits: Int, nTables: Int, dim: Int = 64): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
       explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("tbl"), bucketExpr(t, nBits).as("bucket"))): _*)).as("tb"))
+        struct(lit(t).as("tbl"), bucketExpr(t, nBits, dim).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("embedding"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
 
@@ -174,8 +171,8 @@ object VectorSearch {
 
   /** ANN top-k: candidates share a bucket with the query in ANY table. */
   def annTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int = 8,
-      nTables: Int = 4): DataFrame = {
-    val index = lshIndex(emb, nBits, nTables)
+      nTables: Int = 4, dim: Int = 64): DataFrame = {
+    val index = lshIndex(emb, nBits, nTables, dim)
     val qRows = index.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q"), col("tbl").as("qt"), col("bucket").as("qb"))
     val candidates = index
@@ -183,10 +180,45 @@ object VectorSearch {
       .filter(col("vec_id") =!= queryId)
       .select("vec_id", "embedding", "q")
       .dropDuplicates("vec_id")
+    // DECIMAL-routed verify scores (rounded 12) so the bucket replay +
+    // rerank hash-matches the SQL oracle below
     candidates
-      .withColumn("cos_sim", VectorFns.cosineCol(col("embedding"), col("q")))
+      .withColumn("cos_sim", round(dotDec(col("embedding"), col("q")) /
+        (sqrt(dotDec(col("embedding"), col("embedding"))) *
+          sqrt(dotDec(col("q"), col("q")))), 12))
       .select("vec_id", "cos_sim")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Full SQL replay of [[annTopK]]: same md5-integer planes, bucket
+    * match against the query's buckets, DECIMAL cosine rerank, top-k.
+    */
+  def annLshOracle(queryId: Long, k: Int, nBits: Int, nTables: Int, dim: Int): String = {
+    def bucketSql(t: Int): String = (0 until nBits).map { p =>
+      val plane = (0 until dim).map(j =>
+        graft.operators.Dedup.lshPlaneComponent(t, p, j).toDouble).mkString("[", ",", "]")
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, $dim),
+              i -> CAST(embedding[i] AS DOUBLE) * ($plane::DOUBLE[])[i])),
+            (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END)"""
+    }.mkString(" || ")
+    val unions = (0 until nTables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketSql(t)} AS bkt FROM embeddings").mkString("\nUNION ALL\n")
+    s"""WITH buck AS ($unions),
+        qb AS (SELECT tbl, bkt FROM buck WHERE vec_id = $queryId),
+        cand AS (SELECT DISTINCT b.vec_id FROM buck b JOIN qb USING (tbl, bkt)
+                 WHERE b.vec_id <> $queryId),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId),
+        comp AS (
+          SELECT c.vec_id,
+            CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+            CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na2,
+            CAST(SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nb2
+          FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+          CROSS JOIN q CROSS JOIN generate_series(1, $dim) t(i)
+          GROUP BY c.vec_id)
+        SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 12) AS cos_sim
+        FROM comp ORDER BY cos_sim DESC, vec_id LIMIT $k"""
   }
 }

@@ -154,6 +154,17 @@ class SearchCallSpec extends AnyFunSuite {
     assert(rows == List(("e", 1.0, 1.0, 1.0), ("d", 0.5, 1.0, 0.0)))
   }
 
+  test("vector-index CALL plan is one scan + global topK — no join, no row explosion") {
+    SearchIndexes.registerVector(SearchIndexes.VectorIdx(
+      "spec_plan", () => Tables.embeddings(spark, sf), "vec_id", "embedding", "DATASET"))
+    val df = graft.search.VectorSearch.topKExactLit(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", Seq.fill(64)(0.1), 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin")
+      && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("batch hybrid link prediction stays within blend bounds and thresholds") {
     val df = graft.algos.Algorithms.linkPredictionHybrid(
       Tables.lineitem(spark, sf).select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct(),
