@@ -127,6 +127,18 @@ object ExtQueries {
               FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""),
       "2.4"),
 
+    // bucketed co-located join (SURVEY §4): lineitem+orders written
+    // bucketBy(order key) once, the join then plans with NO Exchange on
+    // either side (spec-asserted) — the layout decision that turns the
+    // repeated fact join from a full shuffle into a per-bucket merge
+    "q_source_bucketed_join" -> GQuery(
+      (s, d) => graft.sources.Bucketing.revenueByPriority(s, d),
+      Some("""SELECT o_orderpriority, SUM(l_quantity) AS total_qty,
+                     COUNT(*) AS n_items
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority"""),
+      "2.1"),
+
     "q_source_json_roundtrip" -> GQuery(
       (s, d) => {
         val g = GraphQueries.graph(s, d)

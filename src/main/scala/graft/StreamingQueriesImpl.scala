@@ -167,6 +167,32 @@ object StreamingQueriesImpl {
               SELECT entity, 'burst', burst_conf, CAST(-1 AS INT), CAST(-1 AS INT), 60.0
               FROM base WHERE in_window >= 5"""), "2.12"),
 
+    // online vector-index maintenance: a readStream of embeddings upserted
+    // batch-by-batch into the store's named node embeddings (foreachBatch
+    // = the Delta-MERGE shape at 100 TB), then exact top-k over the final
+    // index state — the oracle replays the same cosine over the source
+    "q_stream_vector_upsert" -> GQuery(
+      (s, d) => {
+        val store = new graft.graph.GraphStore(GraphQueries.graph(s, d))
+        graft.streaming.VectorIngest.streamingUpsert(s, d, store, "stream_emb")
+        val emb = store.nodeEmbeddings.filter(col("name") === "stream_emb")
+          .select(col("entity_id").as("id"), col("embedding"))
+        val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+          .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+        graft.search.VectorSearch.topKExactLit(emb, "id", "embedding", qv, 10)
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+              comp AS (
+                SELECT e.vec_id,
+                  CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+                  CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na2,
+                  CAST(SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nb2
+                FROM embeddings e CROSS JOIN q CROSS JOIN generate_series(1, 64) t(i)
+                GROUP BY e.vec_id)
+              SELECT 'Vec:' || vec_id AS node, round(dot / (sqrt(na2) * sqrt(nb2)), 12) AS score
+              FROM comp ORDER BY score DESC, node LIMIT 10"""),
+      "2.12"),
+
     // arbitrary per-key streaming state: the Kalman fold carried in
     // GroupState across micro-batches — hash-matches the BATCH oracle
     "q_stream_kalman_state" -> GQuery(

@@ -154,6 +154,30 @@ class SearchCallSpec extends AnyFunSuite {
     assert(rows == List(("e", 1.0, 1.0, 1.0), ("d", 0.5, 1.0, 0.0)))
   }
 
+  test("bucketed lineitem-orders join plans with no shuffle Exchange") {
+    graft.sources.Bucketing.prepare(spark, sf)
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    // disable broadcast so the planner must pick the co-located SMJ path
+    // (at real scale neither side broadcasts)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(s"lineitem_b$tag")
+        .join(spark.table(s"orders_b$tag"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucket layout unused:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("streaming embedding upsert populates the named index completely") {
+    val store = new GraphStore(g)
+    graft.streaming.VectorIngest.streamingUpsert(spark, sf, store, "ing")
+    val n = store.nodeEmbeddings.filter(col("name") === "ing").count()
+    assert(n == Tables.embeddings(spark, sf).count() && n > 0)
+  }
+
   test("vector-index CALL plan is one scan + global topK — no join, no row explosion") {
     SearchIndexes.registerVector(SearchIndexes.VectorIdx(
       "spec_plan", () => Tables.embeddings(spark, sf), "vec_id", "embedding", "DATASET"))
