@@ -131,6 +131,55 @@ object SearchQueries {
             FROM scored"""
       }, "2.11"),
 
+    // the IR-metric layer itself, oracle-checked on a deterministic
+    // fixture (customer → ranked orders; relevant = status-'F' orders):
+    // per-query precision/recall/mrr are exact rationals, DCG/IDCG route
+    // round-9 terms through DECIMAL — proves the harness.go mirror the
+    // ANN eval rows rely on
+    "q_eval_metrics" -> GQuery(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.orders(s, d).filter(col("o_custkey") <= 50)
+        val ranked = o.select(col("o_custkey").as("query_id"),
+            col("o_orderkey").as("item_id"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("query_id").orderBy("item_id")))
+        val relevant = o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("query_id"), col("o_orderkey").as("item_id"))
+        graft.search.Eval.metrics(ranked, relevant, 10, exact = true)
+      },
+      Some("""WITH ranked AS (
+                SELECT o_custkey AS query_id, o_orderkey AS item_id,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rank
+                FROM orders WHERE o_custkey <= 50),
+              rel AS (SELECT o_custkey AS query_id, o_orderkey AS item_id
+                      FROM orders WHERE o_custkey <= 50 AND o_orderstatus = 'F'),
+              topk AS (SELECT r.query_id, r.rank,
+                              CASE WHEN rl.item_id IS NULL THEN 0 ELSE 1 END AS is_rel
+                       FROM ranked r LEFT JOIN rel rl
+                         ON r.query_id = rl.query_id AND r.item_id = rl.item_id
+                       WHERE r.rank <= 10),
+              relc AS (SELECT query_id, COUNT(*) AS n_rel FROM rel GROUP BY query_id),
+              pq AS (SELECT query_id, SUM(is_rel) AS hits,
+                            MIN(CASE WHEN is_rel = 1 THEN rank END) AS first_hit,
+                            CAST(SUM(CASE WHEN is_rel = 1
+                              THEN CAST(round(1.0 / (ln(rank + 1) / ln(2)), 9) AS DECIMAL(28,12))
+                              ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS dcg
+                     FROM topk GROUP BY query_id),
+              m AS (SELECT p.query_id, hits, first_hit, dcg, n_rel,
+                      CAST(list_reduce(list_prepend(CAST(0 AS DECIMAL(28,12)),
+                        list_transform(generate_series(1, LEAST(n_rel, 10)),
+                          i -> CAST(round(1.0 / (ln(i + 1) / ln(2)), 9) AS DECIMAL(28,12)))),
+                        (a, x) -> CAST(a + x AS DECIMAL(28,12))) AS DOUBLE) AS idcg
+                    FROM pq p JOIN relc USING (query_id))
+              SELECT query_id,
+                     CAST(hits AS DOUBLE) / 10 AS precision_at_k,
+                     CAST(hits AS DOUBLE) / n_rel AS recall_at_k,
+                     COALESCE(CAST(1.0 AS DOUBLE) / first_hit, CAST(0.0 AS DOUBLE)) AS mrr,
+                     round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 9) AS ndcg_at_k
+              FROM m"""),
+      "2.11"),
+
     // ---- CALL-procedure surface over the same engines (SURVEY §2.11,
     // call_vector.go:35 / call_fulltext.go:38 / search.go:890). Each runs
     // through the Cypher string surface (CALL … YIELD … WHERE) and must

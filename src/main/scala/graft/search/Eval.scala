@@ -12,33 +12,52 @@ object Eval {
 
   /** ranked: (query_id, item_id, rank 1-based); relevant: (query_id, item_id).
     * Returns one row per query with p@k, r@k, mrr, ndcg@k.
+    *
+    * `exact = true` routes the DCG/IDCG term sums through
+    * round-9 → DECIMAL (the repo-wide oracle pattern), so the per-query
+    * rows hash-match a SQL replay — used by the oracle-checked
+    * q_eval_metrics row; the ANN eval paths keep the plain float sums.
     */
-  def metrics(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+  def metrics(ranked: DataFrame, relevant: DataFrame, k: Int,
+      exact: Boolean = false): DataFrame = {
     val rel = relevant.withColumn("is_rel", lit(1))
     val topk = ranked.filter(col("rank") <= k)
       .join(rel, Seq("query_id", "item_id"), "left_outer")
       .withColumn("is_rel", coalesce(col("is_rel"), lit(0)))
     val relCounts = relevant.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
 
+    // DCG@k = Σ rel_i / log2(rank_i + 1)
+    val dcgAgg =
+      if (exact) sum(when(col("is_rel") === 1,
+        round(lit(1.0) / log2(col("rank") + 1), 9).cast("decimal(28,12)"))
+        .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)")))
+        .cast("double")
+      else sum(when(col("is_rel") === 1,
+        lit(1.0) / log2(col("rank") + 1)).otherwise(0.0))
     val perQuery = topk.groupBy("query_id").agg(
       sum("is_rel").as("hits"),
       min(when(col("is_rel") === 1, col("rank"))).as("first_hit"),
-      // DCG@k = Σ rel_i / log2(rank_i + 1)
-      sum(when(col("is_rel") === 1,
-        lit(1.0) / log2(col("rank") + 1)).otherwise(0.0)).as("dcg"))
+      dcgAgg.as("dcg"))
 
-    perQuery.join(relCounts, "query_id")
+    // IDCG@k = Σ_{i=1..min(n_rel,k)} 1/log2(i+1), via a sequence fold
+    def idcgFold(n: org.apache.spark.sql.Column) =
+      if (exact) aggregate(sequence(lit(1), n),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)"),
+        (acc, i) => (acc + round(lit(1.0) / log2(i + 1), 9).cast("decimal(28,12)"))
+          .cast("decimal(28,12)")).cast("double")
+      else aggregate(sequence(lit(1), n),
+        lit(0.0), (acc, i) => acc + lit(1.0) / log2(i + 1))
+
+    val out = perQuery.join(relCounts, "query_id")
       .withColumn("ideal_n", least(col("n_rel"), lit(k)))
-      // IDCG@k = Σ_{i=1..min(n_rel,k)} 1/log2(i+1), via a sequence fold
-      .withColumn("idcg", aggregate(
-        sequence(lit(1), col("ideal_n").cast("int")),
-        lit(0.0), (acc, i) => acc + lit(1.0) / log2(i + 1)))
+      .withColumn("idcg", idcgFold(col("ideal_n").cast("int")))
       .select(
         col("query_id"),
         (col("hits").cast("double") / k).as("precision_at_k"),
         (col("hits").cast("double") / col("n_rel")).as("recall_at_k"),
         coalesce(lit(1.0) / col("first_hit"), lit(0.0)).as("mrr"),
         when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(0.0).as("ndcg_at_k"))
+    if (exact) out.withColumn("ndcg_at_k", round(col("ndcg_at_k"), 9)) else out
   }
 
   /** Evaluate LSH ANN against brute-force cosine ground truth for the first
