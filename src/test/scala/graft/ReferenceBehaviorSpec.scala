@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cypher.{Cypher, CypherWrite}
+import graft.graph.{GraphStore, PropertyGraph}
+
+/** Mirrors of the reference's OWN Cypher regression tests — each test here
+  * replays a (fixture, query, expected) triple lifted from
+  * the reference's pkg/cypher Go test files, so behavioral drift from the
+  * reference's semantics fails loudly. Fixtures are built through the
+  * engine's own CREATE path on an empty store, like the reference builds
+  * them through its executor.
+  */
+class ReferenceBehaviorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Fresh empty store with the standard node/edge schema. */
+  private def emptyStore(): GraphStore = {
+    val g = GraphQueries.graph(spark, sf)
+    new GraphStore(PropertyGraph(
+      g.nodes.filter("false").localCheckpoint(true),
+      g.edges.filter("false").localCheckpoint(true)))
+  }
+
+  /** The aggregation-test fixture (aggregation_bugs_test.go:17): 5 File
+    * nodes with extensions (.ts ×2, .md ×3) and 2 without.
+    */
+  private def fileStore(): GraphStore = {
+    val s = emptyStore()
+    Seq(
+      "CREATE (f:File {key: 1, name: 'file1.ts', extension: '.ts'})",
+      "CREATE (f:File {key: 2, name: 'file2.ts', extension: '.ts'})",
+      "CREATE (f:File {key: 3, name: 'file3.md', extension: '.md'})",
+      "CREATE (f:File {key: 4, name: 'file4.md', extension: '.md'})",
+      "CREATE (f:File {key: 5, name: 'file5.md', extension: '.md'})",
+      "CREATE (f:File {key: 6, name: 'noext'})",
+      "CREATE (f:File {key: 7, name: 'noext2'})"
+    ).foreach(CypherWrite.execute(s, _))
+    s
+  }
+
+  test("WHERE IS NOT NULL before WITH aggregation (aggregation_bugs_test.go:43)") {
+    val s = fileStore()
+    val rows = Cypher.run(s.snapshot,
+      """MATCH (f:File)
+         WHERE f.extension IS NOT NULL
+         WITH f.extension AS ext, COUNT(f) AS count
+         RETURN ext, count
+         ORDER BY count DESC""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(rows == List((".md", 3L), (".ts", 2L)))
+  }
+
+  test("COUNT in WITH then WHERE on the grouping key (aggregation_bugs_test.go:111)") {
+    val s = fileStore()
+    val rows = Cypher.run(s.snapshot,
+      """MATCH (f:File)
+         WITH f.extension AS ext, COUNT(f) AS count
+         WHERE ext IS NOT NULL
+         RETURN ext, count
+         ORDER BY count DESC""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(rows == List((".md", 3L), (".ts", 2L)))
+    // implicit GROUP BY keeps the null group when not filtered
+    val all = Cypher.run(s.snapshot,
+      "MATCH (f:File) WITH f.extension AS ext, COUNT(*) AS count RETURN ext, count")
+      .collect()
+    assert(all.length == 3) // .ts, .md, null
+  }
+
+  test("count(prop) excludes nulls; count(*) includes all (aggregation_bugs_test.go:247)") {
+    val s = fileStore()
+    val cExt = Cypher.run(s.snapshot,
+      "MATCH (f:File) RETURN count(f.extension) AS count_ext").collect().head.getLong(0)
+    val cAll = Cypher.run(s.snapshot,
+      "MATCH (f:File) RETURN count(*) AS count_all").collect().head.getLong(0)
+    assert(cExt == 5L && cAll == 7L)
+  }
+
+  test("COLLECT(DISTINCT prop) over a column with nulls (aggregation_bugs_test.go:282)") {
+    val s = fileStore()
+    val exts = Cypher.run(s.snapshot,
+      "MATCH (f:File) WITH COLLECT(DISTINCT f.extension) AS extensions RETURN extensions")
+      .collect().head.getSeq[String](0)
+    // Cypher collect() skips nulls: exactly the two real extensions
+    assert(exts.toSet == Set(".ts", ".md"))
+  }
+
+  test("sum/avg skip nulls; min/max of strings (aggregation_bugs_test.go:308)") {
+    val s = emptyStore()
+    Seq(
+      "CREATE (m:Metric {key: 1, acctbal: 10.0})",
+      "CREATE (m:Metric {key: 2, acctbal: 20.0})",
+      "CREATE (m:Metric {key: 3, acctbal: 30.0})",
+      "CREATE (m:Metric {key: 4})"
+    ).foreach(CypherWrite.execute(s, _))
+    val r = Cypher.run(s.snapshot,
+      """MATCH (m:Metric)
+         RETURN sum(m.acctbal) AS s, avg(m.acctbal) AS a,
+                min(m.acctbal) AS mn, max(m.acctbal) AS mx,
+                count(m.acctbal) AS c""").collect().head
+    assert(r.getDouble(0) == 60.0 && r.getDouble(1) == 20.0)
+    assert(r.getDouble(2) == 10.0 && r.getDouble(3) == 30.0 && r.getLong(4) == 3L)
+  }
+
+  test("WHERE on an aggregated value via WITH (aggregation_bugs_test.go:344)") {
+    val s = fileStore()
+    val rows = Cypher.run(s.snapshot,
+      """MATCH (f:File)
+         WITH f.extension AS ext, COUNT(f) AS cnt
+         WHERE cnt > 2
+         RETURN ext, cnt""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(rows == List((".md", 3L)))
+  }
+
+  test("ORDER BY aggregated value ascending (aggregation_bugs_test.go:374)") {
+    val s = fileStore()
+    val rows = Cypher.run(s.snapshot,
+      """MATCH (f:File)
+         WHERE f.extension IS NOT NULL
+         WITH f.extension AS ext, COUNT(f) AS cnt
+         RETURN ext, cnt ORDER BY cnt ASC""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(rows == List((".ts", 2L), (".md", 3L)))
+  }
+
+  test("OPTIONAL MATCH keeps unmatched rows with nulls (clauses_optional_fast.go)") {
+    val s = emptyStore()
+    Seq(
+      "CREATE (a:Person {key: 1, name: 'a'}), (b:Person {key: 2, name: 'b'})",
+      """MATCH (a:Person {key: 1}), (b:Person {key: 2})
+         CREATE (a)-[:KNOWS {weight: 1}]->(b)"""
+    ).foreach(CypherWrite.execute(s, _))
+    val rows = Cypher.run(s.snapshot,
+      """MATCH (p:Person)
+         OPTIONAL MATCH (p)-[:KNOWS]->(q:Person)
+         RETURN p.name AS pn, q.name AS qn ORDER BY pn""")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toList
+    assert(rows == List(("a", Some("b")), ("b", None)))
+  }
+
+  test("chained WITH+MATCH: a failed mid-chain MATCH drops the row (chained_with_match_test.go:188)") {
+    val s = emptyStore()
+    Seq(
+      "CREATE (a:Doc {key: 1, name: 'a'})",
+      "CREATE (b:Doc {key: 2, name: 'b'})"
+    ).foreach(CypherWrite.execute(s, _))
+    // first MATCH succeeds, second MATCH (no such node) kills the row —
+    // the whole query returns no rows, like the reference's chained merge
+    val rows = Cypher.run(s.snapshot,
+      """MATCH (a:Doc {key: 1})
+         WITH a
+         MATCH (c:Doc {key: 99})
+         RETURN a.name AS an, c.name AS cn""").collect()
+    assert(rows.isEmpty)
+    // and the two-hop chain where both exist returns the pair
+    val ok = Cypher.run(s.snapshot,
+      """MATCH (a:Doc {key: 1})
+         WITH a
+         MATCH (b:Doc {key: 2})
+         RETURN a.name AS an, b.name AS bn""").collect()
+    assert(ok.map(r => (r.getString(0), r.getString(1))).toList == List(("a", "b")))
+  }
+
+  test("CASE inside aggregates: conditional count/sum (case_aggregation_test.go:14)") {
+    val s = emptyStore()
+    Seq(
+      "CREATE (e:Entry {key: 1, status: 'approved', score: 90})",
+      "CREATE (e:Entry {key: 2, status: 'approved', score: 75})",
+      "CREATE (e:Entry {key: 3, status: 'approved', score: 60})",
+      "CREATE (e:Entry {key: 4, status: 'reject', score: 85})",
+      "CREATE (e:Entry {key: 5, status: 'reject', score: 50})"
+    ).foreach(CypherWrite.execute(s, _))
+    val r = Cypher.run(s.snapshot,
+      """MATCH (e:Entry)
+         RETURN count(e) AS total,
+                count(CASE WHEN e.status = 'approved' THEN 1 END) AS approved,
+                count(CASE WHEN e.status = 'reject' THEN 1 END) AS rejected,
+                sum(CASE WHEN e.status = 'approved' THEN 1 ELSE 0 END) AS approvedSum""")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 3L, 2L)))
+    assert(r.getLong(3) == 3L)
+  }
+
+  test("CONTAINS in WHERE and inside CASE-in-count (case_aggregation_test.go:94)") {
+    val s = emptyStore()
+    Seq(
+      "CREATE (e:Entry {key: 1, issues: 'informal tu usage'})",
+      "CREATE (e:Entry {key: 2, issues: 'other issue'})",
+      "CREATE (e:Entry {key: 3, issues: 'another tu problem'})"
+    ).foreach(CypherWrite.execute(s, _))
+    val whereCnt = Cypher.run(s.snapshot,
+      "MATCH (e:Entry) WHERE e.issues CONTAINS 'tu' RETURN count(e) AS cnt")
+      .collect().head.getLong(0)
+    val caseCnt = Cypher.run(s.snapshot,
+      """MATCH (e:Entry)
+         RETURN count(CASE WHEN e.issues CONTAINS 'tu' THEN 1 END) AS n""")
+      .collect().head.getLong(0)
+    assert(whereCnt == 2L && caseCnt == 2L)
+  }
+
+  test("count returns a zero row on an empty match (count_bug_test.go:17)") {
+    val s = emptyStore()
+    val r = Cypher.run(s.snapshot,
+      "MATCH (x:Nothing) RETURN count(x) AS n").collect()
+    assert(r.length == 1 && r.head.getLong(0) == 0L)
+  }
+
+  test("DELETE then re-CREATE counts fresh nodes (count_bug_test.go:83)") {
+    val s = emptyStore()
+    CypherWrite.execute(s, "CREATE (t:Tmp {key: 1, name: 'x'})")
+    CypherWrite.execute(s, "MATCH (t:Tmp) DETACH DELETE t")
+    CypherWrite.execute(s, "CREATE (t:Tmp {key: 2, name: 'y'})")
+    val r = Cypher.run(s.snapshot, "MATCH (t:Tmp) RETURN count(t) AS n, max(t.key) AS k")
+      .collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+  }
+}
