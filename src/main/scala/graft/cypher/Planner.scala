@@ -713,7 +713,7 @@ object Planner {
       params: Map[String, Any]): Frame = {
     val v0 = path.first.variable.getOrElse(fresh())
     var f = scanNode(g, v0, path.first, params)
-    f = expandHops(g, f, v0, path.hops, params)
+    f = expandHops(g, f, v0, path.hops, params, path.pathVar)
     f
   }
 
@@ -729,11 +729,12 @@ object Planner {
     path.first.props.foreach { case (k, e) =>
       cur = Frame(cur.df.filter(propCol(cur, v0, k) === compile(e, cur, params)), cur.kinds)
     }
-    expandHops(g, cur, v0, path.hops, params)
+    expandHops(g, cur, v0, path.hops, params, path.pathVar)
   }
 
   private def expandHops(g: PropertyGraph, start: Frame, startVar: String,
-      hops: Seq[(RelPat, NodePat)], params: Map[String, Any]): Frame = {
+      hops: Seq[(RelPat, NodePat)], params: Map[String, Any],
+      pathVar: Option[String] = None): Frame = {
     var f = start
     var cur = startVar
     hops.foreach { case (rel, node) =>
@@ -746,10 +747,17 @@ object Planner {
         case Some((minH, maxH)) =>
           val dir = toDir(rel.dir)
           val anchorIds = f.df.select(col(s"${cur}_id").as("id")).distinct()
-          val pairs = Expand.varLengthExpand(g, anchorIds, rel.relType, minH, maxH, dir,
-              rel.altTypes)
-            .select(col("start_id"), col("end_id"))
-            .distinct() // pairs reachable at any depth in [min,max]
+          // `p = (a)-[*m..n]-(b)` on a single-hop pattern binds the path
+          // var with its hop count: one row per (pair, depth), so
+          // length(p) works (Neo4j's per-path rows collapsed to per-depth,
+          // matching the pair-level dedup used throughout)
+          val keepLen = pathVar.isDefined && hops.size == 1
+          val expanded = Expand.varLengthExpand(g, anchorIds, rel.relType, minH, maxH, dir,
+            rel.altTypes)
+          val pairs =
+            (if (keepLen) expanded.select(col("start_id"), col("end_id"), col("depth"))
+             else expanded.select(col("start_id"), col("end_id")))
+              .distinct() // pairs reachable at any depth in [min,max]
           var df = f.df.join(pairs, col(s"${cur}_id") === col("start_id"))
           val nodesDf = node.label.map(g.nodesByLabel).getOrElse(g.nodes)
           df = df.join(Expand.nodeColsOf(nodesDf, v), col("end_id") === col(s"${v}_id"))
@@ -757,7 +765,13 @@ object Planner {
           node.extraLabels.foreach { l =>
             df = df.filter(array_contains(col(s"${v}_labels"), l))
           }
-          f = Frame(df, f.kinds + (v -> NodeK))
+          var kinds = f.kinds + (v -> NodeK)
+          if (keepLen) {
+            df = df.withColumn(pathVar.get,
+              struct(col("depth").cast("int").as("length"))).drop("depth")
+            kinds += (pathVar.get -> ValK)
+          }
+          f = Frame(df, kinds)
         case None =>
           var df = Expand.expand(g, f.df, cur, v, rel.relType, toDir(rel.dir),
             node.label, relVar, altRelTypes = rel.altTypes)

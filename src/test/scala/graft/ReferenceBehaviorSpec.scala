@@ -202,6 +202,77 @@ class ReferenceBehaviorSpec extends AnyFunSuite {
     assert(whereCnt == 2L && caseCnt == 2L)
   }
 
+  /** The area graph from failing_queries_test.go:22. */
+  private def areaStore(): GraphStore = {
+    val s = emptyStore()
+    Seq(
+      "CREATE (a:Area {key: 16, name: 'Enterprise Service Layer'})",
+      "CREATE (p:POC {key: 1, name: 'POC Alpha'})",
+      "CREATE (p:POC {key: 2, name: 'POC Beta'})",
+      "CREATE (p:Person {key: 101, name: 'John Smith'})",
+      "CREATE (p:Person {key: 102, name: 'Jane Doe'})",
+      "CREATE (t:Team {key: 201, name: 'Core Team'})",
+      "MATCH (a:Area {key: 16}), (p:POC {key: 1}) CREATE (a)-[:MANAGES]->(p)",
+      "MATCH (a:Area {key: 16}), (t:Team {key: 201}) CREATE (a)-[:CONTAINS]->(t)",
+      "MATCH (p:POC {key: 2}), (a:Area {key: 16}) CREATE (p)-[:BELONGS_TO]->(a)",
+      "MATCH (p:POC {key: 1}), (x:Person {key: 101}) CREATE (p)-[:HAS_LEADER]->(x)",
+      "MATCH (p:POC {key: 2}), (x:Person {key: 102}) CREATE (p)-[:HAS_CONTACT]->(x)"
+    ).foreach(CypherWrite.execute(s, _))
+    s
+  }
+
+  test("FAIL#1: CALL {} + undirected var-length path + length(path) in collect (failing_queries_test.go:45)") {
+    // node entity values inside the map are projected to name (map values
+    // must type-unify under Spark; the reference returns the whole node)
+    val s = areaStore()
+    val rows = Cypher.run(s.snapshot,
+      """MATCH (seed:Area {key: 16})
+         CALL {
+           WITH seed
+           MATCH path = (seed)-[*1..2]-(connected)
+           WHERE id(connected) <> id(seed)
+           RETURN connected, length(path) AS dist
+         }
+         RETURN collect(DISTINCT {node: connected.name,
+           labels: labels(connected)[0], distance: toString(dist)}) AS neighbors""")
+      .collect()
+    assert(rows.length == 1)
+    val n = rows.head.getSeq[Row](0).map(r => (r.getString(0), r.getString(2))).toSet
+    assert(n == Set(("POC Alpha", "1"), ("POC Beta", "1"), ("Core Team", "1"),
+      ("John Smith", "2"), ("Jane Doe", "2")))
+  }
+
+  test("FAIL#2: top-level path var + WITH + aggregated map collect (failing_queries_test.go:113)") {
+    val s = areaStore()
+    val rows = Cypher.run(s.snapshot,
+      """MATCH path = (seed:Area {key: 16})-[*1..2]-(connected)
+         WHERE id(connected) <> id(seed)
+         WITH seed, connected, length(path) AS dist
+         RETURN seed.name AS seed_name,
+                collect(DISTINCT {node: connected.name, distance: toString(dist)}) AS neighbors""")
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "Enterprise Service Layer")
+    assert(rows.head.getSeq[Row](1).length == 5)
+  }
+
+  test("length(path) inside collect over a 2-hop chain (failing_queries_test.go:286)") {
+    val s = emptyStore()
+    Seq(
+      "CREATE (a:Node {key: 1, name: 'A'})",
+      "CREATE (b:Node {key: 2, name: 'B'})",
+      "CREATE (c:Node {key: 3, name: 'C'})",
+      "MATCH (a:Node {key: 1}), (b:Node {key: 2}) CREATE (a)-[:REL1]->(b)",
+      "MATCH (b:Node {key: 2}), (c:Node {key: 3}) CREATE (b)-[:REL2]->(c)"
+    ).foreach(CypherWrite.execute(s, _))
+    val res = Cypher.run(s.snapshot,
+      """MATCH path = (a:Node {key: 1})-[*1..2]->(connected)
+         RETURN collect({name: connected.name, distance: toString(length(path))}) AS results""")
+      .collect().head.getSeq[Row](0)
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(res == Set(("B", "1"), ("C", "2")))
+  }
+
   test("count returns a zero row on an empty match (count_bug_test.go:17)") {
     val s = emptyStore()
     val r = Cypher.run(s.snapshot,
