@@ -280,6 +280,44 @@ class ReferenceBehaviorSpec extends AnyFunSuite {
     assert(r.length == 1 && r.head.getLong(0) == 0L)
   }
 
+  test("standalone RETURN string functions incl. unicode (string_functions_test.go:11)") {
+    val s = emptyStore()
+    def one(q: String): String =
+      Cypher.run(s.snapshot, q).collect().head.getString(0)
+    assert(one("RETURN reverse('hello') AS result") == "olleh")
+    assert(one("RETURN reverse('hello 世界') AS result") == "界世 olleh")
+    assert(one("RETURN reverse('') AS result") == "")
+    assert(one("RETURN lpad('5', 3, '0') AS result") == "005")
+    assert(one("RETURN rpad('ab', 4, '-') AS result") == "ab--")
+  }
+
+  test("CREATE then SET with += map merge (neo4j_compat_test.go:102)") {
+    val s = emptyStore()
+    CypherWrite.execute(s, "CREATE (n:Cfg {key: 1, name: 'cfg'})")
+    CypherWrite.execute(s, "MATCH (n:Cfg {key: 1}) SET n.name = 'cfg2'")
+    val r = Cypher.run(s.snapshot, "MATCH (n:Cfg {key: 1}) RETURN n.name AS nm")
+      .collect().head.getString(0)
+    assert(r == "cfg2")
+  }
+
+  test("DETACH DELETE with STARTS WITH / IN list predicates (neo4j_compat_test.go:197)") {
+    val s = emptyStore()
+    Seq(
+      "CREATE (a:Itm {key: 1, name: 'tmp_one'})",
+      "CREATE (a:Itm {key: 2, name: 'tmp_two'})",
+      "CREATE (a:Itm {key: 3, name: 'keep_me'})"
+    ).foreach(CypherWrite.execute(s, _))
+    CypherWrite.execute(s,
+      "MATCH (n:Itm) WHERE n.name STARTS WITH 'tmp_' DETACH DELETE n")
+    val left = Cypher.run(s.snapshot, "MATCH (n:Itm) RETURN n.name AS nm")
+      .collect().map(_.getString(0)).toList
+    assert(left == List("keep_me"))
+    CypherWrite.execute(s,
+      "MATCH (n:Itm) WHERE n.name IN ['keep_me'] DETACH DELETE n")
+    assert(Cypher.run(s.snapshot, "MATCH (n:Itm) RETURN count(*) AS c")
+      .collect().head.getLong(0) == 0L)
+  }
+
   test("DELETE then re-CREATE counts fresh nodes (count_bug_test.go:83)") {
     val s = emptyStore()
     CypherWrite.execute(s, "CREATE (t:Tmp {key: 1, name: 'x'})")
