@@ -752,12 +752,21 @@ object Planner {
           // length(p) works (Neo4j's per-path rows collapsed to per-depth,
           // matching the pair-level dedup used throughout)
           val keepLen = pathVar.isDefined && hops.size == 1
-          val expanded = Expand.varLengthExpand(g, anchorIds, rel.relType, minH, maxH, dir,
-            rel.altTypes)
+          // point anchors with a bound path var get FULL paths (node
+          // sequence + rel types), so nodes(p)/relationships(p) resolve —
+          // one row per simple path, the reference's per-seed enumeration.
+          // Bulk anchors keep pair-level rows with the hop count only.
+          val fullPaths = keepLen && Expand.isPointQuery(anchorIds)
+          val expanded =
+            if (fullPaths) Expand.varLengthPathsExpand(g, anchorIds, rel.relType,
+              minH, maxH, dir, rel.altTypes)
+            else Expand.varLengthExpand(g, anchorIds, rel.relType, minH, maxH, dir,
+              rel.altTypes)
           val pairs =
-            (if (keepLen) expanded.select(col("start_id"), col("end_id"), col("depth"))
+            (if (fullPaths) expanded
+             else if (keepLen) expanded.select(col("start_id"), col("end_id"), col("depth"))
              else expanded.select(col("start_id"), col("end_id")))
-              .distinct() // pairs reachable at any depth in [min,max]
+              .distinct() // pairs (or full paths) reachable in [min,max]
           var df = f.df.join(pairs, col(s"${cur}_id") === col("start_id"))
           val nodesDf = node.label.map(g.nodesByLabel).getOrElse(g.nodes)
           df = df.join(Expand.nodeColsOf(nodesDf, v), col("end_id") === col(s"${v}_id"))
@@ -766,9 +775,22 @@ object Planner {
             df = df.filter(array_contains(col(s"${v}_labels"), l))
           }
           var kinds = f.kinds + (v -> NodeK)
-          if (keepLen) {
-            df = df.withColumn(pathVar.get,
+          if (fullPaths) {
+            // rels as struct(type) elements so `[r IN relationships(p) |
+            // type(r)]` compiles through the existing type() accessor.
+            // Built under a temp name: the path var is often literally
+            // `path`, and withColumn+drop on the same name drops both.
+            df = df.withColumn("_pv", struct(
+                col("path").as("path"),
+                transform(col("rels"), t => struct(t.as("type"))).as("rels"),
+                col("depth").cast("int").as("length")))
+              .drop("path", "rels", "depth")
+              .withColumnRenamed("_pv", pathVar.get)
+            kinds += (pathVar.get -> ValK)
+          } else if (keepLen) {
+            df = df.withColumn("_pv",
               struct(col("depth").cast("int").as("length"))).drop("depth")
+              .withColumnRenamed("_pv", pathVar.get)
             kinds += (pathVar.get -> ValK)
           }
           f = Frame(df, kinds)
@@ -1290,12 +1312,15 @@ object Planner {
           case Variable(v) => col(s"${v}_id")
           case other => compile(other, f, params).getField("id")
         }
+        // frame-variable convention (v_labels/v_type columns) only when v
+        // is NOT a lambda-bound element (e.g. `[r IN relationships(p) |
+        // type(r)]` — there r is the struct element, not a rel binding)
         case "labels" => args.head match {
-          case Variable(v) => col(s"${v}_labels")
+          case Variable(v) if !lambdaEnv.value.contains(v) => col(s"${v}_labels")
           case other => compile(other, f, params).getField("labels")
         }
         case "type" => args.head match {
-          case Variable(v) => col(s"${v}_type")
+          case Variable(v) if !lambdaEnv.value.contains(v) => col(s"${v}_type")
           case other => compile(other, f, params).getField("type")
         }
         // list functions (Catalyst HOFs). Cypher size()/length() also work
@@ -1311,6 +1336,9 @@ object Planner {
           }
         case "nodes" => // nodes(p) → the node-id sequence of a bound path
           a(0).getField("path")
+        case "relationships" | "rels" => // relationships(p) → struct(type)
+          // elements of a full-path binding; type(r) reads the field
+          a(0).getField("rels")
         // try_ variants: head/last of an empty list is null (Neo4j), not an
         // ANSI out-of-bounds error
         case "head" => try_element_at(a(0), lit(1))

@@ -238,9 +238,60 @@ object Expand {
     * codegen on the DataFrame loop wins (bulk shuffle throughput). The
     * `limit(n+1).count()` probe costs one cheap job on the cached graph.
     */
+  /** Path-carrying var-length expansion for POINT anchors (≤128 start
+    * ids): one row per simple path with the node-id sequence and the rel
+    * types traversed, so `nodes(p)`/`relationships(p)` resolve. Bulk
+    * anchors keep the pair-level expansion — carrying full paths across a
+    * large frontier is the exponential blow-up the pair dedup exists to
+    * avoid; the reference enumerates paths per seed the same way
+    * (`pkg/cypher/traversal.go` path contexts).
+    * Returns (start_id, end_id, path ARRAY<STRING>, rels ARRAY<STRING>,
+    * depth INT).
+    */
+  def varLengthPathsExpand(
+      g: PropertyGraph,
+      startIds: DataFrame,
+      relType: Option[String],
+      minHops: Int,
+      maxHops: Int,
+      direction: Direction = Out,
+      altRelTypes: Seq[String] = Seq.empty): DataFrame = {
+    val es0 = g.edgesByTypes(relType.toSeq ++ altRelTypes)
+    val adj = (direction match {
+      case Out => es0.select(col("src").as("_from"), col("dst").as("_to"), col("rel_type").as("_rt"))
+      case In  => es0.select(col("dst").as("_from"), col("src").as("_to"), col("rel_type").as("_rt"))
+      case Both => es0.select(col("src").as("_from"), col("dst").as("_to"), col("rel_type").as("_rt"))
+        .union(es0.select(col("dst").as("_from"), col("src").as("_to"), col("rel_type").as("_rt")))
+    }).cache()
+
+    var frontier = startIds.select(
+      col("id").as("start_id"), col("id").as("end_id"),
+      array(col("id")).as("path"),
+      array().cast("array<string>").as("rels"),
+      lit(0).as("depth")).localCheckpoint(true)
+    var results: Vector[DataFrame] = if (minHops == 0) Vector(frontier) else Vector.empty
+    var depth = 0
+    while (depth < maxHops && !frontier.isEmpty) {
+      depth += 1
+      frontier = frontier
+        .join(adj, col("end_id") === col("_from"))
+        .filter(!array_contains(col("path"), col("_to"))) // simple paths
+        .select(col("start_id"), col("_to").as("end_id"),
+          concat(col("path"), array(col("_to"))).as("path"),
+          concat(col("rels"), array(col("_rt"))).as("rels"),
+          (col("depth") + 1).as("depth"))
+        .localCheckpoint(true)
+      if (depth >= minHops) results = results :+ frontier
+    }
+    adj.unpersist()
+    if (results.isEmpty)
+      frontier.limit(0)
+    else results.reduce(_.unionByName(_))
+  }
+
   private val PointBfsMaxStarts = 128L
 
-  private def isPointQuery(startIds: DataFrame): Boolean =
+  private[graft] def isPointQuery(startIds: DataFrame): Boolean =
     startIds.limit((PointBfsMaxStarts + 1).toInt).count() <= PointBfsMaxStarts
 
   def allShortestPathsMulti(

@@ -256,6 +256,32 @@ class ReferenceBehaviorSpec extends AnyFunSuite {
     assert(rows.head.getSeq[Row](1).length == 5)
   }
 
+  test("FAIL#3: relationships(path) rel-type chain on var-length paths (failing_queries_test.go:210)") {
+    val s = areaStore()
+    val rows = Cypher.run(s.snapshot,
+      """MATCH path = (seed:Area {key: 16})-[*1..2]-(connected)
+         WHERE id(connected) <> id(seed)
+         RETURN connected.name AS cname, length(path) AS dist,
+                [r IN relationships(path) | type(r)] AS rel_chain""")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2).toList)).toSet
+    assert(rows == Set(
+      ("POC Alpha", 1, List("MANAGES")),
+      ("Core Team", 1, List("CONTAINS")),
+      ("POC Beta", 1, List("BELONGS_TO")),
+      ("John Smith", 2, List("MANAGES", "HAS_LEADER")),
+      ("Jane Doe", 2, List("BELONGS_TO", "HAS_CONTACT"))))
+  }
+
+  test("nodes(path) returns the node-id sequence of a var-length path") {
+    val s = areaStore()
+    val rows = Cypher.run(s.snapshot,
+      """MATCH path = (seed:Area {key: 16})-[:MANAGES*1..1]->(p:POC)
+         RETURN size(nodes(path)) AS n, length(path) AS l""")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toList
+    assert(rows == List((2, 1)))
+  }
+
   test("length(path) inside collect over a 2-hop chain (failing_queries_test.go:286)") {
     val s = emptyStore()
     Seq(
