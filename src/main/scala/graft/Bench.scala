@@ -27,6 +27,10 @@ object Bench {
     // shares (round-2 bench showed the first algo query absorbing the ~5 s
     // ctx build)
     graft.algos.GraphXAlgos.warm(g)
+    // …and the bucketed table layout (the ingest job's one-time write, like
+    // the reference benchmarking against loaded storage) so the bucketed
+    // join row measures the JOIN, not the layout build
+    graft.sources.Bucketing.prepare(spark, sfDir)
     // optional comma-separated filter for focused perf iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries
