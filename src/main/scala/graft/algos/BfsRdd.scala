@@ -285,6 +285,55 @@ object BfsRdd {
     * depth-0 self rows for every input start — including starts with no
     * edges of the requested types).
     */
+  /** Point-to-point hop distance with EARLY TERMINATION — the
+    * `apoc.paths.distance` engine (`apoc/paths/paths.go:359`): BFS stops
+    * at the first level that reaches the target instead of exhausting
+    * maxHops over the whole graph. Returns -1 when unreachable within
+    * maxHops (the reference's convention).
+    */
+  def pointDistance(
+      g: PropertyGraph,
+      srcId: String,
+      dstId: String,
+      relTypes: Seq[String],
+      maxHops: Int,
+      direction: Expand.Direction): Int = {
+    val c = GraphXAlgos.ctxFor(g, relTypes)
+    val adj = c.pairsByDir(dirKey(direction))
+    val part = adj.partitioner.getOrElse(new HashPartitioner(adj.getNumPartitions))
+    val ids = c.dict.filter { case (s, _) => s == srcId || s == dstId }
+      .collect().toMap
+    (ids.get(srcId), ids.get(dstId)) match {
+      case (Some(a), Some(b)) if a == b => 0
+      case (Some(srcVid), Some(dstVid)) =>
+        var frontier: RDD[(Long, Unit)] = adj.sparkContext
+          .parallelize(Seq((srcVid, ()))).partitionBy(part)
+        var visited = frontier
+        var depth = 0
+        while (depth < maxHops) {
+          depth += 1
+          val fresh = frontier
+            .join(adj)
+            .map { case (_, (_, dst)) => (dst, ()) }
+            .reduceByKey((x, _) => x)
+            .subtractByKey(visited)
+            .partitionBy(part)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          // one action answers both "hit target?" and "frontier empty?"
+          val (n, hit) = fresh.keys
+            .aggregate((0L, false))(
+              (acc, v) => (acc._1 + 1, acc._2 || v == dstVid),
+              (x, y) => (x._1 + y._1, x._2 || y._2))
+          if (hit) return depth
+          if (n == 0) return -1
+          visited = visited.union(fresh).persist(StorageLevel.MEMORY_AND_DISK)
+          frontier = fresh
+        }
+        -1
+      case _ => -1 // an endpoint has no edges of the requested types
+    }
+  }
+
   def shortestPathLengths(
       g: PropertyGraph,
       startIds: DataFrame,

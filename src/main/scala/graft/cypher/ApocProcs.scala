@@ -283,14 +283,13 @@ object ApocProcs {
       Seq(simplePaths(g, args).limit(1).count() > 0).toDF("value")
     }),
     "apoc.paths.distance" -> ((g, args) => {
-      // shortest hop distance (paths.go:359 delegates to Shortest)
+      // shortest hop distance (paths.go:359 delegates to Shortest) —
+      // early-terminating point BFS, not a full-graph sweep to maxHops
       val spark = g.nodes.sparkSession
       import spark.implicits._
-      val d = Expand.shortestPaths(g, startDf(g, args(0).toString),
-          arg(args, 2), 10, Expand.Both)
-        .filter(col("end_id") === args(1).toString)
-        .agg(min("length")).collect().head
-      Seq(if (d.isNullAt(0)) -1 else d.getInt(0)).toDF("value")
+      val d = graft.algos.BfsRdd.pointDistance(g, args(0).toString,
+        args(1).toString, arg(args, 2).toSeq, 10, Expand.Both)
+      Seq(d).toDF("value")
     }),
     // cycles (paths.go:237) = All(start, start): the reference's DFS
     // records the trivial zero-length path and stops (FindAllPaths returns
