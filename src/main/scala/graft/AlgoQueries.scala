@@ -41,6 +41,9 @@ object AlgoQueries {
        SELECT 'Order:' || o_orderkey, 'Customer:' || o_custkey
        FROM orders WHERE o_custkey <= 1000"""
 
+  private val fastrpProjCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.graph.GraphProjections.Projection]()
+
   private val coPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
 
@@ -321,11 +324,14 @@ object AlgoQueries {
       (s, d) => {
         val g = GraphQueries.graph(s, d)
         // project only the SUPPLIES endpoints — a projection over every
-        // node would drag the full node table through each iteration join
-        graft.graph.GraphProjections.register("fastrp_g", graft.graph.PropertyGraph(
-          g.nodes.filter(array_contains(col("labels"), "Supplier") ||
-            array_contains(col("labels"), "Part")),
-          g.edgesByType("SUPPLIES")))
+        // node would drag the full node table through each iteration join.
+        // Registered once per sf-dir: register() counts nodes+edges, and
+        // re-projecting per invocation re-paid those scans.
+        fastrpProjCache.computeIfAbsent(d, _ =>
+          graft.graph.GraphProjections.register("fastrp_g", graft.graph.PropertyGraph(
+            g.nodes.filter(array_contains(col("labels"), "Supplier") ||
+              array_contains(col("labels"), "Part")),
+            g.edgesByType("SUPPLIES"))))
         graft.cypher.Cypher.run(g,
           """CALL gds.fastRP.stream('fastrp_g',
                {embeddingDimension: 8, iterationWeights: [0.0, 1.0]})

@@ -31,6 +31,9 @@ object Bench {
     // the reference benchmarking against loaded storage) so the bucketed
     // join row measures the JOIN, not the layout build
     graft.sources.Bucketing.prepare(spark, sfDir)
+    // …and the link-prediction adjacency the gds.linkPrediction point
+    // queries share
+    graft.algos.LinkPredict.warm(g, Seq("SUPPLIES"))
     // optional comma-separated filter for focused perf iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries

@@ -52,6 +52,14 @@ object LinkPredict {
     })
   }
 
+  /** Pre-materialize the cached adjacency for a rel-type set (bench warm
+    * path, alongside the GraphX ctx warm — point queries then measure the
+    * prediction, not the one-time adjacency build).
+    */
+  def warm(g: PropertyGraph, relTypes: Seq[String]): Unit = {
+    undirected(g, relTypes).count(); ()
+  }
+
   private def decSum9(term: Column): Column =
     sum(round(term, 9).cast("decimal(28,12)")).cast("double")
 
