@@ -134,11 +134,11 @@ object CypherWrite {
         nc += store.mergeNodes(candD).nodesCreated
         refresh()
         val createdIds = candD.select("id").join(existing, Seq("id"), "left_anti")
-        onCreateSet.foreach { case (Prop(_, key), e) =>
-          ps += applySet(store, frame0, createdIds, key, e, params); refresh()
+        onCreateSet.foreach { case (Prop(pv, key), e) =>
+          ps += applySet(store, pv, createdIds, key, e, params); refresh()
         }
-        onMatchSet.foreach { case (Prop(_, key), e) =>
-          ps += applySet(store, frame0, existing, key, e, params); refresh()
+        onMatchSet.foreach { case (Prop(pv, key), e) =>
+          ps += applySet(store, pv, existing, key, e, params); refresh()
         }
         bindNodeInFrame(frame0, v, path.first, params)
       case SetClause(items) =>
@@ -326,9 +326,20 @@ object CypherWrite {
     Frame(df, frame.kinds + (v -> NodeK))
   }
 
-  private def applySet(store: GraphStore, frame: Frame, ids: DataFrame,
+  /** ON CREATE/MATCH SET value evaluation with the merge variable BOUND
+    * over the affected ids — self-referencing expressions
+    * (`ON MATCH SET n.count = n.count + 1`, merge_test.go:108) read the
+    * node's current values; literals behave as before.
+    */
+  private def applySet(store: GraphStore, v: String, ids: DataFrame,
       key: String, e: Expr, params: Map[String, Any]): Long = {
-    val value = Planner.compile(e, Planner.seedFrame(store.snapshot), params)
-    store.setNodeProperty(ids, key, value).propertiesSet
+    val g = store.snapshot
+    val bound = Frame(
+      graft.graph.Expand.nodeColsOf(g.nodes, v)
+        .join(ids.select(col("id").as(s"${v}_id")), s"${v}_id"),
+      Map(v -> NodeK))
+    val updates = bound.df.select(col(s"${v}_id").as("id"),
+      Planner.compile(e, bound, params).as("newval")).dropDuplicates("id")
+    store.setNodeProperties(updates, key).propertiesSet
   }
 }

@@ -306,6 +306,41 @@ class ReferenceBehaviorSpec extends AnyFunSuite {
     assert(r.length == 1 && r.head.getLong(0) == 0L)
   }
 
+  test("MERGE ON CREATE SET / ON MATCH SET / idempotency (merge_test.go:81)") {
+    val s = emptyStore()
+    // ON CREATE fires on first merge
+    CypherWrite.execute(s,
+      "MERGE (n:Counter {key: 1, name: 'hits'}) ON CREATE SET n.acctbal = 1")
+    def count(): Double = Cypher.run(s.snapshot,
+      "MATCH (n:Counter {name: 'hits'}) RETURN n.acctbal AS c")
+      .collect().head.getDouble(0)
+    assert(count() == 1.0)
+    // ON MATCH fires on re-merge; ON CREATE must not
+    CypherWrite.execute(s,
+      """MERGE (n:Counter {key: 1, name: 'hits'})
+         ON CREATE SET n.acctbal = 99
+         ON MATCH SET n.acctbal = n.acctbal + 1""")
+    assert(count() == 2.0)
+    // idempotency: node count stays 1 across repeated merges
+    CypherWrite.execute(s, "MERGE (n:Counter {key: 1, name: 'hits'})")
+    val n = Cypher.run(s.snapshot,
+      "MATCH (n:Counter) RETURN count(*) AS n").collect().head.getLong(0)
+    assert(n == 1L)
+  }
+
+  test("MERGE relationship is idempotent (merge_test.go:226)") {
+    val s = emptyStore()
+    Seq(
+      "CREATE (a:Doc {key: 1, name: 'f'}), (b:Chunk {key: 2, name: 'c'})",
+      "MATCH (a:Doc {key: 1}), (b:Chunk {key: 2}) MERGE (a)-[:HAS_CHUNK]->(b)",
+      "MATCH (a:Doc {key: 1}), (b:Chunk {key: 2}) MERGE (a)-[:HAS_CHUNK]->(b)"
+    ).foreach(CypherWrite.execute(s, _))
+    val n = Cypher.run(s.snapshot,
+      "MATCH (:Doc)-[r:HAS_CHUNK]->(:Chunk) RETURN count(r) AS n")
+      .collect().head.getLong(0)
+    assert(n == 1L)
+  }
+
   test("standalone RETURN string functions incl. unicode (string_functions_test.go:11)") {
     val s = emptyStore()
     def one(q: String): String =
