@@ -1517,7 +1517,19 @@ object Planner {
         }
         // conversion
         case "tostring" => a(0).cast("string")
-        case "tointeger" | "toint" => a(0).cast("long")
+        case "tointeger" | "toint" =>
+          // Neo4j semantics: toInteger('4.9') = 4 (parse, truncate),
+          // toInteger('abc') = null — strings go through a double parse;
+          // numeric inputs cast directly (no double roundtrip, which
+          // would lose precision past 2^53)
+          val c0 = a(0)
+          val dt = try Some(f.df.select(c0).schema.head.dataType)
+            catch { case _: Throwable => None } // lambda-bound: not probeable
+          dt match {
+            case Some(org.apache.spark.sql.types.StringType) | None =>
+              c0.try_cast("double").cast("long")
+            case _ => c0.cast("long")
+          }
         case "tofloat" => a(0).cast("double")
         case "toboolean" => a(0).cast("boolean")
         case "tointegerornull" => a(0).try_cast("long")

@@ -352,6 +352,19 @@ class ReferenceBehaviorSpec extends AnyFunSuite {
     assert(one("RETURN rpad('ab', 4, '-') AS result") == "ab--")
   }
 
+  test("toInteger parses float strings and truncates; bad strings are null") {
+    val s = emptyStore()
+    def one(q: String) = Cypher.run(s.snapshot, q).collect().head
+    assert(one("RETURN toInteger('42') AS a").getLong(0) == 42L)
+    assert(one("RETURN toInteger('4.9') AS a").getLong(0) == 4L)
+    assert(one("RETURN toInteger('abc') AS a").isNullAt(0))
+    assert(one("RETURN toInteger(4.9) AS a").getLong(0) == 4L)
+    // direct numeric casts keep full long precision (no double roundtrip)
+    assert(one("RETURN toInteger(9007199254740993) AS a").getLong(0) == 9007199254740993L)
+    assert(one("RETURN [x IN ['1','2.5'] | toInteger(x)] AS a")
+      .getSeq[Long](0) == Seq(1L, 2L))
+  }
+
   test("CREATE then SET with += map merge (neo4j_compat_test.go:102)") {
     val s = emptyStore()
     CypherWrite.execute(s, "CREATE (n:Cfg {key: 1, name: 'cfg'})")
