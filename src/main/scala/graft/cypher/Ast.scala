@@ -20,6 +20,9 @@ object Ast {
   case class CaseExpr(scrutinee: Option[Expr], whens: Seq[(Expr, Expr)], default: Option[Expr]) extends Expr
   case class ListLit(items: Seq[Expr]) extends Expr
   case class Index(list: Expr, idx: Expr) extends Expr
+  // l[from..to] — Neo4j slice: 0-based, from inclusive, to exclusive,
+  // negatives count from the end, out-of-range clamps
+  case class SliceExpr(list: Expr, from: Option[Expr], to: Option[Expr]) extends Expr
   case class HasLabel(variable: String, label: String) extends Expr
   /** exists((a)-[:T]->(b)) or EXISTS { (a)-[:T]->(b) [WHERE …] } */
   case class ExistsPattern(path: PatternPath, where: Option[Expr] = None) extends Expr

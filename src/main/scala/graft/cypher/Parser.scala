@@ -502,9 +502,21 @@ final class Parser(tokens: Vector[Tok]) {
         }
       } else if (isSym("[")) {
         next()
-        val idx = parseExpr()
-        eatSym("]")
-        e = Index(e, idx)
+        if (trySym("..")) { // l[..to]
+          val to = if (isSym("]")) None else Some(parseExpr())
+          eatSym("]")
+          e = SliceExpr(e, None, to)
+        } else {
+          val idx = parseExpr()
+          if (trySym("..")) { // l[from..] / l[from..to]
+            val to = if (isSym("]")) None else Some(parseExpr())
+            eatSym("]")
+            e = SliceExpr(e, Some(idx), to)
+          } else {
+            eatSym("]")
+            e = Index(e, idx)
+          }
+        }
       } else if (isSym(":")) {
         // label predicate n:Label (only valid on a bare variable)
         e match {

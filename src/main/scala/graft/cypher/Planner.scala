@@ -611,6 +611,7 @@ object Planner {
       case CaseExpr(s, ws, d) => CaseExpr(s.map(rw), ws.map(t => (rw(t._1), rw(t._2))), d.map(rw))
       case ListLit(xs) => ListLit(xs.map(rw))
       case Index(l, i) => Index(rw(l), rw(i))
+      case SliceExpr(l, a, b) => SliceExpr(rw(l), a.map(rw), b.map(rw))
       case ListComp(v, l, w, p) => ListComp(v, rw(l), w.map(rw), p.map(rw))
       case ReduceExpr(a2, i, v, l, s) => ReduceExpr(a2, rw(i), v, rw(l), rw(s))
       case Quantifier(k, v, l, w) => Quantifier(k, v, rw(l), rw(w))
@@ -1031,6 +1032,8 @@ object Planner {
     case CaseExpr(s, ws, d) =>
       s.exists(containsAgg) || ws.exists(t => containsAgg(t._1) || containsAgg(t._2)) || d.exists(containsAgg)
     case Index(l, i) => containsAgg(l) || containsAgg(i)
+    case SliceExpr(l, a, b) =>
+      containsAgg(l) || a.exists(containsAgg) || b.exists(containsAgg)
     case ListLit(xs) => xs.exists(containsAgg)
     case MapLit(xs) => xs.exists(t => containsAgg(t._2))
     case ListComp(_, l, w, p) =>
@@ -1074,7 +1077,9 @@ object Planner {
       val branches = whens.map { case (c, v) =>
         val cond = base match {
           case Some(s) => s === compile(c, f, params)
-          case None => compile(c, f, params)
+          // a null/untyped condition is falsy (Neo4j); Spark's when()
+          // rejects the VOID type a bare NULL literal carries
+          case None => compile(c, f, params).cast("boolean") <=> lit(true)
         }
         (cond, compile(v, f, params))
       }
@@ -1159,12 +1164,27 @@ object Planner {
             case _: org.apache.spark.sql.types.StructType => lc.getField(s)
             case _ => element_at(lc, s)
           }
-        case Lit(n: Long) =>
-          if (n >= 0) element_at(lc, n.toInt + 1) else element_at(lc, n.toInt)
+        case Lit(n: Long) => // out-of-range index is null (Neo4j), not an
+          // ANSI error — try_element_at throughout
+          if (n >= 0) try_element_at(lc, lit(n.toInt + 1))
+          else try_element_at(lc, lit(n.toInt))
         case _ =>
           val ic = compile(i, f, params).cast("int")
-          when(ic >= 0, element_at(lc, ic + 1)).otherwise(element_at(lc, ic))
+          when(ic >= 0, try_element_at(lc, ic + 1))
+            .otherwise(try_element_at(lc, ic))
       }
+    case SliceExpr(l, fromE, toE) =>
+      // l[from..to]: 0-based, from inclusive / to exclusive, negatives
+      // from the end, out-of-range clamps — Catalyst slice is 1-based
+      val lc = compile(l, f, params)
+      val n = size(lc)
+      def bound(e: Option[Expr], dflt: Column): Column = e.map { x =>
+        val c = compile(x, f, params).cast("int")
+        when(c < 0, greatest(n + c, lit(0))).otherwise(least(c, n))
+      }.getOrElse(dflt)
+      val lo = bound(fromE, lit(0))
+      val hi = bound(toE, n)
+      slice(lc, lo + 1, greatest(hi - lo, lit(0)))
     case CountStar() => count(lit(1))
     case ExistsPattern(_, _) =>
       throw new IllegalArgumentException("EXISTS pattern only supported as a top-level WHERE conjunct")
@@ -1407,7 +1427,17 @@ object Planner {
           args.head match {
             case Variable(v) if f.kinds.get(v).contains(NodeK) =>
               array(nodeFields.filterNot(_ == "id").map(lit(_)): _*)
-            case _ => map_keys(a(0))
+            case _ =>
+              val c0 = a(0)
+              // Cypher map literals compile to STRUCTS — keys() reads the
+              // field names statically for those
+              val dt = try Some(f.df.select(c0).schema.head.dataType)
+                catch { case _: Throwable => None }
+              dt match {
+                case Some(st: org.apache.spark.sql.types.StructType) =>
+                  array(st.fieldNames.map(lit(_)): _*)
+                case _ => map_keys(c0)
+              }
           }
         case "apoc.map.values" => map_values(a(0))
         // apoc.coll.* (additions)
@@ -1836,7 +1866,6 @@ object Planner {
         case "apoc.math.tan" => tan(a(0)); case "apoc.math.asin" => asin(a(0))
         case "apoc.math.acos" => acos(a(0)); case "apoc.math.atan" => atan(a(0))
         case "apoc.math.atan2" => atan2(a(0), a(1))
-        case "apoc.math.tanh" => tanh(a(0))
 
         // ---- apoc.util.* / apoc.hashing.* (ref apoc/util/util.go,
         // apoc/hashing/hashing.go). Digests via Spark's codegen'd crypto fns.
@@ -2850,6 +2879,8 @@ object Planner {
         case "atan2" => atan2(a(0), a(1))
         case "pi" => lit(math.Pi)
         case "rand" => rand()
+        case "timestamp" => // ms since epoch (Neo4j timestamp())
+          unix_millis(current_timestamp())
         case "randomuuid" | "apoc.create.uuid" => expr("uuid()")
         case "coalesce" => coalesce(args.map(x => compile(x, f, params)): _*)
         case "nullif" => when(a(0) === a(1), lit(null)).otherwise(a(0))

@@ -352,6 +352,25 @@ class ReferenceBehaviorSpec extends AnyFunSuite {
     assert(one("RETURN rpad('ab', 4, '-') AS result") == "ab--")
   }
 
+  test("list slices, out-of-range indexing, CASE null, keys on map literal, timestamp") {
+    val s = emptyStore()
+    def one(q: String) = Cypher.run(s.snapshot, q).collect().head
+    // Neo4j slice semantics: 0-based, from-inclusive/to-exclusive,
+    // negatives from the end, out-of-range clamps
+    assert(one("RETURN [1,2,3][1..2] AS a").getSeq[Long](0) == Seq(2L))
+    assert(one("WITH [1,2,3,4] AS l RETURN l[..2] AS a").getSeq[Long](0) == Seq(1L, 2L))
+    assert(one("WITH [1,2,3,4] AS l RETURN l[2..] AS a").getSeq[Long](0) == Seq(3L, 4L))
+    assert(one("WITH [1,2,3,4] AS l RETURN l[-2..] AS a").getSeq[Long](0) == Seq(3L, 4L))
+    assert(one("WITH [1,2,3,4] AS l RETURN l[1..99] AS a").getSeq[Long](0) == Seq(2L, 3L, 4L))
+    // out-of-range index is null, not an error
+    assert(one("RETURN [1,2,3][5] AS a").isNullAt(0))
+    // null WHEN condition is falsy
+    assert(one("RETURN CASE WHEN null THEN 1 ELSE 2 END AS a").getLong(0) == 2L)
+    // keys() over a map literal (struct-typed)
+    assert(one("RETURN keys({a: 1, b: 2}) AS k").getSeq[String](0) == Seq("a", "b"))
+    assert(one("RETURN timestamp() > 0 AS a").getBoolean(0))
+  }
+
   test("toInteger parses float strings and truncates; bad strings are null") {
     val s = emptyStore()
     def one(q: String) = Cypher.run(s.snapshot, q).collect().head
