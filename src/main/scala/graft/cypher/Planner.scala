@@ -1161,7 +1161,9 @@ object Planner {
       i match {
         case Lit(s: String) => // map['key'] / struct['field'] by analyzed type
           f.df.select(lc).schema.head.dataType match {
-            case _: org.apache.spark.sql.types.StructType => lc.getField(s)
+            case st: org.apache.spark.sql.types.StructType =>
+              // a missing key is null (Neo4j), not an analysis error
+              if (st.fieldNames.contains(s)) lc.getField(s) else lit(null)
             case _ => element_at(lc, s)
           }
         case Lit(n: Long) => // out-of-range index is null (Neo4j), not an

@@ -369,6 +369,8 @@ class ReferenceBehaviorSpec extends AnyFunSuite {
     // keys() over a map literal (struct-typed)
     assert(one("RETURN keys({a: 1, b: 2}) AS k").getSeq[String](0) == Seq("a", "b"))
     assert(one("RETURN timestamp() > 0 AS a").getBoolean(0))
+    // missing map-literal key is null, not an analysis error
+    assert(one("RETURN {a: 1}['b'] AS x").isNullAt(0))
   }
 
   test("toInteger parses float strings and truncates; bad strings are null") {
