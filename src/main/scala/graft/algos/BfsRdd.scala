@@ -298,6 +298,9 @@ object BfsRdd {
       relTypes: Seq[String],
       maxHops: Int,
       direction: Expand.Direction): Int = {
+    // distance(n, n) = 0 even when the node has no edges of the requested
+    // types (it would be absent from the GraphX dictionary below)
+    if (srcId == dstId) return 0
     val c = GraphXAlgos.ctxFor(g, relTypes)
     val adj = c.pairsByDir(dirKey(direction))
     val part = adj.partitioner.getOrElse(new HashPartitioner(adj.getNumPartitions))
@@ -306,6 +309,8 @@ object BfsRdd {
     (ids.get(srcId), ids.get(dstId)) match {
       case (Some(a), Some(b)) if a == b => 0
       case (Some(srcVid), Some(dstVid)) =>
+        val persisted = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
+        def done(r: Int): Int = { persisted.foreach(_.unpersist(false)); r }
         var frontier: RDD[(Long, Unit)] = adj.sparkContext
           .parallelize(Seq((srcVid, ()))).partitionBy(part)
         var visited = frontier
@@ -319,17 +324,19 @@ object BfsRdd {
             .subtractByKey(visited)
             .partitionBy(part)
             .persist(StorageLevel.MEMORY_AND_DISK)
+          persisted += fresh
           // one action answers both "hit target?" and "frontier empty?"
           val (n, hit) = fresh.keys
             .aggregate((0L, false))(
               (acc, v) => (acc._1 + 1, acc._2 || v == dstVid),
               (x, y) => (x._1 + y._1, x._2 || y._2))
-          if (hit) return depth
-          if (n == 0) return -1
+          if (hit) return done(depth)
+          if (n == 0) return done(-1)
           visited = visited.union(fresh).persist(StorageLevel.MEMORY_AND_DISK)
+          persisted += visited
           frontier = fresh
         }
-        -1
+        done(-1)
       case _ => -1 // an endpoint has no edges of the requested types
     }
   }

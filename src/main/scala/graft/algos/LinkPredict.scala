@@ -2,8 +2,6 @@ package graft.algos
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
-
 import graft.graph.PropertyGraph
 
 /** Per-source link prediction — the `gds.linkPrediction.<algo>.stream`
@@ -26,38 +24,45 @@ import graft.graph.PropertyGraph
   */
 object LinkPredict {
 
+  private case class Adj(und: DataFrame, deg: DataFrame)
+
   private val undCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[PropertyGraph,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+      java.util.concurrent.ConcurrentHashMap[String, Adj]]())
 
-  /** Undirected, deduplicated (a, b) adjacency over the given rel types —
-    * CACHED per (graph, relTypes): every predictFrom/hybridFrom call on
-    * the same graph is a point query over this shared build.
+  /** Undirected, deduplicated (a, b) adjacency AND its degree table over
+    * the given rel types — both CACHED (MEMORY_AND_DISK, so heap-pressure
+    * eviction spills instead of dropping the build) per (graph, relTypes):
+    * every predictFrom/hybridFrom call on the same graph is a point query
+    * over this shared build, with no per-call degree shuffle.
     */
-  private def undirected(g: PropertyGraph, relTypes: Seq[String]): DataFrame = {
+  private def adjacency(g: PropertyGraph, relTypes: Seq[String]): Adj = {
     val inner = undCache.synchronized {
       var m = undCache.get(g)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[String, Adj]()
         undCache.put(g, m)
       }
       m
     }
     inner.computeIfAbsent(relTypes.distinct.sorted.mkString("|"), _ => {
       val es = g.edgesByTypes(relTypes)
-      es.select(col("src").as("a"), col("dst").as("b"))
+      val und = es.select(col("src").as("a"), col("dst").as("b"))
         .union(es.select(col("dst").as("a"), col("src").as("b")))
         .filter(col("a") =!= col("b"))
         .distinct().cache()
+      val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg")).cache()
+      Adj(und, deg)
     })
   }
 
-  /** Pre-materialize the cached adjacency for a rel-type set (bench warm
-    * path, alongside the GraphX ctx warm — point queries then measure the
-    * prediction, not the one-time adjacency build).
+  /** Pre-materialize the cached adjacency + degrees for a rel-type set
+    * (bench warm path, alongside the GraphX ctx warm — point queries then
+    * measure the prediction, not the one-time adjacency build).
     */
   def warm(g: PropertyGraph, relTypes: Seq[String]): Unit = {
-    undirected(g, relTypes).count(); ()
+    val a = adjacency(g, relTypes)
+    a.und.count(); a.deg.count(); ()
   }
 
   private def decSum9(term: Column): Column =
@@ -77,8 +82,9 @@ object LinkPredict {
     */
   private def scoredFrom(g: PropertyGraph, source: String, algo: String,
       relTypes: Seq[String]): DataFrame = {
-    val und = undirected(g, relTypes)
-    val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
+    val adj = adjacency(g, relTypes)
+    val und = adj.und
+    val deg = adj.deg
     val nbrs = und.filter(col("a") === source).select(col("b").as("z"))
     val srcDeg = deg.filter(col("n") === source).select(col("deg").as("sdeg"))
 
@@ -128,15 +134,27 @@ object LinkPredict {
       topologyWeight: Double = 0.5, semanticWeight: Double = 0.5,
       algo: String = "adamic_adar", minThreshold: Double = 0.3): DataFrame = {
     val topo = scoredFrom(g, source, algo, relTypes)
-    val w = Window.partitionBy(lit(1))
-    val range = max("score").over(w) - min("score").over(w)
+    // min-max over all candidates via ONE agg broadcast back onto the rows
+    // — not a single-partition window, which would funnel every candidate
+    // of a hub source into one task at scale
+    val stats = topo.agg(min("score").as("mn"), max("score").as("mx"))
+    val range = col("mx") - col("mn")
     val topoN = when(range === 0.0, lit(1.0))
-      .otherwise((col("score") - min("score").over(w)) / range)
-    val srcEmb = broadcast(
-      emb.filter(col("id") === source).select(col("embedding").as("qe")))
-    topo.withColumn("topology_score", topoN)
+      .otherwise((col("score") - col("mn")) / range)
+    // source vector: driver-side point lookup (hybrid.go:241-252). A source
+    // with NO embedding under this property must still emit topology-only
+    // predictions with semantic_score 0 — a crossJoin against the empty
+    // lookup frame would annihilate every candidate instead.
+    val srcVec: Option[Seq[Double]] = emb.filter(col("id") === source)
+      .select(col("embedding").cast("array<double>")).limit(1)
+      .collect().headOption.flatMap(r =>
+        if (r.isNullAt(0)) None else Some(r.getSeq[Double](0)))
+    val qe = srcVec.map(v => array(v.map(lit): _*))
+      .getOrElse(lit(null).cast("array<double>"))
+    topo.crossJoin(broadcast(stats))
+      .withColumn("topology_score", topoN)
       .join(emb.withColumnRenamed("id", "t"), Seq("t"), "left_outer")
-      .crossJoin(srcEmb)
+      .withColumn("qe", qe)
       .withColumn("semantic_score",
         when(col("embedding").isNull || col("qe").isNull, lit(0.0))
           .otherwise(cosExact(col("embedding"), col("qe"))))

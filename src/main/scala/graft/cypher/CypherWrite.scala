@@ -135,9 +135,11 @@ object CypherWrite {
         refresh()
         val createdIds = candD.select("id").join(existing, Seq("id"), "left_anti")
         onCreateSet.foreach { case (Prop(pv, key), e) =>
+          require(pv == v, s"ON SET target $pv must be the MERGE variable $v")
           ps += applySet(store, pv, createdIds, key, e, params); refresh()
         }
         onMatchSet.foreach { case (Prop(pv, key), e) =>
+          require(pv == v, s"ON SET target $pv must be the MERGE variable $v")
           ps += applySet(store, pv, existing, key, e, params); refresh()
         }
         bindNodeInFrame(frame0, v, path.first, params)

@@ -789,6 +789,10 @@ object Planner {
               .withColumnRenamed("_pv", pathVar.get)
             kinds += (pathVar.get -> ValK)
           } else if (keepLen) {
+            // PER-DEPTH collapse: one row per (pair, depth), not per path —
+            // length(p) is exact, but count(p)/aggregates over p count
+            // distinct depths, not Neo4j's distinct paths. Full per-path
+            // rows exist only on the point-anchored branch above.
             df = df.withColumn("_pv",
               struct(col("depth").cast("int").as("length"))).drop("depth")
               .withColumnRenamed("_pv", pathVar.get)
@@ -1356,11 +1360,22 @@ object Planner {
               c0.getField("length") // length(p) on a bound path
             case _ => size(c0)
           }
-        case "nodes" => // nodes(p) → the node-id sequence of a bound path
-          a(0).getField("path")
-        case "relationships" | "rels" => // relationships(p) → struct(type)
-          // elements of a full-path binding; type(r) reads the field
-          a(0).getField("rels")
+        case "nodes" | "relationships" | "rels" =>
+          // nodes(p) → node-id sequence; relationships(p) → struct(type)
+          // elements of a full-path binding (type(r) reads the field).
+          // Bulk-anchored var-length patterns bind p with only `length` —
+          // fail fast with a clear message instead of an analysis error.
+          val field = if (name == "nodes") "path" else "rels"
+          f.df.select(a(0)).schema.head.dataType match {
+            case st: org.apache.spark.sql.types.StructType
+                if !st.fieldNames.contains(field) =>
+              throw new IllegalArgumentException(
+                s"$name() on a var-length path requires a point-anchored " +
+                  "pattern (<= 128 distinct source nodes); bulk anchors bind " +
+                  "only length(p)")
+            case _ => // fall through to field access
+          }
+          a(0).getField(field)
         // try_ variants: head/last of an empty list is null (Neo4j), not an
         // ANSI out-of-bounds error
         case "head" => try_element_at(a(0), lit(1))

@@ -278,6 +278,12 @@ object HashExprs {
     one("graft_xml")(a => XmlStrExpr(a))
     one("graft_xml_validate")(a => XmlBoolExpr(a))
     one("graft_xml_query")(a => XmlArrExpr(a))
+    def intLit(e: Expression): Int = e.eval(InternalRow.empty) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => other.toString.toInt
+    }
+    one("graft_lsh_sig")(a => LshSignatureExpr(a(0), intLit(a(1)), intLit(a(2)), intLit(a(3))))
     registered.add(spark)
   }
 

@@ -264,25 +264,35 @@ object Expand {
         .union(es0.select(col("dst").as("_from"), col("src").as("_to"), col("rel_type").as("_rt")))
     }).cache()
 
+    // cache + unpersist-parent per level (the [[varLengthExpandDf]]
+    // pattern) instead of eager localCheckpoint: checkpointed blocks pin
+    // BlockManager memory for the whole session, while cache blocks are
+    // freed here and the final union recomputes the (point-anchored,
+    // small) levels from lineage at consume time
     var frontier = startIds.select(
       col("id").as("start_id"), col("id").as("end_id"),
       array(col("id")).as("path"),
       array().cast("array<string>").as("rels"),
-      lit(0).as("depth")).localCheckpoint(true)
+      lit(0).as("depth")).cache()
     var results: Vector[DataFrame] = if (minHops == 0) Vector(frontier) else Vector.empty
     var depth = 0
-    while (depth < maxHops && !frontier.isEmpty) {
+    var n = frontier.count()
+    while (depth < maxHops && n > 0) {
       depth += 1
-      frontier = frontier
+      val next = frontier
         .join(adj, col("end_id") === col("_from"))
         .filter(!array_contains(col("path"), col("_to"))) // simple paths
         .select(col("start_id"), col("_to").as("end_id"),
           concat(col("path"), array(col("_to"))).as("path"),
           concat(col("rels"), array(col("_rt"))).as("rels"),
           (col("depth") + 1).as("depth"))
-        .localCheckpoint(true)
-      if (depth >= minHops) results = results :+ frontier
+        .cache()
+      n = next.count() // materialize before unpersisting parent
+      frontier.unpersist()
+      frontier = next
+      if (depth >= minHops) results = results :+ next
     }
+    frontier.unpersist()
     adj.unpersist()
     if (results.isEmpty)
       frontier.limit(0)

@@ -307,10 +307,15 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
     if (embWrites % 6 == 0) next.localCheckpoint(true) else next
   }
 
-  def setNodeVectorProperties(rows: DataFrame): Unit =
+  // read + upsert + assign under ONE monitor (upsertEmb's synchronized is
+  // reentrant here): two concurrent writers must not both read the same
+  // base frame and silently drop one upsert
+  def setNodeVectorProperties(rows: DataFrame): Unit = synchronized {
     nodeEmbs = Some(upsertEmb(nodeEmbeddings, rows))
-  def setRelationshipVectorProperties(rows: DataFrame): Unit =
+  }
+  def setRelationshipVectorProperties(rows: DataFrame): Unit = synchronized {
     relEmbs = Some(upsertEmb(relEmbeddings, rows))
+  }
 
   /** db.create.setNodeVectorProperty point write. */
   def setNodeVectorProperty(nodeId: String, name: String, vec: Seq[Double]): Unit = {

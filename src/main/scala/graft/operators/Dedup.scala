@@ -338,19 +338,15 @@ object Dedup {
     */
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double, maxId: Long,
       nBits: Int = 4, nTables: Int = 16, dim: Int = 64): DataFrame = {
+    graft.functions.HashExprs.ensure(emb.sparkSession)
     val e = emb.filter(col("vec_id") < maxId)
       .select(col("vec_id"), col("embedding"))
       .withColumn("n2", dotDec(col("embedding"), col("embedding")))
-    // per-table bucket: one sign bit per hyperplane, concatenated. The fold
-    // is left-to-right from 0.0 in BOTH engines → bit-identical projections.
-    def bucket(t: Int): Column = concat((0 until nBits).map { p =>
-      val plane = array((0 until dim).map(j =>
-        lit(lshPlaneComponent(t, p, j).toDouble)): _*)
-      val proj = aggregate(
-        zip_with(col("embedding"), plane, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+    // per-table bucket: one sign bit per hyperplane, concatenated, computed
+    // by the codegen'd LshSignatureExpr. The fold is left-to-right from 0.0
+    // in BOTH engines → bit-identical projections.
+    def bucket(t: Int): Column =
+      call_function("graft_lsh_sig", col("embedding"), lit(t), lit(nBits), lit(dim))
     val buckets = e.select(col("vec_id"), col("embedding"), col("n2"),
       explode(array((0 until nTables).map(t =>
         struct(lit(t).as("tbl"), bucket(t).as("bkt"))): _*)).as("tb"))

@@ -82,43 +82,34 @@ object VectorSearch {
         SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 12) AS cos_sim
         FROM comp ORDER BY cos_sim DESC, vec_id LIMIT $k"""
 
-  /** Deterministic integer hyperplane component for (table, plane, j) —
-    * the SAME md5-derived constants as [[graft.operators.Dedup
-    * .lshPlaneComponent]], so a SQL oracle inlines them and the projection
-    * SIGN is engine-independent (integer × float32-as-double products are
-    * exact; the fold is left-to-right from 0.0 in both engines).
-    */
-  private def planeComponent(table: Int, plane: Int, j: Int): Int =
-    graft.operators.Dedup.lshPlaneComponent(table, plane, j)
-
   /** nBits-bit signature string for hash table `table`:
-    * char_p = sign(Σ_i v_i · plane_{t,p,i}).
+    * char_p = sign(Σ_i v_i · plane_{t,p,i}). One codegen'd JVM loop
+    * ([[graft.functions.LshSignatureExpr]]) — bit-identical to the SQL
+    * oracle's `list_reduce` fold but without nBits × dim interpreted
+    * lambda evaluations per row.
     */
   private def bucketExpr(table: Int, nBits: Int, dim: Int): Column =
-    concat((0 until nBits).map { p =>
-      val plane = array((0 until dim).map(j =>
-        lit(planeComponent(table, p, j).toDouble)): _*)
-      val proj = aggregate(
-        zip_with(col("embedding"), plane, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+    call_function("graft_lsh_sig", col("embedding"), lit(table), lit(nBits), lit(dim))
 
   /** Single-table signature (kept for inspection/tests). */
-  def lshBuckets(emb: DataFrame, nBits: Int, dim: Int = 64): DataFrame =
+  def lshBuckets(emb: DataFrame, nBits: Int, dim: Int = 64): DataFrame = {
+    graft.functions.HashExprs.ensure(emb.sparkSession)
     emb.withColumn("bucket", bucketExpr(0, nBits, dim))
+  }
 
   /** (vec_id, embedding, tbl, bucket) — one row per hash table. This is the
     * batch-built distributed "index": written bucketed-by (tbl, bucket), a
     * probe touches only matching buckets (OR-construction over nTables
     * tables trades candidate count for recall, AND-over-bits for precision).
     */
-  def lshIndex(emb: DataFrame, nBits: Int, nTables: Int, dim: Int = 64): DataFrame =
+  def lshIndex(emb: DataFrame, nBits: Int, nTables: Int, dim: Int = 64): DataFrame = {
+    graft.functions.HashExprs.ensure(emb.sparkSession)
     emb.select(col("vec_id"), col("embedding"),
       explode(array((0 until nTables).map(t =>
         struct(lit(t).as("tbl"), bucketExpr(t, nBits, dim).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("embedding"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
 
   /** IVF (inverted-file) index: an MLlib KMeans coarse quantizer assigns
     * every vector to one of `nLists` lists (SURVEY §4 "SIMD/GPU batch
@@ -169,26 +160,39 @@ object VectorSearch {
       .limit(k)
   }
 
-  /** ANN top-k: candidates share a bucket with the query in ANY table. */
+  /** ANN top-k: candidates share a bucket with the query in ANY table.
+    *
+    * The signature frame is CACHED for the duration of the probe (it is
+    * referenced on both the query side and the candidate side of the
+    * bucket join — uncached, the whole signature pass re-runs per use) and
+    * unpersisted before returning; the ≤k result rows are materialized
+    * locally (bounded point-query procedure, like the CALL surface).
+    */
   def annTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int = 8,
       nTables: Int = 4, dim: Int = 64): DataFrame = {
-    val index = lshIndex(emb, nBits, nTables, dim)
-    val qRows = index.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q"), col("tbl").as("qt"), col("bucket").as("qb"))
-    val candidates = index
-      .join(broadcast(qRows), col("tbl") === col("qt") && col("bucket") === col("qb"))
-      .filter(col("vec_id") =!= queryId)
-      .select("vec_id", "embedding", "q")
-      .dropDuplicates("vec_id")
-    // DECIMAL-routed verify scores (rounded 12) so the bucket replay +
-    // rerank hash-matches the SQL oracle below
-    candidates
-      .withColumn("cos_sim", round(dotDec(col("embedding"), col("q")) /
-        (sqrt(dotDec(col("embedding"), col("embedding"))) *
-          sqrt(dotDec(col("q"), col("q")))), 12))
-      .select("vec_id", "cos_sim")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(k)
+    require(k <= 10000, s"annTopK is a point-query procedure; k=$k > 10000")
+    val spark = emb.sparkSession
+    val index = lshIndex(emb, nBits, nTables, dim).cache()
+    try {
+      val qRows = index.filter(col("vec_id") === queryId)
+        .select(col("embedding").as("q"), col("tbl").as("qt"), col("bucket").as("qb"))
+      val candidates = index
+        .join(broadcast(qRows), col("tbl") === col("qt") && col("bucket") === col("qb"))
+        .filter(col("vec_id") =!= queryId)
+        .select("vec_id", "embedding", "q")
+        .dropDuplicates("vec_id")
+      // DECIMAL-routed verify scores (rounded 12) so the bucket replay +
+      // rerank hash-matches the SQL oracle below
+      val scored = candidates
+        .withColumn("cos_sim", round(dotDec(col("embedding"), col("q")) /
+          (sqrt(dotDec(col("embedding"), col("embedding"))) *
+            sqrt(dotDec(col("q"), col("q")))), 12))
+        .select("vec_id", "cos_sim")
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(k)
+      val rows = scored.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), scored.schema)
+    } finally index.unpersist()
   }
 
   /** Full SQL replay of [[annTopK]]: same md5-integer planes, bucket

@@ -112,4 +112,38 @@ class AdviceFixSpec extends AnyFunSuite {
       "MATCH (a:Person {key: 1})-[:KNOWS|LIKES*1..1]->(b) RETURN b.name AS nm ORDER BY nm")
       == Seq(Seq("Bob"), Seq("Charlie"), Seq("Diana")))
   }
+
+  // ---- round-5 advisor findings ----
+
+  test("distance(n, n) is 0 even when the node has no edges of the rel type") {
+    // apoc/paths/paths.go:359 — self-distance is 0; the node is absent
+    // from the GraphX dictionary for this rel-type set and used to fall
+    // through to the unreachable (-1) branch
+    val g = GraphQueries.graph(spark, sf)
+    assert(graft.algos.BfsRdd.pointDistance(g, "Customer:1", "Customer:1",
+      Seq("NO_SUCH_TYPE"), 5, graft.graph.Expand.Both) == 0)
+    assert(graft.algos.BfsRdd.pointDistance(g, "Customer:1", "Customer:1",
+      Seq("PLACED"), 5, graft.graph.Expand.Both) == 0)
+  }
+
+  test("MERGE node ON SET must target the MERGE variable") {
+    val g0 = GraphQueries.graph(spark, sf)
+    val s = new GraphStore(PropertyGraph(
+      g0.nodes.filter("false"), g0.edges.filter("false")))
+    val ex = intercept[IllegalArgumentException] {
+      CypherWrite.execute(s, "MERGE (n:T {key: 1}) ON CREATE SET m.x = 1")
+    }
+    assert(ex.getMessage.contains("MERGE variable"))
+  }
+
+  test("nodes(p) on a bulk-anchored var-length pattern fails fast with a clear error") {
+    // bulk anchors bind p with only length(p); nodes()/relationships()
+    // must say so instead of throwing an opaque analysis error
+    val ex = intercept[IllegalArgumentException] {
+      Cypher.run(GraphQueries.graph(spark, sf),
+        "MATCH p = (c:Customer)-[:PLACED*1..1]->(o:Order) RETURN nodes(p) AS ns")
+        .collect()
+    }
+    assert(ex.getMessage.contains("point-anchored"))
+  }
 }

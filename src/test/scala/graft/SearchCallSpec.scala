@@ -154,6 +154,35 @@ class SearchCallSpec extends AnyFunSuite {
     assert(rows == List(("e", 1.0, 1.0, 1.0), ("d", 0.5, 1.0, 0.0)))
   }
 
+  test("hybrid predict.stream with NO source embedding still emits topology-only rows") {
+    import spark.implicits._
+    // hybrid.go:241-252: a missing source vector means semantic_score 0,
+    // not zero predictions (regression: the empty lookup frame used to be
+    // crossJoined in, annihilating every candidate)
+    new GraphStore(fixture)
+    GraphStore.currentStore.setNodeVectorProperties(Seq(
+      ("d", "emb_r5", Seq(0.0, 1.0)), ("e", "emb_r5", Seq(1.0, 0.0)))
+      .toDF("entity_id", "name", "embedding"))
+    val rows = Cypher.run(fixture,
+      """CALL gds.linkPrediction.predict.stream(
+           {sourceNode: 'a', topK: 10, embeddingProperty: 'emb_r5'})
+         YIELD node2, score, topology_score, semantic_score
+         RETURN node2, score, topology_score, semantic_score""")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toList
+    assert(rows == List(("d", 0.5, 1.0, 0.0), ("e", 0.5, 1.0, 0.0)))
+  }
+
+  test("hybrid predict.stream plan has no single-partition window") {
+    import spark.implicits._
+    val emb = Seq(("a", Seq(1.0, 0.0)), ("d", Seq(0.0, 1.0)), ("e", Seq(1.0, 0.0)))
+      .toDF("id", "embedding")
+    val df = LinkPredict.hybridFrom(fixture, "a", emb, 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // min-max normalization must be an agg broadcast back, not a window
+    // funnelling every candidate of a hub source into one task
+    assert(!plan.contains("Window"), s"single-partition window in plan:\n$plan")
+  }
+
   test("bucketed lineitem-orders join plans with no shuffle Exchange") {
     graft.sources.Bucketing.prepare(spark, sf)
     val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
