@@ -317,28 +317,73 @@ object AlgoQueries {
               FROM cand ORDER BY score DESC, node2 LIMIT 10"""),
       "2.11"),
 
-    // gds.fastRP.stream over a named projection (fastrp.go:360) — embedding
-    // arrays are rows-only here (floats don't hash across engines);
-    // bit-identity with the direct Algorithms.fastRP API is spec-asserted
+    // gds.fastRP.stream over a named PLACED-star projection (fastrp.go:360)
+    // bounded to customers <= 200. The oracle replays the FULL pipeline for
+    // the leaf (Order) nodes: FNV-1a-seeded sparse init, l2-normalize,
+    // one propagation step, l2-normalize again — every float op in the
+    // same left-to-right order, so embeddings are bit-identical. Leaves
+    // have exactly ONE neighbor, so no unordered float summation exists on
+    // the compared rows (the Customer centers sum many neighbors in
+    // unordered task order and are excluded; full-graph perf coverage is
+    // q_algo_fastrp above).
     "q_cypher_gds_fastrp" -> GQuery(
       (s, d) => {
         val g = GraphQueries.graph(s, d)
-        // project only the SUPPLIES endpoints — a projection over every
-        // node would drag the full node table through each iteration join.
-        // Registered once per sf-dir: register() counts nodes+edges, and
-        // re-projecting per invocation re-paid those scans.
-        fastrpProjCache.computeIfAbsent(d, _ =>
-          graft.graph.GraphProjections.register("fastrp_g", graft.graph.PropertyGraph(
-            g.nodes.filter(array_contains(col("labels"), "Supplier") ||
-              array_contains(col("labels"), "Part")),
-            g.edgesByType("SUPPLIES"))))
+        fastrpProjCache.computeIfAbsent(d, _ => {
+          val es = g.edgesByType("PLACED")
+            .filter(split(col("src"), ":").getItem(1).cast("long") <= 200L)
+          val ids = es.select(col("src").as("id"))
+            .union(es.select(col("dst").as("id"))).distinct()
+          graft.graph.GraphProjections.register("fastrp_star",
+            graft.graph.PropertyGraph(g.nodes.join(ids, "id"), es))
+        })
         graft.cypher.Cypher.run(g,
-          """CALL gds.fastRP.stream('fastrp_g',
+          """CALL gds.fastRP.stream('fastrp_star',
                {embeddingDimension: 8, iterationWeights: [0.0, 1.0]})
              YIELD nodeId, embedding
-             RETURN nodeId, apoc.text.join([x IN embedding | toString(x)], ';') AS emb_str""")
+             WHERE nodeId STARTS WITH 'Order:'
+             RETURN nodeId, embedding""")
       },
-      None, "2.11"),
+      Some("""WITH custs AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_custkey <= 200),
+              dims AS (SELECT unnest(generate_series(1, 8)) AS d),
+              hv AS (
+                SELECT ck, d,
+                  list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                    list_transform(string_split('Customer:' || ck || '_' || d || '_42', ''),
+                      c -> CAST(ord(c) AS UBIGINT))),
+                    (h, c) -> CAST(CAST(xor(h, c) AS HUGEINT) * 1099511628211
+                      % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT)) AS u
+                FROM custs CROSS JOIN dims),
+              init AS (
+                SELECT ck, d,
+                  CASE ((CAST(CASE WHEN u >= 9223372036854775808
+                           THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+                           ELSE CAST(u AS BIGINT) END AS HUGEINT) % 6) + 6) % 6
+                    WHEN 0 THEN CAST(1.0 AS DOUBLE)
+                    WHEN 1 THEN CAST(-1.0 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS x
+                FROM hv),
+              iv AS (SELECT ck, list(x ORDER BY d) AS v FROM init GROUP BY ck),
+              n0 AS (SELECT ck, v,
+                       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+                     FROM iv),
+              v0 AS (SELECT ck,
+                       list_transform(v, x -> CASE WHEN nrm > 0 THEN x / nrm
+                                                   ELSE CAST(0.0 AS DOUBLE) END) AS v
+                     FROM n0),
+              n1 AS (SELECT ck, v,
+                       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+                     FROM v0),
+              v1 AS (SELECT ck,
+                       list_transform(v, x -> CASE WHEN nrm > 0 THEN x / nrm
+                                                   ELSE CAST(0.0 AS DOUBLE) END) AS v
+                     FROM n1)
+              SELECT 'Order:' || o.o_orderkey AS "nodeId", v1.v AS embedding
+              FROM orders o JOIN v1 ON v1.ck = o.o_custkey
+              WHERE o.o_custkey <= 200"""),
+      "2.11"),
 
     // hybrid link prediction (pkg/linkpredict/hybrid.go:159): adamic-adar
     // min-max normalized per source, blended 0.5/0.5 with embedding cosine

@@ -110,11 +110,56 @@ object PipelineQueries {
               FROM cc GROUP BY doc_id"""),
       "pipeline"),
 
-    // murmur3 signature tier: no oracle (Spark-internal hash family) —
-    // spec asserts the verified pair set equals the md5 tier's exactly
+    // fast signature tier (codegen'd FNV-1a 64, seeded '<j>_' prefix):
+    // the oracle replays the byte fold in HUGEINT mod 2^64 (the
+    // apoc.hashing technique), the banding, and the exact-Jaccard verify
     "q_dedup_minhash_fast" -> GQuery(
       (s, d) => Dedup.minhashLshPairsFast(Tables.documents(s, d), 3, 16, 4, 0.5),
-      None, "pipeline"),
+      Some("""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+              sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(ws) >= 3 THEN
+                    list_transform(generate_series(1, len(ws) - 2),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                  ELSE [] END)) AS shingle
+                FROM d),
+              szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+              hv AS (
+                SELECT doc_id, s,
+                  list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                    list_transform(string_split(CAST(s AS VARCHAR) || '_' || shingle, ''),
+                      c -> CAST(ord(c) AS UBIGINT))),
+                    (h, c) -> CAST(CAST(xor(h, c) AS HUGEINT) * 1099511628211
+                      % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT)) AS u
+                FROM sh CROSS JOIN generate_series(0, 15) t(s)),
+              mh AS (
+                SELECT doc_id, s,
+                  MIN(CASE WHEN u >= 9223372036854775808
+                       THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+                       ELSE CAST(u AS BIGINT) END) AS mn
+                FROM hv GROUP BY doc_id, s),
+              sig AS (SELECT doc_id, list(mn ORDER BY s) AS sg FROM mh GROUP BY doc_id),
+              bands AS (
+                SELECT doc_id, b,
+                       CAST(sg[b*4+1] AS VARCHAR) || '_' || CAST(sg[b*4+2] AS VARCHAR)
+                         || '_' || CAST(sg[b*4+3] AS VARCHAR) || '_' || CAST(sg[b*4+4] AS VARCHAR) AS bsig
+                FROM sig CROSS JOIN generate_series(0, 3) t(b)),
+              cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+              inter AS (
+                SELECT c.a, c.b, COUNT(*) AS i
+                FROM cand c
+                  JOIN sh sa ON sa.doc_id = c.a
+                  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+                GROUP BY c.a, c.b)
+              SELECT i2.a, i2.b, CAST(i2.i AS DOUBLE) / (za.sz + zb.sz - i2.i) AS jac
+              FROM inter i2
+                JOIN szs za ON za.doc_id = i2.a
+                JOIN szs zb ON zb.doc_id = i2.b
+              WHERE CAST(i2.i AS DOUBLE) / (za.sz + zb.sz - i2.i) >= 0.5"""),
+      "pipeline"),
 
     // md5-based word hash → signatures are engine-independent; the oracle
     // recomputes simhash from scratch and takes the EXACT Hamming join —

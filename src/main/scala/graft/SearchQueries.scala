@@ -280,5 +280,39 @@ object SearchQueries {
                 ('Customer:1', CAST(1.0 AS DOUBLE)),
                 ('Customer:2', CAST(1.0 AS DOUBLE)),
                 ('Customer:3', CAST(0.0 AS DOUBLE))) AS t(node, score)"""),
+      "2.11"),
+
+    // SearchOptions on the CALL surface (search.go:116 Labels, :161
+    // MinSimilarity): label scoping restricts the candidate set before
+    // ranking, minScore thresholds the similarity — the oracle replays
+    // BOTH filters in SQL over the same written vectors
+    "q_cypher_call_search_options" -> GQuery(
+      (s, d) => {
+        val g = GraphQueries.graph(s, d)
+        new graft.graph.GraphStore(g) // registers as currentStore
+        def run(q: String) = graft.cypher.Cypher.run(g, q)
+        run("CALL db.create.setNodeVectorProperty('Customer:1', 'profile5', [1.0, 0.0, 0.0])")
+        run("CALL db.create.setNodeVectorProperty('Customer:2', 'profile5', [3.0, 4.0, 0.0])")
+        run("CALL db.create.setNodeVectorProperty('Customer:3', 'profile5', [-1.0, 0.0, 0.0])")
+        run("CALL db.create.setNodeVectorProperty('Supplier:1', 'profile5', [1.0, 0.0, 0.0])")
+        run("CALL db.index.vector.createNodeIndex('mix_profile', '*', 'profile5', 3, 'cosine')")
+        run("""CALL db.index.vector.queryNodes('mix_profile', 10, [1.0, 0.0, 0.0],
+                 {labels: ['Customer'], minScore: 0.5})
+               YIELD node, score RETURN node, score""")
+      },
+      Some("""WITH emb(node, label, e1, e2, e3) AS (VALUES
+                ('Customer:1', 'Customer', 1.0, 0.0, 0.0),
+                ('Customer:2', 'Customer', 3.0, 4.0, 0.0),
+                ('Customer:3', 'Customer', -1.0, 0.0, 0.0),
+                ('Supplier:1', 'Supplier', 1.0, 0.0, 0.0)),
+              scored AS (
+                SELECT node,
+                  round((CAST(e1 AS DOUBLE) * 1.0 + CAST(e2 AS DOUBLE) * 0.0
+                         + CAST(e3 AS DOUBLE) * 0.0) /
+                    (sqrt(CAST(e1 AS DOUBLE) * e1 + CAST(e2 AS DOUBLE) * e2
+                          + CAST(e3 AS DOUBLE) * e3) * sqrt(1.0)), 12) AS score
+                FROM emb WHERE label = 'Customer')
+              SELECT node, score FROM scored WHERE score >= 0.5
+              ORDER BY score DESC, node LIMIT 10"""),
       "2.11"))
 }

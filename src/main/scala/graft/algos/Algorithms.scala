@@ -467,9 +467,14 @@ object Algorithms {
       transform(v, x => when(n > 0, x / n).otherwise(lit(0.0)))
     }
 
-    // sparse random init: component d ∈ {−1, 0, +1} via hash buckets
+    // sparse random init: component d ∈ {−1, 0, +1} via hash buckets.
+    // The hash is the repo's codegen'd FNV-1a 64 (byte fold) rather than
+    // Spark's internal murmur3 so a SQL oracle can replay the init
+    // exactly (the apoc.hashing HUGEINT-mod-2^64 technique).
+    graft.functions.HashExprs.ensure(g.nodes.sparkSession)
     val initVec = transform(sequence(lit(1), lit(dim)), d => {
-      val h = pmod(hash(col("id"), d, lit(42)), lit(6))
+      val h = pmod(call_function("graft_fnv1a64",
+        concat(col("id"), lit("_"), d.cast("string"), lit("_42"))), lit(6))
       when(h === 0, lit(1.0)).when(h === 1, lit(-1.0)).otherwise(lit(0.0))
     })
     var vecs = g.nodes.select(col("id"), l2norm(initVec).as("vec")).cache()

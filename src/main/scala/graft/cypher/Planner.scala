@@ -120,7 +120,7 @@ object Planner {
     "db.schema.visualization" -> ((g, _) => graft.graph.Procedures.schemaVisualization(g)),
     "dbms.components" -> ((g, _) => graft.graph.Procedures.dbmsComponents(g)),
     "db.info" -> ((g, _) => graft.graph.Procedures.dbInfo(g)),
-    "apoc.meta.stats" -> ((g, _) => graft.graph.Procedures.dbInfo(g)),
+    "apoc.meta.stats" -> ((g, _) => graft.graph.Procedures.metaStats(g)),
     "db.ping" -> ((g, _) => graft.graph.Procedures.dbPing(g)),
     "gds.version" -> ((g, _) => {
       val spark = g.nodes.sparkSession

@@ -106,17 +106,46 @@ object SearchCallProcs {
       .filter(length(col("text")) > 0)
   }
 
+  /** ids of nodes carrying ANY of `labels` (SearchOptions.Types,
+    * `search.go:116,166` — label scoping at QUERY time, applied
+    * distributed-side as a semi-join against the candidate frame).
+    */
+  private def labelIds(g: PropertyGraph, labels: Seq[String]): DataFrame =
+    g.nodes.filter(labels.map(l => array_contains(col("labels"), l)).reduce(_ || _))
+      .select(col("id").as("_lid"))
+
   private def ftQuery(idx: SearchIndexes.FulltextIdx, query: String,
-      k: Int, outCol: String): DataFrame = {
+      k: Int, outCol: String, restrict: Option[DataFrame] = None,
+      minScore: Option[Double] = None): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     val docs = idx.df().select(col(idx.idCol).as("doc_id"), col(idx.textCol).as("text"))
-    BM25.search(docs, terms, k).select(col("doc_id").as(outCol), col("score"))
+    val res = BM25.search(docs, terms, k, restrict)
+    minScore.fold(res)(ms => res.filter(col("score") >= ms))
+      .select(col("doc_id").as(outCol), col("score"))
   }
 
+  /** Vector query with SearchOptions semantics: label scoping restricts
+    * the CANDIDATE set before ranking (`filterCandidatesByType`,
+    * `search.go:1351`), minScore thresholds the similarity
+    * (`GetMinSimilarity`, `search.go:205`).
+    */
   private def vQuery(idx: SearchIndexes.VectorIdx, k: Int, qv: Seq[Double],
-      outCol: String): DataFrame =
-    VectorSearch.topKExactLit(idx.df(), idx.idCol, idx.embCol, qv, k)
+      outCol: String, candIds: Option[DataFrame] = None,
+      minScore: Option[Double] = None): DataFrame = {
+    val base = idx.df()
+    val cand = candIds.fold(base)(ids =>
+      base.join(ids, base(idx.idCol) === col("_lid"), "left_semi"))
+    val top = VectorSearch.topKExactLit(cand, idx.idCol, idx.embCol, qv, k)
+    minScore.fold(top)(ms => top.filter(col("score") >= ms))
       .withColumnRenamed("node", outCol)
+  }
+
+  private def cfgMinScore(c: Map[String, Any]): Option[Double] =
+    c.get("minScore").orElse(c.get("minSimilarity")).map(_.toString.toDouble)
+  private def cfgLabelIds(g: PropertyGraph, c: Map[String, Any]): Option[DataFrame] = {
+    val ls = cfgList(c, "labels")
+    if (ls.isEmpty) None else Some(labelIds(g, ls))
+  }
 
   /** The GDS graph for linkPrediction/fastRP calls: the named projection
     * when `graphName` is configured, else the session graph.
@@ -209,31 +238,62 @@ object SearchCallProcs {
     }),
 
     // ---- search procedures ----
-    "db.index.vector.querynodes" -> ((g, args) =>
+    // each accepts a trailing SearchOptions config map:
+    // {labels: [...], minScore: x} (search.go:116,161 — label scoping +
+    // similarity threshold, both applied distributed-side)
+    "db.index.vector.querynodes" -> ((g, args) => {
+      val c = cfg(args.drop(3))
       vQuery(SearchIndexes.vector(args(0).toString),
-        args(1).toString.toDouble.toInt, asVec(args(2)), "node")),
-    "db.index.vector.queryrelationships" -> ((g, args) =>
+        args(1).toString.toDouble.toInt, asVec(args(2)), "node",
+        cfgLabelIds(g, c), cfgMinScore(c))
+    }),
+    "db.index.vector.queryrelationships" -> ((g, args) => {
+      val c = cfg(args.drop(3))
       vQuery(SearchIndexes.vector(args(0).toString),
-        args(1).toString.toDouble.toInt, asVec(args(2)), "relationship")),
-    "db.index.fulltext.querynodes" -> ((g, args) =>
+        args(1).toString.toDouble.toInt, asVec(args(2)), "relationship",
+        None, cfgMinScore(c))
+    }),
+    "db.index.fulltext.querynodes" -> ((g, args) => {
+      val c = cfg(args.drop(2))
       ftQuery(SearchIndexes.fulltext(args(0).toString), args(1).toString,
-        args.lift(2).map(_.toString.toDouble.toInt).getOrElse(100), "node")),
-    "db.index.fulltext.queryrelationships" -> ((g, args) =>
+        args.lift(2).collect { case x if !x.isInstanceOf[Map[_, _]] =>
+          x.toString.toDouble.toInt }.getOrElse(cfgInt(c, "limit", 100)), "node",
+        cfgLabelIds(g, c).map(_.withColumnRenamed("_lid", "doc_id")),
+        cfgMinScore(c))
+    }),
+    "db.index.fulltext.queryrelationships" -> ((g, args) => {
+      val c = cfg(args.drop(2))
       ftQuery(SearchIndexes.fulltext(args(0).toString), args(1).toString,
-        args.lift(2).map(_.toString.toDouble.toInt).getOrElse(100), "relationship")),
+        args.lift(2).collect { case n: Number => n.intValue }.getOrElse(
+          cfgInt(c, "limit", 100)), "relationship", None, cfgMinScore(c))
+    }),
 
     // RRF hybrid search over one vector + one fulltext index — the CALL
     // projection of the reference's DB.HybridSearch / rrfHybridSearch
-    // (`pkg/search/search.go:890`; candidateLimit = 2·k per search.go:896)
+    // (`pkg/search/search.go:890`; candidateLimit = 2·k per search.go:896).
+    // Options: {labels, minScore} scope both legs (minScore thresholds the
+    // vector leg, GetMinSimilarity semantics); {vectorWeight, bm25Weight}
+    // override RRF weights; {adaptive: true} derives them from the query
+    // shape (GetAdaptiveRRFConfig, search.go:2081).
     "db.index.hybrid.querynodes" -> ((g, args) => {
       val (vIdx, ftIdx) = (SearchIndexes.vector(args(0).toString),
         SearchIndexes.fulltext(args(1).toString))
       val k = args(2).toString.toDouble.toInt
       val query = args(3).toString
       val qv = asVec(args(4))
-      val bm = ftQuery(ftIdx, query, 2 * k, "node")
-      val vs = vQuery(vIdx, 2 * k, qv, "node").withColumnRenamed("score", "cos_sim")
-      Hybrid.rrf(bm, vs, "node", "node", 2 * k, k)
+      val c = cfg(args.drop(5))
+      val lbl = cfgLabelIds(g, c)
+      val (awVec, awText) = Hybrid.adaptiveWeights(query)
+      val adaptive = c.get("adaptive").exists(_.toString.toBoolean)
+      val wVec = c.get("vectorWeight").map(_.toString.toDouble)
+        .getOrElse(if (adaptive) awVec else 1.0)
+      val wText = c.get("bm25Weight").map(_.toString.toDouble)
+        .getOrElse(if (adaptive) awText else 1.0)
+      val bm = ftQuery(ftIdx, query, 2 * k, "node",
+        lbl.map(_.withColumnRenamed("_lid", "doc_id")))
+      val vs = vQuery(vIdx, 2 * k, qv, "node", lbl, cfgMinScore(c))
+        .withColumnRenamed("score", "cos_sim")
+      Hybrid.rrf(bm, vs, "node", "node", 2 * k, k, wText, wVec)
         .select(col("id").as("node"), col("rrf").as("score"))
     }),
 

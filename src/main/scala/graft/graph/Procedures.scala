@@ -42,11 +42,30 @@ object Procedures {
       .toDF("name", "version", "edition")
   }
 
-  /** CALL db.info() / apoc.meta.stats(): node/edge totals. */
+  /** CALL db.info(): node/edge totals. */
   def dbInfo(g: PropertyGraph): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     Seq((g.nodes.count(), g.edges.count())).toDF("node_count", "relationship_count")
+  }
+
+  /** CALL apoc.meta.stats() — the reference's exact yield surface
+    * (apoc/meta/meta.go:93-98): labelCount, relTypeCount,
+    * propertyKeyCount (distinct keys of the string property maps),
+    * nodeCount, relCount.
+    */
+  def metaStats(g: PropertyGraph): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, map_keys}
+    val labelCount = g.nodes.select(explode(col("labels")).as("l")).distinct().count()
+    val relTypeCount = g.edges.select("rel_type").distinct().count()
+    val propertyKeyCount = g.nodes
+      .select(explode(map_keys(col("properties"))).as("k"))
+      .union(g.edges.select(explode(map_keys(col("properties"))).as("k")))
+      .distinct().count()
+    Seq((labelCount, relTypeCount, propertyKeyCount, g.nodes.count(), g.edges.count()))
+      .toDF("labelCount", "relTypeCount", "propertyKeyCount", "nodeCount", "relCount")
   }
 
   /** CALL db.ping() */

@@ -105,27 +105,30 @@ object Dedup {
     pairJaccard(cand, sh, threshold)
   }
 
-  /** Throughput twin of [[minhashLshPairs]]: signatures from Spark's
-    * codegen'd murmur3 (`hash(seed_j, shingle)`) instead of md5 chunks —
-    * no digest cost, same banding and exact-Jaccard verify. The verify
-    * step makes the final pair set insensitive to the hash family except
-    * through candidate recall; the spec asserts pair-set equality with the
-    * md5 variant at the test threshold. Use this tier for production runs,
-    * the md5 tier when an external SQL oracle must replay signatures.
+  /** Throughput twin of [[minhashLshPairs]]: signatures from the repo's
+    * codegen'd FNV-1a 64 native expression (seeded by a `<j>_` prefix)
+    * instead of md5 chunks — no digest cost, same banding and
+    * exact-Jaccard verify. The hash is a byte fold, so a DuckDB oracle
+    * replays the signatures with the same HUGEINT-mod-2^64 technique as
+    * the apoc.hashing rows; the spec additionally asserts pair-set
+    * equality with the md5 variant at the test threshold. Use this tier
+    * for production runs.
     */
   def minhashLshPairsFast(docs: DataFrame, shingleN: Int, nHashes: Int,
       nBands: Int, threshold: Double): DataFrame = {
     require(nHashes % nBands == 0, "nHashes must divide into nBands")
+    graft.functions.HashExprs.ensure(docs.sparkSession)
     val rowsPerBand = nHashes / nBands
     val sh = shingles(docs, shingleN).cache()
     val sig = sh.groupBy("doc_id").agg(
       array((0 until nHashes).map(j =>
-        min(hash(lit(j), col("shingle")))): _*).as("sig"))
+        min(call_function("graft_fnv1a64",
+          concat(lit(s"${j}_"), col("shingle"))))): _*).as("sig"))
     val bands = sig.select(col("doc_id"),
         explode(array((0 until nBands).map { b =>
           struct(lit(b).as("band"),
             concat_ws("_", (0 until rowsPerBand).map(r =>
-              element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bsig"))
+              element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*).as("bsig"))
         }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.bsig"))
     val cand = bands.toDF("a", "band", "bsig")

@@ -22,8 +22,14 @@ object BM25 {
   def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
 
-  /** Top-k docs for a bag-of-words query. */
-  def search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+  /** Top-k docs for a bag-of-words query. `restrict` (single `doc_id`
+    * column) optionally limits RESULTS to a candidate set — applied after
+    * scoring, so idf/avgdl stay corpus-global like the reference's one
+    * shared inverted index with post-hoc candidate filtering
+    * (`search.go:1351` filterCandidatesByType).
+    */
+  def search(docs: DataFrame, terms: Seq[String], k: Int,
+      restrict: Option[DataFrame] = None): DataFrame = {
     val toks = tokens(docs)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
@@ -37,12 +43,13 @@ object BM25 {
         (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
           (col("sum_dl").cast("double") / col("n_docs"))))
 
-    tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(broadcast(dfreq), "term")
       .join(dl, "doc_id") // doc-keyed join, co-partitioned with tf
       .crossJoin(broadcast(stats))
       .withColumn("s", s)
       .groupBy("doc_id")
       .agg(sum(col("s").cast("decimal(28,12)")).cast("double").as("score"))
+    restrict.fold(scored)(r => scored.join(r, Seq("doc_id"), "left_semi"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }

@@ -23,17 +23,34 @@ object Hybrid {
         Window.orderBy(col(scoreCol).desc, col(idCol).asc)))
       .select(col(idCol).as("id"), col("rank"))
 
-  /** Fuse two ranked lists (id, score) into RRF top-k. */
+  /** Fuse two ranked lists (id, score) into RRF top-k:
+    * `score = w_text/(K+rank_text) + w_vec/(K+rank_vec)` — weighted RRF
+    * per the reference's VectorWeight/BM25Weight options
+    * (`search.go:169-171`; both default 1.0).
+    */
   def rrf(bm25: DataFrame, vec: DataFrame, idColA: String, idColB: String,
-      perList: Int, k: Int): DataFrame = {
+      perList: Int, k: Int, wText: Double = 1.0, wVec: Double = 1.0): DataFrame = {
     val ra = ranked(bm25, idColA, "score", perList).withColumnRenamed("rank", "rank_text")
     val rb = ranked(vec, idColB, "cos_sim", perList).withColumnRenamed("rank", "rank_vec")
     ra.join(rb, Seq("id"), "full_outer")
       .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(RrfK) + col("rank_text")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(RrfK) + col("rank_vec")), lit(0.0)))
+        coalesce(lit(wText) / (lit(RrfK) + col("rank_text")), lit(0.0)) +
+          coalesce(lit(wVec) / (lit(RrfK) + col("rank_vec")), lit(0.0)))
       .select("id", "rrf")
       .orderBy(col("rrf").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** Query-shape-adaptive (vectorWeight, bm25Weight) — the reference's
+    * `GetAdaptiveRRFConfig` (`search.go:2081`): short queries (≤2 words)
+    * lack context so keywords are more reliable (0.5/1.5); long queries
+    * (≥6 words) carry semantic intent (1.5/0.5); medium stay balanced
+    * (1.0/1.0).
+    */
+  def adaptiveWeights(query: String): (Double, Double) = {
+    val words = query.trim.split("\\s+").count(_.nonEmpty)
+    if (words <= 2) (0.5, 1.5)
+    else if (words >= 6) (1.5, 0.5)
+    else (1.0, 1.0)
   }
 }

@@ -39,19 +39,22 @@ object Rerank {
   }
 
   /** Rerank candidates for `query`. Disabled → pass-through (the
-    * reference's `passThrough`: final = bi score, ranks unchanged).
-    * Returns (id, original_rank, new_rank, bi_score, cross_score,
-    * final_score) ordered by new_rank.
+    * reference's `passThrough`, rerank.go:195: cross = final = bi score,
+    * ranks unchanged). Enabled → score, re-rank, then drop rows below
+    * `minScore` AFTER new ranks are assigned (RerankMinScore semantics,
+    * rerank.go:178-186: the surviving rows keep their pre-filter rank
+    * numbers). Returns (id, original_rank, new_rank, bi_score,
+    * cross_score, final_score) ordered by new_rank.
     */
   def rerank(candidates: DataFrame, query: String,
       encoder: Encoder = lexicalOverlapEncoder, topK: Int = 100,
-      enabled: Boolean = true): DataFrame = {
+      enabled: Boolean = true, minScore: Double = 0.0): DataFrame = {
     val byBi = Window.orderBy(col("bi_score").desc, col("id").asc)
     val orig = candidates
       .orderBy(col("bi_score").desc, col("id").asc).limit(topK)
       .withColumn("original_rank", row_number().over(byBi))
     if (!enabled)
-      orig.withColumn("cross_score", lit(null).cast("double"))
+      orig.withColumn("cross_score", col("bi_score"))
         .withColumn("final_score", col("bi_score"))
         .withColumn("new_rank", col("original_rank"))
         .select("id", "original_rank", "new_rank", "bi_score", "cross_score",
@@ -61,6 +64,7 @@ object Rerank {
         .withColumn("final_score", col("cross_score"))
         .withColumn("new_rank", row_number().over(
           Window.orderBy(col("final_score").desc, col("id").asc)))
+        .filter(col("cross_score") >= minScore)
         .select("id", "original_rank", "new_rank", "bi_score", "cross_score",
           "final_score")
   }

@@ -82,6 +82,76 @@ class ApocCatalogSpec extends AnyFunSuite {
       s"${unresolved.size} catalog names do not resolve: ${unresolved.mkString(", ")}")
   }
 
+  test("smoke calls: the most-used catalog names execute with real args") {
+    val g = GraphQueries.graph(spark, sf)
+    new GraphStore(g)
+    def value(expr: String): Any =
+      Cypher.run(g, s"RETURN $expr AS v").collect()(0).get(0)
+    def seqOf(expr: String): List[Any] =
+      value(expr).asInstanceOf[scala.collection.Seq[Any]].toList
+
+    // exact-value assertions (deterministic scalar semantics)
+    assert(value("apoc.text.indexOf('hello', 'l')") == 2L)
+    assert(value("apoc.text.join(['a','b','c'], '-')") == "a-b-c")
+    assert(value("apoc.text.replace('aaa', 'a', 'b')") == "bbb")
+    assert(value("apoc.text.capitalize('hello')") == "Hello")
+    assert(value("apoc.text.lpad('7', 3, '0')") == "007")
+    assert(value("apoc.text.rpad('7', 3, '0')") == "700")
+    assert(value("apoc.text.distance('kitten', 'sitting')") == 3L)
+    assert(seqOf("apoc.text.split('a,b', ',')") == List("a", "b"))
+    assert(value("apoc.coll.sum([1,2,3])") == 6.0)
+    assert(value("apoc.coll.avg([1,2,3])") == 2.0)
+    assert(value("apoc.coll.max([1,5,3])") == 5L)
+    assert(value("apoc.coll.min([1,5,3])") == 1L)
+    assert(value("apoc.coll.contains([1,2], 2)") == true)
+    assert(value("apoc.coll.indexOf([1,2,3], 2)") == 1L)
+    assert(value("apoc.coll.isEmpty([])") == true)
+    assert(value("apoc.coll.occurrences([1,1,2], 1)") == 2L)
+    assert(value("apoc.coll.containsAll([1,2,3], [1,2])") == true)
+    assert(seqOf("apoc.coll.reverse([1,2])") == List(2L, 1L))
+    assert(seqOf("apoc.coll.sort([3,1,2])") == List(1L, 2L, 3L))
+    assert(seqOf("apoc.coll.toSet([1,1,2])") == List(1L, 2L))
+    assert(seqOf("apoc.coll.flatten([[1],[2]])") == List(1L, 2L))
+    assert(seqOf("apoc.coll.intersection([1,2], [2,3])") == List(2L))
+    assert(seqOf("apoc.coll.subtract([1,2], [2])") == List(1L))
+    assert(seqOf("apoc.coll.duplicates([1,1,2])") == List(1L))
+    assert(value("apoc.convert.toInteger('42')") == 42L)
+    assert(value("apoc.convert.toFloat('1.5')") == 1.5)
+    assert(value("apoc.convert.toBoolean('true')") == true)
+    assert(value("apoc.number.format(1234)") != null)
+    assert(value("apoc.convert.toJson([1,2])") != null)
+    // string-typed elements by design (Columns need one value type)
+    assert(seqOf("apoc.convert.fromJsonList('[1,2]')") == List("1", "2"))
+
+    // execute + non-null (shape-sensitive names: result form varies but a
+    // wrong arg shape or a broken dispatcher arm throws here)
+    val nonNull = Seq(
+      "apoc.coll.union([1], [2])", "apoc.coll.zip([1], [2])",
+      "apoc.coll.pairs([1,2,3])", "apoc.coll.frequencies([1,1,2])",
+      "apoc.coll.partition([1,2,3,4], 2)",
+      "apoc.map.fromLists(['a'], [1])",
+      "apoc.map.merge(apoc.map.fromLists(['a'], [1]), apoc.map.fromLists(['b'], [2]))",
+      "apoc.convert.fromJsonMap('{\"a\": 1}')",
+      // 2-arg (dateStr, format) per the reference's own date.go:15
+      "apoc.date.parse('1970-01-02', 'yyyy-MM-dd')",
+      "apoc.date.format(0, 's', 'yyyy-MM-dd')",
+      "apoc.hashing.fnv164('x')", "apoc.util.md5('a')",
+      "apoc.text.clean('a b!')", "apoc.temporal.format(date('2020-01-02'), 'yyyy')",
+      "apoc.math.round(3.456, 2)", "apoc.coll.sumLongs([1,2])")
+    val broken = nonNull.flatMap { e =>
+      try { if (value(e) == null) Some(s"$e -> null") else None }
+      catch { case t: Throwable => Some(s"$e -> ${t.getMessage}") }
+    }
+    assert(broken.isEmpty, s"smoke calls failed:\n${broken.mkString("\n")}")
+
+    // entity + procedure smoke on the micro fixture
+    assert(Cypher.run(g,
+      "MATCH (n:Nation) RETURN apoc.node.degree(n) AS v LIMIT 1")
+      .collect()(0).getLong(0) >= 0L)
+    assert(Cypher.run(g, "CALL apoc.meta.stats() YIELD nodeCount RETURN nodeCount")
+      .collect()(0).getLong(0) > 0)
+  }
+
   test("apoc.help filters by substring and types by registry membership") {
     val g = GraphQueries.graph(spark, sf)
     val rows = Cypher.run(g,

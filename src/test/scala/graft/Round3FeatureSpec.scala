@@ -300,8 +300,14 @@ class Round3FeatureSpec extends AnyFunSuite {
     // doc 2 overtakes doc 1; doc 1 (zero overlap) falls last
     assert(rr == Set((1L, 1, 3), (2L, 2, 1), (3L, 3, 2)))
     val off = Rerank.rerank(cands, "spark table query", enabled = false)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(4))).toSet
+    // passThrough (rerank.go:195): cross_score = bi_score, ranks unchanged
+    assert(off == Set((1L, 1, 9.0), (2L, 2, 5.0), (3L, 3, 3.0)))
+    // RerankMinScore (rerank.go:178-186): filter AFTER new ranks assigned —
+    // doc 1 (zero overlap) drops, survivors keep their pre-filter ranks
+    val thr = Rerank.rerank(cands, "spark table query", minScore = 0.1)
       .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
-    assert(off == Set((1L, 1), (2L, 2), (3L, 3)))
+    assert(thr == Set((2L, 1), (3L, 2)))
   }
 
   test("apoc.coll frequencies/duplicatesWithCount shapes") {

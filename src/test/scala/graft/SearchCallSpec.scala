@@ -172,6 +172,33 @@ class SearchCallSpec extends AnyFunSuite {
     assert(rows == List(("d", 0.5, 1.0, 0.0), ("e", 0.5, 1.0, 0.0)))
   }
 
+  test("adaptive RRF weights follow the reference's query-shape heuristic") {
+    import graft.search.Hybrid
+    // search.go:2081 documented cases: short (<=2 words) favors keywords,
+    // long (>=6) favors semantics, medium balanced
+    assert(Hybrid.adaptiveWeights("database") == (0.5, 1.5))
+    assert(Hybrid.adaptiveWeights("graph database") == (0.5, 1.5))
+    assert(Hybrid.adaptiveWeights("scaling graph database queries") == (1.0, 1.0))
+    assert(Hybrid.adaptiveWeights(
+      "What are the best practices for scaling graph databases?") == (1.5, 0.5))
+  }
+
+  test("vector queryNodes options: labels scope candidates, minScore thresholds") {
+    val store = new GraphStore(g)
+    store.setNodeVectorProperty("Customer:1", "p_opt", Seq(1.0, 0.0))
+    store.setNodeVectorProperty("Customer:2", "p_opt", Seq(3.0, 4.0))
+    store.setNodeVectorProperty("Customer:3", "p_opt", Seq(-1.0, 0.0))
+    store.setNodeVectorProperty("Supplier:1", "p_opt", Seq(1.0, 0.0))
+    Cypher.run(g, "CALL db.index.vector.createNodeIndex('opt_idx', '*', 'p_opt', 2, 'cosine')")
+    val rows = Cypher.run(g,
+      """CALL db.index.vector.queryNodes('opt_idx', 10, [1.0, 0.0],
+           {labels: ['Customer'], minScore: 0.5})
+         YIELD node, score RETURN node, score""")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toList
+    // Supplier:1 excluded by label, Customer:3 (-1.0) by minScore
+    assert(rows == List(("Customer:1", 1.0), ("Customer:2", 0.6)))
+  }
+
   test("hybrid predict.stream plan has no single-partition window") {
     import spark.implicits._
     val emb = Seq(("a", Seq(1.0, 0.0)), ("d", Seq(0.0, 1.0)), ("e", Seq(1.0, 0.0)))

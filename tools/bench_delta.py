@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Emit BENCH_delta.md: per-query comparison of a fresh clean-commit bench
+run against the previous round's reference numbers.
+
+Usage: python3 tools/bench_delta.py NEW_BENCH_JSON OUT_MD [REF_JSON]
+
+Reference numbers come from BENCH_r04_judge.json — the judge's full
+218-query clean-machine re-run at the round-4 commit (total 297.8 s,
+quoted in VERDICT.md). Rows with ratio > 1.5x are flagged. Pass REF_JSON
+to compare against a different reference run.
+"""
+import json
+import sys
+
+
+def main():
+    new_path, out_path = sys.argv[1], sys.argv[2]
+    ref_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_r04_judge.json"
+    new = json.load(open(new_path))
+    ref = json.load(open(ref_path))
+    newq = new.get("queries", {})
+    refq = ref.get("queries", {})
+
+    lines = [
+        "# BENCH_delta — round 5 vs round 4 (judge clean-machine baseline)",
+        "",
+        f"New clean-commit run: **{new.get('value', 0.0):.1f} s total, "
+        f"{len(newq)} queries** (sf {new.get('sf', '?')}).",
+        f"Reference ({ref_path}): {ref.get('value', 0.0):.1f} s total, "
+        f"{len(refq)} queries.",
+        "",
+        "| query | r5 (s) | r4 (s) | ratio | flag |",
+        "|---|---|---|---|---|",
+    ]
+    flags = []
+    for name in sorted(newq, key=lambda n: -newq[n]):
+        t5 = newq[name]
+        if name in refq:
+            r4 = refq[name]
+            ratio = t5 / r4 if r4 > 0 else float("inf")
+            # flag only rows where the absolute cost matters: a 0.1->0.2s
+            # jump is noise, a 2->4s jump is a regression
+            flag = "**>1.5x**" if (ratio > 1.5 and t5 > 1.0) else ""
+            if flag:
+                flags.append((name, t5, r4, ratio))
+            lines.append(f"| {name} | {t5:.2f} | {r4:.2f} | {ratio:.2f} | {flag} |")
+        else:
+            lines.append(f"| {name} | {t5:.2f} | - | new | |")
+    lines.append("")
+    if flags:
+        lines.append("## Flagged (>1.5x and >1 s vs judge-measured r4)")
+        for name, t5, r4, ratio in flags:
+            lines.append(f"- `{name}`: {r4:.2f} -> {t5:.2f} s ({ratio:.1f}x)")
+    else:
+        lines.append("No query regressed >1.5x (above 1 s) against the "
+                     "judge-measured r4 run.")
+    open(out_path, "w").write("\n".join(lines) + "\n")
+    print(f"wrote {out_path}: {len(newq)} rows, {len(flags)} flagged")
+
+
+if __name__ == "__main__":
+    main()
