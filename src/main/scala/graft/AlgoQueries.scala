@@ -67,6 +67,93 @@ object AlgoQueries {
               WHERE l1.l_partkey < 150 AND l2.l_partkey < 150),
        und AS (SELECT a, b FROM co UNION ALL SELECT b, a FROM co)"""
 
+  // ---- unrolled-fixpoint SQL oracles for the full-graph GraphX rows ----
+  // Technique: iterative algorithms whose per-round arithmetic is exact
+  // (string mins, integer-valued weight sums — no float reassociation)
+  // replay in DuckDB as R unrolled MATERIALIZED rounds. Rounds past the
+  // fixpoint are no-ops, so R only needs to EXCEED convergence (measured
+  // at sf0.01, with margin). MATERIALIZED is load-bearing: each round
+  // references the previous twice, and inlined CTEs would re-evaluate
+  // exponentially.
+
+  /** Min-string-id propagation over the undirected CONTAINS graph —
+    * replays [[graft.algos.GraphXAlgos.wcc]]'s component labeling (min
+    * string id per component). Converges in ≤6 rounds at sf0.01.
+    */
+  private def wccUnrolledSql(rounds: Int): String = {
+    val head = """e AS MATERIALIZED (SELECT DISTINCT 'Order:' || l_orderkey AS a,
+         'Part:' || l_partkey AS b FROM lineitem),
+       und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lb FROM und)"""
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+         SELECT p.id, least(p.lb, coalesce(m.mn, p.lb)) AS lb
+         FROM l${i - 1} p LEFT JOIN (
+           SELECT u.a AS id, min(q.lb) AS mn
+           FROM und u JOIN l${i - 1} q ON q.id = u.b GROUP BY u.a) m
+           ON m.id = p.id)"""
+    }
+    (head +: steps).mkString("WITH ", ",\n", "") +
+      s"\nSELECT lb AS component, COUNT(*) AS n_nodes FROM l$rounds GROUP BY lb"
+  }
+
+  /** Sync label propagation over the contracted undirected CONTAINS graph
+    * — replays [[graft.algos.GraphXAlgos.labelPropagation]] exactly:
+    * votes = Σ multiplicity (unweighted) or Σ edge weight (weighted;
+    * l_quantity is integer-valued so double sums are order-independent),
+    * argmax by (weight, label) with max-label tie-break, keep-old on no
+    * neighbors. Fixed `rounds` = the query's iteration count, so no
+    * convergence question arises.
+    */
+  private def lpaUnrolledSql(rounds: Int, weighted: Boolean): String = {
+    val m = if (weighted) "SUM(l_quantity)" else "COUNT(*)"
+    val head = s"""e AS MATERIALIZED (
+         SELECT 'Order:' || l_orderkey AS a, 'Part:' || l_partkey AS b,
+                CAST($m AS DOUBLE) AS m
+         FROM lineitem GROUP BY 1, 2),
+       und AS MATERIALIZED (SELECT a, b, m FROM e
+         UNION ALL SELECT b AS a, a AS b, m FROM e),
+       l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lb FROM und)"""
+    val steps = (1 to rounds).map { i =>
+      s"""t$i AS MATERIALIZED (
+         SELECT u.a AS id, q.lb, SUM(u.m) AS w
+         FROM und u JOIN l${i - 1} q ON q.id = u.b GROUP BY u.a, q.lb),
+       p$i AS MATERIALIZED (
+         SELECT id, lb FROM (SELECT id, lb, row_number() OVER
+           (PARTITION BY id ORDER BY w DESC, lb DESC) AS rn FROM t$i)
+         WHERE rn = 1),
+       l$i AS MATERIALIZED (
+         SELECT p.id, coalesce(s.lb, p.lb) AS lb
+         FROM l${i - 1} p LEFT JOIN p$i s ON s.id = p.id)"""
+    }
+    (head +: steps).mkString("WITH ", ",\n", "") +
+      s"\nSELECT lb AS label, COUNT(*) AS n_nodes FROM l$rounds GROUP BY lb"
+  }
+
+  /** Iterative k-core peeling on the co-occurrence graph — replays
+    * [[graft.algos.Algorithms.kCore]] (drop nodes with degree < k, repeat
+    * to fixpoint; the k-core is order-independent). Converges in ≤2
+    * rounds at sf0.01.
+    */
+  private def kcoreUnrolledSql(rounds: Int, k: Int): String = {
+    val head = """co AS MATERIALIZED (
+         SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         FROM lineitem l1 JOIN lineitem l2
+           ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+         WHERE l1.l_partkey < 150 AND l2.l_partkey < 150),
+       e0 AS MATERIALIZED (SELECT a, b FROM co
+         UNION ALL SELECT b AS a, a AS b FROM co)"""
+    val steps = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+         SELECT a AS kid FROM e${i - 1} GROUP BY a HAVING COUNT(*) >= $k),
+       e$i AS MATERIALIZED (
+         SELECT e.a, e.b FROM e${i - 1} e
+           JOIN k$i x ON e.a = x.kid JOIN k$i y ON e.b = y.kid)"""
+    }
+    (head +: steps).mkString("WITH ", ",\n", "") +
+      s"\nSELECT DISTINCT a AS id FROM e$rounds"
+  }
+
   val queries: Map[String, GQuery] = Map(
     "q_algo_pagerank" -> GQuery(
       (s, d) => Algorithms.pageRank(GraphQueries.graph(s, d), 2, exact = true),
@@ -129,11 +216,12 @@ object AlgoQueries {
                       CAST(sum_dc2 AS DOUBLE) / (4.0 * m * m) AS modularity
                FROM m, dc2, intra"""), "2.11"),
 
-    // k-core peeling (community.go:605): rows-only (iterative deletion has
-    // no SQL replay); invariants spec-asserted on a hand-built graph
+    // k-core peeling (community.go:605): unrolled-peel oracle (6 rounds;
+    // converges in ≤2 at sf0.01); cascade invariants additionally
+    // spec-asserted on a hand-built graph
     "q_algo_kcore" -> GQuery(
       (s, d) => Algorithms.kCore(coPairs(s, d), 3).orderBy("id"),
-      None, "2.11"),
+      Some(kcoreUnrolledSql(6, 3)), "2.11"),
 
     // subgraph density (community.go:780): exact counts, one division
     "q_algo_density" -> GQuery(
@@ -189,10 +277,12 @@ object AlgoQueries {
                      + (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS n)"""),
       "2.11"),
 
+    // full-graph GraphX WCC — unrolled min-propagation oracle (12 rounds;
+    // converges in ≤6 at sf0.01, where CONTAINS is one giant component)
     "q_algo_wcc" -> GQuery(
       (s, d) => graft.algos.GraphXAlgos.wcc(GraphQueries.graph(s, d), Some("CONTAINS"))
         .groupBy("component").agg(count(lit(1)).as("n_nodes")),
-      None, "2.11"),
+      Some(wccUnrolledSql(12)), "2.11"),
 
     // DataFrame min-propagation variant (no RDDs). PLACED is star-shaped —
     // one component per customer — so min-propagation converges in ~3
@@ -214,7 +304,7 @@ object AlgoQueries {
       (s, d) => graft.algos.GraphXAlgos.labelPropagation(
         GraphQueries.graph(s, d), 3, Some("CONTAINS"))
         .groupBy("label").agg(count(lit(1)).as("n_nodes")),
-      None, "2.11"),
+      Some(lpaUnrolledSql(3, weighted = false)), "2.11"),
 
     "q_algo_louvain" -> GQuery(
       (s, d) => {
@@ -222,7 +312,7 @@ object AlgoQueries {
           GraphQueries.graph(s, d), 3, Some("CONTAINS"))
         comms.groupBy("label").agg(count(lit(1)).as("n_nodes"))
       },
-      None, "2.11"),
+      Some(lpaUnrolledSql(3, weighted = true)), "2.11"),
 
     // GraphX Pregel WCC oracle twin on the PLACED star fixture (bounded to
     // 1000 customers — these rows prove ALGORITHM correctness with a

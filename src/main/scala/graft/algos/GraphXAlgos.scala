@@ -40,6 +40,12 @@ object GraphXAlgos {
     private val adjCache = new ConcurrentHashMap[Boolean, RDD[(Long, (Long, Double))]]()
     def adjByB(weighted: Boolean): RDD[(Long, (Long, Double))] =
       adjCache.computeIfAbsent(weighted, { w =>
+        // hash-partitioned BEFORE persisting: the LPA iteration joins this
+        // against an identically-partitioned label RDD every round, so the
+        // (large) adjacency never reshuffles — only the (small) per-round
+        // vote messages do
+        val part = new org.apache.spark.HashPartitioner(
+          math.max(1, edges.getNumPartitions))
         val rdd = edges
           .flatMap { e =>
             val ew = if (w) e.attr._2 else e.attr._1
@@ -47,10 +53,32 @@ object GraphXAlgos {
           }
           .reduceByKey(_ + _)
           .map { case ((a, b), ew) => (b, (a, ew)) }
+          .partitionBy(part)
           .persist(StorageLevel.MEMORY_AND_DISK)
         rdd.count()
         rdd
       })
+
+    /** Order-preserving label codes: rank of the string id in sorted
+      * order, so Long comparisons agree with String comparisons (LPA's
+      * max-label tie-break, WCC's min-id labeling). Iterating with Long
+      * labels keeps the per-round shuffles primitive-typed; [[rankToId]]
+      * decodes at the end. Built lazily once per ctx.
+      */
+    lazy val idxToRank: RDD[(Long, Long)] = {
+      val r = dict.sortBy(_._1).zipWithIndex()
+        .map { case ((_, idx), rank) => (idx, rank) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    }
+    lazy val rankToId: RDD[(Long, String)] = {
+      val r = idxToRank.join(rev)
+        .map { case (_, (rank, id)) => (rank, id) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    }
 
     /** Distinct (from, to) pair adjacency per direction ("out"|"in"|"both"),
       * hash-partitioned and cached — the BFS loops in [[BfsRdd]] join their
@@ -109,11 +137,17 @@ object GraphXAlgos {
     val dict = endpoints.rdd.map(_.getString(0)).zipWithIndex()
       .persist(StorageLevel.MEMORY_AND_DISK)
     dict.count() // pin before reuse: zipWithIndex must evaluate exactly once
+    // run the translation joins at the session parallelism: the parquet-
+    // derived RDDs arrive with ~#input-files partitions (10 at sf0.1),
+    // which would cap EVERY downstream GraphX stage — Pregel rounds, LPA
+    // shuffles — at that width regardless of core count
+    val par = math.max(g.nodes.sparkSession.sparkContext.defaultParallelism,
+      es.rdd.getNumPartitions)
     val edgeRdd = es.rdd
       .map(r => (r.getString(0), (r.getString(1), r.getDouble(2), r.getDouble(3))))
-      .join(dict)
+      .join(dict, par)
       .map { case (_, ((dst, c, w), srcIdx)) => (dst, (srcIdx, c, w)) }
-      .join(dict)
+      .join(dict, par)
       .map { case (_, ((srcIdx, c, w), dstIdx)) => Edge(srcIdx, dstIdx, (c, w)) }
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgeRdd.count()
@@ -248,26 +282,46 @@ object GraphXAlgos {
     // votes = weight-sum or multiplicity (matches the DataFrame und build)
     val adjByB = c.adjByB(weighted)
 
-    var labels: RDD[(Long, String)] = c.rev // initial label = own id
+    // Two shuffle disciplines keep the rounds cheap: (1) labels are
+    // co-partitioned with the cached adjacency, so both per-round joins
+    // (adjacency⋈labels for votes, labels⋈tally for the update) are
+    // narrow — only the vote reduceByKeys shuffle; (2) labels are
+    // order-preserving Long RANKS of the string ids (c.idxToRank), so the
+    // shuffled keys/values are primitive and the (weight, label) argmax
+    // compares Longs while agreeing with the String tie-break exactly.
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, adjByB.getNumPartitions))
+    val init = c.idxToRank.partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK) // initial label = own rank
+    var labels: RDD[(Long, Long)] = init
     for (_ <- 1 to iters) {
       val tally = adjByB.join(labels)
         .map { case (_, ((a, ew), lb)) => ((a, lb), ew) }
         .reduceByKey(_ + _)
         .map { case ((a, lb), w) => (a, (w, lb)) }
         // same argmax as max(struct(w, nl)): weight first, then label
-        .reduceByKey((x, y) =>
+        .reduceByKey(part, (x, y) =>
           if (x._1 > y._1 || (x._1 == y._1 && x._2 > y._2)) x else y)
         .mapValues(_._2)
       val next = labels.leftOuterJoin(tally)
         .mapValues { case (old, nw) => nw.getOrElse(old) }
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
-      if (labels ne c.rev) labels.unpersist()
+      if (labels ne init) labels.unpersist()
       labels = next
     }
-    val rows = labels.join(c.rev).map { case (_, (lb, id)) => Row(id, lb) }
-    toDf(g, rows, StructType(Seq(
+    val rows = labels
+      .map { case (idx, rank) => (rank, idx) }
+      .join(c.rankToId) // decode label rank → label string id
+      .map { case (_, (idx, lbId)) => (idx, lbId) }
+      .join(c.rev)
+      .map { case (_, (lb, id)) => Row(id, lb) }
+    val out = toDf(g, rows, StructType(Seq(
       StructField("id", StringType), StructField("label", StringType))))
+    // the caller consumes a DataFrame; free the iteration lineage once the
+    // rows RDD is realized through it (init stays only if iters == 0)
+    if (labels ne init) init.unpersist()
+    out
   }
 
   /** Louvain-style communities (GraphX LPA weighted-majority local moves) +
