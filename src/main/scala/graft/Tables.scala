@@ -25,20 +25,40 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * nanosecond long (spark.sql.legacy.parquet.nanosAsLong). Expose both the
-    * raw nanos (`ts_ns`) and a microsecond-truncated TimestampType `ts`
-    * (matching DuckDB's `CAST(ts AS TIMESTAMP)`).
+  /** The events table ships with whatever timestamp layout the generator
+    * chose: parquet TIMESTAMP(NANOS) reads as a nanosecond long
+    * (spark.sql.legacy.parquet.nanosAsLong), plain `timestamp[us]` reads as
+    * TIMESTAMP/TIMESTAMP_NTZ. Normalize both to the same two columns: raw
+    * nanos (`ts_ns`) and a TimestampType `ts` (matching DuckDB's
+    * `CAST(ts AS TIMESTAMP)`; session TZ is UTC so NTZ→LTZ is identity).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(load(spark, sfDir, "events"))
+
+  private[graft] def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw.withColumn("ts_ns", col("ts").cast("long"))
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * 1000L)
+          .withColumn("ts", col("ts").cast("timestamp"))
     }
+  }
+
+  /** Streaming read of the events parquet with the SAME ts normalization as
+    * the batch [[events]] loader — the schema is taken from the parquet
+    * footer instead of being hardcoded, so a layout change in the testdata
+    * cannot silently desynchronize batch and streaming semantics.
+    */
+  def eventsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val batchSchema = load(spark, sfDir, "events").schema
+    val stream = spark.readStream.schema(batchSchema)
+      .option("basePath", sfDir)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    normalizeEventTs(stream)
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Streaming/temporal operators over the `events` table (SURVEY §2.12).
   *
@@ -65,14 +64,7 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
     import graft.functions.KalmanFilter
 
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema)
-      .option("basePath", sfDir)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = graft.Tables.eventsStreaming(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("value"))
       .as[(Long, Long, Double)]
 
@@ -110,17 +102,10 @@ object EventStreams {
     * Returns the collected result table.
     */
   def streamingTumbling(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // file streaming sources want a directory; point basePath at the sf dir
-    // and glob the single events file
-    val stream = spark.readStream.schema(schema)
-      .option("basePath", sfDir)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // file streaming sources want a directory; Tables.eventsStreaming points
+    // basePath at the sf dir, globs the single events file, and applies the
+    // same ts normalization as the batch loader
+    val stream = graft.Tables.eventsStreaming(spark, sfDir)
     val agg = stream
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -108,17 +108,12 @@ object TemporalPatterns {
       queryName: String, cfg: Config = Config()): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
-    import org.apache.spark.sql.types._
 
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema)
-      .option("basePath", sfDir).option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      // nanos → seconds; hour/day-of-week derived UTC like the batch path
-      .select(col("user_id"), (col("ts") / 1000000000L).cast("long").as("s"))
+    // epoch seconds from the normalized nanos column (the loader handles
+    // both the TIMESTAMP(NANOS)-as-long and timestamp[us] parquet layouts);
+    // hour/day-of-week derived UTC like the batch path
+    val stream = graft.Tables.eventsStreaming(spark, sfDir)
+      .select(col("user_id"), (col("ts_ns") / 1000000000L).cast("long").as("s"))
       .as[(Long, Long)]
 
     // state: (hour histogram [24], weekday histogram [7], recent-second
