@@ -43,9 +43,13 @@ object GraphXAlgos {
         // hash-partitioned BEFORE persisting: the LPA iteration joins this
         // against an identically-partitioned label RDD every round, so the
         // (large) adjacency never reshuffles — only the (small) per-round
-        // vote messages do
+        // vote messages do. Width is derived SEPARATELY from the ctx edge
+        // width: the per-round vote join+tally does real work per row, so
+        // it wants all cores busy (finer target), while Pregel supersteps
+        // want few fat partitions (launch overhead × ~20 rounds).
         val part = new org.apache.spark.HashPartitioner(
-          math.max(1, edges.getNumPartitions))
+          GraphXAlgos.widthFor(2L * edges.count(), // both orientations
+            edges.sparkContext.defaultParallelism, GraphXAlgos.AdjEdgesPerPartition))
         val rdd = edges
           .flatMap { e =>
             val ew = if (w) e.attr._2 else e.attr._1
@@ -112,7 +116,7 @@ object GraphXAlgos {
     * shared by the algorithm family AND the [[BfsRdd]] path queries, so one
     * build (pre-warmed by the bench) serves both.
     */
-  private[algos] def ctxFor(g: PropertyGraph, relTypes: Seq[String]): Ctx = {
+  private[graft] def ctxFor(g: PropertyGraph, relTypes: Seq[String]): Ctx = {
     val inner = cache.synchronized {
       var m = cache.get(g)
       if (m == null) { m = new ConcurrentHashMap[String, Ctx](); cache.put(g, m) }
@@ -121,6 +125,33 @@ object GraphXAlgos {
     val key = if (relTypes.isEmpty) "*" else relTypes.distinct.sorted.mkString("|")
     inner.computeIfAbsent(key, _ => build(g, relTypes))
   }
+
+  /** Contracted edges per partition the ctx aims for. ~128k edge tuples is
+    * a few MB per partition — big enough that Pregel superstep task-launch
+    * overhead stays negligible (the sf0.1 full graph, ~1.3M pairs, gets ~11
+    * partitions; fixture-sized projections collapse to one), small enough
+    * that a partition never threatens executor memory. A fixed session
+    * width here was the round-5 regression: every superstep on a tiny graph
+    * paid 32 task launches (wcc_star 0.45 → 11.8 s), and a too-small target
+    * re-creates it from the other side (width cap → 64 tiny tasks).
+    */
+  private[graft] val EdgesPerPartition = 131072L
+
+  /** Finer width target for the LPA/Louvain undirected adjacency: its
+    * per-round join+tally is compute-bound per row (not launch-bound like
+    * Pregel supersteps), so ~32k rows per partition keeps every core busy
+    * on the sf0.1 CONTAINS graph while fixtures still collapse to 1.
+    */
+  private[graft] val AdjEdgesPerPartition = 32768L
+
+  /** Partition width for a ctx holding `nEdges` contracted edges: scales
+    * with DATA SIZE, clamped to [1, 2·defaultParallelism]. At cluster scale
+    * the cap dominates (width = cores-derived, the right ceiling); on small
+    * projections the data term dominates (no fixed-width tiny-task tax).
+    */
+  private[graft] def widthFor(nEdges: Long, defaultPar: Int,
+      target: Long = EdgesPerPartition): Int =
+    math.max(1L, math.min(2L * defaultPar, nEdges / target + 1)).toInt
 
   private def build(g: PropertyGraph, relTypes: Seq[String]): Ctx = {
     val es = g.edgesByTypes(relTypes)
@@ -134,24 +165,27 @@ object GraphXAlgos {
       case _ => es.select(col("src").as("id"))
         .union(es.select(col("dst").as("id"))).distinct()
     }
+    // one map-side-combined count pass sizes the whole ctx: every
+    // downstream width — translation joins, edge RDD, Pregel supersteps,
+    // LPA adjacency — derives from it instead of a data-blind constant
+    val par = widthFor(es.count(), g.nodes.sparkSession.sparkContext.defaultParallelism)
+    val hp = new org.apache.spark.HashPartitioner(par)
     val dict = endpoints.rdd.map(_.getString(0)).zipWithIndex()
+      .partitionBy(hp) // co-partitioned with both translation joins
       .persist(StorageLevel.MEMORY_AND_DISK)
     dict.count() // pin before reuse: zipWithIndex must evaluate exactly once
-    // run the translation joins at the session parallelism: the parquet-
-    // derived RDDs arrive with ~#input-files partitions (10 at sf0.1),
-    // which would cap EVERY downstream GraphX stage — Pregel rounds, LPA
-    // shuffles — at that width regardless of core count
-    val par = math.max(g.nodes.sparkSession.sparkContext.defaultParallelism,
-      es.rdd.getNumPartitions)
     val edgeRdd = es.rdd
       .map(r => (r.getString(0), (r.getString(1), r.getDouble(2), r.getDouble(3))))
-      .join(dict, par)
+      .join(dict, hp)
       .map { case (_, ((dst, c, w), srcIdx)) => (dst, (srcIdx, c, w)) }
-      .join(dict, par)
+      .join(dict, hp)
       .map { case (_, ((srcIdx, c, w), dstIdx)) => Edge(srcIdx, dstIdx, (c, w)) }
       .persist(StorageLevel.MEMORY_AND_DISK)
     edgeRdd.count()
-    val rev = dict.map(_.swap).persist(StorageLevel.MEMORY_AND_DISK)
+    // rev carries the ctx partitioner so result-decode joins
+    // (vertices ⋈ rev) run at ctx width, not the Catalyst shuffle width
+    val rev = dict.map(_.swap).partitionBy(hp)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     Ctx(dict, rev, edgeRdd)
   }
 

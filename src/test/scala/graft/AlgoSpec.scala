@@ -91,4 +91,19 @@ class AlgoSpec extends AnyFunSuite {
     assert(d("Customer:1") == 0.0)
     assert(d.values.forall(_ >= 0.0))
   }
+
+  test("ctx width is data-derived, not a blanket session width") {
+    import graft.algos.GraphXAlgos
+    // pure-function envelope: tiny → 1, mid → scales, huge → capped
+    assert(GraphXAlgos.widthFor(0L, 32) == 1)
+    assert(GraphXAlgos.widthFor(100000L, 32) == 1)
+    assert(GraphXAlgos.widthFor(1340000L, 32) == 11) // sf0.1 full graph
+    assert(GraphXAlgos.widthFor(Long.MaxValue / 4, 32) == 64)
+    // the sf0.001 SUPPLIES projection is fixture-sized: its ctx must run
+    // at ONE partition — a reintroduced blanket defaultParallelism width
+    // (the round-5 wcc_star 0.45 → 11.8 s regression) turns this red
+    val c = GraphXAlgos.ctxFor(g, Seq("SUPPLIES"))
+    assert(c.edges.getNumPartitions == 1)
+    assert(c.adjByB(false).getNumPartitions == 1)
+  }
 }
