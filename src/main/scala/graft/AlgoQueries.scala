@@ -433,6 +433,11 @@ object AlgoQueries {
              YIELD nodeId, embedding
              WHERE nodeId STARTS WITH 'Order:'
              RETURN nodeId, embedding""")
+          // string-join the vector for the oracle compare: the driver's
+          // pandas canon cannot sort raw array cells (unhashable ndarray)
+          .select(col("nodeId"),
+            array_join(transform(col("embedding"),
+              x => format_string("%.6f", x)), ";").as("embedding"))
       },
       Some("""WITH custs AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_custkey <= 200),
               dims AS (SELECT unnest(generate_series(1, 8)) AS d),
@@ -470,7 +475,8 @@ object AlgoQueries {
                        list_transform(v, x -> CASE WHEN nrm > 0 THEN x / nrm
                                                    ELSE CAST(0.0 AS DOUBLE) END) AS v
                      FROM n1)
-              SELECT 'Order:' || o.o_orderkey AS "nodeId", v1.v AS embedding
+              SELECT 'Order:' || o.o_orderkey AS "nodeId",
+                     array_to_string(list_transform(v1.v, x -> printf('%.6f', x)), ';') AS embedding
               FROM orders o JOIN v1 ON v1.ck = o.o_custkey
               WHERE o.o_custkey <= 200"""),
       "2.11"),
