@@ -347,6 +347,27 @@ object AlgoQueries {
         starFixture(s, d), 3, Some("PLACED"))._1,
       Some(starLpaOracle), "2.11"),
 
+    // GraphX PageRank, hash-checked on the star fixture (the technique
+    // that converted WCC/LPA/Louvain): each order has EXACTLY one in-edge,
+    // so no unordered float summation exists on any row, and 3 iterations
+    // reach the closed form — customer r = 0.15 (no in-edges), order
+    // r = 0.15 + 0.85·(0.15·1/outdeg(customer)), replayed in the same
+    // left-to-right double order. Full-graph pagerank coverage stays on
+    // q_algo_pagerank (DataFrame twin; GraphX/DF agreement spec-asserted).
+    "q_algo_pagerank_graphx" -> GQuery(
+      (s, d) => graft.algos.GraphXAlgos.pageRank(starFixture(s, d), 3,
+        Some("PLACED")),
+      Some("""WITH st AS (SELECT o_custkey AS ck, o_orderkey AS ok
+                          FROM orders WHERE o_custkey <= 1000),
+                   nc AS (SELECT ck, COUNT(*) AS n FROM st GROUP BY ck)
+              SELECT 'Customer:' || ck AS id, CAST(0.15 AS DOUBLE) AS r FROM nc
+              UNION ALL
+              SELECT 'Order:' || st.ok,
+                     CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+                       (CAST(0.15 AS DOUBLE) * CAST(1.0 AS DOUBLE) / nc.n)
+              FROM st JOIN nc USING (ck)"""),
+      "2.11"),
+
     "q_algo_dijkstra" -> GQuery(
       (s, d) => Algorithms.dijkstra(GraphQueries.graph(s, d), "Customer:1", 2),
       Some("""SELECT id, dist FROM (

@@ -361,11 +361,5 @@ object ProcQueries {
           .select(col("n_nationkey"), col("n_name"))
         PackStream.parseRecords(PackStream.records(res), res.schema)
       },
-      Some("SELECT n_nationkey, n_name FROM nation"), "3.2"),
-
-    // GraphX PageRank variant — rows-only (normalization differs slightly
-    // from the DataFrame formula for dangling mass; spec checks agreement)
-    "q_algo_pagerank_graphx" -> GQuery(
-      (s, d) => graft.algos.GraphXAlgos.pageRank(GraphQueries.graph(s, d), 3),
-      None, "2.11"))
+      Some("SELECT n_nationkey, n_name FROM nation"), "3.2"))
 }

@@ -284,8 +284,9 @@ object GraphXAlgos {
     * edges) as aggregateMessages rounds on the contracted graph.
     * Returns (id, r).
     */
-  def pageRank(g: PropertyGraph, iters: Int): DataFrame = {
-    val c = ctx(g, None)
+  def pageRank(g: PropertyGraph, iters: Int,
+      relType: Option[String] = None): DataFrame = {
+    val c = ctx(g, relType)
     val base = Graph.fromEdges(c.edges.map(e => Edge(e.srcId, e.dstId, e.attr._1)), 0.0,
       StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
     val outW = base.aggregateMessages[Double](t => t.sendToSrc(t.attr), _ + _)

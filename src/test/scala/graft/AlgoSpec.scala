@@ -92,6 +92,18 @@ class AlgoSpec extends AnyFunSuite {
     assert(d.values.forall(_ >= 0.0))
   }
 
+  test("GraphX pagerank agrees with the DataFrame variant on the star fixture") {
+    val fix = graft.graph.PropertyGraph(g.nodes,
+      g.edgesByType("PLACED")
+        .filter(split(col("src"), ":").getItem(1).cast("long") <= 1000L))
+    val gx = graft.algos.GraphXAlgos.pageRank(fix, 3, Some("PLACED")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val df = Algorithms.pageRank(fix, 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gx.nonEmpty)
+    gx.foreach { case (id, r) => assert(math.abs(df(id) - r) < 1e-9, id) }
+  }
+
   test("ctx width is data-derived, not a blanket session width") {
     import graft.algos.GraphXAlgos
     // pure-function envelope: tiny → 1, mid → scales, huge → capped
