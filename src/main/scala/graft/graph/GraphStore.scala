@@ -26,6 +26,24 @@ object GraphStore {
   def currentOption: Option[GraphStore] = Option(cur.get)
   def currentStore: GraphStore = currentOption.getOrElse(
     throw new IllegalStateException("no GraphStore constructed in this JVM"))
+
+  /** Restore a store from a [[GraphStore.persist]] directory — the read
+    * side of the reference's snapshot recovery (`pkg/storage/
+    * wal_engine.go:28-45` loads WAL + snapshot on open). Embedding side
+    * tables are optional so pre-persist directories stay readable.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String,
+      registerGlobal: Boolean = true): GraphStore = {
+    val store = new GraphStore(PropertyGraph(
+      spark.read.parquet(s"$dir/nodes"),
+      spark.read.parquet(s"$dir/edges")), registerGlobal)
+    def opt(p: String): Option[DataFrame] =
+      if (new java.io.File(s"$dir/$p").exists())
+        Some(spark.read.parquet(s"$dir/$p")) else None
+    store.nodeEmbs = opt("node_embeddings")
+    store.relEmbs = opt("rel_embeddings")
+    store
+  }
 }
 
 final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
@@ -332,5 +350,23 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
     setRelationshipVectorProperties(spark.range(1).select(
       lit(relId).as("entity_id"), lit(name).as("name"),
       array(vec.map(lit(_)): _*).as("embedding")))
+  }
+
+  /** Durable snapshot write-back — the Spark-native form of the
+    * reference's WAL + snapshot persistence (`pkg/storage/
+    * wal_engine.go:28-45`): the current version's nodes/edges and both
+    * named-embedding side tables are committed as Parquet under `dir`,
+    * and [[GraphStore.load]] reopens them in a fresh session. This is a
+    * FULL snapshot commit (the streaming upsert's foreachBatch models the
+    * incremental Delta-MERGE shape); at 100 TB the same call writes
+    * partitioned Parquet through the cluster writers — no driver
+    * collect anywhere on the path.
+    */
+  def persist(dir: String): Unit = {
+    val g = current
+    g.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
+    g.edges.write.mode("overwrite").parquet(s"$dir/edges")
+    nodeEmbeddings.write.mode("overwrite").parquet(s"$dir/node_embeddings")
+    relEmbeddings.write.mode("overwrite").parquet(s"$dir/rel_embeddings")
   }
 }

@@ -146,4 +146,23 @@ class DdlTxSpec extends AnyFunSuite {
     // only the concurrent write survives
     assert(s.snapshot.nodes.collect().map(_.getAs[String]("name")).toSeq == Seq("X"))
   }
+
+  test("persist writes a snapshot that a fresh store loads back identically") {
+    val s = new GraphStore(GraphQueries.graph(spark, sf), registerGlobal = false)
+    CypherWrite.execute(s, "CREATE (a:Persisted {key: 424242, name: 'Durable'})")
+    s.setNodeVectorProperty("Customer:1", "emb", Seq(0.1, 0.2, 0.3))
+    val dir = java.nio.file.Files.createTempDirectory("graft-persist").toString
+    s.persist(dir)
+    val re = GraphStore.load(spark, dir, registerGlobal = false)
+    assert(re.snapshot.nodes.count() == s.snapshot.nodes.count())
+    assert(re.snapshot.edges.count() == s.snapshot.edges.count())
+    def idHash(st: GraphStore): Long = st.snapshot.nodes
+      .agg(expr("bit_xor(xxhash64(id))")).collect()(0).getLong(0)
+    assert(idHash(re) == idHash(s))
+    assert(re.snapshot.nodes.filter(array_contains(col("labels"), "Persisted"))
+      .count() == 1)
+    assert(re.nodeEmbeddings.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getSeq[Double](2))).toSet ==
+      Set(("Customer:1", "emb", Seq(0.1, 0.2, 0.3))))
+  }
 }
