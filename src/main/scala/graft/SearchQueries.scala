@@ -203,6 +203,21 @@ object SearchQueries {
       },
       Some(VectorSearch.bruteTopKExactOracle(0L, 10, 64)), "2.11"),
 
+    // TEXT query through the vector CALL surface (the reference embeds
+    // query text server-side, search.go:851ff via pkg/embed; the
+    // disclosed TextEmbed hash-projection stands in) — the oracle replays
+    // the whole projection + DECIMAL cosine in SQL
+    "q_cypher_call_search_text" -> GQuery(
+      (s, d) => {
+        graft.search.SearchIndexes.registerVector(graft.search.SearchIndexes.VectorIdx(
+          "emb64", () => Tables.embeddings(s, d), "vec_id", "embedding", "DATASET"))
+        graft.cypher.Cypher.run(GraphQueries.graph(s, d),
+          """CALL db.index.vector.queryNodes('emb64', 10, 'graph vector search engine')
+             YIELD node, score
+             RETURN node AS vec_id, score AS cos_sim""")
+      },
+      Some(VectorSearch.textTopKOracle("graph vector search engine", 10, 64)), "2.11"),
+
     // db.index.fulltext.queryNodes over a documents-backed index — same
     // BM25 pipeline and oracle as q_bm25_topk
     "q_cypher_call_fulltext" -> GQuery(

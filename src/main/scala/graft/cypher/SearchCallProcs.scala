@@ -40,6 +40,15 @@ object SearchCallProcs {
     case other => throw new IllegalArgumentException(
       s"expected a numeric list for the query vector, got $other")
   }
+  /** Query-vector argument: a numeric list, or TEXT — the reference
+    * embeds text queries server-side before the vector scan
+    * (`search.go:851ff` via `pkg/embed`); here the disclosed
+    * [[graft.functions.TextEmbed]] hash-projection stands in.
+    */
+  private def queryVecOf(v: Any): Seq[Double] = v match {
+    case s: String => graft.functions.TextEmbed.embed(s)
+    case other => asVec(other)
+  }
   private def asStrList(v: Any): Seq[String] = v match {
     case s: Seq[_] => s.map(_.toString)
     case s: String => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -244,13 +253,13 @@ object SearchCallProcs {
     "db.index.vector.querynodes" -> ((g, args) => {
       val c = cfg(args.drop(3))
       vQuery(SearchIndexes.vector(args(0).toString),
-        args(1).toString.toDouble.toInt, asVec(args(2)), "node",
+        args(1).toString.toDouble.toInt, queryVecOf(args(2)), "node",
         cfgLabelIds(g, c), cfgMinScore(c))
     }),
     "db.index.vector.queryrelationships" -> ((g, args) => {
       val c = cfg(args.drop(3))
       vQuery(SearchIndexes.vector(args(0).toString),
-        args(1).toString.toDouble.toInt, asVec(args(2)), "relationship",
+        args(1).toString.toDouble.toInt, queryVecOf(args(2)), "relationship",
         None, cfgMinScore(c))
     }),
     "db.index.fulltext.querynodes" -> ((g, args) => {

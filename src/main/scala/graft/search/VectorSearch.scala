@@ -82,6 +82,45 @@ object VectorSearch {
         SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 12) AS cos_sim
         FROM comp ORDER BY cos_sim DESC, vec_id LIMIT $k"""
 
+  /** Full SQL replay of a TEXT query through [[topKExactLit]]: the
+    * [[graft.functions.TextEmbed]] hash-projection (FNV-1a fold per
+    * token → parity-signed bucket counts → l2-normalize, every float op
+    * in the same order) followed by the DECIMAL-routed cosine top-k.
+    * ASCII query texts only (the SQL fold hashes characters by
+    * codepoint, the Scala impl by UTF-8 byte — identical below 0x80).
+    */
+  def textTopKOracle(query: String, k: Int, dim: Int): String =
+    s"""WITH toks AS (SELECT unnest(string_split(lower('$query'), ' ')) AS t),
+        hv AS (SELECT list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                 list_transform(string_split(t, ''), c -> CAST(ord(c) AS UBIGINT))),
+                 (h, c) -> CAST(CAST(xor(h, c) AS HUGEINT) * 1099511628211
+                   % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT)) AS u
+               FROM toks WHERE t <> ''),
+        contrib AS (SELECT
+            ((CAST(CASE WHEN u >= 9223372036854775808
+                THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+                ELSE CAST(u AS BIGINT) END AS BIGINT) % $dim) + $dim) % $dim AS b,
+            CASE WHEN u % 2 = 0 THEN CAST(1.0 AS DOUBLE)
+                 ELSE CAST(-1.0 AS DOUBLE) END AS s
+          FROM hv),
+        dims AS (SELECT unnest(generate_series(0, ${dim - 1})) AS d),
+        raw AS (SELECT d, COALESCE(SUM(s), CAST(0.0 AS DOUBLE)) AS x
+                FROM dims LEFT JOIN contrib ON contrib.b = dims.d GROUP BY d),
+        vl AS (SELECT list(x ORDER BY d) AS v FROM raw),
+        nr AS (SELECT v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(v, x -> x * x)), (a, b) -> a + b)) AS n FROM vl),
+        q AS (SELECT CASE WHEN n > 0 THEN list_transform(v, x -> x / n)
+                     ELSE v END AS qe FROM nr),
+        comp AS (
+          SELECT e.vec_id,
+            CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * q.qe[i] AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+            CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na2,
+            CAST(SUM(CAST(q.qe[i] * q.qe[i] AS DECIMAL(38,18))) AS DOUBLE) AS nb2
+          FROM embeddings e CROSS JOIN q CROSS JOIN generate_series(1, $dim) t(i)
+          GROUP BY e.vec_id)
+        SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 12) AS cos_sim
+        FROM comp ORDER BY cos_sim DESC, vec_id LIMIT $k"""
+
   /** nBits-bit signature string for hash table `table`:
     * char_p = sign(Σ_i v_i · plane_{t,p,i}). One codegen'd JVM loop
     * ([[graft.functions.LshSignatureExpr]]) — bit-identical to the SQL

@@ -257,4 +257,33 @@ class SearchCallSpec extends AnyFunSuite {
       assert(topo >= 0.0 && topo <= 1.0)
     }
   }
+
+  test("TextEmbed: column form agrees with the driver form; unit norm; " +
+      "text query flows through the vector CALL") {
+    import graft.functions.{HashExprs, TextEmbed}
+    HashExprs.ensure(spark)
+    val texts = Seq("Graph Vector Search engine", "the quick brown fox", "", "one")
+    import spark.implicits._
+    val got = texts.toDF("t").select(TextEmbed.embedCol(col("t")).as("v"))
+      .collect().map(_.getSeq[Double](0))
+    texts.zip(got).foreach { case (t, v) =>
+      assert(v == TextEmbed.embed(t), s"embedCol mismatch for '$t'")
+    }
+    // non-empty texts are unit-normalized
+    got.zip(texts).filter(_._2.nonEmpty).foreach { case (v, _) =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-12)
+    }
+    // text query accepted by the CALL surface, equal to passing the
+    // projection explicitly as a vector
+    SearchIndexes.registerVector(SearchIndexes.VectorIdx(
+      "emb64_spec", () => Tables.embeddings(spark, sf), "vec_id", "embedding", "DATASET"))
+    val byText = Cypher.run(g,
+      """CALL db.index.vector.queryNodes('emb64_spec', 5, 'quick brown fox')
+         YIELD node, score RETURN node, score""").collect().toSeq
+    val byVec = Cypher.run(g,
+      """CALL db.index.vector.queryNodes('emb64_spec', 5, $qv)
+         YIELD node, score RETURN node, score""",
+      Map("qv" -> TextEmbed.embed("quick brown fox"))).collect().toSeq
+    assert(byText == byVec && byText.size == 5)
+  }
 }
