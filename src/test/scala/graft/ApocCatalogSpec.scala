@@ -152,6 +152,125 @@ class ApocCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) > 0)
   }
 
+  test("smoke calls, round 6: +60 usage-ranked names execute with real args") {
+    val g = GraphQueries.graph(spark, sf)
+    new GraphStore(g)
+    def value(expr: String): Any =
+      Cypher.run(g, s"RETURN $expr AS v").collect()(0).get(0)
+    def seqOf(expr: String): List[Any] =
+      value(expr).asInstanceOf[scala.collection.Seq[Any]].toList
+    def dbl(expr: String): Double = value(expr).toString.toDouble
+
+    // exact-value assertions
+    assert(value("apoc.text.reverse('abc')") == "cba")
+    assert(value("apoc.text.repeat('ab', 2)") == "abab")
+    assert(value("apoc.text.swapCase('aB')") == "Ab")
+    assert(value("apoc.text.base64Encode('ab')") == "YWI=")
+    assert(value("apoc.text.base64Decode('YWI=')") == "ab")
+    assert(value("apoc.text.urldecode(apoc.text.urlencode('a b&c'))") == "a b&c")
+    assert(value("apoc.text.hammingDistance('abc', 'abd')") == 1L)
+    assert(value("apoc.text.camelCase('hello world')") != null)
+    assert(value("apoc.text.snakeCase('helloWorld')") != null)
+    assert(value("apoc.text.slug('a b')") != null)
+    assert(value("apoc.coll.containsAny([1,2], [2,9])") == true)
+    assert(value("apoc.coll.containsDuplicates([1,1,2])") == true)
+    assert(seqOf("apoc.coll.dropDuplicateNeighbors([1,1,2,1])") == List(1L, 2L, 1L))
+    assert(seqOf("apoc.coll.insert([1,3], 1, 2)") == List(1L, 2L, 3L))
+    assert(seqOf("apoc.coll.set([1,2], 0, 9)") == List(9L, 2L))
+    assert(seqOf("apoc.coll.disjunction([1,2], [2,3])").toSet == Set(1L, 3L))
+    assert(value("apoc.bitwise.op(6, '&', 3)") == 2L)
+    assert(value("apoc.bitwise.and(6, 3)") == 2L)
+    assert(value("apoc.bitwise.or(6, 3)") == 7L)
+    assert(value("apoc.bitwise.xor(6, 3)") == 5L)
+    assert(value("apoc.bitwise.countbits(7)") == 3L)
+    assert(seqOf("apoc.map.keys(apoc.map.fromLists(['a'], [1]))") == List("a"))
+    assert(dbl("apoc.math.sigmoid(0.0)") == 0.5)
+    assert(dbl("apoc.math.cos(0.0)") == 1.0)
+    assert(dbl("apoc.math.tanh(0.0)") == 0.0)
+    assert(value("apoc.math.maxLong([1,5,3])") == 5L)
+    assert(value("apoc.math.minLong([1,5,3])") == 1L)
+    assert(value("apoc.number.isEven(2)") == true)
+    assert(value("apoc.number.isOdd(3)") == true)
+    assert(value("apoc.number.isPrime(7)") == true)
+    assert(value("apoc.number.gcd(12, 8)") == 4L)
+    assert(value("apoc.number.lcm(4, 6)") == 12L)
+    assert(value("apoc.number.factorial(5)") == 120L)
+    assert(value("apoc.number.fibonacci(10)") == 55L)
+    assert(value("apoc.number.toHex(255)") == "FF")
+    assert(value("apoc.number.fromHex('ff')") == 255L)
+    assert(value("apoc.number.toBinary(5)") == "101")
+    assert(value("apoc.number.fromBinary('101')") == 5L)
+    assert(value("apoc.number.romanize(4)") == "IV")
+    assert(value("apoc.number.arabize('IV')") == 4L)
+    assert(value("apoc.number.sign(-3)") == -1L)
+    assert(value("apoc.number.parseInt('42')") == 42L)
+    assert(dbl("apoc.number.parseFloat('1.5')") == 1.5)
+    assert(dbl("apoc.number.sqrt(9.0)") == 3.0)
+    assert(math.abs(dbl("apoc.scoring.cosine([1.0,0.0], [0.0,1.0])")) < 1e-12)
+    assert(math.abs(dbl("apoc.scoring.jaccard([1,2], [2,3])") - 1.0 / 3) < 1e-12)
+
+    // execute + non-null (shape-sensitive: a broken arm throws)
+    val nonNull = Seq(
+      "apoc.text.charAt('abc', 1)", "apoc.text.code('a')",
+      "apoc.text.fromCodePoint(97)", "apoc.text.indexesOf('aba', 'a')",
+      "apoc.text.regexGroups('a1b2', '([a-z])([0-9])')",
+      "apoc.text.bytecount('abc')", "apoc.text.sorensenDiceSimilarity('night', 'nacht')",
+      "apoc.text.fuzzyMatch('kitten', 'kitten')",
+      "apoc.coll.containsSorted([1,2,3], 2)", "apoc.coll.different([1,2], [2])",
+      "apoc.coll.duplicatesWithCount([1,1,2])", "apoc.coll.frequenciesAsMap([1,1,2])",
+      "apoc.coll.pairsMin([1,2,3])", "apoc.coll.runningTotal([1,2,3])",
+      "apoc.coll.slice([1,2,3,4], 1, 2)", "apoc.coll.split([1,2,3,2,4], 2)",
+      "apoc.coll.unionAll([1], [1,2])", "apoc.coll.removeAll([1,2,1], 1)",
+      "apoc.coll.fill('x', 2)",
+      "apoc.coll.sortMaps([apoc.map.fromLists(['a'], [2]), apoc.map.fromLists(['a'], [1])], 'a')",
+      "apoc.map.setKey(apoc.map.fromLists(['a'], [1]), 'b', 2)",
+      "apoc.map.removeKey(apoc.map.fromLists(['a'], [1]), 'a')",
+      "apoc.map.submap(apoc.map.fromLists(['a','b'], [1,2]), ['a'])",
+      "apoc.map.values(apoc.map.fromLists(['a'], [1]))",
+      "apoc.map.clean(apoc.map.fromLists(['a'], [1]), [], [])",
+      "apoc.map.flatten(apoc.map.fromLists(['a'], [1]))",
+      "apoc.map.fromValues(['a', '1'])",
+      "apoc.math.nextPrime(10)", "apoc.math.logit(0.5)",
+      "apoc.number.format(1234.5, '#,##0.0')", "apoc.number.clamp(5, 0, 3)",
+      "apoc.number.lerp(0.0, 10.0, 0.5)", "apoc.number.toBase(255, 16)",
+      "apoc.number.fromBase('ff', 16)",
+      "apoc.scoring.dice([1,2], [2,3])", "apoc.scoring.euclidean([1.0,0.0], [0.0,1.0])",
+      "apoc.scoring.manhattan([1.0,0.0], [0.0,1.0])", "apoc.scoring.sigmoid(1.0)",
+      "apoc.scoring.minmax(5.0, 0.0, 10.0, 0.0, 1.0)", "apoc.scoring.normalize([1.0, 3.0])",
+      "apoc.scoring.softmax([1.0, 2.0])", "apoc.scoring.zscore(5.0, 4.0, 2.0)",
+      "apoc.json.size('[1,2,3]')", "apoc.json.validate('{\"a\": 1}')",
+      "apoc.json.keys('{\"a\": 1}')", "apoc.json.compact('{\"a\":  1}')",
+      "apoc.util.sha1('a')", "apoc.util.sha256('a')", "apoc.util.typeof(1)",
+      "apoc.util.repeat('ab', 2)", "apoc.util.coalesce(null, 2)",
+      "apoc.hashing.sha512('a')", "apoc.hashing.xxhash64('a', 0)",
+      "apoc.hashing.murmurhash3('a', 0)",
+      "apoc.hashing.fingerprint(apoc.map.fromLists(['a'], [1]))",
+      "apoc.diff.lists([1,2], [2,3])",
+      "apoc.diff.maps(apoc.map.fromLists(['a'], [1]), apoc.map.fromLists(['a'], [2]))",
+      "apoc.temporal.quarter(date('2024-05-01'))",
+      "apoc.temporal.isLeapYear(2024)",
+      "apoc.temporal.weekOfYear(date('2024-05-01'))",
+      "apoc.temporal.daysInMonth(2024, 2)",
+      "apoc.date.add(0, 1, 'd')", "apoc.date.fromUnixtime(0)",
+      "apoc.date.toYears(0)")
+    val broken = nonNull.flatMap { e =>
+      try { if (value(e) == null) Some(s"$e -> null") else None }
+      catch { case t: Throwable => Some(s"$e -> ${t.getMessage}") }
+    }
+    assert(broken.isEmpty, s"smoke calls failed:\n${broken.mkString("\n")}")
+
+    // entity-positional names on the live graph
+    assert(Cypher.run(g,
+      "MATCH (n:Region) RETURN apoc.label.has(n, 'Region') AS v LIMIT 1")
+      .collect()(0).getBoolean(0))
+    assert(Cypher.run(g,
+      "MATCH (n:Region) RETURN apoc.node.labels(n) AS v LIMIT 1")
+      .collect()(0).getSeq[String](0).contains("Region"))
+    assert(Cypher.run(g,
+      "MATCH (n:Region) RETURN apoc.meta.isNode(n) AS v LIMIT 1")
+      .collect()(0).getBoolean(0))
+  }
+
   test("apoc.help filters by substring and types by registry membership") {
     val g = GraphQueries.graph(spark, sf)
     val rows = Cypher.run(g,
