@@ -8,7 +8,163 @@ import graft.operators.{Dedup, Multimodal, TextAnalysis}
   */
 object PipelineQueries {
 
+  /** DuckDB replay of one [[graft.operators.ChunkImpls.chunkText]] step's
+    * boundary scan for a source yielding (doc_id, text, L, ci, s):
+    * e0 = min(s+size, L); when the window is not final, prefer the LAST
+    * paragraph / sentence / word break past size/2 (embed_queue.go:870-884).
+    * lastIndexOf(c, pat) = len(c) − strpos(reverse(c), reverse(pat)) −
+    * len(pat) + 1, or −1 when absent.
+    */
+  private def chunkBoundary(src: String, size: Int, overlap: Int): String = {
+    val mid = size / 2
+    s"""SELECT doc_id, L, ci, s,
+          CASE WHEN e0 >= L THEN e0
+               WHEN ip > $mid THEN s + ip
+               WHEN isx > $mid THEN s + isx + 1
+               WHEN iw > $mid THEN s + iw
+               ELSE e0 END AS e
+        FROM (
+          SELECT doc_id, L, ci, s, e0,
+            CASE WHEN rp_p = 0 THEN -1 ELSE cl - rp_p - 1 END AS ip,
+            CASE WHEN rp_s = 0 THEN -1 ELSE cl - rp_s - 1 END AS isx,
+            CASE WHEN rp_w = 0 THEN -1 ELSE cl - rp_w END AS iw
+          FROM (
+            SELECT doc_id, L, ci, s, e0, length(c) AS cl,
+              strpos(reverse(c), reverse(chr(10) || chr(10))) AS rp_p,
+              strpos(reverse(c), reverse('. ')) AS rp_s,
+              strpos(reverse(c), ' ') AS rp_w
+            FROM (
+              SELECT doc_id, L, ci, s,
+                least(s + $size, L) AS e0, substr(text, s + 1, $size) AS c
+              FROM ($src) src0) l1) l2) l3"""
+  }
+
+  /** Full recursive-CTE replay of the chunk table: base window at s=0,
+    * then advance by (e − overlap) while the Go loop would continue —
+    * including its tail-overlap re-emit for multi-window texts; texts of
+    * one window never recurse (the early return at embed_queue.go:857).
+    */
+  private def chunkCte(size: Int, overlap: Int): String =
+    s"""WITH RECURSIVE ch(doc_id, L, ci, s, e) AS (
+          SELECT doc_id, L, ci, s, e FROM (
+            ${chunkBoundary(
+              s"SELECT doc_id, text, length(text) AS L, 0 AS ci, 0 AS s FROM documents",
+              size, overlap)}) base
+          UNION ALL
+          SELECT doc_id, L, ci, s, e FROM (
+            ${chunkBoundary(
+              s"""SELECT d.doc_id, d.text, ch.L, ch.ci + 1 AS ci,
+                    CASE WHEN ch.e - $overlap <= ch.s THEN ch.e
+                         ELSE ch.e - $overlap END AS s
+                  FROM ch JOIN documents d USING (doc_id)
+                  WHERE ch.L > $size
+                    AND (CASE WHEN ch.e - $overlap <= ch.s THEN ch.e
+                              ELSE ch.e - $overlap END) < ch.L""",
+              size, overlap)}) step
+        )"""
+
+  /** FNV-1a 64 fold over a token column `t` (the minhash/fastrp replay
+    * technique: UBIGINT xor-multiply mod 2^64 per character).
+    */
+  private val fnvFold =
+    """list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+         list_transform(string_split(t, ''), c -> CAST(ord(c) AS UBIGINT))),
+         (h, c) -> CAST(CAST(xor(h, c) AS HUGEINT) * 1099511628211
+           % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT))"""
+
+  /** Replay of [[graft.operators.Chunker.searchChunks]]: recursive chunk
+    * CTE → per-chunk TextEmbed projection → DECIMAL dot vs the query
+    * projection → best chunk per doc (max by (score, chunk_id)) → top-k.
+    */
+  private def chunkSearchOracle(query: String, k: Int, size: Int,
+      overlap: Int, dim: Int): String =
+    s"""${chunkCte(size, overlap)},
+        chunks AS (
+          SELECT ch.doc_id,
+                 CAST(ch.doc_id AS VARCHAR) || '-chunk-' || ch.ci AS chunk_id,
+                 substr(d.text, ch.s + 1, ch.e - ch.s) AS chunk
+          FROM ch JOIN documents d USING (doc_id)),
+        ctoks AS (
+          SELECT chunk_id, doc_id, unnest(string_split(lower(chunk), ' ')) AS t
+          FROM chunks),
+        chv AS (SELECT chunk_id, doc_id, $fnvFold AS u FROM ctoks WHERE t <> ''),
+        csum AS (
+          SELECT chunk_id, doc_id,
+            ((CAST(CASE WHEN u >= 9223372036854775808
+                THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+                ELSE CAST(u AS BIGINT) END AS BIGINT) % $dim) + $dim) % $dim AS b,
+            SUM(CASE WHEN u % 2 = 0 THEN CAST(1.0 AS DOUBLE)
+                     ELSE CAST(-1.0 AS DOUBLE) END) AS x
+          FROM chv GROUP BY 1, 2, 3),
+        dims AS (SELECT unnest(generate_series(0, ${dim - 1})) AS dd),
+        raw AS (
+          SELECT g.chunk_id, g.doc_id, g.dd,
+                 COALESCE(su.x, CAST(0.0 AS DOUBLE)) AS x
+          FROM (SELECT c.chunk_id, c.doc_id, dims.dd
+                FROM chunks c CROSS JOIN dims) g
+          LEFT JOIN csum su ON su.chunk_id = g.chunk_id AND su.b = g.dd),
+        vl AS (SELECT chunk_id, doc_id, list(x ORDER BY dd) AS v
+               FROM raw GROUP BY 1, 2),
+        nr AS (SELECT chunk_id, doc_id, v,
+                 sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(v, x -> x * x)), (a, b) -> a + b)) AS n
+               FROM vl),
+        ce AS (SELECT chunk_id, doc_id,
+                 CASE WHEN n > 0 THEN list_transform(v, x -> x / n)
+                      ELSE v END AS emb FROM nr),
+        qtoks AS (SELECT unnest(string_split(lower('$query'), ' ')) AS t),
+        qhv AS (SELECT $fnvFold AS u FROM qtoks WHERE t <> ''),
+        qsum AS (
+          SELECT ((CAST(CASE WHEN u >= 9223372036854775808
+                THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+                ELSE CAST(u AS BIGINT) END AS BIGINT) % $dim) + $dim) % $dim AS b,
+            SUM(CASE WHEN u % 2 = 0 THEN CAST(1.0 AS DOUBLE)
+                     ELSE CAST(-1.0 AS DOUBLE) END) AS x
+          FROM qhv GROUP BY 1),
+        qraw AS (SELECT dims.dd, COALESCE(q.x, CAST(0.0 AS DOUBLE)) AS x
+                 FROM dims LEFT JOIN qsum q ON q.b = dims.dd),
+        qvl AS (SELECT list(x ORDER BY dd) AS v FROM qraw),
+        qnr AS (SELECT v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(v, x -> x * x)), (a, b) -> a + b)) AS n FROM qvl),
+        q AS (SELECT CASE WHEN n > 0 THEN list_transform(v, x -> x / n)
+                     ELSE v END AS qe FROM qnr),
+        score AS (
+          SELECT ce.chunk_id, ce.doc_id,
+            round(CAST(SUM(CAST(ce.emb[i] * q.qe[i] AS DECIMAL(38,18))) AS DOUBLE), 12) AS score
+          FROM ce CROSS JOIN q CROSS JOIN generate_series(1, $dim) t(i)
+          GROUP BY 1, 2),
+        best AS (
+          SELECT doc_id, chunk_id, score,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, chunk_id DESC) AS rn
+          FROM score)
+        SELECT doc_id, chunk_id, score FROM best WHERE rn = 1
+        ORDER BY score DESC, doc_id LIMIT $k"""
+
   val queries: Map[String, GQuery] = Map(
+    // document chunking (embed_queue.go:856; defaults 512/50 scaled to the
+    // synthetic corpus): fixed windows snapped to the last paragraph/
+    // sentence/word break past the midpoint, (end − overlap) stepping,
+    // chunk ids '<id>-chunk-<i>' like the granular index (search.go:690)
+    "q_text_chunks" -> GQuery(
+      (s, d) => graft.operators.Chunker.chunkDocs(
+        Tables.documents(s, d), "text", "doc_id", 128, 16),
+      Some(s"""${chunkCte(128, 16)}
+               SELECT ch.doc_id, ch.ci AS chunk_idx,
+                      CAST(ch.doc_id AS VARCHAR) || '-chunk-' || ch.ci AS chunk_id,
+                      substr(d.text, ch.s + 1, ch.e - ch.s) AS chunk
+               FROM ch JOIN documents d USING (doc_id)"""), "pipeline"),
+
+    // chunk-level search with node-level grouping (search.go:687): every
+    // chunk embedded with the disclosed TextEmbed projection, scored
+    // against the query text's projection, best chunk per doc, top-k.
+    // The oracle replays chunking (recursive CTE) + per-chunk projection
+    // (FNV fold per token) + DECIMAL dot + max-per-doc in one SQL query.
+    "q_text_chunk_search" -> GQuery(
+      (s, d) => graft.operators.Chunker.searchChunks(
+        Tables.documents(s, d), "fast table scan merge", 10, 128, 16),
+      Some(chunkSearchOracle("fast table scan merge", 10, 128, 16, 64)), "pipeline"),
+
     "q_dedup_exact" -> GQuery(
       (s, d) => Dedup.exactGroups(Tables.documents(s, d)),
       Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n FROM documents
