@@ -72,12 +72,11 @@ object PipelineQueries {
          (h, c) -> CAST(CAST(xor(h, c) AS HUGEINT) * 1099511628211
            % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT))"""
 
-  /** Replay of [[graft.operators.Chunker.searchChunks]]: recursive chunk
-    * CTE → per-chunk TextEmbed projection → DECIMAL dot vs the query
-    * projection → best chunk per doc (max by (score, chunk_id)) → top-k.
+  /** Shared CTE chain: chunk table (recursive CTE) → per-chunk TextEmbed
+    * projection — ends at `ce(chunk_id, doc_id, emb)`; oracles append
+    * their own tails.
     */
-  private def chunkSearchOracle(query: String, k: Int, size: Int,
-      overlap: Int, dim: Int): String =
+  private def chunkEmbCte(size: Int, overlap: Int, dim: Int): String =
     s"""${chunkCte(size, overlap)},
         chunks AS (
           SELECT ch.doc_id,
@@ -111,7 +110,15 @@ object PipelineQueries {
                FROM vl),
         ce AS (SELECT chunk_id, doc_id,
                  CASE WHEN n > 0 THEN list_transform(v, x -> x / n)
-                      ELSE v END AS emb FROM nr),
+                      ELSE v END AS emb FROM nr)"""
+
+  /** Replay of [[graft.operators.Chunker.searchChunks]]: the shared chain
+    * → DECIMAL dot vs the query projection → best chunk per doc (max by
+    * (score, chunk_id)) → top-k.
+    */
+  private def chunkSearchOracle(query: String, k: Int, size: Int,
+      overlap: Int, dim: Int): String =
+    s"""${chunkEmbCte(size, overlap, dim)},
         qtoks AS (SELECT unnest(string_split(lower('$query'), ' ')) AS t),
         qhv AS (SELECT $fnvFold AS u FROM qtoks WHERE t <> ''),
         qsum AS (
@@ -164,6 +171,28 @@ object PipelineQueries {
       (s, d) => graft.operators.Chunker.searchChunks(
         Tables.documents(s, d), "fast table scan merge", 10, 128, 16),
       Some(chunkSearchOracle("fast table scan merge", 10, 128, 16, 64)), "pipeline"),
+
+    // the reference's background embed worker (embed_queue.go:509-535) as
+    // a REAL Structured Streaming run: documents stream → exact chunker →
+    // TextEmbed projection → foreachBatch upsert of '<id>-chunk-<i>'
+    // named embeddings into a fresh store. The oracle replays the whole
+    // pipeline (recursive chunk CTE + per-chunk projection) and the
+    // embeddings compare as %.6f strings (arrays are pandas-unhashable)
+    "q_stream_embed_queue" -> GQuery(
+      (s, d) => {
+        val g = GraphQueries.graph(s, d)
+        val store = new graft.graph.GraphStore(
+          graft.graph.PropertyGraph(g.nodes.filter("false"), g.edges.filter("false")),
+          registerGlobal = false)
+        graft.streaming.EmbedQueue.streamingChunkEmbed(s, d, store, 128, 16)
+        store.nodeEmbeddings.select(col("entity_id"), col("name"),
+          array_join(transform(col("embedding"),
+            x => format_string("%.6f", x)), ";").as("emb_str"))
+      },
+      Some(s"""${chunkEmbCte(128, 16, 64)}
+               SELECT chunk_id AS entity_id, 'content' AS name,
+                      array_to_string(list_transform(emb, x -> printf('%.6f', x)), ';') AS emb_str
+               FROM ce"""), "pipeline"),
 
     "q_dedup_exact" -> GQuery(
       (s, d) => Dedup.exactGroups(Tables.documents(s, d)),

@@ -57,6 +57,21 @@ class ChunkerSpec extends AnyFunSuite {
     assert(row.getAs[String]("chunk_id") == s"${row.getAs[Long]("doc_id")}-chunk-1")
   }
 
+  test("embed queue: streaming upsert is idempotent on (entity_id, name)") {
+    val g = GraphQueries.graph(spark, sf)
+    val store = new graft.graph.GraphStore(
+      graft.graph.PropertyGraph(g.nodes.filter("false"), g.edges.filter("false")),
+      registerGlobal = false)
+    graft.streaming.EmbedQueue.streamingChunkEmbed(spark, sf, store, 128, 16)
+    val n1 = store.nodeEmbeddings.count()
+    assert(n1 > 0)
+    // a re-run overwrites the same keys (Delta-MERGE shape), no duplicates
+    graft.streaming.EmbedQueue.streamingChunkEmbed(spark, sf, store, 128, 16)
+    assert(store.nodeEmbeddings.count() == n1)
+    assert(store.nodeEmbeddings
+      .groupBy("entity_id", "name").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("searchChunks: k best docs, one chunk each, scores in [-1, 1] desc") {
     val res = Chunker.searchChunks(Tables.documents(spark, sf),
       "fast table scan merge", 10, 128, 16).collect()
