@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.graph.Expand
-import graft.operators.PathExpand
+import graft.operators.{PathExpand, Retention}
 import graft.search.Eval
 import graft.sources.{Formats, PackStream, ResultJson}
 import OracleSafe._
@@ -361,5 +361,113 @@ object ProcQueries {
           .select(col("n_nationkey"), col("n_name"))
         PackStream.parseRecords(PackStream.records(res), res.schema)
       },
-      Some("SELECT n_nationkey, n_name FROM nation"), "3.2"))
+      Some("SELECT n_nationkey, n_name FROM nation"), "3.2"),
+
+    // retention sweep classification (pkg/retention/retention.go:773-795):
+    // events mapped to compliance categories, a policy per category, one
+    // subject-scoped hold + one expired hold; the verdict histogram is
+    // replayed with the same CASE cascade in DuckDB.
+    "q_retention_classify" -> GQuery(
+      (s, d) =>
+        Retention
+          .classify(RetentionFixture.records(s, d), RetentionFixture.policies,
+            RetentionFixture.holds, RetentionFixture.asOf)
+          .groupBy("category", "action", "reason")
+          .agg(count(lit(1)).as("n")),
+      Some(s"""SELECT category, action, reason, count(*) AS n
+               FROM (${RetentionFixture.classifySql}) GROUP BY 1, 2, 3"""),
+      "2.12"),
+
+    // GDPR Art.17 erasure (retention.go:900-955): erase subject 7's records
+    // except categories under the hold; per-category erased/held counts.
+    "q_retention_erasure" -> GQuery(
+      (s, d) =>
+        Retention
+          .processErasure(RetentionFixture.records(s, d), "7",
+            RetentionFixture.holds, RetentionFixture.asOf)
+          .groupBy("category", "erased", "reason")
+          .agg(count(lit(1)).as("n")),
+      Some(s"""SELECT category,
+                 NOT (category IN ('PII', 'USER')) AS erased,
+                 CASE WHEN category IN ('PII', 'USER')
+                      THEN 'legal hold' ELSE 'erased' END AS reason,
+                 count(*) AS n
+               FROM (${RetentionFixture.recordsSql})
+               WHERE subject_id = '7'
+               GROUP BY 1, 2, 3"""),
+      "2.12"))
+}
+
+/** Deterministic retention scenario over `events` shared by the Spark rows
+  * and their DuckDB replays. Categories derive from event_type; the sweep
+  * instant is fixed mid-range so each reason bucket is populated.
+  */
+object RetentionFixture {
+  import graft.operators.Retention
+
+  val asOf = "2024-01-25 00:00:00"
+
+  /** signup→PII, purchase→FINANCIAL, click→ANALYTICS, view→USER,
+    * error→SYSTEM. */
+  def records(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).select(
+      col("event_id").as("record_id"),
+      col("user_id").cast("string").as("subject_id"),
+      when(col("event_type") === "signup", "PII")
+        .when(col("event_type") === "purchase", "FINANCIAL")
+        .when(col("event_type") === "click", "ANALYTICS")
+        .when(col("event_type") === "view", "USER")
+        .otherwise("SYSTEM").as("category"),
+      col("ts").as("created_at"))
+
+  val policies = Seq(
+    Retention.Policy("analytics-7d", "Analytics", "ANALYTICS", Some(168L)),
+    Retention.Policy("user-14d", "User Data", "USER", Some(336L)),
+    Retention.Policy("pii-20d", "PII", "PII", Some(480L)),
+    Retention.Policy("fin-10d", "Financial", "FINANCIAL", Some(240L), archiveBeforeDelete = true),
+    Retention.Policy("sys-1d", "System", "SYSTEM", Some(24L), active = false))
+
+  val holds = Seq(
+    Retention.LegalHold("hold-matter-1", Seq("7", "11", "13"), Seq("PII", "USER")),
+    Retention.LegalHold("hold-expired", Nil, Seq("ANALYTICS"),
+      expiresAt = Some("2024-01-05 00:00:00")))
+
+  val recordsSql: String =
+    """SELECT event_id AS record_id, CAST(user_id AS VARCHAR) AS subject_id,
+         CASE event_type WHEN 'signup' THEN 'PII' WHEN 'purchase' THEN 'FINANCIAL'
+              WHEN 'click' THEN 'ANALYTICS' WHEN 'view' THEN 'USER'
+              ELSE 'SYSTEM' END AS category,
+         CAST(ts AS TIMESTAMP) AS created_at
+       FROM events"""
+
+  /** The ShouldDelete cascade over [[recordsSql]]: hold-matter-1 is the only
+    * hold active at asOf (hold-expired lapsed 2024-01-05); SYSTEM's policy
+    * is inactive; expiry is the strict `asOf > created_at + hours`. */
+  val classifySql: String =
+    s"""SELECT category,
+          CASE WHEN reason = 'retention period expired'
+               THEN (CASE WHEN category = 'FINANCIAL'
+                          THEN 'ARCHIVE_DELETE' ELSE 'DELETE' END)
+               ELSE 'RETAIN' END AS action,
+          reason
+        FROM (
+          SELECT category,
+            CASE
+              WHEN subject_id IN ('7', '11', '13')
+                   AND category IN ('PII', 'USER') THEN 'under legal hold'
+              WHEN category = 'SYSTEM' THEN 'policy inactive'
+              WHEN category = 'ANALYTICS'
+                   AND TIMESTAMP '$asOf' > created_at + INTERVAL 168 HOUR
+                THEN 'retention period expired'
+              WHEN category = 'USER'
+                   AND TIMESTAMP '$asOf' > created_at + INTERVAL 336 HOUR
+                THEN 'retention period expired'
+              WHEN category = 'PII'
+                   AND TIMESTAMP '$asOf' > created_at + INTERVAL 480 HOUR
+                THEN 'retention period expired'
+              WHEN category = 'FINANCIAL'
+                   AND TIMESTAMP '$asOf' > created_at + INTERVAL 240 HOUR
+                THEN 'retention period expired'
+              ELSE 'within retention period' END AS reason
+          FROM (${recordsSql}))"""
 }

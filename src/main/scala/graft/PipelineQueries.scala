@@ -6,6 +6,25 @@ import graft.operators.{Dedup, Multimodal, TextAnalysis}
 /** LLM-training-data pipeline surface (builder brief): dedup family,
   * text analysis, multimodal plumbing — each over `documents`/`embeddings`.
   */
+/** Shared DuckDB CTE: similarity pairs over embeddings `vec_id < 200` at
+  * threshold 0.25 — the edge set both inference rows build on.
+  */
+object InferPairsSql {
+  val pairs200: String =
+    """e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+      comp AS (
+        SELECT p1.vec_id AS a, p2.vec_id AS b,
+          CAST(SUM(CAST(CAST(p1.embedding[i] AS DOUBLE) * CAST(p2.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+          CAST(SUM(CAST(CAST(p1.embedding[i] AS DOUBLE) * CAST(p1.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na2,
+          CAST(SUM(CAST(CAST(p2.embedding[i] AS DOUBLE) * CAST(p2.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nb2
+        FROM e p1 JOIN e p2 ON p1.vec_id < p2.vec_id
+        CROSS JOIN generate_series(1, 64) t(i)
+        GROUP BY p1.vec_id, p2.vec_id),
+      pairs AS (
+        SELECT a, b, round(dot / (sqrt(na2) * sqrt(nb2)), 12) AS conf
+        FROM comp WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 12) >= 0.25)"""
+}
+
 object PipelineQueries {
 
   /** DuckDB replay of one [[graft.operators.ChunkImpls.chunkText]] step's
@@ -458,6 +477,72 @@ object PipelineQueries {
               SELECT 'Doc:' || a AS src, 'Doc:' || b AS dst,
                      round(dot / (sqrt(na2) * sqrt(nb2)), 12) AS weight
               FROM comp WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 12) >= 0.35"""),
+      "pipeline"),
+
+    // SuggestTransitive (inference.go:736-777): similarity edges A→B→C
+    // compose into RELATES_TO suggestions with multiplied confidence;
+    // the self-join is replayed pair-for-pair in DuckDB.
+    "q_infer_transitive" -> GQuery(
+      (s, d) => {
+        val pairs = Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.25, 200L)
+          .select(
+            concat(lit("Doc:"), col("a")).as("src"),
+            concat(lit("Doc:"), col("b")).as("dst"),
+            col("cos_sim").as("confidence"))
+        graft.operators.Inference.suggestTransitive(pairs, 0.10)
+          .withColumn("confidence", round(col("confidence"), 12))
+      },
+      Some(s"""WITH ${InferPairsSql.pairs200}
+              SELECT 'Doc:' || ab.a AS source_id, 'Doc:' || bc.b AS target_id,
+                     'RELATES_TO' AS rel_type,
+                     round(ab.conf * bc.conf, 12) AS confidence,
+                     'Transitive via Doc:' || ab.b AS reason,
+                     'transitive' AS method
+              FROM pairs ab JOIN pairs bc ON ab.b = bc.a
+              WHERE ab.a <> bc.b AND ab.conf * bc.conf >= 0.10"""),
+      "pipeline"),
+
+    // CooldownTable gate (cooldown.go:123-151): per-label cooldown windows;
+    // priors 240 s old at asOf block relates_to (300 s) but not coaccess
+    // (60 s); unseen pairs are "first materialization".
+    "q_infer_cooldown" -> GQuery(
+      (s, d) => {
+        val pairs = Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.25, 200L)
+          .select(
+            concat(lit("Doc:"), col("a")).as("src"),
+            concat(lit("Doc:"), col("b")).as("dst"),
+            col("cos_sim").as("confidence"))
+        val sugg = graft.operators.Inference.suggestTransitive(pairs, 0.10)
+          .select(
+            col("source_id").as("src"), col("target_id").as("dst"),
+            when(replace(col("source_id"), lit("Doc:"), lit("")).cast("int") % 2 === 0,
+              "relates_to").otherwise("coaccess").as("label"))
+          .distinct()
+        val prior = sugg
+          .filter(replace(col("dst"), lit("Doc:"), lit("")).cast("int") % 3 === 0)
+          .withColumn("materialized_at",
+            lit("2024-01-01 00:02:00").cast("timestamp"))
+        graft.operators.Inference
+          .cooldownFilter(sugg, prior, "2024-01-01 00:06:00")
+          .groupBy("label", "allowed", "cooldown_reason")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""WITH ${InferPairsSql.pairs200},
+              sugg AS (
+                SELECT DISTINCT 'Doc:' || ab.a AS src, 'Doc:' || bc.b AS dst,
+                  CASE WHEN ab.a % 2 = 0 THEN 'relates_to'
+                       ELSE 'coaccess' END AS label
+                FROM pairs ab JOIN pairs bc ON ab.b = bc.a
+                WHERE ab.a <> bc.b AND ab.conf * bc.conf >= 0.10)
+              SELECT label,
+                (CAST(replace(dst, 'Doc:', '') AS INT) % 3 <> 0
+                 OR label = 'coaccess') AS allowed,
+                CASE WHEN CAST(replace(dst, 'Doc:', '') AS INT) % 3 <> 0
+                       THEN 'first materialization for this pair'
+                     WHEN label = 'coaccess' THEN 'cooldown expired'
+                     ELSE 'cooldown active' END AS cooldown_reason,
+                count(*) AS n
+              FROM sugg GROUP BY 1, 2, 3"""),
       "pipeline"),
 
     // md5-based word hash → the rolling-hash fold is replayed in SQL
