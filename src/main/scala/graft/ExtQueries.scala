@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.graph.Expand
-import graft.operators.{PathExpand, Retention}
+import graft.operators.{Audit, PathExpand, Retention}
 import graft.search.Eval
 import graft.sources.{Formats, PackStream, ResultJson}
 import OracleSafe._
@@ -395,7 +395,99 @@ object ProcQueries {
                FROM (${RetentionFixture.recordsSql})
                WHERE subject_id = '7'
                GROUP BY 1, 2, 3"""),
+      "2.12"),
+
+    // compliance report over the audit trail (pkg/audit/audit.go:1036-1080):
+    // one aggregation row; DataAccesses excludes EXPORT, erasures count
+    // request+complete, unique users ignore empty ids.
+    "q_audit_compliance_report" -> GQuery(
+      (s, d) =>
+        Audit.complianceReport(AuditFixture.log(s, d),
+          "2024-01-05 00:00:00", "2024-01-20 00:00:00", "jan-window"),
+      Some(s"""SELECT count(*) AS total_events,
+                 SUM(CASE WHEN event_type = 'LOGIN_FAILED' THEN 1 ELSE 0 END) AS failed_logins,
+                 SUM(CASE WHEN event_type = 'ACCESS_DENIED' THEN 1 ELSE 0 END) AS access_denied,
+                 SUM(CASE WHEN event_type IN ('DATA_READ', 'DATA_CREATE', 'DATA_UPDATE', 'DATA_DELETE') THEN 1 ELSE 0 END) AS data_accesses,
+                 SUM(CASE WHEN event_type IN ('ERASURE_REQUEST', 'ERASURE_COMPLETE') THEN 1 ELSE 0 END) AS erasure_requests,
+                 SUM(CASE WHEN event_type IN ('SECURITY_ALERT', 'BREACH_DETECTED') THEN 1 ELSE 0 END) AS security_alerts,
+                 COUNT(DISTINCT CASE WHEN user_id <> '' THEN user_id END) AS unique_users,
+                 'jan-window' AS period
+               FROM (${AuditFixture.logSql})
+               WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+                 AND ts <= TIMESTAMP '2024-01-20 00:00:00'"""),
+      "2.12"),
+
+    // Reader.Query filter bundle + pagination (audit.go:860-925): user 7's
+    // successful data accesses, ordered, OFFSET 10 LIMIT 50 — the page is
+    // replayed exactly in DuckDB.
+    "q_audit_user_activity" -> GQuery(
+      (s, d) =>
+        Audit.query(AuditFixture.log(s, d),
+            start = Some("2024-01-01 00:00:00"), end = Some("2024-01-31 00:00:00"),
+            eventTypes = Audit.dataAccessTypes, userId = Some("7"),
+            success = Some(true))
+          .select("event_id", "ts", "event_type", "resource_id")
+          .orderBy("ts", "event_id").offset(10).limit(50),
+      Some(s"""SELECT event_id, ts, event_type, resource_id
+               FROM (${AuditFixture.logSql})
+               WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                 AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+                 AND event_type IN ('DATA_READ', 'DATA_CREATE', 'DATA_UPDATE', 'DATA_DELETE', 'DATA_EXPORT')
+                 AND user_id = '7' AND success
+               ORDER BY ts, event_id OFFSET 10 LIMIT 50"""),
       "2.12"))
+}
+
+/** Deterministic audit-trail derivation from `events` shared by the Spark
+  * rows and the DuckDB replays: event types fan out by id parity with small
+  * erasure/security strata, resource = id mod 50, auth failures are the
+  * unsuccessful rows.
+  */
+object AuditFixture {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  def log(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      col("ts"),
+      col("user_id").cast("string").as("user_id"),
+      when(col("event_type") === "purchase" && col("event_id") % 13 === 0, "ERASURE_REQUEST")
+        .when(col("event_type") === "click" && col("event_id") % 17 === 0, "SECURITY_ALERT")
+        .when(col("event_type") === "signup",
+          when(col("event_id") % 2 === 0, "LOGIN").otherwise("CONSENT_GIVEN"))
+        .when(col("event_type") === "error",
+          when(col("event_id") % 2 === 0, "LOGIN_FAILED").otherwise("ACCESS_DENIED"))
+        .when(col("event_type") === "purchase",
+          when(col("event_id") % 2 === 0, "DATA_CREATE").otherwise("DATA_UPDATE"))
+        .when(col("event_type") === "view",
+          when(col("event_id") % 2 === 0, "DATA_EXPORT").otherwise("DATA_READ"))
+        .otherwise("DATA_READ").as("event_type"),
+      concat(lit("res-"), col("event_id") % 50).as("resource_id"))
+      .withColumn("success",
+        !col("event_type").isin("LOGIN_FAILED", "ACCESS_DENIED", "BREACH_DETECTED"))
+
+  val logSql: String =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(user_id AS VARCHAR) AS user_id,
+         CASE
+           WHEN event_type = 'purchase' AND event_id % 13 = 0 THEN 'ERASURE_REQUEST'
+           WHEN event_type = 'click' AND event_id % 17 = 0 THEN 'SECURITY_ALERT'
+           WHEN event_type = 'signup' THEN
+             CASE WHEN event_id % 2 = 0 THEN 'LOGIN' ELSE 'CONSENT_GIVEN' END
+           WHEN event_type = 'error' THEN
+             CASE WHEN event_id % 2 = 0 THEN 'LOGIN_FAILED' ELSE 'ACCESS_DENIED' END
+           WHEN event_type = 'purchase' THEN
+             CASE WHEN event_id % 2 = 0 THEN 'DATA_CREATE' ELSE 'DATA_UPDATE' END
+           WHEN event_type = 'view' THEN
+             CASE WHEN event_id % 2 = 0 THEN 'DATA_EXPORT' ELSE 'DATA_READ' END
+           ELSE 'DATA_READ' END AS event_type,
+         'res-' || (event_id % 50) AS resource_id,
+         CASE
+           WHEN event_type = 'purchase' AND event_id % 13 = 0 THEN true
+           WHEN event_type = 'click' AND event_id % 17 = 0 THEN true
+           WHEN event_type = 'error' THEN false
+           ELSE true END AS success
+       FROM events"""
 }
 
 /** Deterministic retention scenario over `events` shared by the Spark rows

@@ -1644,10 +1644,11 @@ object Planner {
           transform(split(a(0), ""), c => ascii(c).cast("long"))
         case "apoc.text.bytestostring" => // text.go:536
           array_join(transform(a(0), b => call_function("char", b)), "")
-        case "apoc.text.doublemetaphone" | "apoc.text.jarowinklerdistance" =>
-          throw new IllegalArgumentException(
-            s"$name: unsupported phonetic/distance variant (apoc.text.phonetic " +
-              "(soundex) and apoc.text.distance (levenshtein) are available)")
+        case "apoc.text.doublemetaphone" => // reference ships [soundex] (text.go:565)
+          array(soundex(a(0)))
+        case "apoc.text.jarowinklerdistance" => // full JW loop (text.go:251)
+          graft.functions.HashExprs.ensure(f.df.sparkSession)
+          call_function("graft_jarowinkler", a(0).cast("string"), a(1).cast("string"))
         case "apoc.coll.partition" => // size-based batches, like coll.split
           // (the reference's predicate form needs a Go lambda — not
           // expressible from the Cypher surface; coll.go:97,749)

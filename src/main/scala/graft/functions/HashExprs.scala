@@ -284,6 +284,7 @@ object HashExprs {
       case other => other.toString.toInt
     }
     one("graft_lsh_sig")(a => LshSignatureExpr(a(0), intLit(a(1)), intLit(a(2)), intLit(a(3))))
+    one("graft_jarowinkler")(a => JaroWinklerExpr(a(0), a(1)))
     registered.add(spark)
   }
 

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** String-distance scalars beyond Spark's built-ins. */
+object TextImpls {
+
+  /** Jaro-Winkler similarity, mirroring the reference byte-wise loop
+    * (`/root/reference/apoc/text/text.go:251-320`): half-max match window,
+    * greedy match marking, transpositions/2 integer division, and the
+    * ≤4-char common-prefix boost at 0.1.
+    */
+  def jaroWinkler(u1: UTF8String, u2: UTF8String): Double = {
+    val s1 = u1.getBytes
+    val s2 = u2.getBytes
+    if (java.util.Arrays.equals(s1, s2)) return 1.0
+    if (s1.length == 0 || s2.length == 0) return 0.0
+
+    val matchWindow = math.max(math.max(s1.length, s2.length) / 2 - 1, 1)
+    val m1 = new Array[Boolean](s1.length)
+    val m2 = new Array[Boolean](s2.length)
+    var matches = 0
+    var i = 0
+    while (i < s1.length) {
+      var j = math.max(0, i - matchWindow)
+      val end = math.min(i + matchWindow + 1, s2.length)
+      var found = false
+      while (j < end && !found) {
+        if (!m2(j) && s1(i) == s2(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+
+    var transpositions = 0
+    var k = 0
+    i = 0
+    while (i < s1.length) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1(i) != s2(k)) transpositions += 1
+        k += 1
+      }
+      i += 1
+    }
+
+    val jaro = (matches.toDouble / s1.length + matches.toDouble / s2.length +
+      (matches - transpositions / 2).toDouble / matches) / 3.0
+
+    var prefix = 0
+    var p = 0
+    val lim = math.min(math.min(s1.length, s2.length), 4)
+    var break = false
+    while (p < lim && !break) {
+      if (s1(p) == s2(p)) prefix += 1 else break = true
+      p += 1
+    }
+    jaro + prefix * 0.1 * (1.0 - jaro)
+  }
+}
+
+/** jaroWinkler(s1, s2) → similarity in [0, 1]. */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextImpls.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextImpls$$.MODULE$$.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -271,6 +271,109 @@ class ApocCatalogSpec extends AnyFunSuite {
       .collect()(0).getBoolean(0))
   }
 
+  test("smoke calls, round 6b: +60 names in the thin-coverage families") {
+    val g = GraphQueries.graph(spark, sf)
+    new GraphStore(g)
+    def value(expr: String): Any =
+      Cypher.run(g, s"RETURN $expr AS v").collect()(0).get(0)
+    def seqOf(expr: String): List[Any] =
+      value(expr).asInstanceOf[scala.collection.Seq[Any]].toList
+    def dbl(expr: String): Double = value(expr).toString.toDouble
+
+    // apoc.math — exact values
+    assert(dbl("apoc.math.abs(-3.5)") == 3.5)
+    assert(dbl("apoc.math.ceil(1.2)") == 2.0)
+    assert(dbl("apoc.math.floor(1.8)") == 1.0)
+    assert(dbl("apoc.math.exp(0.0)") == 1.0)
+    assert(dbl("apoc.math.log(1.0)") == 0.0)
+    assert(dbl("apoc.math.log10(100.0)") == 2.0)
+    assert(dbl("apoc.math.pow(2.0, 10.0)") == 1024.0)
+    assert(dbl("apoc.math.sin(0.0)") == 0.0)
+    assert(dbl("apoc.math.tan(0.0)") == 0.0)
+    assert(dbl("apoc.math.sinh(0.0)") == 0.0)
+    assert(dbl("apoc.math.cosh(0.0)") == 1.0)
+    assert(dbl("apoc.math.acos(1.0)") == 0.0)
+    assert(dbl("apoc.math.asin(0.0)") == 0.0)
+    assert(dbl("apoc.math.atan(0.0)") == 0.0)
+    assert(dbl("apoc.math.atan2(0.0, 1.0)") == 0.0)
+    assert(dbl("apoc.math.mean([1.0, 2.0, 3.0])") == 2.0)
+    assert(dbl("apoc.math.median([1.0, 2.0, 3.0])") == 2.0)
+    assert(dbl("apoc.math.sum([1.0, 2.0])") == 3.0)
+    assert(dbl("apoc.math.product([2.0, 3.0])") == 6.0)
+    assert(value("apoc.math.isPrime(13)") == true)
+    assert(value("apoc.math.gcd(18, 12)") == 6L)
+    assert(value("apoc.math.lcm(3, 4)") == 12L)
+    assert(value("apoc.math.factorial(4)") == 24L)
+    assert(value("apoc.math.fibonacci(7)") == 13L)
+
+    // apoc.util — exact where deterministic
+    assert(value("apoc.util.md5hex('a')") == "0cc175b9c0f1b6a831c399e269772661")
+    assert(value("apoc.util.when(true, 'yes', 'no')") == "yes")
+    assert(value("apoc.util.case([false, 'a', true, 'b'], 'z')") == "b")
+    assert(value("apoc.util.encodebase64('ab')") == "YWI=")
+    assert(value("apoc.util.decodebase64('YWI=')") == "ab")
+    assert(value("apoc.util.decodeurl(apoc.util.encodeurl('a b'))") == "a b")
+    assert(value("apoc.util.decompress(apoc.util.compress('hello'))") == "hello")
+    assert(seqOf("apoc.util.range(1, 3)") == List(1L, 2L, 3L))
+    assert(value("apoc.util.sha1hex('a')") == "86f7e437faa5a7fce15d1ddcb9eaeaea377667b8")
+
+    // apoc.convert / json property surgery
+    assert(value("apoc.convert.toString(42)") == "42")
+    assert(seqOf("apoc.convert.toIntList(['1','2'])") == List(1L, 2L))
+    assert(seqOf("apoc.convert.toFloatList(['1.5'])") == List(1.5))
+    assert(seqOf("apoc.convert.toBooleanList(['true','false'])") == List(true, false))
+    assert(seqOf("apoc.convert.toStringList([1,2])") == List("1", "2"))
+    assert(seqOf("apoc.convert.toSet([1,1,2])") == List(1L, 2L))
+    assert(value("apoc.convert.getJsonProperty('{\"a\": 7}', 'a')") == "7")
+
+    // apoc.date
+    assert(value("apoc.date.toISO8601(0, 's')") != null)
+    assert(value("apoc.date.fromISO8601('1970-01-01T00:00:01Z')") != null)
+    assert(value("apoc.date.convert(120, 's', 'm')") == 2L)
+    assert(value("apoc.date.field(0, 'year', 'UTC')") == 1970L)
+    assert(value("apoc.date.fields(0)") != null)
+    assert(value("apoc.date.convertFormat('1970-01-02', 'yyyy-MM-dd', 'yyyy/MM/dd')") != null)
+    assert(value("apoc.date.toYears(0)") != null)
+
+    // apoc.temporal
+    assert(value("apoc.temporal.dayOfWeek(date('2024-05-06'))") != null)
+    assert(value("apoc.temporal.dayOfYear(date('2024-02-01'))") == 32L)
+    assert(value("apoc.temporal.isWeekend(date('2024-05-04'))") == true)
+    assert(value("apoc.temporal.isWeekday(date('2024-05-06'))") == true)
+    assert(value("apoc.temporal.toEpochMillis(date('1970-01-02'))") != null)
+    assert(value("apoc.temporal.fromEpochMillis(0)") != null)
+    assert(value("apoc.temporal.startOf(date('2024-05-06'), 'month')") != null)
+    assert(value("apoc.temporal.endOf(date('2024-05-06'), 'month')") != null)
+    assert(value("apoc.temporal.truncate(date('2024-05-06'), 'year')") != null)
+    assert(value("apoc.temporal.isBetween(date('2024-05-06'), date('2024-01-01'), date('2025-01-01'))") != null)
+
+    // apoc.text long tail
+    assert(value("apoc.text.trim('  a  ')") == "a")
+    assert(value("apoc.text.ltrim('  a')") == "a")
+    assert(value("apoc.text.rtrim('a  ')") == "a")
+    assert(value("apoc.text.capitalizeAll('ab cd')") == "AB CD") // ToUpper per text.go:64
+    assert(value("apoc.text.decapitalize('Ab')") == "ab")
+    assert(value("apoc.text.upperCamelCase('hello world')") != null)
+    assert(value("apoc.text.format('a%sb', ['X'])") != null)
+    assert(value("apoc.text.compareCleaned('a b!', 'a b')") != null)
+    assert(value("apoc.text.phonetic('hello')") != null)
+    assert(seqOf("apoc.text.doubleMetaphone('Smith')") == List("S530"))
+    assert(math.abs(dbl("apoc.text.jaroWinklerDistance('martha', 'marhta')")
+      - 0.9611111111111111) < 1e-12) // text.go:250 example
+    assert(dbl("apoc.text.jaroWinklerDistance('abc', 'abc')") == 1.0)
+    assert(dbl("apoc.text.jaroWinklerDistance('abc', 'xyz')") == 0.0)
+    assert(seqOf("apoc.text.bytes('ab')").nonEmpty)
+
+    // apoc.agg composes with collect() (list slices, agg.go)
+    val aggRows = Cypher.run(g,
+      """MATCH (n:Nation) WITH collect(n.key) AS ks
+         RETURN apoc.agg.median(ks) AS med, apoc.agg.first(ks) AS fst,
+                apoc.agg.last(ks) AS lst, apoc.agg.product(ks) AS prd,
+                apoc.agg.statistics(ks) AS stats, apoc.agg.mode(ks) AS mode,
+                apoc.agg.stdev(ks) AS sd, apoc.agg.nth(ks, 1) AS nth""").collect()
+    assert(aggRows.length == 1 && aggRows(0).get(0) != null && aggRows(0).get(4) != null)
+  }
+
   test("apoc.help filters by substring and types by registry membership") {
     val g = GraphQueries.graph(spark, sf)
     val rows = Cypher.run(g,
