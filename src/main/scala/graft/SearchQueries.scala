@@ -40,6 +40,16 @@ object SearchQueries {
       (s, d) => VectorSearch.bruteTopKExact(Tables.embeddings(s, d), 0L, 10),
       Some(VectorSearch.bruteTopKExactOracle(0L, 10, 64)), "2.11"),
 
+    // the vector index's SimilarityFunc alternatives (schema.go:311):
+    // raw dot-product and euclidean 1/(1+d) rankings, DECIMAL-replayed
+    "q_vector_topk_dot" -> GQuery(
+      (s, d) => VectorSearch.bruteTopKMetric(Tables.embeddings(s, d), 0L, 10, "dot"),
+      Some(VectorSearch.bruteTopKMetricOracle(0L, 10, 64, "dot")), "2.11"),
+
+    "q_vector_topk_euclidean" -> GQuery(
+      (s, d) => VectorSearch.bruteTopKMetric(Tables.embeddings(s, d), 0L, 10, "euclidean"),
+      Some(VectorSearch.bruteTopKMetricOracle(0L, 10, 64, "euclidean")), "2.11"),
+
     // bit-count tuned for weakly-similar corpora: P[collision] per table is
     // (1 - θ/π)^nBits; at cosine≈0.37 (θ≈68°) 4 bits × 8 tables ⇒ ~0.73
     // recall. High-similarity near-dup corpora would use 8–16 bits.

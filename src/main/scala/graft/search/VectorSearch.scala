@@ -49,6 +49,65 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Σ over zip_with squared differences routed through DECIMAL — exact. */
+  private def sqDistDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val diff = x.cast("double") - y.cast("double")
+        (diff * diff).cast("decimal(38,18)")
+      }),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)"),
+      (acc, x) => (acc + x).cast("decimal(38,18)")).cast("double")
+
+  /** Metric-parameterized exact top-k — the reference's per-index
+    * `SimilarityFunc` switch (`pkg/storage/schema.go:311`,
+    * `pkg/cypher/call_vector.go:227-234`): cosine, raw dot product, or
+    * euclidean similarity `1/(1+distance)`
+    * (`pkg/math/vector/similarity.go:152`). Same DECIMAL routing so each
+    * metric replays bit-for-bit in SQL.
+    */
+  def bruteTopKMetric(emb: DataFrame, queryId: Long, k: Int,
+      metric: String): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qe"))
+    val base = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= queryId)
+    val score = metric match {
+      case "dot" => round(dotDec(col("embedding"), col("qe")), 12)
+      case "euclidean" =>
+        round(lit(1.0) / (lit(1.0) + sqrt(sqDistDec(col("embedding"), col("qe")))), 12)
+      case _ =>
+        round(dotDec(col("embedding"), col("qe")) /
+          (sqrt(dotDec(col("embedding"), col("embedding"))) *
+            sqrt(dotDec(col("qe"), col("qe")))), 12)
+    }
+    base.withColumn("score", score)
+      .select("vec_id", "score")
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** DuckDB replay of [[bruteTopKMetric]]. */
+  def bruteTopKMetricOracle(queryId: Long, k: Int, dim: Int,
+      metric: String): String = {
+    val scoreSql = metric match {
+      case "dot" => "round(dot, 12)"
+      case "euclidean" => "round(1.0 / (1.0 + sqrt(sq)), 12)"
+      case _ => "round(dot / (sqrt(na2) * sqrt(nb2)), 12)"
+    }
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId),
+        comp AS (
+          SELECT e.vec_id,
+            CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+            CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na2,
+            CAST(SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nb2,
+            CAST(SUM(CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS sq
+          FROM embeddings e CROSS JOIN q CROSS JOIN generate_series(1, $dim) t(i)
+          WHERE e.vec_id <> $queryId
+          GROUP BY e.vec_id)
+        SELECT vec_id, $scoreSql AS score
+        FROM comp ORDER BY score DESC, vec_id LIMIT $k"""
+  }
+
   /** Oracle-exact cosine top-k against a LITERAL query vector — the
     * `db.index.vector.queryNodes('idx', k, $vec)` engine
     * (`call_vector.go:35`): the query vector arrives as a CALL argument,

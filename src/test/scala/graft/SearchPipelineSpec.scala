@@ -153,4 +153,21 @@ class SearchPipelineSpec extends AnyFunSuite {
     val text = docs.orderBy("doc_id").collect().head.getAs[String]("text")
     assert(row.getInt(1) == text.getBytes("UTF-8").length)
   }
+
+  test("metric-parameterized top-k: dot/euclidean/cosine rank consistently") {
+    import graft.search.VectorSearch
+    val emb = Tables.embeddings(spark, sf)
+    val dup = emb.filter(col("vec_id") === 0L)
+      .withColumn("vec_id", lit(990000L)) // exact duplicate of the query vector
+    val withDup = emb.unionByName(dup)
+    // a duplicate vector is the top hit under every metric; euclidean
+    // scores land in (0, 1] with the duplicate at exactly 1
+    for (m <- Seq("cosine", "dot", "euclidean")) {
+      val top = VectorSearch.bruteTopKMetric(withDup, 0L, 3, m).collect()
+      assert(top.head.getLong(0) == 990000L, s"metric $m")
+    }
+    val eu = VectorSearch.bruteTopKMetric(withDup, 0L, 3, "euclidean").collect()
+    assert(eu.head.getDouble(1) == 1.0)
+    assert(eu.forall(r => r.getDouble(1) > 0 && r.getDouble(1) <= 1.0))
+  }
 }
