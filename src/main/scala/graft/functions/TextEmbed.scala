@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic text→vector projection — a DISCLOSED stand-in for the
   * reference's server-side embedder (`/root/reference/pkg/embed`, local
@@ -37,22 +42,36 @@ object TextEmbed {
     if (n > 0) v.map(_ / n).toSeq else v.toSeq
   }
 
-  /** Distributed column form for bulk embedding of a text column — same
-    * formula as [[embed]], expressed with codegen'd HOFs over the
-    * [[HashExprs]] FNV expression (call `HashExprs.ensure(spark)` once
-    * per session before using it).
+  /** Codegen entry: one JVM call per row, identical arithmetic (and float
+    * op order) to [[embed]]. */
+  def embedU(text: UTF8String, dim: Int): GenericArrayData =
+    new GenericArrayData(embed(text.toString, dim).toArray)
+
+  /** Distributed column form for bulk embedding of a text column — one
+    * codegen'd expression call per row. (The first cut was a nested-HOF
+    * fold: O(tokens × dim) array rebuilds per row plus Catalyst expression
+    * duplication re-evaluating the fold for the normalize branch — 105 s
+    * for the sf0.1 chunk-search row; this form is ~1 s. Same lesson as the
+    * round-5 LSH fix: imperative per-row loops belong in a native
+    * `Expression`, not in stacked `aggregate`/`transform` lambdas.)
+    * Call `HashExprs.ensure(spark)` once per session before using it.
     */
-  def embedCol(c: Column, dim: Int = Dim): Column = {
-    val toks = filter(split(lower(c), "\\s+"), t => length(t) > 0)
-    val contribs = transform(toks, t => struct(
-      pmod(HashExprs.fnv1a64(t), lit(dim.toLong)).as("b"),
-      when(pmod(HashExprs.fnv1a64(t), lit(2L)) === 0L, lit(1.0))
-        .otherwise(lit(-1.0)).as("s")))
-    val raw = aggregate(contribs, array_repeat(lit(0.0), dim), (acc, t) =>
-      transform(acc, (x, i) =>
-        x + when(t.getField("b") === i.cast("long"), t.getField("s"))
-          .otherwise(lit(0.0))))
-    val nrm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
-    when(nrm > 0, transform(raw, x => x / nrm)).otherwise(raw)
-  }
+  def embedCol(c: Column, dim: Int = Dim): Column =
+    call_function("graft_text_embed", c, lit(dim))
+}
+
+/** embed(text, dim) → ARRAY<DOUBLE>: the [[TextEmbed]] hash projection as
+  * a single codegen'd call.
+  */
+case class TextEmbedExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+  override protected def nullSafeEval(t: Any, d: Any): Any =
+    TextEmbed.embedU(t.asInstanceOf[UTF8String], d.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, d) =>
+      s"graft.functions.TextEmbed$$.MODULE$$.embedU($t, $d)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
