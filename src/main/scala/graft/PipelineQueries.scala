@@ -545,6 +545,47 @@ object PipelineQueries {
               FROM sugg GROUP BY 1, 2, 3"""),
       "pipeline"),
 
+    // EdgeDecay sweep (edge_decay.go:213-308): similarity edges age by a
+    // deterministic per-pair offset; manual/grace/delete/decay/keep all
+    // populated and the whole verdict listing replays in DuckDB.
+    "q_infer_edge_decay" -> GQuery(
+      (s, d) => {
+        val edges = Dedup.embeddingNearDups(Tables.embeddings(s, d), 0.25, 200L)
+          .select(col("a"), col("b"), col("cos_sim").as("confidence"))
+          .withColumn("updated_at",
+            expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, cast((a*7 + b*3) % 40 + 5 as int), 0, 0, 0)"))
+          .withColumn("created_at", col("updated_at"))
+          .withColumn("auto_generated", (col("a") + col("b")) % 5 =!= 0)
+        graft.operators.Inference.decayEdges(edges, "2024-02-15 00:00:00")
+          .select("a", "b", "days_since", "decayed_confidence", "action")
+      },
+      Some(s"""WITH ${InferPairsSql.pairs200},
+              edges AS (
+                SELECT a, b, conf AS confidence,
+                  TIMESTAMP '2024-01-01 00:00:00'
+                    + to_days(CAST((a*7 + b*3) % 40 + 5 AS INT)) AS updated_at,
+                  ((a + b) % 5 <> 0) AS auto_generated
+                FROM pairs),
+              sweep AS (
+                SELECT a, b, confidence, auto_generated,
+                  (epoch(TIMESTAMP '2024-02-15 00:00:00') - epoch(updated_at))
+                    / 86400.0 AS days_since,
+                  round(confidence * pow(0.95, (epoch(TIMESTAMP '2024-02-15 00:00:00')
+                    - epoch(updated_at)) / 86400.0), 8) AS dc,
+                  (epoch(TIMESTAMP '2024-02-15 00:00:00') - epoch(updated_at))
+                    < 7 * 86400 AS in_grace
+                FROM edges)
+              SELECT a, b, days_since,
+                CASE WHEN NOT auto_generated OR in_grace
+                     THEN confidence ELSE dc END AS decayed_confidence,
+                CASE WHEN NOT auto_generated THEN 'SKIP_MANUAL'
+                     WHEN in_grace THEN 'GRACE'
+                     WHEN dc < 0.3 THEN 'DELETE'
+                     WHEN dc < confidence THEN 'DECAY'
+                     ELSE 'KEEP' END AS action
+              FROM sweep"""),
+      "pipeline"),
+
     // md5-based word hash → the rolling-hash fold is replayed in SQL
     "q_text_fingerprint" -> GQuery(
       (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)),

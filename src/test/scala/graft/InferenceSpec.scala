@@ -58,6 +58,26 @@ class InferenceSpec extends AnyFunSuite {
     assert(out(("d", "mystery")) == (true, "cooldown expired"))
   }
 
+  test("decayEdges: manual/grace/delete/decay/keep cascade (edge_decay.go)") {
+    val edges = Seq(
+      // (a, b, confidence, auto, updatedDaysAgo)
+      (1L, 2L, 0.9, true, 45),  // 0.9*0.95^45 = 0.089 -> DELETE
+      (1L, 3L, 0.9, true, 8),   // 0.9*0.663 = 0.597 -> DECAY
+      (1L, 4L, 0.9, true, 0),   // grace (created 0 days ago) -> GRACE
+      (1L, 5L, 0.9, false, 45)) // manual -> SKIP_MANUAL
+      .toDF("a", "b", "confidence", "auto_generated", "ago")
+      .withColumn("updated_at",
+        expr("timestamp '2024-02-15 00:00:00' - make_interval(0, 0, 0, ago, 0, 0, 0)"))
+      .withColumn("created_at", col("updated_at"))
+    val out = graft.operators.Inference.decayEdges(edges, "2024-02-15 00:00:00")
+      .collect().map(r => r.getAs[Long]("b") ->
+        (r.getAs[String]("action"), r.getAs[Double]("decayed_confidence"))).toMap
+    assert(out(2L)._1 == "DELETE")
+    assert(out(3L)._1 == "DECAY" && math.abs(out(3L)._2 - 0.9 * math.pow(0.95, 8)) < 1e-6)
+    assert(out(4L) == ("GRACE", 0.9)) // untouched inside grace period
+    assert(out(5L) == ("SKIP_MANUAL", 0.9))
+  }
+
   test("registry rows run at sf0.001") {
     val tr = QueryRegistry.all("q_infer_transitive").fn(spark, sf)
     assert(tr.count() > 0)
