@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.search.{BM25, Hnsw, Hybrid, Rerank, VectorSearch}
+import graft.search.{BM25, Hnsw, Hybrid, Mmr, Rerank, VectorSearch}
 
 /** Search surface (SURVEY.md §2.11): BM25 fulltext, vector top-k
   * (brute/exact/ANN), RRF hybrid fusion.
@@ -49,6 +49,19 @@ object SearchQueries {
     "q_vector_topk_euclidean" -> GQuery(
       (s, d) => VectorSearch.bruteTopKMetric(Tables.embeddings(s, d), 0L, 10, "euclidean"),
       Some(VectorSearch.bruteTopKMetricOracle(0L, 10, 64, "euclidean")), "2.11"),
+
+    // MMR diversification (search.go:1544): greedy λ·rel − (1−λ)·maxSim
+    // over a bounded RRF candidate set; the 10-step selection replays as
+    // chained argmax CTEs in DuckDB
+    "q_hybrid_mmr" -> GQuery(
+      (s, d) => {
+        val cand = Tables.embeddings(s, d).filter(col("vec_id") < 40)
+          .select(col("vec_id").as("id"),
+            (lit(1.0) / (col("vec_id") + lit(60))).as("rel"),
+            col("embedding"))
+        Mmr.select(cand, 10, 0.5)
+      },
+      Some(Mmr.selectOracle(40, 10, 0.5, 64)), "2.11"),
 
     // bit-count tuned for weakly-similar corpora: P[collision] per table is
     // (1 - θ/π)^nBits; at cosine≈0.37 (θ≈68°) 4 bits × 8 tables ⇒ ~0.73
