@@ -111,7 +111,7 @@ object Mmr {
       val prev =
         if (k == 1) "SELECT NULL::BIGINT AS id WHERE false"
         else (1 until k).map(j => s"SELECT id FROM p$j").mkString(" UNION ALL ")
-      s"""p$k AS (
+      s"""p$k AS MATERIALIZED (
             SELECT o.id, o.rel FROM ord o
             WHERE o.id NOT IN (SELECT id FROM ($prev))
             ORDER BY $lambda * o.rel - ${1 - lambda} * GREATEST(0.0,
