@@ -405,11 +405,11 @@ object ProcQueries {
         Audit.complianceReport(AuditFixture.log(s, d),
           "2024-01-05 00:00:00", "2024-01-20 00:00:00", "jan-window"),
       Some(s"""SELECT count(*) AS total_events,
-                 SUM(CASE WHEN event_type = 'LOGIN_FAILED' THEN 1 ELSE 0 END) AS failed_logins,
-                 SUM(CASE WHEN event_type = 'ACCESS_DENIED' THEN 1 ELSE 0 END) AS access_denied,
-                 SUM(CASE WHEN event_type IN ('DATA_READ', 'DATA_CREATE', 'DATA_UPDATE', 'DATA_DELETE') THEN 1 ELSE 0 END) AS data_accesses,
-                 SUM(CASE WHEN event_type IN ('ERASURE_REQUEST', 'ERASURE_COMPLETE') THEN 1 ELSE 0 END) AS erasure_requests,
-                 SUM(CASE WHEN event_type IN ('SECURITY_ALERT', 'BREACH_DETECTED') THEN 1 ELSE 0 END) AS security_alerts,
+                 CAST(SUM(CASE WHEN event_type = 'LOGIN_FAILED' THEN 1 ELSE 0 END) AS BIGINT) AS failed_logins,
+                 CAST(SUM(CASE WHEN event_type = 'ACCESS_DENIED' THEN 1 ELSE 0 END) AS BIGINT) AS access_denied,
+                 CAST(SUM(CASE WHEN event_type IN ('DATA_READ', 'DATA_CREATE', 'DATA_UPDATE', 'DATA_DELETE') THEN 1 ELSE 0 END) AS BIGINT) AS data_accesses,
+                 CAST(SUM(CASE WHEN event_type IN ('ERASURE_REQUEST', 'ERASURE_COMPLETE') THEN 1 ELSE 0 END) AS BIGINT) AS erasure_requests,
+                 CAST(SUM(CASE WHEN event_type IN ('SECURITY_ALERT', 'BREACH_DETECTED') THEN 1 ELSE 0 END) AS BIGINT) AS security_alerts,
                  COUNT(DISTINCT CASE WHEN user_id <> '' THEN user_id END) AS unique_users,
                  'jan-window' AS period
                FROM (${AuditFixture.logSql})

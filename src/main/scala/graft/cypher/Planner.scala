@@ -1620,9 +1620,13 @@ object Planner {
             .when(length(a(0)) < 2 || length(a(1)) < 2, lit(0.0))
             .otherwise(lit(2.0) * size(array_intersect(big(a(0)), big(a(1)))) /
               (size(big(a(0))) + size(big(a(1)))))
-        case "apoc.text.phonetic" => soundex(a(0)) // text.go:544
+        case "apoc.text.phonetic" => // reference soundex variant (text.go:544,610)
+          graft.functions.HashExprs.ensure(f.df.sparkSession)
+          call_function("graft_soundex", a(0).cast("string"))
         case "apoc.text.phoneticdelta" => // 0 if same soundex else 4 (text.go:552)
-          when(soundex(a(0)) === soundex(a(1)), lit(0)).otherwise(lit(4))
+          graft.functions.HashExprs.ensure(f.df.sparkSession)
+          when(call_function("graft_soundex", a(0).cast("string")) ===
+            call_function("graft_soundex", a(1).cast("string")), lit(0)).otherwise(lit(4))
         case "apoc.text.urlencode" => call_function("url_encode", a(0))
         case "apoc.text.urldecode" => call_function("url_decode", a(0))
         case "apoc.text.fromcodepoint" => call_function("char", a(0)) // text.go:520
@@ -1645,7 +1649,8 @@ object Planner {
         case "apoc.text.bytestostring" => // text.go:536
           array_join(transform(a(0), b => call_function("char", b)), "")
         case "apoc.text.doublemetaphone" => // reference ships [soundex] (text.go:565)
-          array(soundex(a(0)))
+          graft.functions.HashExprs.ensure(f.df.sparkSession)
+          array(call_function("graft_soundex", a(0).cast("string")))
         case "apoc.text.jarowinklerdistance" => // full JW loop (text.go:251)
           graft.functions.HashExprs.ensure(f.df.sparkSession)
           call_function("graft_jarowinkler", a(0).cast("string"), a(1).cast("string"))

@@ -285,6 +285,7 @@ object HashExprs {
     }
     one("graft_lsh_sig")(a => LshSignatureExpr(a(0), intLit(a(1)), intLit(a(2)), intLit(a(3))))
     one("graft_jarowinkler")(a => JaroWinklerExpr(a(0), a(1)))
+    one("graft_soundex")(a => RefSoundexExpr(a(0)))
     one("graft_text_embed")(a => TextEmbedExpr(a(0), a(1)))
     registered.add(spark)
   }

@@ -63,6 +63,59 @@ object TextImpls {
     }
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
+
+  /** Reference soundex (`/root/reference/apoc/text/text.go:610-650`). It
+    * differs from the ANSI soundex Spark ships: the reference resets
+    * `prevCode` on ANY unmapped character — vowels AND H/W — so repeated
+    * same-code consonants separated by H/W are coded twice ('Ashcraft' →
+    * A226, where standard soundex gives A261). Kept byte-wise like the Go
+    * loop (first byte of the upper-cased text is emitted verbatim).
+    */
+  def refSoundex(u: UTF8String): UTF8String = {
+    val s = u.toUpperCase.getBytes
+    if (s.length == 0) return UTF8String.EMPTY_UTF8
+    val out = new Array[Byte](4)
+    out(0) = s(0)
+    var len = 1
+    var prevCode = codeOf(s(0))
+    var i = 1
+    while (i < s.length && len < 4) {
+      val code = codeOf(s(i))
+      if (code != 0 && code != prevCode) {
+        out(len) = code; len += 1; prevCode = code
+      } else if (code == 0) {
+        prevCode = 0
+      }
+      i += 1
+    }
+    while (len < 4) { out(len) = '0'; len += 1 }
+    UTF8String.fromBytes(out)
+  }
+
+  private def codeOf(b: Byte): Byte = (b: @annotation.switch) match {
+    case 'B' | 'F' | 'P' | 'V' => '1'
+    case 'C' | 'G' | 'J' | 'K' | 'Q' | 'S' | 'X' | 'Z' => '2'
+    case 'D' | 'T' => '3'
+    case 'L' => '4'
+    case 'M' | 'N' => '5'
+    case 'R' => '6'
+    case _ => 0
+  }
+}
+
+/** refSoundex(s) → the reference's soundex variant (text.go:610). */
+case class RefSoundexExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override protected def nullSafeEval(a: Any): Any =
+    TextImpls.refSoundex(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.TextImpls$$.MODULE$$.refSoundex($a)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** jaroWinkler(s1, s2) → similarity in [0, 1]. */

@@ -32,8 +32,11 @@ object Audit {
   val securityTypes = Seq("LOGIN_FAILED", "ACCESS_DENIED", "SECURITY_ALERT",
     "BREACH_DETECTED")
 
-  /** `Reader.Query` as one composable filter; None = filter absent. Rows
-    * keep the log's (ts, tiebreaker) order for pagination determinism. */
+  /** `Reader.Query` as one composable filter; None = filter absent. The
+    * result is UNORDERED (a distributed filter preserves no row order) —
+    * callers that paginate must impose a total order first; use
+    * [[paginate]], which requires explicit sort keys, instead of calling
+    * `offset`/`limit` directly on this result. */
   def query(
       log: DataFrame,
       start: Option[String] = None,
@@ -50,6 +53,16 @@ object Audit {
     resourceId.foreach(r => out = out.filter(col("resource_id") === r))
     success.foreach(s => out = out.filter(col("success") === s))
     out
+  }
+
+  /** Deterministic offset/limit pagination (audit.go:905-922's slice over
+    * the filtered stream). Requires explicit sort keys so the page is a
+    * total order — the tiebreaker should make rows unique (e.g.
+    * `ts, event_id`). */
+  def paginate(filtered: DataFrame, sortKeys: Seq[String],
+      offset: Int, limit: Int): DataFrame = {
+    require(sortKeys.nonEmpty, "paginate requires at least one sort key")
+    filtered.orderBy(sortKeys.map(col): _*).offset(offset).limit(limit)
   }
 
   /** GDPR Art.15 right-of-access trail (audit.go:927). */

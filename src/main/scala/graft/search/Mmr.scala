@@ -88,7 +88,13 @@ object Mmr {
         if (mmr > bestMmr) { bestMmr = mmr; bestIdx = i }
         i += 1
       }
-      selected += cands.remove(bestIdx)
+      // All-NaN scores leave bestIdx at -1; stop like the reference loop
+      // does (search.go:1616-1622) instead of removing index -1.
+      if (bestIdx < 0) {
+        cands.clear()
+      } else {
+        selected += cands.remove(bestIdx)
+      }
     }
 
     val out = selected.zipWithIndex.map { case (c, i) =>
