@@ -44,9 +44,25 @@ object GraphStore {
     store.relEmbs = opt("rel_embeddings")
     store
   }
+
+  /** Reopen a WAL-backed store: newest checkpoint + delta-tail replay
+    * (`pkg/storage/wal_engine.go:28-45`'s recovery path). The returned
+    * store keeps logging to the same WAL, continuing the version sequence.
+    */
+  def loadWal(spark: org.apache.spark.sql.SparkSession, dir: String,
+      registerGlobal: Boolean = true, compactEvery: Int = 8): GraphStore = {
+    val replayed = new DeltaLog(spark, dir).replay()
+    val store = new GraphStore(replayed.graph, registerGlobal,
+      walDir = Some(dir), compactEvery = compactEvery)
+    store.nodeEmbs = Some(replayed.nodeEmb)
+    store.relEmbs = Some(replayed.relEmb)
+    store.versionCounter = replayed.version
+    store
+  }
 }
 
-final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
+final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
+    walDir: Option[String] = None, compactEvery: Int = 8) {
   // transaction-private stores must NOT hijack the global registry
   if (registerGlobal) GraphStore.registerCurrent(this)
 
@@ -56,16 +72,40 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
       propertiesSet: Long = 0)
 
   @volatile private var current: PropertyGraph = initial
-  @volatile private var versionCounter: Long = 0
+  @volatile private[graph] var versionCounter: Long = 0
 
   /** Schema metadata: indexes (layout hints) + enforced constraints. */
   val catalog = new SchemaCatalog
 
+  /** Incremental commit log (None = in-memory-only store). When present,
+    * every mutation appends a delta commit of ONLY its touched rows and a
+    * checkpoint is written every `compactEvery` deltas — the reference's
+    * WAL+snapshot+compaction (`pkg/storage/wal_engine.go:28-45`), so a
+    * single-property SET never rewrites the store on disk.
+    */
+  private val wal: Option[DeltaLog] =
+    walDir.map(d => new DeltaLog(initial.nodes.sparkSession, d))
+  // a fresh WAL dir starts with checkpoint v0 of the initial graph so
+  // replay always has a base (recovery never needs out-of-band state).
+  // emptyEmb, not nodeEmbeddings: the emb vars initialize after this block.
+  wal.foreach { w =>
+    if (w.latestVersion < 0)
+      w.commitCheckpoint(0L, initial, emptyEmb, emptyEmb)
+  }
+
   def snapshot: PropertyGraph = current
   def version: Long = versionCounter
 
-  private def swap(g: PropertyGraph): Unit = synchronized {
+  private def swap(g: PropertyGraph,
+      parts: Map[String, DataFrame] = Map.empty): Unit = synchronized {
     versionCounter += 1
+    wal.foreach { w =>
+      if (parts.nonEmpty) w.commitDelta(versionCounter, parts)
+      if (w.deltasSinceCheckpoint >= compactEvery) {
+        versionCounter += 1
+        w.commitCheckpoint(versionCounter, g, nodeEmbeddings, relEmbeddings)
+      }
+    }
     // bound the logical-plan lineage: every few versions, materialize the
     // snapshot (localCheckpoint) so a long write sequence doesn't stack
     // unbounded join/withColumn layers — Catalyst analysis cost grows
@@ -92,6 +132,11 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
         "transaction conflict: the store changed underneath; rolled back")
       current = tx.snapshot
       versionCounter += 1
+      // a committed transaction's net effect isn't tracked statement-wise
+      // (the private store has no WAL) → log it as one rewrite commit
+      wal.foreach(_.commitDelta(versionCounter,
+        Map("nodes_rewrite" -> tx.snapshot.nodes,
+          "edges_rewrite" -> tx.snapshot.edges)))
     }
     out
   }
@@ -133,7 +178,8 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
     require(conflicts == 0, s"unique-id constraint violated for $conflicts node(s)")
     enforceUnique(g, newNodes)
     val n = newNodes.count()
-    swap(PropertyGraph(g.nodes.unionByName(newNodes), g.edges))
+    swap(PropertyGraph(g.nodes.unionByName(newNodes), g.edges),
+      Map("nodes_upserts" -> newNodes))
     QueryStats(nodesCreated = n)
   }
 
@@ -146,7 +192,8 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
       .localCheckpoint(true)
     enforceUnique(g, missing)
     val n = missing.count()
-    swap(PropertyGraph(g.nodes.unionByName(missing), g.edges))
+    swap(PropertyGraph(g.nodes.unionByName(missing), g.edges),
+      if (n > 0) Map("nodes_upserts" -> missing) else Map.empty)
     QueryStats(nodesCreated = n)
   }
 
@@ -176,7 +223,9 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
         .otherwise(col("properties")))
       .drop("newval", "_upd")
     val n = updates.count()
-    swap(PropertyGraph(updated, g.edges))
+    // WAL delta = only the touched rows (updated values, keyed by id)
+    swap(PropertyGraph(updated, g.edges),
+      Map("nodes_upserts" -> updated.join(u.select("id"), Seq("id"), "left_semi")))
     QueryStats(propertiesSet = n)
   }
 
@@ -203,7 +252,8 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
         .otherwise(col("properties")))
       .drop("_hit")
     val n = ids.count()
-    swap(PropertyGraph(updated, g.edges))
+    swap(PropertyGraph(updated, g.edges),
+      Map("nodes_upserts" -> updated.join(ids.select("id"), Seq("id"), "left_semi")))
     QueryStats(propertiesSet = n)
   }
 
@@ -232,7 +282,13 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
         g.edges.join(victims.withColumnRenamed("id", "vid"),
           col("src") === col("vid") || col("dst") === col("vid"), "left_anti")
       else g.edges
-    swap(PropertyGraph(newNodes, newEdges))
+    val parts = Map("nodes_deletes" -> victims) ++
+      (if (detach)
+        Map("edges_deletes" -> g.edges.join(victims.withColumnRenamed("id", "vid"),
+          col("src") === col("vid") || col("dst") === col("vid"), "left_semi")
+          .select("id"))
+      else Map.empty)
+    swap(PropertyGraph(newNodes, newEdges), parts)
     QueryStats(nodesDeleted = nDel, relationshipsDeleted = eDel)
   }
 
@@ -255,7 +311,8 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
               map(lit(key), value.cast("string"))))
             .otherwise(col("properties"))).drop("_hit")
     val n = ids.count()
-    swap(PropertyGraph(g.nodes, updated))
+    swap(PropertyGraph(g.nodes, updated),
+      Map("edges_upserts" -> updated.join(ids.select("id"), Seq("id"), "left_semi")))
     QueryStats(propertiesSet = n)
   }
 
@@ -263,24 +320,27 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
     * remove/replace mutate the labels array per node).
     */
   def replaceNodes(nodes: DataFrame): Unit =
-    swap(PropertyGraph(nodes, current.edges))
+    // refactor ops rewrite the frame wholesale by design → rewrite commit
+    swap(PropertyGraph(nodes, current.edges), Map("nodes_rewrite" -> nodes))
 
   /** Replace the edge set wholesale (apoc.refactor rel rewrites: rename
     * type, invert, redirect).
     */
   def replaceEdges(edges: DataFrame): Unit =
-    swap(PropertyGraph(current.nodes, edges))
+    swap(PropertyGraph(current.nodes, edges), Map("edges_rewrite" -> edges))
 
   /** Replace both sides in one version (refactor operations that rewrite
     * nodes and their incident edges together).
     */
-  def replaceGraph(g: PropertyGraph): Unit = swap(g)
+  def replaceGraph(g: PropertyGraph): Unit =
+    swap(g, Map("nodes_rewrite" -> g.nodes, "edges_rewrite" -> g.edges))
 
   /** CREATE relationships. */
   def createEdges(newEdges: DataFrame): QueryStats = {
     val g = current
     val n = newEdges.count()
-    swap(PropertyGraph(g.nodes, g.edges.unionByName(newEdges)))
+    swap(PropertyGraph(g.nodes, g.edges.unionByName(newEdges)),
+      Map("edges_upserts" -> newEdges))
     QueryStats(relationshipsCreated = n)
   }
 
@@ -330,9 +390,17 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
   // base frame and silently drop one upsert
   def setNodeVectorProperties(rows: DataFrame): Unit = synchronized {
     nodeEmbs = Some(upsertEmb(nodeEmbeddings, rows))
+    wal.foreach { w =>
+      versionCounter += 1
+      w.commitDelta(versionCounter, Map("node_embeddings_upserts" -> rows))
+    }
   }
   def setRelationshipVectorProperties(rows: DataFrame): Unit = synchronized {
     relEmbs = Some(upsertEmb(relEmbeddings, rows))
+    wal.foreach { w =>
+      versionCounter += 1
+      w.commitDelta(versionCounter, Map("rel_embeddings_upserts" -> rows))
+    }
   }
 
   /** db.create.setNodeVectorProperty point write. */
@@ -357,10 +425,12 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true) {
     * wal_engine.go:28-45`): the current version's nodes/edges and both
     * named-embedding side tables are committed as Parquet under `dir`,
     * and [[GraphStore.load]] reopens them in a fresh session. This is a
-    * FULL snapshot commit (the streaming upsert's foreachBatch models the
-    * incremental Delta-MERGE shape); at 100 TB the same call writes
-    * partitioned Parquet through the cluster writers — no driver
-    * collect anywhere on the path.
+    * FULL snapshot commit — the one-shot export path; for per-statement
+    * incremental durability construct the store with a `walDir` (see
+    * [[DeltaLog]]: delta commits + periodic checkpoints, so a one-row SET
+    * writes one row, not the store). At 100 TB either path writes
+    * partitioned Parquet through the cluster writers — no driver collect
+    * anywhere.
     */
   def persist(dir: String): Unit = {
     val g = current
