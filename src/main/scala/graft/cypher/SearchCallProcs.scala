@@ -42,11 +42,12 @@ object SearchCallProcs {
   }
   /** Query-vector argument: a numeric list, or TEXT — the reference
     * embeds text queries server-side before the vector scan
-    * (`search.go:851ff` via `pkg/embed`); here the disclosed
-    * [[graft.functions.TextEmbed]] hash-projection stands in.
+    * (`search.go:851ff` via `pkg/embed`); the pluggable
+    * [[graft.functions.Embedder]] seam resolves the encoder (default: the
+    * disclosed TextEmbed hash-projection).
     */
   private def queryVecOf(v: Any): Seq[Double] = v match {
-    case s: String => graft.functions.TextEmbed.embed(s)
+    case s: String => graft.functions.Embedder.current.embed(s)
     case other => asVec(other)
   }
   private def asStrList(v: Any): Seq[String] = v match {

@@ -109,17 +109,18 @@ object Chunker {
   }
 
   /** Chunk-level text search with node-level grouping (`search.go:687`
-    * granular tier): embed every chunk with the disclosed TextEmbed
-    * projection, score against the query text's projection, and keep
+    * granular tier): embed every chunk via the pluggable
+    * [[graft.functions.Embedder]] seam (default: the disclosed TextEmbed
+    * projection), score against the query text's embedding, and keep
     * each doc's best chunk — max-sim aggregation, one shuffle.
     */
   def searchChunks(docs: DataFrame, queryText: String, k: Int,
       size: Int, overlap: Int): DataFrame = {
     val spark = docs.sparkSession
-    graft.functions.HashExprs.ensure(spark)
+    val embedder = graft.functions.Embedder.current
     val chunks = chunkDocs(docs, "text", "doc_id", size, overlap)
-      .withColumn("emb", graft.functions.TextEmbed.embedCol(col("chunk")))
-    val qv = graft.functions.TextEmbed.embed(queryText)
+      .withColumn("emb", embedder.embedCol(spark, col("chunk")))
+    val qv = embedder.embed(queryText)
     val qe = array(qv.map(lit): _*)
     val scored = chunks.withColumn("score",
       round(aggregate(zip_with(col("emb"), qe, (x, y) => (x * y).cast("decimal(38,18)")),

@@ -35,12 +35,12 @@ object EmbedQueue {
       .parquet(sfDir)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.functions.HashExprs.ensure(batch.sparkSession)
+        val embedder = graft.functions.Embedder.current
         val chunks = Chunker.chunkDocs(batch, "text", "doc_id", size, overlap)
         store.setNodeVectorProperties(chunks.select(
           col("chunk_id").as("entity_id"),
           lit(embName).as("name"),
-          graft.functions.TextEmbed.embedCol(col("chunk")).as("embedding")))
+          embedder.embedCol(batch.sparkSession, col("chunk")).as("embedding")))
       }
       .start()
     q.processAllAvailable()

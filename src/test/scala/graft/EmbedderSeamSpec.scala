@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cypher.Cypher
+import graft.functions.{Embedder, TextEmbed}
+import graft.graph.{GraphStore, PropertyGraph}
+import graft.search.SearchIndexes
+
+/** The pluggable Embedder seam: a fake encoder injected via
+  * `Embedder.withEmbedder` flows end-to-end through (1) the text-query
+  * vector CALL surface, (2) `Chunker.searchChunks`, and (3) the streaming
+  * embed queue — with no call-site edits, and the default restored after.
+  * (The reference wires its encoder once behind `pkg/embed`'s interface;
+  * this is that seam.)
+  */
+class EmbedderSeamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Constant-direction fake: every text embeds to [1, 0]. Any search
+    * scored with it returns cosine exactly 1.0 against [1, 0] vectors —
+    * unmistakably not the hash projection.
+    */
+  private object ConstantEmbedder extends Embedder {
+    val dim = 2
+    def embed(text: String): Seq[Double] = Seq(1.0, 0.0)
+    def embedCol(spark: SparkSession, c: Column): Column =
+      array(lit(1.0), lit(0.0))
+  }
+
+  test("default embedder is the disclosed hash projection") {
+    assert(Embedder.current eq Embedder.HashProjection)
+    assert(Embedder.current.embed("quick brown fox") ==
+      TextEmbed.embed("quick brown fox"))
+  }
+
+  test("text-query vector CALL resolves the injected embedder") {
+    import spark.implicits._
+    val vecs = Seq(
+      ("along", Seq(1.0, 0.0)),   // aligned with the fake's direction
+      ("ortho", Seq(0.0, 1.0)),
+      ("diag", Seq(0.7071067811865476, 0.7071067811865476)))
+      .toDF("vid", "embedding")
+    SearchIndexes.registerVector(SearchIndexes.VectorIdx(
+      "seam_idx", () => vecs, "vid", "embedding", "DATASET"))
+    val g = GraphQueries.graph(spark, sf)
+    val got = Embedder.withEmbedder(ConstantEmbedder) {
+      Cypher.run(g,
+        """CALL db.index.vector.queryNodes('seam_idx', 3, 'any text at all')
+           YIELD node, score RETURN node, score ORDER BY score DESC""")
+        .collect().toSeq
+    }
+    // the fake's [1,0] query ranks 'along' first at cosine exactly 1.0
+    assert(got.head.getString(0) == "along")
+    assert(math.abs(got.head.getDouble(1) - 1.0) < 1e-12)
+    assert(got.map(_.getString(0)) == Seq("along", "diag", "ortho"))
+    // seam restored
+    assert(Embedder.current eq Embedder.HashProjection)
+  }
+
+  test("searchChunks embeds chunks and query through the injected embedder") {
+    val docs = Tables.documents(spark, sf).limit(8)
+    val got = Embedder.withEmbedder(ConstantEmbedder) {
+      graft.operators.Chunker.searchChunks(docs, "whatever", 5, 128, 16)
+        .collect()
+    }
+    // constant embeddings → every best-chunk score is cosine 1.0 exactly;
+    // the hash projection would produce varied scores
+    assert(got.nonEmpty)
+    got.foreach(r => assert(math.abs(r.getDouble(2) - 1.0) < 1e-9))
+  }
+
+  test("streaming embed queue writes the injected embedder's vectors") {
+    val g = GraphQueries.graph(spark, sf)
+    val store = new GraphStore(PropertyGraph(
+      g.nodes.filter("false").localCheckpoint(true),
+      g.edges.filter("false").localCheckpoint(true)), registerGlobal = false)
+    Embedder.withEmbedder(ConstantEmbedder) {
+      graft.streaming.EmbedQueue.streamingChunkEmbed(spark, sf, store, 128, 16)
+    }
+    val embs = store.nodeEmbeddings.select("embedding").limit(5)
+      .collect().map(_.getSeq[Double](0))
+    assert(embs.nonEmpty)
+    embs.foreach(v => assert(v == Seq(1.0, 0.0)))
+  }
+}
