@@ -12,6 +12,16 @@ import OracleSafe._
   */
 object ExtQueries {
 
+  /** Quality floors for the ANN eval verdict rows — set with margin below
+    * the measured sf0.001/sf0.01 macros (raw values asserted in
+    * SearchPipelineSpec); a tier regressing under its floor turns the
+    * correctness row red.
+    */
+  val evalLshBounds: Seq[(String, Double)] =
+    Seq("recall_at_k" -> 0.5, "ndcg_at_k" -> 0.45, "precision_at_k" -> 0.5)
+  val evalIvfBounds: Seq[(String, Double)] =
+    Seq("recall_at_k" -> 0.4, "ndcg_at_k" -> 0.5)
+
   val queries: Map[String, GQuery] = Map(
     "q_path_subgraph_nodes" -> GQuery(
       (s, d) => {
@@ -187,17 +197,23 @@ object ExtQueries {
                 (6, 'Limit'),
                 (7, 'ProduceResults')) t(step, operator)"""), "2.9"),
 
-    // deterministic IR metrics for the LSH index vs brute-force truth —
-    // no SQL analogue (hash-seeded planes); ranges asserted in spec
+    // IR metrics for the LSH index vs brute-force truth, emitted as
+    // driver-checkable (metric, threshold, pass) verdict rows — the raw
+    // float macros are reassociative (no SQL replay) but the PASS verdict
+    // is deterministic and hash-compares against a VALUES oracle. Raw
+    // values still asserted in SearchPipelineSpec.
     "q_eval_ann_quality" -> GQuery(
-      (s, d) => Eval.annVsBrute(s, Tables.embeddings(s, d), 20, 10, 4, 8),
-      None, "2.11"),
+      (s, d) => Eval.passRows(
+        Eval.annVsBrute(s, Tables.embeddings(s, d), 20, 10, 4, 8),
+        "lsh", evalLshBounds),
+      Some(Eval.passRowsOracle("lsh", evalLshBounds)), "2.11"),
 
-    // same harness over the IVF tier: recall/NDCG vs brute-force truth at
-    // nProbe=4 of 16 lists (approximate → rows-only, ranges in spec)
+    // same harness over the IVF tier at nProbe=4 of 16 lists
     "q_eval_ivf_quality" -> GQuery(
-      (s, d) => Eval.ivfVsBrute(s, Tables.embeddings(s, d), 20, 10, 16, 4),
-      None, "2.11"),
+      (s, d) => Eval.passRows(
+        Eval.ivfVsBrute(s, Tables.embeddings(s, d), 20, 10, 16, 4),
+        "ivf", evalIvfBounds),
+      Some(Eval.passRowsOracle("ivf", evalIvfBounds)), "2.11"),
 
     // full write pipeline through the Cypher string surface on a fresh
     // store: CREATE per UNWIND row → MERGE (2 of 5 new) → per-row SET →

@@ -11,6 +11,15 @@ object SearchQueries {
 
   private val bmTerms = Seq("spark", "table", "query")
 
+  /** Quality floors for the ANN verdict rows (margin below the measured
+    * sf0.001 and sf0.01 values; raw macros asserted in
+    * SearchPipelineSpec).
+    */
+  val annIvfFloor = 0.3
+  val annHnswFloor = 0.9
+  val evalHnswBounds: Seq[(String, Double)] =
+    Seq("recall_at_k" -> 0.9, "ndcg_at_k" -> 0.85)
+
   val queries: Map[String, GQuery] = Map(
     "q_bm25_topk" -> GQuery(
       (s, d) => BM25.search(Tables.documents(s, d), bmTerms, 20),
@@ -73,25 +82,42 @@ object SearchQueries {
       Some(VectorSearch.annLshOracle(0L, 10, nBits = 4, nTables = 8, dim = 64)), "2.11"),
 
     // IVF: k-means coarse quantizer, probe the 4 nearest of 16 lists —
-    // the partition-pruned scale path (rows-only; exactness at
-    // nProbe == nLists asserted in SearchPipelineSpec)
+    // the partition-pruned scale path. The approximate id list has no SQL
+    // replay, so the row emits the deterministic verdict instead: recall
+    // of the probed top-10 vs the brute-force truth, thresholded (the
+    // oracle is the expected PASS row; exactness at nProbe == nLists is
+    // asserted in SearchPipelineSpec).
     "q_vector_ann_ivf" -> GQuery(
-      (s, d) => VectorSearch.ivfTopK(Tables.embeddings(s, d), 0L, 10,
-        nLists = 16, nProbe = 4),
-      None, "2.11"),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.search.Eval.annPassRow(
+          VectorSearch.ivfTopK(emb, 0L, 10, nLists = 16, nProbe = 4),
+          emb, 0L, 10, "ivf", annIvfFloor)
+      },
+      Some(s"""SELECT 'ivf:recall@10' AS metric,
+                 CAST($annIvfFloor AS DOUBLE) AS threshold, true AS pass"""),
+      "2.11"),
 
     // HNSW: partition-local graphs (M=16, efC=200, efS=100 — the reference's
-    // hnsw_index.go:35-50 parameters), per-partition top-k merged. Rows-only;
-    // recall@10 >= 0.95 vs brute asserted in SearchPipelineSpec via Eval.
+    // hnsw_index.go:35-50 parameters), per-partition top-k merged, same
+    // verdict-row shape (recall@10 >= 0.95 also asserted in spec).
     "q_vector_ann_hnsw" -> GQuery(
-      (s, d) => Hnsw.hnswTopK(Tables.embeddings(s, d), 0L, 10),
-      None, "2.11"),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.search.Eval.annPassRow(
+          Hnsw.hnswTopK(emb, 0L, 10), emb, 0L, 10, "hnsw", annHnswFloor)
+      },
+      Some(s"""SELECT 'hnsw:recall@10' AS metric,
+                 CAST($annHnswFloor AS DOUBLE) AS threshold, true AS pass"""),
+      "2.11"),
 
-    // macro recall/ndcg of the HNSW tier over 20 queries (rows-only; the
-    // numbers themselves are asserted in spec)
+    // macro recall/ndcg of the HNSW tier over 20 queries as verdict rows
+    // (raw macros asserted in SearchPipelineSpec)
     "q_eval_hnsw_quality" -> GQuery(
-      (s, d) => graft.search.Eval.hnswVsBrute(s, Tables.embeddings(s, d), 20, 10),
-      None, "2.11"),
+      (s, d) => graft.search.Eval.passRows(
+        graft.search.Eval.hnswVsBrute(s, Tables.embeddings(s, d), 20, 10),
+        "hnsw", evalHnswBounds),
+      Some(graft.search.Eval.passRowsOracle("hnsw", evalHnswBounds)), "2.11"),
 
     "q_hybrid_rrf" -> GQuery(
       (s, d) => {

@@ -141,6 +141,52 @@ object Eval {
         avg("ndcg_at_k").as("ndcg_at_k"))
   }
 
+  /** Driver-checkable bound rows: one row per bounded metric with
+    * `pass = measured >= threshold`. The raw float measurement is
+    * reassociative (partition-order-dependent sums) so it can't be
+    * hash-compared across engines — the DETERMINISTIC verdict can: the
+    * oracle is a `VALUES ('family:metric', thr, true)` list, and the row
+    * goes red the moment quality regresses below the bound. Raw values
+    * stay assertable in the ScalaTest specs.
+    */
+  def passRows(macroRow: DataFrame, family: String,
+      bounds: Seq[(String, Double)]): DataFrame = {
+    val structs = bounds.map { case (m, thr) =>
+      struct(lit(s"$family:$m").as("metric"),
+        lit(thr).as("threshold"),
+        (col(m) >= thr).as("pass"))
+    }
+    macroRow.select(explode(array(structs: _*)).as("b"))
+      .select(col("b.metric").as("metric"),
+        col("b.threshold").as("threshold"), col("b.pass").as("pass"))
+  }
+
+  /** SQL oracle for [[passRows]]: the expected all-green verdict table. */
+  def passRowsOracle(family: String, bounds: Seq[(String, Double)]): String =
+    "SELECT * FROM (VALUES " +
+      bounds.map { case (m, thr) =>
+        s"('$family:$m', CAST($thr AS DOUBLE), true)"
+      }.mkString(", ") + ") t(metric, threshold, pass)"
+
+  /** One-query ANN verdict: recall of `ann`'s id column vs the brute-force
+    * cosine top-k for `queryId`, emitted as a single (metric, threshold,
+    * pass) row. `ann` is the ≤k output of an ANN tier — the join is
+    * bounded by construction.
+    */
+  def annPassRow(ann: DataFrame, emb: DataFrame, queryId: Long, k: Int,
+      family: String, threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val brute = VectorSearch.bruteTopK(emb,
+        emb.filter(col("vec_id") === queryId), k + 1)
+      .filter(col("vec_id") =!= queryId).limit(k)
+    val hits = ann.select("vec_id")
+      .join(brute.select("vec_id"), Seq("vec_id"), "left_semi").count()
+    val pass = hits.toDouble / k >= threshold
+    spark.sql(
+      s"""SELECT '$family:recall@$k' AS metric,
+                 CAST($threshold AS DOUBLE) AS threshold, $pass AS pass""")
+  }
+
   /** Evaluate the partition-local HNSW tier against brute-force ground
     * truth: one graph build per partition, all queries probed against it.
     */

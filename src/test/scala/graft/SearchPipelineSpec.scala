@@ -170,4 +170,17 @@ class SearchPipelineSpec extends AnyFunSuite {
     assert(eu.head.getDouble(1) == 1.0)
     assert(eu.forall(r => r.getDouble(1) > 0 && r.getDouble(1) <= 1.0))
   }
+
+  test("ANN verdict rows: every registry quality floor passes at sf0.001") {
+    val names = Seq("q_eval_ann_quality", "q_eval_ivf_quality",
+      "q_eval_hnsw_quality", "q_vector_ann_ivf", "q_vector_ann_hnsw")
+    names.foreach { n =>
+      val rows = QueryRegistry.queryFns(n)(spark, sf).collect()
+      assert(rows.nonEmpty, n)
+      rows.foreach { r =>
+        assert(r.getBoolean(r.fieldIndex("pass")),
+          s"$n: ${r.getString(r.fieldIndex("metric"))} below its floor")
+      }
+    }
+  }
 }
