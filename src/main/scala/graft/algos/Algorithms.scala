@@ -277,11 +277,14 @@ object Algorithms {
     (communities, modularity(g, communities, relType))
   }
 
-  /** Modularity of a partition: Q = Σ_c (in_c/m − (tot_c/2m)²). */
+  /** Modularity of a partition: Q = Σ_c (in_c/m − (tot_c/2m)²). The total
+    * weight `m` stays in the plan as a broadcast 1-row frame (the same
+    * shape [[density]] uses) — no driver round-trip.
+    */
   def modularity(g: PropertyGraph, communities: DataFrame,
       relType: Option[String] = None): DataFrame = {
     val es = relType.map(g.edgesByType).getOrElse(g.edges)
-    val m = es.agg(sum("weight")).collect()(0).getDouble(0)
+    val mDf = es.agg(sum("weight").as("m"))
     val withComms = es
       .join(communities.select(col("id").as("src"), col("label").as("cs")), "src")
       .join(communities.select(col("id").as("dst"), col("label").as("cd")), "dst")
@@ -291,8 +294,9 @@ object Algorithms {
       .union(withComms.select(col("cd").as("community"), col("weight")))
       .groupBy("community").agg(sum("weight").as("w_tot"))
     totC.join(inC, Seq("community"), "left_outer")
-      .select(sum(coalesce(col("w_in"), lit(0.0)) / m -
-        pow(col("w_tot") / (2 * m), 2)).as("modularity"))
+      .crossJoin(broadcast(mDf))
+      .select(sum(coalesce(col("w_in"), lit(0.0)) / col("m") -
+        pow(col("w_tot") / (lit(2) * col("m")), 2)).as("modularity"))
   }
 
   // =====================================================================
@@ -321,34 +325,80 @@ object Algorithms {
     dist
   }
 
+  /** Distributed weighted point-to-point path: Bellman-Ford relaxation
+    * rounds with parent tracking (the Pregel-style shape that holds at any
+    * scale), path rebuilt from the bounded parent chain — ≤ `rounds`
+    * 1-row lookups. Ties break on the lexicographically smallest parent
+    * (deterministic). The fallback behind [[aStar]] when the point-query
+    * neighborhood exceeds its driver cap.
+    */
+  def weightedPath(g: PropertyGraph, sourceId: String, targetId: String,
+      rounds: Int): Option[(Seq[String], Double)] = {
+    val edges = g.edges.select("src", "dst", "weight").cache()
+    var dist = g.nodes.filter(col("id") === sourceId)
+      .select(col("id"), lit(0.0).as("dist"),
+        lit(null).cast("string").as("parent")).cache()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist
+        .join(edges.withColumnRenamed("src", "eid"), col("id") === col("eid"))
+        .select(col("dst").as("id"), (col("dist") + col("weight")).as("dist"),
+          col("id").as("parent"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("id").agg(min(struct(col("dist"), col("parent"))).as("best"))
+        .select(col("id"), col("best.dist").as("dist"),
+          col("best.parent").as("parent"))
+        .localCheckpoint(true)
+      dist.unpersist()
+      dist = next
+    }
+    edges.unpersist()
+    val endRow = dist.filter(col("id") === targetId).collect()
+    if (endRow.isEmpty) { dist.unpersist(); return None }
+    val cost = endRow.head.getDouble(1)
+    // walk the parent chain — each hop is a 1-row point lookup, bounded
+    // by `rounds`
+    val path = scala.collection.mutable.ListBuffer(targetId)
+    var cur = Option(endRow.head.getString(2))
+    var guard = 0
+    while (cur.isDefined && guard <= rounds) {
+      path.prepend(cur.get)
+      cur =
+        if (cur.get == sourceId) None
+        else Option(dist.filter(col("id") === cur.get)
+          .collect().head.getString(2))
+      guard += 1
+    }
+    dist.unpersist()
+    Some((path.toSeq, cost))
+  }
+
   /** A* point-to-point search (`apoc.algo.aStar`,
     * `/root/reference/pkg/cypher/apoc_algorithms.go:114`). Like the
     * reference, this is a single-node point-query algorithm: the bounded
     * k-hop neighborhood of the source is collected (distributed BFS first),
-    * then classic priority-queue A* runs on that subgraph. Bulk SSSP at
-    * scale uses [[dijkstra]] instead. Heuristic defaults to 0 (= exact
-    * Dijkstra).
+    * then classic priority-queue A* runs on that subgraph. If the
+    * neighborhood exceeds `maxLocalEdges`, the query FALLS BACK to the
+    * distributed [[weightedPath]] relaxation instead of failing — same
+    * cost, cluster-shaped. Heuristic defaults to 0 (= exact Dijkstra).
     */
   def aStar(g: PropertyGraph, sourceId: String, targetId: String,
-      maxHops: Int = 6, heuristic: String => Double = _ => 0.0): Option[(Seq[String], Double)] = {
+      maxHops: Int = 6, heuristic: String => Double = _ => 0.0,
+      maxLocalEdges: Int = 2000000): Option[(Seq[String], Double)] = {
     import graft.graph.Expand
     val spark = g.nodes.sparkSession
     val reachable = Expand.shortestPaths(g,
       g.nodes.filter(col("id") === sourceId).select("id"), None, maxHops, Expand.Both)
       .select("end_id")
-    // guard the driver-side collect: a dense k-hop neighborhood on a huge
-    // graph must fail loudly rather than OOM the driver (bulk SSSP at that
-    // scale is dijkstra's job)
-    val MaxLocalEdges = 2000000
+    // guard the driver-side collect: a dense k-hop neighborhood must not
+    // OOM the driver — past the cap, run the distributed relaxation
     val localEdges = g.edges
       .join(reachable.withColumnRenamed("end_id", "src"), Seq("src"), "left_semi")
       .select("src", "dst", "weight")
-      .limit(MaxLocalEdges + 1)
+      .limit(maxLocalEdges + 1)
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
-    require(localEdges.length <= MaxLocalEdges,
-      s"aStar: bounded neighborhood of $sourceId exceeds $MaxLocalEdges edges; " +
-        "reduce maxHops or use dijkstra for bulk SSSP")
+    if (localEdges.length > maxLocalEdges)
+      return weightedPath(g, sourceId, targetId, maxHops)
     val adj = localEdges.groupBy(_._1).map { case (s, es) =>
       s -> es.map(e => (e._2, e._3)) }
     // A* with binary-heap frontier

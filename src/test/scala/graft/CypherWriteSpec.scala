@@ -105,6 +105,24 @@ class CypherWriteSpec extends AnyFunSuite {
     assert(Algorithms.aStar(g, "Customer:1", "Customer:2", maxHops = 3).isEmpty)
   }
 
+  test("A* past the neighborhood cap falls back to the distributed relaxation") {
+    import graft.algos.Algorithms
+    val g = GraphQueries.graph(spark, sf)
+    val regionId = Cypher.run(g,
+      "MATCH (c:Customer {key: 1})-[:FROM]->(:Nation)-[:IN]->(r:Region) RETURN id(r) AS rid")
+      .collect()(0).getString(0)
+    val inMemory = Algorithms.aStar(g, "Customer:1", regionId, maxHops = 3)
+    // a 0-edge cap trips immediately → the distributed weightedPath runs
+    val fallback = Algorithms.aStar(g, "Customer:1", regionId, maxHops = 3,
+      maxLocalEdges = 0)
+    assert(fallback.isDefined)
+    assert(fallback.get._2 == inMemory.get._2)     // same optimal cost
+    assert(fallback.get._1 == inMemory.get._1)     // unique path here
+    // unreachable target still returns None through the fallback
+    assert(Algorithms.aStar(g, "Customer:1", "Customer:2", maxHops = 3,
+      maxLocalEdges = 0).isEmpty)
+  }
+
   test("plain DELETE refuses nodes with incident edges") {
     val store = freshStore()
     val victims = store.snapshot.nodes

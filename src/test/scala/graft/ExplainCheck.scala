@@ -20,6 +20,26 @@ object ExplainCheck {
     val rr = QueryRegistry.all("q_hybrid_rerank").fn(spark, d)
     println("== rerank single-partition windows: " +
       "Window".r.findAllIn(rr.queryExecution.executedPlan.toString).size)
+    // storage audit: a WAL-backed one-row SET must write a delta, not the
+    // store (the hard assertion lives in DeltaLogSpec; this prints the
+    // ratio for manual inspection at sf0.01 scale)
+    locally {
+      import graft.cypher.CypherWrite
+      import graft.graph.{DeltaLog, GraphStore, PropertyGraph}
+      val dir = java.nio.file.Files.createTempDirectory("graft-wal-audit").toString
+      val gg = GraphQueries.graph(spark, d)
+      val s = new GraphStore(PropertyGraph(
+        gg.nodes.localCheckpoint(true), gg.edges.localCheckpoint(true)),
+        registerGlobal = false, walDir = Some(dir))
+      CypherWrite.execute(s, "MATCH (c:Customer) WHERE c.key = 1 SET c.name = 'audit'")
+      def bytes(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).getOrElse(Array.empty).map(bytes).sum
+      val dv = new DeltaLog(spark, dir).commits().filter(_.kind == "delta").last.version
+      println("== wal delta bytes / store bytes: " +
+        bytes(new java.io.File(s"$dir/delta/v$dv")) + " / " +
+        bytes(new java.io.File(s"$dir/checkpoint/v0/nodes")))
+    }
     spark.stop()
   }
 }
