@@ -1,0 +1,239 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, EOFException, InputStream, OutputStream}
+import java.net.{ServerSocket, Socket}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.Row
+
+import graft.graph.PropertyGraph
+
+/** Thin Bolt server loop over the existing PackStream layer — enough for a
+  * stock Neo4j driver to connect over `bolt://` and run read queries.
+  *
+  * Behavioral spec: `/root/reference/pkg/bolt/server.go`:
+  *   - handshake (server.go:866-897): 4-byte magic 60 60 B0 17, 16 bytes of
+  *     proposed versions, server answers `00 00 04 04` (Bolt 4.4);
+  *   - chunked messages (server.go:970-1007): 2-byte BE length per chunk,
+  *     empty chunk terminates; each message is a PackStream struct whose
+  *     signature routes it (server.go:1032-1058);
+  *   - RUN [query, params, extra] executes Cypher (server.go:1243,1376);
+  *     SUCCESS carries `fields` (server.go:1357);
+  *   - PULL streams RECORD messages then SUCCESS with `type`/`db`, honoring
+  *     the `n` option and `has_more` (server.go:1422-1520);
+  *   - FAILURE carries {code, message} (server.go:1831); post-failure
+  *     requests are IGNORED until RESET (standard Bolt state machine).
+  *
+  * One JVM thread per connection; the query itself runs on the Spark
+  * cluster — the server loop only streams the already-bounded result rows
+  * (the reference materializes `result.Rows` the same way,
+  * server.go:1422). BEGIN/COMMIT/ROLLBACK answer SUCCESS: the engine is
+  * statement-autocommit (snapshot swap per statement), matching the
+  * reference's default executor mode.
+  */
+final class BoltServer(graph: () => PropertyGraph, port: Int = 0) {
+
+  private val server = new ServerSocket(port)
+  private val running = new AtomicBoolean(false)
+  @volatile private var acceptor: Thread = _
+
+  /** The bound TCP port (useful with `port = 0`). */
+  def boundPort: Int = server.getLocalPort
+
+  def start(): BoltServer = {
+    running.set(true)
+    acceptor = new Thread(() => {
+      while (running.get()) {
+        try {
+          val sock = server.accept()
+          val t = new Thread(() => handle(sock), s"bolt-session-${sock.getPort}")
+          t.setDaemon(true)
+          t.start()
+        } catch {
+          case _: java.net.SocketException => // closed during accept
+        }
+      }
+    }, "bolt-acceptor")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    this
+  }
+
+  def stop(): Unit = {
+    running.set(false)
+    server.close()
+  }
+
+  // ======================================================== session ======
+
+  private def handle(sock: Socket): Unit = {
+    val in = new BufferedInputStream(sock.getInputStream)
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    try {
+      if (!handshake(in, out)) return
+      var lastResult: Option[(Seq[String], Seq[Row])] = None
+      var resultIndex = 0
+      var failed = false
+      var open = true
+      while (open) {
+        readMessage(in) match {
+          case None => // empty message: no-op
+          case Some(msg) =>
+            val (decoded, _) = PackStream.decode(msg, 0)
+            val (sig, fields) = decoded match {
+              case (s: Int, fs: Seq[_]) => (s, fs)
+              case other =>
+                throw new IllegalArgumentException(s"not a Bolt message: $other")
+            }
+            sig match {
+              case 0x01 => // HELLO
+                sendSuccess(out, Map("server" -> "graft/0.7",
+                  "connection_id" -> s"bolt-${sock.getPort}"))
+              case 0x6A => // LOGON (Bolt 5.1+ drivers split auth out of HELLO)
+                sendSuccess(out, Map.empty)
+              case 0x02 => // GOODBYE
+                open = false
+              case 0x0F => // RESET
+                lastResult = None; resultIndex = 0; failed = false
+                sendSuccess(out, Map.empty)
+              case 0x10 => // RUN [query, params, extra]
+                if (failed) sendIgnored(out)
+                else {
+                  try {
+                    val query = fields.head.toString
+                    val params = fields.lift(1) match {
+                      case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v }
+                      case _ => Map.empty[String, Any]
+                    }
+                    val df = graft.cypher.Cypher.run(graph(), query, params)
+                    val cols = df.columns.toSeq
+                    val rows = df.collect().toSeq
+                    lastResult = Some((cols, rows))
+                    resultIndex = 0
+                    sendSuccess(out, Map("fields" -> cols, "t_first" -> 0L))
+                  } catch {
+                    case e: Exception =>
+                      failed = true
+                      sendFailure(out, "Neo.ClientError.Statement.SyntaxError",
+                        Option(e.getMessage).getOrElse(e.toString))
+                  }
+                }
+              case 0x3F => // PULL {n}
+                if (failed) sendIgnored(out)
+                else lastResult match {
+                  case None => sendSuccess(out, Map.empty)
+                  case Some((_, rows)) =>
+                    val n = fields.headOption match {
+                      case Some(m: Map[_, _]) =>
+                        m.asInstanceOf[Map[String, Any]].get("n") match {
+                          case Some(l: Long) => l.toInt
+                          case _ => -1
+                        }
+                      case _ => -1
+                    }
+                    val end =
+                      if (n < 0) rows.length
+                      else math.min(rows.length, resultIndex + n)
+                    while (resultIndex < end) {
+                      writeFramed(out,
+                        PackStream.encodeRecord(rows(resultIndex).toSeq.map(boltValue)))
+                      resultIndex += 1
+                    }
+                    if (resultIndex < rows.length)
+                      sendSuccess(out, Map("has_more" -> true))
+                    else {
+                      lastResult = None; resultIndex = 0
+                      sendSuccess(out, Map("type" -> "r", "t_last" -> 0L,
+                        "db" -> "graft"))
+                    }
+                }
+              case 0x2F => // DISCARD
+                if (failed) sendIgnored(out)
+                else { lastResult = None; resultIndex = 0; sendSuccess(out, Map.empty) }
+              case 0x11 | 0x12 | 0x13 => // BEGIN / COMMIT / ROLLBACK
+                sendSuccess(out, Map.empty)
+              case other =>
+                failed = true
+                sendFailure(out, "Neo.ClientError.Request.Invalid",
+                  f"unknown message type 0x$other%02X")
+            }
+        }
+      }
+    } catch {
+      case _: EOFException => // client hung up
+      case _: java.net.SocketException =>
+    } finally sock.close()
+  }
+
+  private def handshake(in: InputStream, out: OutputStream): Boolean = {
+    val magic = readFully(in, 4)
+    if (!(magic(0) == 0x60.toByte && magic(1) == 0x60.toByte &&
+        magic(2) == 0xB0.toByte && magic(3) == 0x17.toByte)) return false
+    readFully(in, 16) // proposed versions; we always answer 4.4
+    out.write(Array[Byte](0x00, 0x00, 0x04, 0x04))
+    out.flush()
+    true
+  }
+
+  /** Read one chunk-framed message; None for the empty (no-op) message. */
+  private def readMessage(in: InputStream): Option[Array[Byte]] = {
+    val buf = new ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      val hdr = readFully(in, 2)
+      val size = ((hdr(0) & 0xFF) << 8) | (hdr(1) & 0xFF)
+      if (size == 0) done = true
+      else buf.write(readFully(in, size))
+    }
+    val b = buf.toByteArray
+    if (b.isEmpty) None else Some(b)
+  }
+
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(b, off, n - off)
+      if (r < 0) throw new EOFException()
+      off += r
+    }
+    b
+  }
+
+  private def writeFramed(out: OutputStream, message: Array[Byte]): Unit = {
+    out.write(PackStream.frame(message))
+    out.flush()
+  }
+
+  private def struct1(sig: Int, field: Any): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    b.write(0xB1); b.write(sig)
+    PackStream.write(b, field)
+    b.toByteArray
+  }
+
+  private def sendSuccess(out: OutputStream, meta: Map[String, Any]): Unit =
+    writeFramed(out, struct1(0x70, meta))
+
+  private def sendFailure(out: OutputStream, code: String, message: String): Unit =
+    writeFramed(out, struct1(0x7F, Map("code" -> code, "message" -> message)))
+
+  private def sendIgnored(out: OutputStream): Unit = {
+    val b = new ByteArrayOutputStream()
+    b.write(0xB0); b.write(0x7E)
+    writeFramed(out, b.toByteArray)
+  }
+
+  /** Spark Row values → PackStream-encodable values (timestamps/dates as
+    * ISO strings — the thin server's simplification).
+    */
+  private def boltValue(v: Any): Any = v match {
+    case s: scala.collection.Seq[_] => s.map(boltValue)
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) => k.toString -> boltValue(mv) }
+    case r: Row => r.toSeq.map(boltValue)
+    case t: java.sql.Timestamp => t.toString
+    case d: java.sql.Date => d.toString
+    case other => other
+  }
+}

@@ -1,0 +1,171 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.net.Socket
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{BoltServer, PackStream}
+
+/** Integration: a real Bolt handshake + RUN + PULL over a TCP socket
+  * against the thin server (behavioral spec
+  * `/root/reference/pkg/bolt/server.go:866-1520`). The test plays the
+  * driver role byte-for-byte: magic + version proposal, HELLO, RUN, PULL,
+  * RESET-after-FAILURE, GOODBYE.
+  */
+class BoltServerSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def struct(sig: Int, fields: Any*): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    b.write(0xB0 + fields.length); b.write(sig)
+    fields.foreach(PackStream.write(b, _))
+    b.toByteArray
+  }
+
+  /** Read one chunk-framed message off the socket. */
+  private def readMessage(in: java.io.InputStream): Array[Byte] = {
+    val buf = new ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      val h0 = in.read(); val h1 = in.read()
+      require(h0 >= 0 && h1 >= 0, "stream closed mid-message")
+      val size = (h0 << 8) | h1
+      if (size == 0 && buf.size() > 0) done = true
+      else if (size > 0) {
+        val b = new Array[Byte](size)
+        var off = 0
+        while (off < size) {
+          val r = in.read(b, off, size - off); require(r >= 0); off += r
+        }
+        buf.write(b)
+      }
+    }
+    buf.toByteArray
+  }
+
+  private def decodeMsg(m: Array[Byte]): (Int, Any) = {
+    val sig = m(1) & 0xFF
+    if (sig == 0x71) (sig, PackStream.decode(m, 0)._1) // RECORD → field list
+    else PackStream.decode(m, 0)._1 match {
+      case (s: Int, fields: Seq[_]) => (s, fields.headOption.orNull)
+      case other => (sig, other)
+    }
+  }
+
+  test("stock-driver flow: handshake, HELLO, RUN, PULL streams records") {
+    val g = GraphQueries.graph(spark, sf)
+    val server = new BoltServer(() => g).start()
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+
+      // handshake: magic + 4 proposed versions (4.4 first)
+      out.write(Array[Byte](0x60, 0x60, 0xB0.toByte, 0x17,
+        0, 0, 4, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+      out.flush()
+      val version = new Array[Byte](4)
+      assert(in.read(version) == 4)
+      assert(version.toSeq == Seq[Byte](0, 0, 4, 4))
+
+      // HELLO
+      out.write(PackStream.frame(struct(0x01,
+        Map("user_agent" -> "graft-spec/1.0", "scheme" -> "none"))))
+      out.flush()
+      val (helloSig, helloMeta) = decodeMsg(readMessage(in))
+      assert(helloSig == 0x70)
+      assert(helloMeta.asInstanceOf[Map[String, Any]]("server").toString.startsWith("graft"))
+
+      // RUN a read query
+      out.write(PackStream.frame(struct(0x10,
+        "MATCH (c:Customer) RETURN c.name AS name ORDER BY name LIMIT 3",
+        Map.empty[String, Any], Map.empty[String, Any])))
+      out.flush()
+      val (runSig, runMeta) = decodeMsg(readMessage(in))
+      assert(runSig == 0x70, s"RUN failed: $runMeta")
+      assert(runMeta.asInstanceOf[Map[String, Any]]("fields") == Seq("name"))
+
+      // PULL all
+      out.write(PackStream.frame(struct(0x3F, Map("n" -> -1L))))
+      out.flush()
+      val records = Iterator.continually(decodeMsg(readMessage(in)))
+        .takeWhile(_._1 == 0x71).toSeq
+      assert(records.length == 3)
+      val names = records.map(_._2.asInstanceOf[Seq[Any]].head.toString)
+      assert(names == names.sorted && names.forall(_.startsWith("Customer#")))
+      // takeWhile consumed the trailing SUCCESS — but its metadata was
+      // checked implicitly by the stream ending; run a second query to
+      // prove the session is still healthy
+      out.write(PackStream.frame(struct(0x10,
+        "RETURN 1 + 1 AS two", Map.empty[String, Any], Map.empty[String, Any])))
+      out.flush()
+      assert(decodeMsg(readMessage(in))._1 == 0x70)
+      out.write(PackStream.frame(struct(0x3F, Map("n" -> -1L))))
+      out.flush()
+      val (recSig, recVal) = decodeMsg(readMessage(in))
+      assert(recSig == 0x71 && recVal.asInstanceOf[Seq[Any]] == Seq(2L))
+      assert(decodeMsg(readMessage(in))._1 == 0x70) // final SUCCESS
+
+      // a bad query FAILs, the next RUN is IGNORED, RESET recovers
+      out.write(PackStream.frame(struct(0x10,
+        "THIS IS NOT CYPHER", Map.empty[String, Any], Map.empty[String, Any])))
+      out.flush()
+      val (failSig, failMeta) = decodeMsg(readMessage(in))
+      assert(failSig == 0x7F)
+      assert(failMeta.asInstanceOf[Map[String, Any]]("code").toString.startsWith("Neo.ClientError"))
+      out.write(PackStream.frame(struct(0x10,
+        "RETURN 1 AS one", Map.empty[String, Any], Map.empty[String, Any])))
+      out.flush()
+      assert(decodeMsg(readMessage(in))._1 == 0x7E) // IGNORED
+      out.write(PackStream.frame(struct(0x0F))) // RESET
+      out.flush()
+      assert(decodeMsg(readMessage(in))._1 == 0x70)
+      out.write(PackStream.frame(struct(0x10,
+        "RETURN 1 AS one", Map.empty[String, Any], Map.empty[String, Any])))
+      out.flush()
+      assert(decodeMsg(readMessage(in))._1 == 0x70)
+
+      // GOODBYE closes cleanly
+      out.write(PackStream.frame(struct(0x02)))
+      out.flush()
+      sock.close()
+    } finally server.stop()
+  }
+
+  test("PULL honors n and reports has_more") {
+    val g = GraphQueries.graph(spark, sf)
+    val server = new BoltServer(() => g).start()
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      out.write(Array[Byte](0x60, 0x60, 0xB0.toByte, 0x17,
+        0, 0, 4, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+      out.flush()
+      in.read(new Array[Byte](4))
+      out.write(PackStream.frame(struct(0x01, Map("user_agent" -> "spec"))))
+      out.flush()
+      readMessage(in)
+      out.write(PackStream.frame(struct(0x10,
+        "UNWIND [1,2,3,4,5] AS x RETURN x",
+        Map.empty[String, Any], Map.empty[String, Any])))
+      out.flush()
+      readMessage(in)
+      // pull 2 → 2 records + SUCCESS {has_more: true}
+      out.write(PackStream.frame(struct(0x3F, Map("n" -> 2L))))
+      out.flush()
+      assert(decodeMsg(readMessage(in))._1 == 0x71)
+      assert(decodeMsg(readMessage(in))._1 == 0x71)
+      val (s1, m1) = decodeMsg(readMessage(in))
+      assert(s1 == 0x70 && m1.asInstanceOf[Map[String, Any]]("has_more") == true)
+      // pull the rest → 3 records + final SUCCESS without has_more
+      out.write(PackStream.frame(struct(0x3F, Map("n" -> -1L))))
+      out.flush()
+      val rest = Iterator.continually(decodeMsg(readMessage(in)))
+        .takeWhile(_._1 == 0x71).toSeq
+      assert(rest.map(_._2.asInstanceOf[Seq[Any]].head) == Seq(3L, 4L, 5L))
+      sock.close()
+    } finally server.stop()
+  }
+}
