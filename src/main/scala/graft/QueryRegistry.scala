@@ -26,7 +26,8 @@ object QueryRegistry {
       FunctionQueries.queries ++
       StreamingQueries.queries ++
       ExtQueries.queries ++
-      ProcQueries.queries
+      ProcQueries.queries ++
+      NorthwindQueries.queries
 
   lazy val queryFns: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }

@@ -65,15 +65,34 @@ object CypherWrite {
           } else {
             require(p.hops.size == 1, "CREATE supports single-hop relationship patterns")
             val (rel, endPat) = p.hops.head
-            val aVar = p.first.variable.getOrElse(sys.error("CREATE rel: unbound start"))
-            val bVar = endPat.variable.getOrElse(sys.error("CREATE rel: unbound end"))
-            require(fr.kinds.get(aVar).contains(NodeK) && fr.kinds.get(bVar).contains(NodeK),
-              "CREATE relationship requires both endpoints bound")
+            // an unbound endpoint with a label is CREATED inline — the
+            // reference's full path-pattern CREATE (`create.go`:
+            // `CREATE (p:Product {...})-[:PART_OF]->(c)` with c bound)
+            def ensureBound(pat: NodePat, side: String): String = {
+              val v = pat.variable.getOrElse(sys.error(s"CREATE rel: unbound $side"))
+              if (!fr.kinds.get(v).contains(NodeK)) {
+                require(pat.label.isDefined,
+                  s"CREATE rel: endpoint $v is neither bound nor a creatable (:Label) pattern")
+                val (df, vv) = nodeRows(fr, pat, params)
+                nc += store.createNodes(df.dropDuplicates("id")).nodesCreated
+                refresh()
+                fr = bindNodeInFrame(fr, vv, pat, params)
+              }
+              v
+            }
+            val aVar = ensureBound(p.first, "start")
+            val bVar = ensureBound(endPat, "end")
             val t = rel.relType.getOrElse(sys.error("CREATE rel needs a type"))
+            // `(a)<-[:T]-(b)` creates b→a (the arrow's direction, not the
+            // pattern's textual order)
+            val (srcVar, dstVar) = rel.dir match {
+              case Ast.DirIn => (bVar, aVar)
+              case _ => (aVar, bVar)
+            }
             val props = rel.props.map { case (k, e) => (k, Planner.compile(e, fr, params)) }
             val edges = fr.df.select(
-              concat_ws("|", lit(t), col(s"${aVar}_id"), col(s"${bVar}_id")).as("id"),
-              col(s"${aVar}_id").as("src"), col(s"${bVar}_id").as("dst"),
+              concat_ws("|", lit(t), col(s"${srcVar}_id"), col(s"${dstVar}_id")).as("id"),
+              col(s"${srcVar}_id").as("src"), col(s"${dstVar}_id").as("dst"),
               lit(t).as("rel_type"),
               map_from_arrays(
                 array(props.keys.toSeq.map(lit(_)): _*),
