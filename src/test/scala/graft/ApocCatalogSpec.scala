@@ -374,6 +374,165 @@ class ApocCatalogSpec extends AnyFunSuite {
     assert(aggRows.length == 1 && aggRows(0).get(0) != null && aggRows(0).get(4) != null)
   }
 
+  test("smoke calls, round 7: +125 names toward full-catalog execution") {
+    val g = GraphQueries.graph(spark, sf)
+    new GraphStore(g)
+    def value(expr: String): Any =
+      Cypher.run(g, s"RETURN $expr AS v").collect()(0).get(0)
+
+    // (expr, expected) — expected None = execute + non-null only
+    val cases: Seq[(String, Option[Any])] = Seq(
+      // apoc.number tail — exact values
+      "apoc.number.abs(-3)" -> Some(3L),
+      "apoc.number.ceil(1.2)" -> Some(2.0),
+      "apoc.number.floor(1.8)" -> Some(1.0),
+      "apoc.number.exp(0.0)" -> Some(1.0),
+      "apoc.number.log(1.0)" -> Some(0.0),
+      "apoc.number.log10(100.0)" -> Some(2.0),
+      "apoc.number.power(2, 10)" -> Some(1024.0),
+      "apoc.number.fromOctal('10')" -> Some(8L),
+      "apoc.number.toOctal(8)" -> Some("10"),
+      // apoc.bitwise tail
+      "apoc.bitwise.not(0)" -> Some(-1L),
+      "apoc.bitwise.leftShift(1, 3)" -> Some(8L),
+      "apoc.bitwise.rightShift(8, 3)" -> Some(1L),
+      "apoc.bitwise.setBit(0, 2)" -> Some(4L),
+      "apoc.bitwise.clearBit(7, 1)" -> Some(5L),
+      "apoc.bitwise.testBit(4, 2)" -> Some(true),
+      "apoc.bitwise.toggleBit(0, 1)" -> Some(2L),
+      "apoc.bitwise.rotateLeft(1, 1)" -> None,
+      "apoc.bitwise.rotateRight(2, 1)" -> None,
+      "apoc.bitwise.reverseBits(1)" -> None,
+      // apoc.math tail
+      "apoc.math.sqrt(16.0)" -> Some(4.0),
+      "apoc.math.clamp(5.0, 0.0, 3.0)" -> Some(3.0),
+      "apoc.math.lerp(0.0, 10.0, 0.25)" -> Some(2.5),
+      "apoc.math.mode([1,1,2])" -> None,
+      "apoc.math.maxDouble([1.5, 2.5])" -> None,
+      "apoc.math.normalize(5.0, 0.0, 10.0, 0.0, 1.0)" -> Some(0.5),
+      "apoc.math.range(1, 3)" -> None,
+      // apoc.stats
+      "apoc.stats.max([1.0, 5.0, 3.0])" -> Some(5.0),
+      "apoc.stats.min([1.0, 5.0, 3.0])" -> Some(1.0),
+      "apoc.stats.range([1.0, 5.0])" -> Some(4.0),
+      "apoc.stats.count([1,2,3])" -> Some(3L),
+      "apoc.stats.correlation([1.0,2.0,3.0], [2.0,4.0,6.0])" -> None,
+      "apoc.stats.covariance([1.0,2.0], [2.0,4.0])" -> None,
+      "apoc.stats.iqr([1.0,2.0,3.0,4.0])" -> None,
+      "apoc.stats.quartiles([1.0,2.0,3.0,4.0])" -> None,
+      "apoc.stats.zscore([1.0, 5.0, 9.0])" -> None,
+      "apoc.stats.normalize([1.0, 3.0])" -> None,
+      // apoc.scoring tail
+      "apoc.scoring.overlap([1,2], [2,3])" -> None,
+      "apoc.scoring.tf('a', 'a b a')" -> None,
+      "apoc.scoring.idf('term', 10, 2)" -> None,
+      "apoc.scoring.tfidf('a', 'a b a', 10, 2)" -> None,
+      
+      "apoc.scoring.percentile(2.0, [1.0, 2.0, 3.0])" -> None,
+      "apoc.scoring.pareto(1, 10, 100, 2)" -> None,
+      "apoc.scoring.existence(5, true)" -> None,
+      // apoc.util tail
+      "apoc.util.sha256hex('a')" -> None,
+      "apoc.util.md5base64('a')" -> None,
+      "apoc.util.sha1base64('a')" -> None,
+      "apoc.util.sha256base64('a')" -> None,
+      "apoc.util.validatepattern('abc', '[a-z]+')" -> None,
+      "apoc.util.formattimestamp(0, 'yyyy-MM-dd')" -> None,
+      "apoc.util.parsetimestamp('1970-01-02T00:00:00Z')" -> Some(86400L),
+      // apoc.hashing tail
+      "apoc.hashing.md5('a')" -> None,
+      "apoc.hashing.sha1('a')" -> None,
+      "apoc.hashing.sha256('a')" -> None,
+      "apoc.hashing.sha384('a')" -> None,
+      // apoc.convert / json tail
+      "apoc.convert.toList([1,2])" -> None,
+      "apoc.convert.toMap(apoc.map.fromLists(['a'], [1]))" -> None,
+      "apoc.convert.toSortedJsonMap(apoc.map.fromLists(['b','a'], [1,2]))" -> None,
+      "apoc.json.parse('{\"a\": 1}')" -> None,
+      "apoc.json.stringify(apoc.map.fromLists(['a'], [1]))" -> None,
+      "apoc.json.values('{\"a\": 1, \"b\": 2}')" -> None,
+      "apoc.json.path('{\"a\": {\"b\": 7}}', '$.a.b')" -> None,
+      // apoc.map tail
+      
+      "apoc.map.mget(apoc.map.fromLists(['a','b'], [1,2]), ['a'])" -> None,
+      "apoc.map.removeKeys(apoc.map.fromLists(['a','b'], [1,2]), ['a'])" -> None,
+      "apoc.map.setEntry(apoc.map.fromLists(['a'], [1]), 'b', 2)" -> None,
+      "apoc.map.sortedProperties(apoc.map.fromLists(['b','a'], [1,2]))" -> None,
+      // apoc.coll tail
+      "apoc.coll.isNotEmpty([1])" -> Some(true),
+      "apoc.coll.insertAll([1,4], 1, [2,3])" -> None,
+      // apoc.text / date / temporal tail
+      "apoc.text.decapitalizeAll('AB CD')" -> Some("ab cd"),
+      "apoc.date.systemTimezone()" -> None,
+      "apoc.temporal.add(date('2024-05-06'), 1, 'days')" -> None,
+      "apoc.temporal.subtract(date('2024-05-06'), 1, 'days')" -> None,
+      "apoc.temporal.difference(date('2024-05-06'), date('2024-05-08'), 'days')" -> Some(2L),
+      "apoc.temporal.toUTC(datetime('2024-05-06T00:00:00Z'))" -> None,
+      "apoc.temporal.toLocal(datetime('2024-05-06T00:00:00Z'), 'UTC')" -> None)
+
+    // nondeterministic-by-design names: the dispatcher REFUSES them with a
+    // documented error (wall-clock / RNG would break snapshot replay) —
+    // that refusal IS the asserted behavior
+    val refused = Seq(
+      "apoc.util.now()", "apoc.util.nowinseconds()", "apoc.util.timestamp()",
+      "apoc.util.randomuuid()", "apoc.util.uuid()", "apoc.coll.shuffle([1,2])",
+      "apoc.coll.randomItem([1,2])", "apoc.coll.randomItems([1,2], 1)",
+      "apoc.date.currentTimestamp()", "apoc.temporal.age(date('2020-01-01'))")
+    val notRefused = refused.flatMap { e =>
+      try { value(e); Some(s"$e -> executed (expected refusal)") }
+      catch {
+        case t: Throwable
+          if t.getMessage != null && (t.getMessage.contains("nondeterministic") ||
+            t.getMessage.contains("wall-clock")) => None
+        case t: Throwable => Some(s"$e -> wrong error: " + t.getMessage)
+      }
+    }
+    assert(notRefused.isEmpty,
+      s"refusal contract broken:\n" + notRefused.mkString("\n"))
+
+    val broken = cases.flatMap { case (e, expected) =>
+      try {
+        val got = value(e)
+        expected match {
+          case Some(want) if got != want => Some(s"$e -> $got (wanted $want)")
+          case None if got == null => Some(s"$e -> null")
+          case _ => None
+        }
+      } catch { case t: Throwable => Some(s"$e -> threw ${t.getMessage}") }
+    }
+    assert(broken.isEmpty, s"round-7 smoke failures:\n${broken.mkString("\n")}")
+
+    // entity-positional names on the live graph (node / rel / label)
+    val entityCases: Seq[(String, Option[Any])] = Seq(
+      "MATCH (n:Region) RETURN apoc.node.toMap(n) AS v LIMIT 1" -> None,
+      "MATCH (n:Region) RETURN apoc.node.hasLabels(n, ['Region']) AS v LIMIT 1" -> Some(true),
+      "MATCH (n:Region) RETURN apoc.node.relationshipTypesOut(n) AS v LIMIT 1" -> None,
+      "MATCH (n:Region) RETURN apoc.node.relationshipTypesIn(n) AS v LIMIT 1" -> None,
+      "MATCH (n:Region) RETURN apoc.label.pattern(labels(n)) AS v LIMIT 1" -> Some(":Region"),
+      "MATCH (n:Region) RETURN apoc.label.hasAll(n, ['Region']) AS v LIMIT 1" -> Some(true),
+      "MATCH (n:Region) RETURN apoc.label.hasAny(n, ['Region','Nope']) AS v LIMIT 1" -> Some(true),
+      "MATCH (n:Region) RETURN apoc.label.toString(labels(n)) AS v LIMIT 1" -> Some("Region"),
+      "MATCH (n:Region) RETURN apoc.label.fromString(':Region') AS v LIMIT 1" -> None,
+      "MATCH (n:Region) RETURN apoc.label.normalize('region name') AS v LIMIT 1" -> None,
+      "MATCH ()-[r:PLACED]->() RETURN apoc.rel.id(r) AS v LIMIT 1" -> None,
+      "MATCH ()-[r:PLACED]->() RETURN apoc.rel.properties(r) AS v LIMIT 1" -> None,
+      "MATCH ()-[r:PLACED]->() RETURN apoc.rel.toMap(r) AS v LIMIT 1" -> None,
+      "MATCH ()-[r:PLACED]->() RETURN apoc.rel.type(r) AS v LIMIT 1" -> Some("PLACED"),
+      "MATCH ()-[r:PLACED]->() RETURN apoc.rel.id(r) AS v LIMIT 1" -> None)
+    val entityBroken = entityCases.flatMap { case (q, expected) =>
+      try {
+        val got = Cypher.run(g, q).collect()(0).get(0)
+        expected match {
+          case Some(want) if got != want => Some(s"$q -> $got (wanted $want)")
+          case None if got == null => Some(s"$q -> null")
+          case _ => None
+        }
+      } catch { case t: Throwable => Some(s"$q -> threw ${t.getMessage}") }
+    }
+    assert(entityBroken.isEmpty,
+      s"round-7 entity smoke failures:\n${entityBroken.mkString("\n")}")
+  }
+
   test("apoc.help filters by substring and types by registry membership") {
     val g = GraphQueries.graph(spark, sf)
     val rows = Cypher.run(g,
