@@ -38,6 +38,10 @@ object Bench {
     // which otherwise lands on one arbitrary relational query
     // (q_agg_global / q_cypher_var_length_zero in the round-4 audit)
     Tables.factTables.foreach(t => Tables.load(spark, sfDir, t).count())
+    // …and the Northwind compat fixture (18 Cypher write statements, built
+    // once per JVM) so the first q_nw_* row measures its query, not the
+    // seed — the reference's own benchmark also seeds before timing
+    NorthwindFixture.graph(spark, sfDir).nodes.count()
     // optional comma-separated filter for focused perf iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     // a query that throws is a BROKEN query, not a timing: record the error

@@ -238,6 +238,45 @@ object ExtQueries {
       },
       Some("""SELECT CAST(3 AS BIGINT) AS created_1, CAST(2 AS BIGINT) AS created_2,
                      CAST(5 AS BIGINT) AS props_set, CAST(5 AS BIGINT) AS deleted"""),
+      "2.8"),
+
+    // the same write pipeline against a WAL-backed store: each statement
+    // appends a delta commit of only its touched rows, and recovery
+    // (loadWal = newest checkpoint + delta tail) reproduces the state —
+    // the incremental-commit path (pkg/storage/wal_engine.go:28-45)
+    // driver-checked end-to-end
+    "q_cypher_write_wal" -> GQuery(
+      (s, d) => {
+        import graft.cypher.CypherWrite
+        import graft.graph.{DeltaLog, GraphStore, PropertyGraph}
+        val dir = java.nio.file.Files.createTempDirectory("graft-wal-q").toString
+        val base = GraphQueries.graph(s, d)
+        val store = new GraphStore(PropertyGraph(
+          base.nodes.filter("false").localCheckpoint(true),
+          base.edges.filter("false").localCheckpoint(true)),
+          registerGlobal = false, walDir = Some(dir), compactEvery = 50)
+        val w1 = CypherWrite.execute(store,
+          "UNWIND [9001, 9002, 9003] AS k CREATE (p:Person {key: k, name: toString(k)})")
+        val w2 = CypherWrite.execute(store,
+          "UNWIND [9001, 9002, 9003, 9004, 9005] AS k MERGE (p:Person {key: k})")
+        val w3 = CypherWrite.execute(store,
+          "MATCH (p:Person) SET p.acctbal = p.key * 2")
+        val re = GraphStore.loadWal(s, dir, registerGlobal = false)
+        val log = new DeltaLog(s, dir)
+        val cs = log.commits()
+        import s.implicits._
+        Seq((w1.nodesCreated, w2.nodesCreated, w3.propertiesSet,
+          cs.count(_.kind == "delta").toLong, cs.count(_.kind == "checkpoint").toLong,
+          re.snapshot.nodes.count(),
+          re.snapshot.nodes.agg(org.apache.spark.sql.functions.sum("acctbal"))
+            .collect()(0).getDouble(0)))
+          .toDF("created_1", "created_2", "props_set",
+            "delta_commits", "checkpoints", "replayed_nodes", "replayed_acct_sum")
+      },
+      Some("""SELECT CAST(3 AS BIGINT) AS created_1, CAST(2 AS BIGINT) AS created_2,
+                     CAST(5 AS BIGINT) AS props_set, CAST(3 AS BIGINT) AS delta_commits,
+                     CAST(1 AS BIGINT) AS checkpoints, CAST(5 AS BIGINT) AS replayed_nodes,
+                     CAST(90030.0 AS DOUBLE) AS replayed_acct_sum"""),
       "2.8"))
 }
 

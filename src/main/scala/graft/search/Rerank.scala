@@ -25,6 +25,18 @@ object Rerank {
   /** Adds a `cross_score` column to (id, content, bi_score) candidates. */
   type Encoder = (DataFrame, String) => DataFrame
 
+  // process-wide injection point, mirroring graft.functions.Embedder: a
+  // deployment installs its model-serving scorer once (Rerank.set) and
+  // every call site resolves it at run time — no edits
+  private val cur = new java.util.concurrent.atomic.AtomicReference[Encoder](
+    lexicalOverlapEncoder)
+  def current: Encoder = cur.get
+  def set(e: Encoder): Unit = cur.set(e)
+  def withEncoder[T](e: Encoder)(f: => T): T = {
+    val prev = cur.getAndSet(e)
+    try f finally cur.set(prev)
+  }
+
   /** STUB model: Jaccard overlap between distinct lowercased whitespace
     * tokens of query and content, computed as inter / (|a| + |q| − inter)
     * so an oracle can replay the exact double division.
@@ -45,14 +57,18 @@ object Rerank {
     * rerank.go:178-186: the surviving rows keep their pre-filter rank
     * numbers). Returns (id, original_rank, new_rank, bi_score,
     * cross_score, final_score) ordered by new_rank.
+    *
+    * `encoder = null` (the default) resolves the process-wide
+    * [[Rerank.current]] seam at call time.
     */
   def rerank(candidates: DataFrame, query: String,
-      encoder: Encoder = lexicalOverlapEncoder, topK: Int = 100,
+      encoder: Encoder = null, topK: Int = 100,
       enabled: Boolean = true, minScore: Double = 0.0): DataFrame = {
     val byBi = Window.orderBy(col("bi_score").desc, col("id").asc)
     val orig = candidates
       .orderBy(col("bi_score").desc, col("id").asc).limit(topK)
       .withColumn("original_rank", row_number().over(byBi))
+    val enc = Option(encoder).getOrElse(current)
     if (!enabled)
       orig.withColumn("cross_score", col("bi_score"))
         .withColumn("final_score", col("bi_score"))
@@ -60,7 +76,7 @@ object Rerank {
         .select("id", "original_rank", "new_rank", "bi_score", "cross_score",
           "final_score")
     else
-      encoder(orig, query)
+      enc(orig, query)
         .withColumn("final_score", col("cross_score"))
         .withColumn("new_rank", row_number().over(
           Window.orderBy(col("final_score").desc, col("id").asc)))

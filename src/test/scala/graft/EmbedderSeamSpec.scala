@@ -72,6 +72,24 @@ class EmbedderSeamSpec extends AnyFunSuite {
     got.foreach(r => assert(math.abs(r.getDouble(2) - 1.0) < 1e-9))
   }
 
+  test("rerank resolves the injected cross-encoder seam") {
+    import spark.implicits._
+    import graft.search.Rerank
+    val cands = Seq((1L, "alpha beta", 0.9), (2L, "gamma", 0.8))
+      .toDF("id", "content", "bi_score")
+    // a fake cross-encoder that inverts the bi order
+    val inverted: Rerank.Encoder = (df, _) =>
+      df.withColumn("cross_score", org.apache.spark.sql.functions.lit(1.0) -
+        org.apache.spark.sql.functions.col("bi_score"))
+    val got = Rerank.withEncoder(inverted) {
+      Rerank.rerank(cands, "whatever").collect()
+    }
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 1L)) // inverted order
+    // default restored: lexical overlap ranks the query-matching doc first
+    val dflt = Rerank.rerank(cands, "alpha beta").collect()
+    assert(dflt.head.getLong(0) == 1L)
+  }
+
   test("streaming embed queue writes the injected embedder's vectors") {
     val g = GraphQueries.graph(spark, sf)
     val store = new GraphStore(PropertyGraph(

@@ -4,10 +4,10 @@ run against the previous round's reference numbers.
 
 Usage: python3 tools/bench_delta.py NEW_BENCH_JSON OUT_MD [REF_JSON]
 
-Reference numbers come from BENCH_r04_judge.json — the judge's full
-218-query clean-machine re-run at the round-4 commit (total 297.8 s,
-quoted in VERDICT.md). Rows with ratio > 1.5x are flagged. Pass REF_JSON
-to compare against a different reference run.
+Reference numbers come from BENCH_r06_clean.json — the round-6 full
+clean-commit run (232 queries, 176.6 s, judge-verified in VERDICT.md).
+Rows with ratio > 1.5x are flagged. Pass REF_JSON to compare against a
+different reference run.
 """
 import json
 import sys
@@ -15,21 +15,21 @@ import sys
 
 def main():
     new_path, out_path = sys.argv[1], sys.argv[2]
-    ref_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_r04_judge.json"
+    ref_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_r06_clean.json"
     new = json.load(open(new_path))
     ref = json.load(open(ref_path))
     newq = new.get("queries", {})
     refq = ref.get("queries", {})
 
     lines = [
-        "# BENCH_delta — round 5 vs round 4 (judge clean-machine baseline)",
+        "# BENCH_delta — new clean run vs round-6 clean baseline",
         "",
         f"New clean-commit run: **{new.get('value', 0.0):.1f} s total, "
         f"{len(newq)} queries** (sf {new.get('sf', '?')}).",
         f"Reference ({ref_path}): {ref.get('value', 0.0):.1f} s total, "
         f"{len(refq)} queries.",
         "",
-        "| query | r5 (s) | r4 (s) | ratio | flag |",
+        "| query | new (s) | ref (s) | ratio | flag |",
         "|---|---|---|---|---|",
     ]
     flags = []
@@ -48,12 +48,12 @@ def main():
             lines.append(f"| {name} | {t5:.2f} | - | new | |")
     lines.append("")
     if flags:
-        lines.append("## Flagged (>1.5x and >1 s vs judge-measured r4)")
+        lines.append("## Flagged (>1.5x and >1 s vs reference run)")
         for name, t5, r4, ratio in flags:
             lines.append(f"- `{name}`: {r4:.2f} -> {t5:.2f} s ({ratio:.1f}x)")
     else:
         lines.append("No query regressed >1.5x (above 1 s) against the "
-                     "judge-measured r4 run.")
+                     "reference run.")
     open(out_path, "w").write("\n".join(lines) + "\n")
     print(f"wrote {out_path}: {len(newq)} rows, {len(flags)} flagged")
 
