@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.cypher.{Cypher, CypherWrite}
+import graft.graph.GraphStore
+
+/** Thin Neo4j HTTP transaction-API endpoint — the implicit-transaction
+  * route a stock HTTP client uses (behavioral spec
+  * `/root/reference/pkg/server/server_db.go:24,393,757`):
+  *
+  *   POST /db/{dbName}/tx/commit
+  *   body: {"statements":[{"statement":"...", "parameters":{...}}]}
+  *   → {"results":[{"columns":[…],"data":[{"row":[…]}…]}],"errors":[…]}
+  *
+  * Neo4j status semantics: statement errors come back 200 OK with the
+  * error in the body (`server_db.go:796-800`); only malformed requests
+  * get a 4xx. Statements containing write clauses route through
+  * [[CypherWrite]] against the store (statement-autocommit, like the
+  * Bolt loop); reads run against the current snapshot. Queries execute
+  * on Spark — the endpoint only assembles the bounded JSON envelope
+  * (ResultJson's contract). JDK built-in HttpServer: zero dependencies.
+  */
+final class HttpTxServer(store: GraphStore, port: Int = 0,
+    maxRows: Int = 10000) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): HttpTxServer = {
+    server.createContext("/db", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(null) // accept-thread dispatch; queries run on Spark
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  private val writeRe =
+    """(?is).*\b(CREATE|MERGE|DELETE|REMOVE)\b.*|(?is).*\bSET\s.*""".r
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      val path = ex.getRequestURI.getPath
+      if (ex.getRequestMethod != "POST" || !path.endsWith("/tx/commit")) {
+        respond(ex, 404,
+          """{"results":[],"errors":[{"code":"Neo.ClientError.Request.Invalid","message":"only POST /db/{db}/tx/commit is served"}]}""")
+        return
+      }
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val statements = parseStatements(body)
+      val results = new StringBuilder
+      val errors = new StringBuilder
+      statements.foreach { case (stmt, params) =>
+        try {
+          val df = stmt match {
+            case writeRe(_*) =>
+              CypherWrite.execute(store, stmt, params).returned
+                .getOrElse(store.snapshot.nodes.sparkSession.emptyDataFrame)
+            case _ => Cypher.run(store.snapshot, stmt, params)
+          }
+          if (results.nonEmpty) results.append(",")
+          results.append(ResultJson.resultObject(df, maxRows))
+        } catch {
+          case e: Exception =>
+            if (errors.nonEmpty) errors.append(",")
+            errors.append(s"""{"code":"Neo.ClientError.Statement.SyntaxError","message":${jstr(
+              Option(e.getMessage).getOrElse(e.toString))}}""")
+        }
+      }
+      respond(ex, 200, s"""{"results":[$results],"errors":[$errors]}""")
+    } catch {
+      case e: Exception =>
+        respond(ex, 400,
+          s"""{"results":[],"errors":[{"code":"Neo.ClientError.Request.InvalidFormat","message":${jstr(
+            Option(e.getMessage).getOrElse(e.toString))}}]}""")
+    }
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  /** Minimal parse of {"statements":[{"statement":…, "parameters":{…}}]}.
+    * Statement strings are JSON-unescaped; parameters support the flat
+    * scalar forms the transaction API sends (string/number/bool/null) —
+    * the same subset the Bolt RUN path binds.
+    */
+  private[sources] def parseStatements(body: String): Seq[(String, Map[String, Any])] = {
+    val stmtRe = """"statement"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    val paramsRe = """"parameters"\s*:\s*\{([^{}]*)\}""".r
+    // a statement's parameters block sits between it and the NEXT
+    // statement key — positional pairing survives omitted parameters
+    val stmtMatches = stmtRe.findAllMatchIn(body).toSeq
+    stmtMatches.zipWithIndex.map { case (m, i) =>
+      val regionEnd = stmtMatches.lift(i + 1).map(_.start).getOrElse(body.length)
+      val region = body.substring(m.end, regionEnd)
+      val params = paramsRe.findFirstMatchIn(region)
+        .map(pm => parseFlatMap(pm.group(1))).getOrElse(Map.empty[String, Any])
+      (unescape(m.group(1)), params)
+    }
+  }
+
+  private def parseFlatMap(inner: String): Map[String, Any] = {
+    val kvRe = """"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*"|-?[0-9.]+|true|false|null)""".r
+    kvRe.findAllMatchIn(inner).map { m =>
+      val k = unescape(m.group(1))
+      val v: Any = m.group(2) match {
+        case "true" => true
+        case "false" => false
+        case "null" => null
+        case q if q.startsWith("\"") => unescape(q.substring(1, q.length - 1))
+        case n if n.contains('.') => n.toDouble
+        case n => n.toLong
+      }
+      k -> v
+    }.toMap
+  }
+
+  private def unescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 'u' if i + 5 < s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => b.append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+}

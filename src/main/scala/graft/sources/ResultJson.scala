@@ -24,14 +24,20 @@ object ResultJson {
   def parseRows(jsonDf: DataFrame, schema: StructType): DataFrame =
     jsonDf.select(from_json(col("row_json"), schema).as("r")).select("r.*")
 
-  /** HTTP transaction-API response envelope (single statement, driver-side
-    * tail: the client connection is the bottleneck, not this concat).
+  /** One statement's result object `{"columns":…,"data":[{"row":…}…]}`
+    * (the element of the envelope's `results` array).
     */
-  def envelope(df: DataFrame, maxRows: Int = 10000): String = {
+  def resultObject(df: DataFrame, maxRows: Int = 10000): String = {
     val cols = df.columns.map(c => "\"" + c.replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
     val rows = rowsJson(df).limit(maxRows).collect()
       .map(r => "{\"row\":" + r.getString(0) + "}")
-    s"""{"results":[{"columns":$cols,"data":[${rows.mkString(",")}]}],"errors":[]}"""
+    s"""{"columns":$cols,"data":[${rows.mkString(",")}]}"""
   }
+
+  /** HTTP transaction-API response envelope (single statement, driver-side
+    * tail: the client connection is the bottleneck, not this concat).
+    */
+  def envelope(df: DataFrame, maxRows: Int = 10000): String =
+    s"""{"results":[${resultObject(df, maxRows)}],"errors":[]}"""
 }
