@@ -102,6 +102,29 @@ final class DeltaLog(val spark: SparkSession, val dir: String) {
     writeRecord(version, "checkpoint", Nil)
   }
 
+  /** Garbage-collect data made unreachable by the newest checkpoint: delta
+    * directories at or below its version and all older checkpoints (the
+    * reference compacts its WAL the same way after snapshot,
+    * `wal_engine.go`'s auto-compaction). Log records are KEPT — history
+    * stays auditable; only the data files go. Returns the number of
+    * directories removed.
+    */
+  def vacuum(): Int = {
+    val cs = commits()
+    val lastCp = cs.reverse.find(_.kind == "checkpoint").map(_.version).getOrElse(-1L)
+    def rmTree(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    val deadDeltas = cs.filter(c => c.kind == "delta" && c.version < lastCp)
+      .map(c => new File(s"$dir/delta/v${c.version}"))
+    val deadCps = cs.filter(c => c.kind == "checkpoint" && c.version < lastCp)
+      .map(c => new File(s"$dir/checkpoint/v${c.version}"))
+    val dead = (deadDeltas ++ deadCps).filter(_.exists())
+    dead.foreach(rmTree)
+    dead.size
+  }
+
   final case class Replayed(graph: PropertyGraph, nodeEmb: DataFrame,
       relEmb: DataFrame, version: Long)
 

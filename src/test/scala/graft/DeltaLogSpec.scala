@@ -139,6 +139,21 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(parquetRows(s"$cpDir/nodes") == 3)
   }
 
+  test("vacuum removes deltas and checkpoints superseded by the newest checkpoint") {
+    val dir = tmpDir()
+    val s = walStore(dir, compactEvery = 2)
+    CypherWrite.execute(s, "CREATE (a:Person {key: 1, name: 'A'})")
+    CypherWrite.execute(s, "CREATE (b:Person {key: 2, name: 'B'})") // → compaction cp
+    CypherWrite.execute(s, "CREATE (c:Person {key: 3, name: 'C'})") // live tail delta
+    val log = new DeltaLog(spark, dir)
+    val removed = log.vacuum()
+    assert(removed == 3, s"expected v0-cp + 2 dead deltas removed, got $removed")
+    // vacuum is idempotent and replay still reproduces the full state
+    assert(log.vacuum() == 0)
+    val re = GraphStore.loadWal(spark, dir, registerGlobal = false)
+    assert(re.snapshot.nodes.count() == 3)
+  }
+
   test("a committed transaction lands as one rewrite commit; rollback writes nothing") {
     val dir = tmpDir()
     val s = walStore(dir, compactEvery = 50)
