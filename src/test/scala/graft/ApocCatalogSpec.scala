@@ -533,6 +533,45 @@ class ApocCatalogSpec extends AnyFunSuite {
       s"round-7 entity smoke failures:\n${entityBroken.mkString("\n")}")
   }
 
+  test("smoke calls, round 7b: search/cypher/meta/data procedure families") {
+    val g = GraphQueries.graph(spark, sf)
+    new GraphStore(g)
+    def count(q: String): Long = Cypher.run(g, q).count()
+    def one(q: String): Any = Cypher.run(g, q).collect()(0).get(0)
+
+    // apoc.search.* — the label/property scan family (search.go:28-591)
+    assert(count("CALL apoc.search.node('Region', 'name', 'AFRICA') YIELD id RETURN id") == 1)
+    assert(count("CALL apoc.search.nodeAll('Region', '{\"name\":\"AFRICA\"}') YIELD id RETURN id") == 1)
+    assert(count("CALL apoc.search.nodeAny('Region', '{\"name\":\"AFRICA\"}') YIELD id RETURN id") == 1)
+    assert(count("CALL apoc.search.nodeReduced('Region', '{\"name\":\"AFRICA\"}', 5) YIELD id RETURN id") == 1)
+    assert(count("CALL apoc.search.multiSearchAll('Region,Nation', '{\"name\":\"AFRICA\"}') YIELD id RETURN id") == 1)
+    assert(count("CALL apoc.search.multiSearchAny('Region,Nation', '{\"name\":\"AFRICA\"}') YIELD id RETURN id") == 1)
+    assert(count("CALL apoc.search.parallel('Region,Nation', 'name', 'AFRICA') YIELD id RETURN id") == 1)
+    assert(count("CALL apoc.search.fullText('Region', 'name', 'africa asia') YIELD id RETURN id") == 2)
+    assert(count("CALL apoc.search.fuzzy('Region', 'name', 'AFRIKA', 2) YIELD id RETURN id") == 1)
+    assert(count("CALL apoc.search.regex('Region', 'name', 'A.*A') YIELD id RETURN id") >= 2)
+    assert(count("CALL apoc.search.prefix('Region', 'name', 'A') YIELD id RETURN id") >= 3)
+    assert(count("CALL apoc.search.suffix('Region', 'name', 'ICA') YIELD id RETURN id") >= 2)
+    assert(count("CALL apoc.search.contains('Region', 'name', 'EUR') YIELD id RETURN id") == 1)
+    assert(count("CALL apoc.search.range('Nation', 'key', 0, 3) YIELD id RETURN id") == 4)
+
+    // apoc.cypher.* pass-through procedures (cypher.go)
+    assert(one("CALL apoc.cypher.run('MATCH (r:Region) RETURN count(r) AS n') YIELD n RETURN n") == 5L)
+    assert(one("CALL apoc.cypher.runFirstColumnSingle('MATCH (r:Region) RETURN count(r)') YIELD value RETURN value").toString == "5")
+    assert(count("CALL apoc.cypher.runFirstColumnMany('MATCH (r:Region) RETURN r.name') YIELD value RETURN value") == 5)
+    assert(count("CALL apoc.cypher.toList('MATCH (r:Region) RETURN r.name AS name') YIELD list RETURN list") >= 1)
+
+    // apoc.meta.* type functions (meta.go:134)
+    assert(one("RETURN apoc.meta.type(1) AS v") == "INTEGER")
+    assert(one("RETURN apoc.meta.type('x') AS v") == "STRING")
+    assert(one("RETURN apoc.meta.type(1.5) AS v") == "FLOAT")
+    assert(one("RETURN apoc.meta.isType(1, 'INTEGER') AS v") == true)
+    assert(one("RETURN apoc.meta.cypherType([1,2]) AS v").toString.contains("LIST"))
+
+    // apoc.data / text extraction
+    assert(one("RETURN apoc.data.domain('user@example.com') AS v") == "example.com")
+  }
+
   test("apoc.help filters by substring and types by registry membership") {
     val g = GraphQueries.graph(spark, sf)
     val rows = Cypher.run(g,
