@@ -42,6 +42,7 @@ object Bench {
     // once per JVM) so the first q_nw_* row measures its query, not the
     // seed — the reference's own benchmark also seeds before timing
     NorthwindFixture.graph(spark, sfDir).nodes.count()
+    MimirFixture.graph(spark, sfDir).nodes.count()
     // optional comma-separated filter for focused perf iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     // a query that throws is a BROKEN query, not a timing: record the error

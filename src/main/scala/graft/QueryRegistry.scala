@@ -27,7 +27,8 @@ object QueryRegistry {
       StreamingQueries.queries ++
       ExtQueries.queries ++
       ProcQueries.queries ++
-      NorthwindQueries.queries
+      NorthwindQueries.queries ++
+      MimirQueries.queries
 
   lazy val queryFns: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }
