@@ -28,7 +28,8 @@ object QueryRegistry {
       ExtQueries.queries ++
       ProcQueries.queries ++
       NorthwindQueries.queries ++
-      MimirQueries.queries
+      MimirQueries.queries ++
+      QdrantWorkload.queries
 
   lazy val queryFns: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }
