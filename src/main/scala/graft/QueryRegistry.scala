@@ -29,7 +29,8 @@ object QueryRegistry {
       ProcQueries.queries ++
       NorthwindQueries.queries ++
       MimirQueries.queries ++
-      QdrantWorkload.queries
+      QdrantWorkload.queries ++
+      EvolutionQueries.queries
 
   lazy val queryFns: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }
