@@ -324,6 +324,107 @@ object ProcQueries {
                 ('orderstatus'), ('orderdate'), ('type'), ('size')) t(property_key)"""),
       "2.11"),
 
+    // db.index.stats over DDL-created indexes (storage/schema.go:1142-1178:
+    // totalEntries = indexed entities, uniqueValues = distinct values,
+    // selectivity = unique/total) — the per-index aggregation is replayed
+    // on the raw tables
+    "q_proc_index_stats" -> GQuery(
+      (s, d) => {
+        val store = new graft.graph.GraphStore(GraphQueries.graph(s, d))
+        graft.cypher.CypherDdl.tryExecute(store,
+          "CREATE INDEX cust_seg_idx FOR (n:Customer) ON (n.mktsegment)")
+        graft.cypher.CypherDdl.tryExecute(store,
+          "CREATE INDEX part_brand_idx FOR (n:Part) ON (n.mktsegment)")
+        graft.cypher.Cypher.run(store.snapshot,
+          """CALL db.index.stats()
+             YIELD name, type, label, property, totalEntries, uniqueValues, selectivity
+             RETURN name, type, label, property, totalEntries, uniqueValues, selectivity""")
+      },
+      Some("""SELECT * FROM (
+                SELECT 'cust_seg_idx' AS name, 'RANGE' AS type, 'Customer' AS label,
+                       'mktsegment' AS property,
+                       COUNT(c_mktsegment) AS totalEntries,
+                       COUNT(DISTINCT c_mktsegment) AS uniqueValues,
+                       CAST(COUNT(DISTINCT c_mktsegment) AS DOUBLE) /
+                         CAST(COUNT(c_mktsegment) AS DOUBLE) AS selectivity
+                FROM customer
+                UNION ALL
+                SELECT 'part_brand_idx', 'RANGE', 'Part', 'mktsegment',
+                       COUNT(p_brand), COUNT(DISTINCT p_brand),
+                       CAST(COUNT(DISTINCT p_brand) AS DOUBLE) /
+                         CAST(COUNT(p_brand) AS DOUBLE)
+                FROM part)"""), "2.11"),
+
+    // db.schema.nodeProperties (call.go:1074-1103): label × property-key
+    // inventory — the loader contract makes the expected set closed-form
+    "q_proc_schema_node_props" -> GQuery(
+      (s, d) => graft.cypher.Cypher.run(GraphQueries.graph(s, d),
+        """CALL db.schema.nodeProperties()
+           YIELD nodeLabel, propertyName, propertyType
+           RETURN nodeLabel, propertyName, propertyType"""),
+      Some("""SELECT nodeLabel, propertyName, 'ANY' AS propertyType FROM (VALUES
+                ('Customer','key'),('Customer','name'),('Customer','acctbal'),('Customer','mktsegment'),
+                ('Order','key'),('Order','name'),('Order','acctbal'),('Order','mktsegment'),
+                ('Order','orderstatus'),('Order','orderdate'),
+                ('Part','key'),('Part','name'),('Part','acctbal'),('Part','mktsegment'),
+                ('Part','type'),('Part','size'),
+                ('Supplier','key'),('Supplier','name'),('Supplier','acctbal'),('Supplier','mktsegment'),
+                ('Nation','key'),('Nation','name'),('Nation','acctbal'),('Nation','mktsegment'),
+                ('Region','key'),('Region','name'),('Region','acctbal'),('Region','mktsegment'))
+              t(nodeLabel, propertyName)"""), "2.11"),
+
+    // db.schema.relProperties (call.go:1105-1131)
+    "q_proc_schema_rel_props" -> GQuery(
+      (s, d) => graft.cypher.Cypher.run(GraphQueries.graph(s, d),
+        """CALL db.schema.relProperties()
+           YIELD relType, propertyName, propertyType
+           RETURN relType, propertyName, propertyType"""),
+      Some("""SELECT relType, propertyName, 'ANY' AS propertyType FROM (VALUES
+                ('PLACED','weight'),('CONTAINS','weight'),('CONTAINS','quantity'),
+                ('CONTAINS','extendedprice'),('SUPPLIES','weight'),('FROM','weight'),
+                ('LOCATED_IN','weight'),('IN','weight')) t(relType, propertyName)"""),
+      "2.11"),
+
+    // nornicdb.stats (call.go:981-994): totals + distinct label/type counts
+    "q_proc_nornicdb_stats" -> GQuery(
+      (s, d) => graft.cypher.Cypher.run(GraphQueries.graph(s, d),
+        """CALL nornicdb.stats()
+           YIELD nodes, relationships, labels, relationshipTypes
+           RETURN nodes, relationships, labels, relationshipTypes"""),
+      Some("""SELECT
+                (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM orders)
+                + (SELECT COUNT(*) FROM part) + (SELECT COUNT(*) FROM supplier)
+                + (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS nodes,
+                (SELECT COUNT(*) FROM orders) + (SELECT COUNT(*) FROM lineitem)
+                + (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+                + (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM supplier)
+                + (SELECT COUNT(*) FROM nation) AS relationships,
+                CAST(6 AS BIGINT) AS labels,
+                CAST(6 AS BIGINT) AS relationshipTypes"""), "2.11"),
+
+    // the dbms.* compat surface: live procedure-registry membership plus
+    // the fixed-contract listing sizes (call.go:1159-1210, call_compat.go)
+    "q_proc_dbms_surface" -> GQuery(
+      (s, d) => {
+        val g = GraphQueries.graph(s, d)
+        import org.apache.spark.sql.functions.{broadcast => bc}
+        val p = graft.cypher.Cypher.run(g, "CALL dbms.procedures() YIELD name RETURN name")
+          .agg(
+            max(when(col("name") === "db.indexes", 1).otherwise(0)).as("has_db_indexes"),
+            max(when(col("name") === "tx.setmetadata", 1).otherwise(0)).as("has_tx_setmetadata"),
+            max(when(col("name") === "db.stats.retrieveallanthestats", 1).otherwise(0))
+              .as("has_stats_retrieve_all"))
+        val f = graft.cypher.Cypher.run(g, "CALL dbms.functions() YIELD name RETURN name")
+          .agg(count(lit(1)).as("n_functions"))
+        val c = graft.cypher.Cypher.run(g, "CALL dbms.listConfig() YIELD name RETURN name")
+          .agg(count(lit(1)).as("n_config"))
+        p.crossJoin(bc(f)).crossJoin(bc(c))
+      },
+      Some("""SELECT 1 AS has_db_indexes, 1 AS has_tx_setmetadata,
+                     1 AS has_stats_retrieve_all,
+                     CAST(22 AS BIGINT) AS n_functions, CAST(3 AS BIGINT) AS n_config"""),
+      "2.11"),
+
     // gds.graph.project through the CALL surface: a named cached
     // (Customer, PLACED) projection; YIELD carries the counts out
     "q_cypher_gds_project" -> GQuery(

@@ -218,7 +218,8 @@ object Planner {
   private val procedures: Map[String, (PropertyGraph, Seq[Any]) => DataFrame] =
     baseProcedures ++ ApocProcs.procedures ++ ApocSysProcs.procedures ++
       ApocSearchProcs.procedures ++ ApocGraphProcs.procedures ++
-      ApocWriteProcs.procedures ++ SearchCallProcs.procedures
+      ApocWriteProcs.procedures ++ SearchCallProcs.procedures ++
+      CompatProcs.procedures
 
   /** Sorted CALL-surface names — apoc.meta.procedures' row source. */
   def procedureNames: Seq[String] = procedures.keys.toSeq.sorted

@@ -27,6 +27,13 @@ object GraphStore {
   def currentStore: GraphStore = currentOption.getOrElse(
     throw new IllegalStateException("no GraphStore constructed in this JVM"))
 
+  /** The explicit transaction running on this thread, if any — lets
+    * transaction-scoped CALLs (tx.setMetaData, call_compat.go:803-808)
+    * enforce their active-transaction precondition.
+    */
+  private val inTx = new ThreadLocal[GraphStore]()
+  def activeTransaction: Option[GraphStore] = Option(inTx.get)
+
   /** Restore a store from a [[GraphStore.persist]] directory — the read
     * side of the reference's snapshot recovery (`pkg/storage/
     * wal_engine.go:28-45` loads WAL + snapshot on open). Embedding side
@@ -73,6 +80,13 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
 
   @volatile private var current: PropertyGraph = initial
   @volatile private[graph] var versionCounter: Long = 0
+
+  /** Transaction metadata (tx.setMetaData — call_compat.go:803-852);
+    * surfaced on the private transaction store, discarded with it.
+    */
+  @volatile private var txMeta: Map[String, Any] = Map.empty
+  def setTxMetadata(m: Map[String, Any]): Unit = txMeta = m
+  def txMetadata: Map[String, Any] = txMeta
 
   /** Schema metadata: indexes (layout hints) + enforced constraints. */
   val catalog = new SchemaCatalog
@@ -126,7 +140,10 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
   def transaction[T](f: GraphStore => T): T = {
     val baseVersion = version
     val tx = new GraphStore(current, registerGlobal = false)
-    val out = f(tx) // throw → nothing swapped (rollback)
+    GraphStore.inTx.set(tx)
+    val out =
+      try f(tx) // throw → nothing swapped (rollback)
+      finally GraphStore.inTx.remove()
     synchronized {
       require(versionCounter == baseVersion,
         "transaction conflict: the store changed underneath; rolled back")
