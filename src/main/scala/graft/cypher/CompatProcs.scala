@@ -287,5 +287,70 @@ object CompatProcs {
         .toDF("enabled", "halfLifeEpisodic", "halfLifeSemantic",
           "halfLifeProcedural", "archiveThreshold")
     }),
-    "tx.setmetadata" -> ((g, args) => txSetMetadata(g, args)))
+    "tx.setmetadata" -> ((g, args) => txSetMetadata(g, args)),
+
+    // ---- the CALL dispatcher's dotted apoc aliases (call.go:640-667):
+    // the reference routes APOC.EXPORT.CSV.ALL / APOC.LOAD.JSON /
+    // APOC.ALGO.WCC etc.; these bind the dotted spellings to the engine's
+    // existing implementations so reference scripts run verbatim.
+    "apoc.load.json" -> ((g, args) =>
+      spark(g).read.option("multiLine", "true").json(args(0).toString)),
+    "apoc.load.csv" -> ((g, args) =>
+      graft.sources.Formats.loadCsv(spark(g), args(0).toString)),
+    "apoc.export.csv.all" -> ((g, args) => {
+      val n = graft.sources.Formats.exportCsv(
+        g.nodes.select(col("id"), col("key"), col("name")), args(0).toString)
+      val s = spark(g); import s.implicits._
+      Seq((args(0).toString, n, true)).toDF("file", "rows", "done")
+    }),
+    "apoc.export.json.all" -> ((g, args) => {
+      val n = graft.sources.Formats.exportNodesJson(g, None, args(0).toString)
+      val s = spark(g); import s.implicits._
+      Seq((args(0).toString, n, true)).toDF("file", "nodes", "done")
+    }),
+    // query-scoped exports (apoc_load_export.go): run the inner Cypher,
+    // write its result
+    "apoc.export.csv.query" -> ((g, args) => {
+      val df = Cypher.run(g, args(0).toString)
+      val n = graft.sources.Formats.exportCsv(df, args(1).toString)
+      val s = spark(g); import s.implicits._
+      Seq((args(1).toString, n, true)).toDF("file", "rows", "done")
+    }),
+    "apoc.export.json.query" -> ((g, args) => {
+      val df = Cypher.run(g, args(0).toString)
+      val path = args(1).toString
+      df.coalesce(1).write.mode("overwrite").json(path)
+      val s = spark(g); import s.implicits._
+      Seq((path, df.count(), true)).toDF("file", "rows", "done")
+    }),
+    // apoc.neighbors.byhop(startId[, relType[, maxLevel]]) —
+    // distinct nodes first reached at each hop (neighbors.go byhop)
+    "apoc.neighbors.byhop" -> ((g, args) => {
+      val start = g.nodes.filter(col("id") === args(0).toString).select("id")
+      val relType = args.lift(1).map(_.toString).filter(_.nonEmpty)
+      val maxLevel = args.lift(2).map(_.toString.toDouble.toInt).getOrElse(3)
+      graft.operators.PathExpand.neighborsByHop(g, start, maxLevel, relType)
+        .select(col("hop"), col("n_nodes")).orderBy("hop")
+    }),
+    // apoc.algo.wcc([label]) → (node, componentId) per node
+    // (apoc_community.go:332-350). Component label = min member id — the
+    // reference's ints are iteration-order arbitrary; same partition.
+    "apoc.algo.wcc" -> ((g, args) => {
+      val base = graft.algos.GraphXAlgos.wcc(g)
+      val scoped = args.headOption.map(_.toString).filter(_.nonEmpty) match {
+        case Some(l) => base.join(g.nodesByLabel(l).select("id"), "id")
+        case None => base
+      }
+      scoped.select(col("id").as("node"), col("component").as("componentId"))
+    }),
+    // apoc.algo.labelpropagation([label]) → (node, community)
+    // (apoc_community.go:225-243; 20 rounds like maxIterations)
+    "apoc.algo.labelpropagation" -> ((g, args) => {
+      val base = graft.algos.GraphXAlgos.labelPropagation(g, 20)
+      val scoped = args.headOption.map(_.toString).filter(_.nonEmpty) match {
+        case Some(l) => base.join(g.nodesByLabel(l).select("id"), "id")
+        case None => base
+      }
+      scoped.select(col("id").as("node"), col("label").as("community"))
+    }))
 }

@@ -94,6 +94,38 @@ class CompatProcsSpec extends AnyFunSuite {
     assert(decay.getString(1) === "7 days")
   }
 
+  test("dotted load/export aliases round-trip through the CALL surface") {
+    val dir = java.nio.file.Files.createTempDirectory("compat_export").toString
+    val out = call(s"CALL apoc.export.csv.all('$dir/all.csv') YIELD rows RETURN rows")
+    assert(out.head.getLong(0) === g.nodes.count())
+    assert(call(s"CALL apoc.load.csv('$dir/all.csv') YIELD id RETURN count(*) AS n")
+      .head.getLong(0) === g.nodes.count())
+    val q = call(
+      s"CALL apoc.export.csv.query('MATCH (r:Region) RETURN r.name', '$dir/q.csv') " +
+        "YIELD rows RETURN rows")
+    assert(q.head.getLong(0) === 5L)
+  }
+
+  test("apoc.neighbors.byhop counts first-reach frontiers per hop") {
+    val rows = call(
+      """CALL apoc.neighbors.byhop('Region:0', '', 2) YIELD hop, n_nodes
+         RETURN hop, n_nodes""")
+    // Region has no outgoing edges in the TPC-H graph → empty frontier
+    assert(rows.isEmpty)
+    val nation = call(
+      """CALL apoc.neighbors.byhop('Nation:0', 'IN', 2) YIELD hop, n_nodes
+         RETURN hop, n_nodes""")
+    assert(nation.length === 1) // Nation -IN-> Region, one hop, one node
+    assert(nation.head.getLong(1) === 1L)
+  }
+
+  test("apoc.algo.wcc yields one componentId per node, label-scopable") {
+    val scoped = call(
+      "CALL apoc.algo.wcc('Region') YIELD node, componentId RETURN node, componentId")
+    assert(scoped.length === 5) // all regions, each a component via IN edges
+    assert(scoped.map(_.getString(0)).toSet.size === 5)
+  }
+
   test("tx.setMetaData requires an active transaction and stores the map") {
     val store = new GraphStore(g)
     val ex = intercept[Exception] {
