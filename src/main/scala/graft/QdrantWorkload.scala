@@ -60,6 +60,21 @@ object QdrantWorkload {
               WHERE label = 0 AND vec_id > 100
               ORDER BY vec_id LIMIT 10"""), "2.11"),
 
+    // SearchGroups: oversampled global top → grouped by payload key,
+    // key-ordered groups, trimmed per group (points_service.go:804-880)
+    "q_qdrant_search_groups" -> GQuery(
+      (s, d) => QdrantPoints.searchGroups(Tables.embeddings(s, d), "vec_id",
+        "embedding", qv, "label", groupLimit = 2, groupSize = 3),
+      Some(QdrantPoints.searchGroupsOracle(qv, 2, 3, dim)), "2.11"),
+
+    // SearchBatch: the reference loops N searches; here ONE scan scores
+    // the broadcast query batch and windows top-k per query
+    "q_qdrant_search_batch" -> GQuery(
+      (s, d) => QdrantPoints.searchBatch(Tables.embeddings(s, d), "vec_id",
+        "embedding", Seq(qv, positives.head, negatives.head), 5),
+      Some(QdrantPoints.searchBatchOracle(
+        Seq(qv, positives.head, negatives.head), 5, dim)), "2.11"),
+
     // Recommend: query = avg(positives) − avg(negatives), literal-vector
     // form; same oracle machinery with the combined vector
     "q_qdrant_recommend" -> GQuery(

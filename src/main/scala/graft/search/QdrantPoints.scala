@@ -88,7 +88,108 @@ object QdrantPoints {
     search(points, idCol, embCol, recommendVector(positives, negatives), k,
       filter)
 
+  /** SearchGroups (points_service.go:804-880): oversample the GLOBAL top
+    * groupLimit×groupSize hits, group them by the payload field, order
+    * groups by key (the reference sorts keys), keep the first groupLimit
+    * groups trimmed to groupSize hits each. The global-key window runs on
+    * ≤ groupLimit×groupSize rows (already reduced), so the single
+    * partition is bounded by construction.
+    */
+  def searchGroups(points: DataFrame, idCol: String, embCol: String,
+      queryVec: Seq[Double], groupByCol: String, groupLimit: Int = 3,
+      groupSize: Int = 10, filter: Filter = Filter()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val over = search(points, idCol, embCol, queryVec,
+      groupLimit * groupSize, filter)
+    val keyed = over.join(
+      points.select(col(idCol).as("node"),
+        col(groupByCol).cast("string").as("group_key")), "node")
+    val inGroup = Window.partitionBy("group_key")
+      .orderBy(col("score").desc, col("node").asc)
+    val byKey = Window.orderBy(col("group_key").asc)
+    keyed
+      .withColumn("rn", row_number().over(inGroup))
+      .withColumn("gr", dense_rank().over(byKey))
+      .filter(col("rn") <= groupSize && col("gr") <= groupLimit)
+      .select(col("group_key"), col("node"), col("score"))
+  }
+
+  /** SearchBatch (points_service.go:697-726) — the reference loops N
+    * independent searches; at scale the right plan is ONE scan: broadcast
+    * the literal query batch, score every (point, query) pair in a single
+    * pass, window top-k per query. Same DECIMAL cosine as [[search]].
+    */
+  def searchBatch(points: DataFrame, idCol: String, embCol: String,
+      queries: Seq[Seq[Double]], k: Int, filter: Filter = Filter()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = points.sparkSession
+    import spark.implicits._
+    val qdf = queries.zipWithIndex.map { case (v, i) => (i, v) }.toDF("qid", "qv")
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("node").asc)
+    points.filter(pred(filter))
+      .crossJoin(broadcast(qdf))
+      .withColumn("dot", VectorSearch.dotDec(col(embCol), col("qv")))
+      .withColumn("na2", VectorSearch.dotDec(col(embCol), col(embCol)))
+      .withColumn("nb2", VectorSearch.dotDec(col("qv"), col("qv")))
+      .withColumn("score",
+        round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 12))
+      .select(col("qid"), col(idCol).as("node"), col("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "node", "score")
+  }
+
   // ========================================================= oracles =====
+
+  /** DuckDB replay of [[searchGroups]]. */
+  def searchGroupsOracle(queryVec: Seq[Double], groupLimit: Int,
+      groupSize: Int, dim: Int, filterSql: String = "TRUE"): String = {
+    val lits = queryVec.map(v => s"CAST($v AS DOUBLE)").mkString("[", ",", "]")
+    s"""
+      WITH qv AS (SELECT $lits AS q),
+      comp AS (
+        SELECT e.vec_id,
+          CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * q[i] AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+          CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na2,
+          CAST(SUM(CAST(q[i] * q[i] AS DECIMAL(38,18))) AS DOUBLE) AS nb2
+        FROM embeddings e CROSS JOIN qv CROSS JOIN generate_series(1, $dim) t(i)
+        WHERE $filterSql
+        GROUP BY e.vec_id),
+      top AS (
+        SELECT vec_id AS node, round(dot / (sqrt(na2) * sqrt(nb2)), 12) AS score
+        FROM comp ORDER BY score DESC, node LIMIT ${groupLimit * groupSize}),
+      keyed AS (
+        SELECT CAST(e.label AS VARCHAR) AS group_key, t.node, t.score
+        FROM top t JOIN embeddings e ON e.vec_id = t.node),
+      r AS (
+        SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY group_key ORDER BY score DESC, node) AS rn,
+          DENSE_RANK() OVER (ORDER BY group_key) AS gr
+        FROM keyed)
+      SELECT group_key, node, score FROM r
+      WHERE rn <= $groupSize AND gr <= $groupLimit"""
+  }
+
+  /** DuckDB replay of [[searchBatch]]: one scoring block per query,
+    * UNION ALL with the query index tagged.
+    */
+  def searchBatchOracle(queries: Seq[Seq[Double]], k: Int, dim: Int): String =
+    queries.zipWithIndex.map { case (qv, i) =>
+      val lits = qv.map(v => s"CAST($v AS DOUBLE)").mkString("[", ",", "]")
+      s"""SELECT * FROM (
+        WITH qv AS (SELECT $lits AS q),
+        comp AS (
+          SELECT e.vec_id,
+            CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * q[i] AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+            CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na2,
+            CAST(SUM(CAST(q[i] * q[i] AS DECIMAL(38,18))) AS DOUBLE) AS nb2
+          FROM embeddings e CROSS JOIN qv CROSS JOIN generate_series(1, $dim) t(i)
+          GROUP BY e.vec_id)
+        SELECT $i AS qid, vec_id AS node,
+               round(dot / (sqrt(na2) * sqrt(nb2)), 12) AS score
+        FROM comp ORDER BY score DESC, node LIMIT $k)"""
+    }.mkString("\n UNION ALL \n")
+
 
   /** DuckDB replay of [[search]] over the `embeddings` table with a
     * literal query vector and SQL filter clause.

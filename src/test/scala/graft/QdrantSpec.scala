@@ -58,6 +58,36 @@ class QdrantSpec extends AnyFunSuite {
     }
   }
 
+  test("searchGroups: key-ordered groups, trimmed to groupSize, from the oversample") {
+    val qv = (0 until 64).map(_ => 1.0)
+    val rows = QdrantPoints.searchGroups(emb, "vec_id", "embedding", qv,
+      "label", groupLimit = 2, groupSize = 3).collect()
+    val keys = rows.map(_.getString(0)).distinct.sorted
+    assert(keys.length <= 2)
+    // groups are the first groupLimit keys in sorted order
+    assert(keys === keys.sorted)
+    // ≤ groupSize hits per group, each group's hits in score-desc order
+    rows.groupBy(_.getString(0)).foreach { case (_, hits) =>
+      assert(hits.length <= 3)
+      val scores = hits.map(_.getDouble(2)).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+  }
+
+  test("searchBatch: one-scan batch equals per-query search") {
+    val q1 = (0 until 64).map(_ => 1.0)
+    val q2 = (0 until 64).map(i => if (i < 8) 1.0 else 0.0)
+    val batch = QdrantPoints.searchBatch(emb, "vec_id", "embedding",
+      Seq(q1, q2), 5).collect()
+    val single1 = QdrantPoints.search(emb, "vec_id", "embedding", q1, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got1 = batch.filter(_.getInt(0) == 0)
+      .sortBy(r => (-r.getDouble(2), r.getLong(1)))
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got1 === single1)
+    assert(batch.count(_.getInt(0) == 1) === 5)
+  }
+
   test("score threshold applies after ranking (ScoreThreshold semantics)") {
     val qv = (0 until 64).map(_ => 1.0)
     val all = QdrantPoints.search(emb, "vec_id", "embedding", qv, 10)
