@@ -200,6 +200,23 @@ object StreamingQueriesImpl {
         s"kalman_state_${StreamingQueriesImpl.runCounter.incrementAndGet()}"),
       Some(FunctionQueriesImpl.kalmanOracleSql), "2.12"),
 
+    // streaming exact dedup: stateful dropDuplicates on the rolling-hash
+    // fingerprint across micro-batches — the ingest-side twin of
+    // q_dedup_exact; counts replayed against the batch corpus
+    "q_stream_dedup" -> GQuery(
+      (s, d) => graft.streaming.StreamDedup.dedupStats(s, d,
+        s"stream_dedup_${StreamingQueriesImpl.runCounter.incrementAndGet()}"),
+      Some("""WITH f AS (SELECT
+                list_reduce(
+                  list_transform(string_split(lower(text), ' '),
+                    w -> CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % 2147483647),
+                  (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
+              FROM documents)
+              SELECT (SELECT COUNT(*) FROM f) AS n_docs,
+                     (SELECT COUNT(DISTINCT fp) FROM f) AS n_unique,
+                     (SELECT COUNT(*) FROM f) - (SELECT COUNT(DISTINCT fp) FROM f)
+                       AS n_dupes"""), "2.12"),
+
     "q_mutation_merge" -> GQuery(
       (s, d) => {
         val g = GraphQueries.graph(s, d)

@@ -61,6 +61,17 @@ object Tables {
     normalizeEventTs(stream)
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
+
+  /** Streaming read of the documents parquet (schema from the footer,
+    * like [[eventsStreaming]]).
+    */
+  def documentsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val batchSchema = load(spark, sfDir, "documents").schema
+    spark.readStream.schema(batchSchema)
+      .option("basePath", sfDir)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+  }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` works over them. */

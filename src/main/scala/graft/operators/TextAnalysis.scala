@@ -63,12 +63,13 @@ object TextAnalysis {
     * recompute it bit-exactly). acc < 2^31 and hash < 2^31 keep the fold in
     * long range with no overflow.
     */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    val words = split(lower(col("text")), " ")
+  def fingerprintCol(text: Column): Column = {
+    val words = split(lower(text), " ")
     val m = lit(2147483647L) // 2^31 - 1
-    docs.select(col("doc_id"),
-      aggregate(words, lit(0L),
-        (acc, w) => (acc * 31 + conv(substring(md5(w), 1, 15), 16, 10).cast("long") % m) % m)
-        .as("fingerprint"))
+    aggregate(words, lit(0L),
+      (acc, w) => (acc * 31 + conv(substring(md5(w), 1, 15), 16, 10).cast("long") % m) % m)
   }
+
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
 }
