@@ -293,10 +293,9 @@ object CompatProcs {
     // the reference routes APOC.EXPORT.CSV.ALL / APOC.LOAD.JSON /
     // APOC.ALGO.WCC etc.; these bind the dotted spellings to the engine's
     // existing implementations so reference scripts run verbatim.
-    "apoc.load.json" -> ((g, args) =>
-      spark(g).read.option("multiLine", "true").json(args(0).toString)),
-    "apoc.load.csv" -> ((g, args) =>
-      graft.sources.Formats.loadCsv(spark(g), args(0).toString)),
+    // (apoc.load.json / apoc.load.csv are already in the base registry,
+    // Planner.scala:203-206 — NOT re-bound here: the JSON loader reads the
+    // engine's own JSON-lines export format)
     "apoc.export.csv.all" -> ((g, args) => {
       val n = graft.sources.Formats.exportCsv(
         g.nodes.select(col("id"), col("key"), col("name")), args(0).toString)
