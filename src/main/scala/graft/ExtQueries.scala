@@ -553,6 +553,58 @@ object ProcQueries {
                GROUP BY 1, 2, 3"""),
       "2.12"),
 
+    // GDPR privacy lifecycle (db_privacy.go:38-213, db_admin.go:1239-1439):
+    // consent ledger upsert/revoke/read, then anonymize one user's nodes
+    // (pseudonymous owner, PII keys stripped, hoisted name nulled) and
+    // erase another's. Customers are owner-tagged user<key%50>.
+    "q_privacy_lifecycle" -> GQuery(
+      (s, d) => {
+        import graft.graph.{GraphStore, PropertyGraph}
+        import graft.operators.Privacy
+        val g = GraphQueries.graph(s, d)
+        val isCust = array_contains(col("labels"), "Customer")
+        val tagged = g.nodes.withColumn("properties",
+          when(isCust, map_concat(col("properties"),
+            map(lit("owner_id"), concat(lit("user"), col("key") % 50),
+              lit("email"), concat(col("name"), lit("@example.com")))))
+            .otherwise(col("properties")))
+        val store = new GraphStore(PropertyGraph(tagged, g.edges))
+        Privacy.recordConsent(store, "user7", "training", given = true)
+        Privacy.recordConsent(store, "user7", "marketing", given = true)
+        Privacy.revokeConsent(store, "user7", "marketing")
+        val hasTraining = Privacy.hasConsent(store, "user7", "training")
+        val hasMarketing = Privacy.hasConsent(store, "user7", "marketing")
+        val hasUnknown = Privacy.hasConsent(store, "user9", "training")
+        val nConsents = Privacy.userConsents(store, "user7").count()
+        val ownedBefore = Privacy.exportUserData(store, "user7").count()
+        Privacy.anonymizeUserData(store, "user7")
+        val ownedAfter = Privacy.exportUserData(store, "user7").count()
+        val anon = store.snapshot.nodes.filter(
+          element_at(col("properties"), "owner_id") === Privacy.anonymousId("user7") &&
+            col("name").isNull &&
+            !map_contains_key(col("properties"), "email")).count()
+        val deleted = Privacy.deleteUserData(store, "user9")
+        val custAfter = store.snapshot.nodes.filter(isCust).count()
+        import s.implicits._
+        Seq((if (hasTraining) 1 else 0, if (hasMarketing) 1 else 0,
+          if (hasUnknown) 1 else 0, nConsents, ownedBefore, ownedAfter,
+          anon, deleted, custAfter))
+          .toDF("has_training", "has_marketing", "has_unknown", "n_consents",
+            "owned_before", "owned_after", "anonymized", "deleted", "cust_after")
+      },
+      Some("""SELECT 1 AS has_training, 0 AS has_marketing, 0 AS has_unknown,
+                CAST(2 AS BIGINT) AS n_consents,
+                (SELECT COUNT(*) FROM customer WHERE c_custkey % 50 = 7)
+                  AS owned_before,
+                CAST(0 AS BIGINT) AS owned_after,
+                (SELECT COUNT(*) FROM customer WHERE c_custkey % 50 = 7)
+                  AS anonymized,
+                (SELECT COUNT(*) FROM customer WHERE c_custkey % 50 = 9)
+                  AS deleted,
+                (SELECT COUNT(*) FROM customer)
+                  - (SELECT COUNT(*) FROM customer WHERE c_custkey % 50 = 9)
+                  AS cust_after"""), "2.12"),
+
     // compliance report over the audit trail (pkg/audit/audit.go:1036-1080):
     // one aggregation row; DataAccesses excludes EXPORT, erasures count
     // request+complete, unique users ignore empty ids.
