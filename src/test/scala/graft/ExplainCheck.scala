@@ -20,6 +20,14 @@ object ExplainCheck {
     val rr = QueryRegistry.all("q_hybrid_rerank").fn(spark, d)
     println("== rerank single-partition windows: " +
       "Window".r.findAllIn(rr.queryExecution.executedPlan.toString).size)
+    // evolution trio: one grouped-fold exchange each, no BNLJ/cartesian
+    for (n <- Seq("q_evolution_trends", "q_evolution_sessions", "q_evolution_load",
+        "q_qdrant_search_batch")) {
+      val p = QueryRegistry.all(n).fn(spark, d).queryExecution.executedPlan.toString
+      println(s"== $n exchanges: " + "Exchange hash".r.findAllIn(p).size +
+        " bnlj: " + "BroadcastNestedLoop".r.findAllIn(p).size +
+        " cartesian: " + "CartesianProduct".r.findAllIn(p).size)
+    }
     // storage audit: a WAL-backed one-row SET must write a delta, not the
     // store (the hard assertion lives in DeltaLogSpec; this prints the
     // ratio for manual inspection at sf0.01 scale)
