@@ -548,7 +548,11 @@ object AlgoQueries {
       "2.11"),
 
     // embedding stringified: the driver's pandas row-sort can't hash raw
-    // array columns (round-1 compare failure)
+    // array columns (round-1 compare failure). exact=true routes the
+    // neighbor sums through DECIMAL(38,18) so the unordered task-order
+    // float summation is order-independent and the FULL graph replays in
+    // DuckDB — FNV init, l2norm, decimal propagation, l2norm (the
+    // pageRank(exact=true) technique; this was the last no_oracle row).
     "q_algo_fastrp" -> GQuery(
       (s, d) => {
         // embed the SUPPLIES projection, as gds.fastRP does over a
@@ -560,11 +564,59 @@ object AlgoQueries {
           g.nodes.filter(array_contains(col("labels"), "Supplier") ||
             array_contains(col("labels"), "Part")),
           g.edgesByType("SUPPLIES"))
-        Algorithms.fastRP(proj, dim = 8, iterWeights = Seq(0.0, 1.0))
+        Algorithms.fastRP(proj, dim = 8, iterWeights = Seq(0.0, 1.0), exact = true)
           .select(col("id"),
             array_join(transform(col("emb"), x => format_string("%.6f", x)), ";").as("emb_str"))
       },
-      None, "2.11"),
+      Some("""WITH nodes AS (
+                SELECT 'Supplier:' || s_suppkey AS id FROM supplier
+                UNION ALL SELECT 'Part:' || p_partkey FROM part),
+              edges AS (SELECT DISTINCT 'Supplier:' || l_suppkey AS s,
+                               'Part:' || l_partkey AS p FROM lineitem),
+              und AS (SELECT s AS a, p AS b FROM edges
+                      UNION ALL SELECT p AS a, s AS b FROM edges),
+              dims AS (SELECT unnest(generate_series(1, 8)) AS d),
+              hv AS (
+                SELECT id, d,
+                  list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                    list_transform(string_split(id || '_' || d || '_42', ''),
+                      c -> CAST(ord(c) AS UBIGINT))),
+                    (h, c) -> CAST(CAST(xor(h, c) AS HUGEINT) * 1099511628211
+                      % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT)) AS u
+                FROM nodes CROSS JOIN dims),
+              init AS (
+                SELECT id, d,
+                  CASE ((CAST(CASE WHEN u >= 9223372036854775808
+                           THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+                           ELSE CAST(u AS BIGINT) END AS HUGEINT) % 6) + 6) % 6
+                    WHEN 0 THEN CAST(1.0 AS DOUBLE)
+                    WHEN 1 THEN CAST(-1.0 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS x
+                FROM hv),
+              iv AS (SELECT id, list(x ORDER BY d) AS v FROM init GROUP BY id),
+              v0 AS (
+                SELECT id, list_transform(v, x -> CASE WHEN nrm > 0 THEN x / nrm
+                                                       ELSE CAST(0.0 AS DOUBLE) END) AS v
+                FROM (SELECT id, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM iv)),
+              comp AS (
+                SELECT u.a AS id, dm.d,
+                  CAST(SUM(CAST(v0.v[dm.d] AS DECIMAL(38,18))) AS DOUBLE) AS x
+                FROM und u JOIN v0 ON v0.id = u.b CROSS JOIN dims dm
+                GROUP BY u.a, dm.d),
+              sv AS (SELECT id, list(x ORDER BY d) AS v FROM comp GROUP BY id),
+              allv AS (SELECT n.id,
+                         COALESCE(sv.v, [CAST(0.0 AS DOUBLE),0,0,0,0,0,0,0]) AS v
+                       FROM nodes n LEFT JOIN sv ON sv.id = n.id),
+              v1 AS (
+                SELECT id, list_transform(v, x -> CASE WHEN nrm > 0 THEN x / nrm
+                                                       ELSE CAST(0.0 AS DOUBLE) END) AS v
+                FROM (SELECT id, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM allv))
+              SELECT id,
+                array_to_string(list_transform(v, x -> printf('%.6f', x)), ';') AS emb_str
+              FROM v1"""),
+      "2.11"),
 
     "q_algo_closeness" -> GQuery(
       (s, d) => {

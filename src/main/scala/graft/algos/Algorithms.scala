@@ -506,7 +506,7 @@ object Algorithms {
     * columns + one join per iteration.
     */
   def fastRP(g: PropertyGraph, dim: Int = 16, iterWeights: Seq[Double] = Seq(0.0, 1.0, 1.0),
-      relType: Option[String] = None): DataFrame = {
+      relType: Option[String] = None, exact: Boolean = false): DataFrame = {
     val es = relType.map(g.edgesByType).getOrElse(g.edges)
     val und = es.select(col("src").as("a"), col("dst").as("b"), col("weight"))
       .union(es.select(col("dst").as("a"), col("src").as("b"), col("weight")))
@@ -536,8 +536,13 @@ object Algorithms {
         .join(vecs.select(col("id").as("b"), col("vec")), "b")
         .withColumn("wvec", transform(col("vec"), x => x * col("weight")))
         .groupBy(col("a").as("id"))
-        .agg(array((0 until dim).map(i =>
-          sum(element_at(col("wvec"), i + 1))): _*).as("sumvec"))
+        .agg(array((0 until dim).map { i =>
+          val c = element_at(col("wvec"), i + 1)
+          // exact: DECIMAL-routed neighbor sums are order-independent, so a
+          // SQL oracle can replay the unordered task-order float summation
+          // (the pageRank(exact=true) technique above)
+          if (exact) sum(c.cast("decimal(38,18)")).cast("double") else sum(c)
+        }: _*).as("sumvec"))
       val next = g.nodes.select("id").join(agg0, Seq("id"), "left_outer")
         .select(col("id"),
           l2norm(coalesce(col("sumvec"),
