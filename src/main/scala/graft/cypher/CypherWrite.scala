@@ -241,11 +241,32 @@ object CypherWrite {
       else Frame(
         frame.df.select(imports.flatMap(v => frame.varCols(v)).map(col): _*),
         imports.map(v => v -> frame.kinds(v)).toMap)
-    val orderCols = driving.df.columns.filterNot(_.endsWith("_properties")).map(col)
-    val numbered = driving.df
-      .withColumn("__rn", row_number().over(Window.orderBy(orderCols: _*)))
+    val orderCols = driving.df.columns.filterNot(_.endsWith("_properties")).map(col).toSeq
+    val sortCols = if (orderCols.nonEmpty) orderCols else Seq(lit(1))
+    // Distributed batch numbering: range-partition on the ordering columns
+    // (partition i sorts wholly before i+1), number rows locally per
+    // partition, then add per-partition offsets computed from a P-row
+    // collect — the same deterministic global __rn a global-Window
+    // row_number would give, without funnelling every driving row through
+    // a single task. Batch APPLICATION stays serial (the semantics are
+    // inherently sequential across batches); only the numbering fans out.
+    val ranged = driving.df
+      .repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true) // pin: the store mutates between batches
-    val total = numbered.count()
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var running = 0L
+    val offs = counts.map { case (pid, n) => val o = running; running += n; (pid, o) }
+    val total = running
+    val offDf = ranged.sparkSession.createDataFrame(offs.toSeq).toDF("__pid", "__off")
+    val numbered = ranged
+      .withColumn("__lrn",
+        row_number().over(Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
+      .join(broadcast(offDf), "__pid")
+      .withColumn("__rn", col("__lrn") + col("__off"))
+      .drop("__pid", "__lrn", "__off")
+      .localCheckpoint(true) // avoid re-running the window per batch filter
     var agg = WriteResult(0, 0, 0, 0, 0, None)
     var lo = 1L
     while (lo <= total) {
