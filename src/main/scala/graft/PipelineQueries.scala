@@ -597,7 +597,40 @@ object PipelineQueries {
               FROM documents"""),
       "pipeline"),
 
+    // REAL decode: even doc_ids carry ImageIO-encoded PNG bytes of a
+    // deterministic grayscale pattern; the engine decodes them back with
+    // javax.imageio and the oracle replays width/height/channels/avg-luma
+    // straight from the pattern formula — a fake decoder cannot reproduce
+    // avg_luma through the lossless PNG round-trip. Odd doc_ids exercise
+    // the non-image fallback (sentinel dims, no nulls → dtype-stable).
     "q_multimodal_features" -> GQuery(
+      (s, d) => Multimodal.decodeImageFeatures(
+        Multimodal.withImagePayload(Tables.documents(s, d)))
+        .select("doc_id", "kind", "width", "height", "channels", "avg_luma"),
+      Some("""WITH imgs AS (
+                SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS w,
+                       CAST(8 + doc_id % 5 AS INT) AS h
+                FROM documents WHERE doc_id % 2 = 0),
+              px AS (
+                SELECT i.doc_id, i.w, i.h,
+                       (i.doc_id * 31 + gx.x * 7 + gy.y * 13) % 256 AS g
+                FROM imgs i
+                CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS x) gx
+                CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS y) gy
+                WHERE gx.x < i.w AND gy.y < i.h),
+              png AS (
+                SELECT doc_id, 'png' AS kind, MIN(w) AS width, MIN(h) AS height,
+                       CAST(1 AS INT) AS channels,
+                       CAST(SUM(g) AS DOUBLE) / (MIN(w) * MIN(h)) AS avg_luma
+                FROM px GROUP BY doc_id)
+              SELECT doc_id, kind, width, height, channels, avg_luma FROM png
+              UNION ALL
+              SELECT doc_id, 'bin' AS kind, CAST(-1 AS INT), CAST(-1 AS INT),
+                     CAST(0 AS INT), CAST(-1.0 AS DOUBLE)
+              FROM documents WHERE doc_id % 2 = 1"""), "pipeline"),
+
+    // the byte-stat fallback tier stays covered on raw text payloads
+    "q_multimodal_bytes" -> GQuery(
       (s, d) => Multimodal.extractFeatures(
         Multimodal.withPayload(Tables.documents(s, d)))
         .select("doc_id", "n_bytes", "header_byte"),

@@ -55,6 +55,37 @@ class Round8FixSpec extends AnyFunSuite {
     assert(Algorithms.weightedPath(g, "n5", "n0", n).isEmpty)
   }
 
+  test("multimodal: real ImageIO PNG decode reproduces the pattern pixel stats") {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sf).limit(8)
+    val feats = Multimodal.decodeImageFeatures(
+      Multimodal.withImagePayload(docs)).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0) {
+        val (w, h) = Multimodal.patternDims(id)
+        assert(r.getString(1) == "png" && r.getInt(3) == w &&
+          r.getInt(4) == h && r.getInt(5) == 1)
+        val exp = (for { y <- 0 until h; x <- 0 until w }
+          yield Multimodal.patternPixel(id, x, y).toLong).sum.toDouble / (w * h)
+        assert(r.getDouble(6) == exp, s"decoded avg_luma drifted for doc $id")
+      } else {
+        assert(r.getString(1) == "bin" && r.getInt(3) == -1 && r.getDouble(6) == -1.0)
+      }
+    }
+    // JPEG sniff + decode path (lossy → dims/channels only)
+    val img = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    import spark.implicits._
+    val one = Seq((99L, bos.toByteArray)).toDF("doc_id", "payload")
+    val jr = Multimodal.decodeImageFeatures(one).collect().head
+    assert(jr.getString(1) == "jpeg" && jr.getInt(3) == 5 && jr.getInt(4) == 4 &&
+      jr.getInt(5) == 3)
+  }
+
   test("IN TRANSACTIONS updates every row with per-row values across range partitions") {
     val store = new GraphStore(GraphQueries.graph(spark, sf))
     CypherWrite.execute(store,
