@@ -45,30 +45,63 @@ object Bench {
     MimirFixture.graph(spark, sfDir).nodes.count()
     // optional comma-separated filter for focused perf iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Per-query warm-up + best-of-N (round-7 verdict #1): a single timed
+    // run drifted ±25% on the total and ±4× on single rows between
+    // same-code runs, drowning the perf signal. Each query now runs one
+    // untimed warm-up then REPS timed reps; `queries` carries the MIN
+    // (the noise-robust number deltas compare), `queries_median` the
+    // median. SPARK_GRAFT_BENCH_REPS=1 SPARK_GRAFT_BENCH_WARMUP=0
+    // restores the old single-shot behavior for quick iteration.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt.max(0)
     // a query that throws is a BROKEN query, not a timing: record the error
     // per-query, keep it out of the timings map, and exit non-zero so a
     // breakage can never ship as a plausible-looking 0.08 s row again
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
-          case e: Throwable =>
-            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        def once(): Either[String, Double] =
+          try {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable => Left(
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          }
+        val runs = ((1 to warmup).map(_ => once()) ++ (1 to reps).map(_ => once()))
+          .drop(warmup)
+        runs.collectFirst { case Left(e) => e } match {
+          case Some(e) => (name, Double.NaN, Double.NaN, Some(e))
+          case None =>
+            val ts = runs.collect { case Right(t) => t }.sorted
+            (name, ts.head, ts(ts.size / 2), None)
         }
-        (name, (System.nanoTime() - t0) / 1e9, err)
       }
+    // deliberate-slow oracle fixtures (DECIMAL-routed sums, DF twins kept
+    // for their exact unrolled-CTE oracles): split out of the fast-tier
+    // headline so ~15 s of intentional oracle cost doesn't read as a
+    // regression of the fast paths (round-7 verdict #9)
+    val oracleTier = Set("q_algo_wcc_df", "q_algo_pagerank", "q_vector_topk_exact",
+      "q_algo_fastrp", "q_algo_label_prop_star", "q_algo_wcc_star")
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val ok = results.collect { case (k, v, None) => s"\"" + k + "\":" + v }
+    val ok = results.collect { case (k, v, _, None) => s"\"" + k + "\":" + v }
     val qs = ok.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val med = results.collect { case (k, _, m, None) => s"\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val tiers = results.collect { case (k, _, _, None) =>
+      s"\"$k\":\"${if (oracleTier(k)) "oracle" else "fast"}\"" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
     val errJson = if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
-    val total = results.collect { case (_, v, None) => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, v, _, None) => v }.sum
+    val fastTotal = results.collect { case (k, v, _, None) if !oracleTier(k) => v }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup":$warmup,""" +
+      s""""value_fast_tier":$fastTotal,"value_oracle_tier":${total - fastTotal},""" +
+      s""""queries":$qs,"queries_median":$med,"tier":$tiers$errJson,"sf":"$sfDir"}"""
     println(json)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)

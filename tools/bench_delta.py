@@ -21,13 +21,27 @@ def main():
     newq = new.get("queries", {})
     refq = ref.get("queries", {})
 
+    tier = new.get("tier", {})
     lines = [
-        "# BENCH_delta — new clean run vs round-6 clean baseline",
+        "# BENCH_delta — new clean run vs reference run",
         "",
         f"New clean-commit run: **{new.get('value', 0.0):.1f} s total, "
-        f"{len(newq)} queries** (sf {new.get('sf', '?')}).",
+        f"{len(newq)} queries** (sf {new.get('sf', '?')}"
+        + (f", per-query best-of-{new['reps']} after {new.get('warmup', 0)} warm-up"
+           if new.get("reps", 1) > 1 else "")
+        + ").",
         f"Reference ({ref_path}): {ref.get('value', 0.0):.1f} s total, "
-        f"{len(refq)} queries.",
+        f"{len(refq)} queries"
+        + (f", best-of-{ref['reps']}" if ref.get("reps", 1) > 1
+           else ", single-shot (noisier)") + ".",
+    ]
+    if "value_fast_tier" in new:
+        lines.append(
+            f"Tier split: fast **{new['value_fast_tier']:.1f} s** / "
+            f"oracle-fixture {new['value_oracle_tier']:.1f} s "
+            f"({sum(1 for q in newq if tier.get(q) == 'oracle')} deliberate-slow "
+            "DECIMAL-exact oracle rows).")
+    lines += [
         "",
         "| query | new (s) | ref (s) | ratio | flag |",
         "|---|---|---|---|---|",
@@ -35,6 +49,7 @@ def main():
     flags = []
     for name in sorted(newq, key=lambda n: -newq[n]):
         t5 = newq[name]
+        label = f"{name} *(oracle)*" if tier.get(name) == "oracle" else name
         if name in refq:
             r4 = refq[name]
             ratio = t5 / r4 if r4 > 0 else float("inf")
@@ -43,9 +58,9 @@ def main():
             flag = "**>1.5x**" if (ratio > 1.5 and t5 > 1.0) else ""
             if flag:
                 flags.append((name, t5, r4, ratio))
-            lines.append(f"| {name} | {t5:.2f} | {r4:.2f} | {ratio:.2f} | {flag} |")
+            lines.append(f"| {label} | {t5:.2f} | {r4:.2f} | {ratio:.2f} | {flag} |")
         else:
-            lines.append(f"| {name} | {t5:.2f} | - | new | |")
+            lines.append(f"| {label} | {t5:.2f} | - | new | |")
     lines.append("")
     if flags:
         lines.append("## Flagged (>1.5x and >1 s vs reference run)")
