@@ -31,7 +31,8 @@ import graft.graph.PropertyGraph
   * statement-autocommit (snapshot swap per statement), matching the
   * reference's default executor mode.
   */
-final class BoltServer(graph: () => PropertyGraph, port: Int = 0) {
+final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
+    token: Option[String] = None) {
 
   private val server = new ServerSocket(port)
   private val running = new AtomicBoolean(false)
@@ -75,6 +76,25 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0) {
       var resultIndex = 0
       var failed = false
       var open = true
+      // the reference refuses unauthenticated Bolt by default
+      // (pkg/auth/auth.go); with a token set, HELLO/LOGON must carry
+      // matching `credentials` before any RUN is served
+      var authed = token.isEmpty
+      // wrong credentials → immediate FAILURE; absent credentials leave
+      // the session unauthenticated (a 5.1 driver LOGONs next; anyone
+      // else hits the RUN gate below). Returns false on FAILURE.
+      def checkAuth(fields: Seq[_]): Boolean =
+        (token, ServerAuth.boltCredentials(fields)) match {
+          case (None, _) => authed = true; true
+          case (Some(t), Some(c)) if ServerAuth.constantTimeEq(c, t) =>
+            authed = true; true
+          case (Some(_), Some(_)) =>
+            failed = true
+            sendFailure(out, "Neo.ClientError.Security.Unauthorized",
+              "invalid credentials")
+            false
+          case (Some(_), None) => true // await LOGON; RUN stays gated
+        }
       while (open) {
         readMessage(in) match {
           case None => // empty message: no-op
@@ -86,11 +106,12 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0) {
                 throw new IllegalArgumentException(s"not a Bolt message: $other")
             }
             sig match {
-              case 0x01 => // HELLO
-                sendSuccess(out, Map("server" -> "graft/0.7",
-                  "connection_id" -> s"bolt-${sock.getPort}"))
+              case 0x01 => // HELLO (auth map may ride along, Bolt ≤5.0)
+                if (checkAuth(fields))
+                  sendSuccess(out, Map("server" -> "graft/0.7",
+                    "connection_id" -> s"bolt-${sock.getPort}"))
               case 0x6A => // LOGON (Bolt 5.1+ drivers split auth out of HELLO)
-                sendSuccess(out, Map.empty)
+                if (checkAuth(fields)) sendSuccess(out, Map.empty)
               case 0x02 => // GOODBYE
                 open = false
               case 0x0F => // RESET
@@ -98,7 +119,11 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0) {
                 sendSuccess(out, Map.empty)
               case 0x10 => // RUN [query, params, extra]
                 if (failed) sendIgnored(out)
-                else {
+                else if (!authed) {
+                  failed = true
+                  sendFailure(out, "Neo.ClientError.Security.Unauthorized",
+                    "authentication required before RUN")
+                } else {
                   try {
                     val query = fields.head.toString
                     val params = fields.lift(1) match {

@@ -25,7 +25,7 @@ import graft.graph.GraphStore
   * (ResultJson's contract). JDK built-in HttpServer: zero dependencies.
   */
 final class HttpTxServer(store: GraphStore, port: Int = 0,
-    maxRows: Int = 10000) {
+    maxRows: Int = 10000, token: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -45,6 +45,11 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
 
   private def handle(ex: HttpExchange): Unit = {
     try {
+      if (!ServerAuth.bearerOk(ex, token)) {
+        respond(ex, 401,
+          """{"results":[],"errors":[{"code":"Neo.ClientError.Security.Unauthorized","message":"bearer token required"}]}""")
+        return
+      }
       val path = ex.getRequestURI.getPath
       if (ex.getRequestMethod != "POST" || !path.endsWith("/tx/commit")) {
         respond(ex, 404,

@@ -34,7 +34,8 @@ import graft.graph.GraphStore
   * (server.go:395-405). The reference's task/tasks tools are a task-
   * manager layer over the same store — out of engine scope.
   */
-final class McpServer(store: GraphStore, port: Int = 0) {
+final class McpServer(store: GraphStore, port: Int = 0,
+    token: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -57,6 +58,11 @@ final class McpServer(store: GraphStore, port: Int = 0) {
 
   private def handle(ex: HttpExchange): Unit = {
     try {
+      if (!ServerAuth.bearerOk(ex, token)) {
+        respond(ex, 401,
+          """{"jsonrpc":"2.0","id":null,"error":{"code":-32001,"message":"unauthorized: bearer token required"}}""")
+        return
+      }
       val path = ex.getRequestURI.getPath
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       path match {
