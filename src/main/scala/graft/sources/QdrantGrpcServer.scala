@@ -1,0 +1,303 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.search.QdrantPoints
+import graft.search.QdrantPoints.Filter
+
+/** Qdrant-compatible wire endpoint over the [[QdrantPoints]] engines —
+  * the upstream Qdrant gRPC contract (`package qdrant`, the same one the
+  * reference serves: `/root/reference/pkg/qdrantgrpc/server.go`,
+  * `points_service.go:263-726`) with hand-rolled protobuf framing
+  * ([[Protobuf]] — no protobuf-java in the sandbox, same approach as the
+  * Bolt loop's hand-rolled PackStream).
+  *
+  * Transport is **gRPC-Web** (`application/grpc-web+proto` over HTTP/1.1:
+  * 5-byte frame prefix, trailers as a 0x80 frame) because the JDK ships no
+  * HTTP/2 server — the message bytes on the wire are identical to gRPC
+  * proper, only the framing layer differs (the disclosed h2 limitation).
+  *
+  * Served RPCs on `/qdrant.Points/…`: `Search`, `Scroll`, `Count`,
+  * `Recommend`. Field numbers follow the public qdrant points.proto
+  * (v1.x): SearchPoints{1 collection, 2 vector(packed float), 3 filter,
+  * 4 limit, 6 with_payload, 8 score_threshold, 9 offset};
+  * Filter{1 should, 2 must, 3 must_not}; Condition{1 field, 3 has_id};
+  * FieldCondition{1 key, 2 match{1 keyword, 2 integer, 3 boolean,
+  * 4 text}, 3 range{1 lt, 2 gt, 3 gte, 4 lte}}; PointId{1 num, 2 uuid};
+  * ScoredPoint{1 id, 2 payload, 3 score}; SearchResponse{1 result,
+  * 2 time}; CountPoints{1 collection, 2 filter}; CountResponse{1
+  * result{1 count}, 2 time}; ScrollPoints{1 collection, 2 filter,
+  * 3 offset, 4 limit}; ScrollResponse{1 next_page_offset, 2 result,
+  * 3 time}; RecommendPoints{1 collection, 2 positive, 3 negative,
+  * 4 filter, 5 limit, 9 score_threshold, 10 offset}.
+  *
+  * Scroll pagination matches the reference exactly: the request offset id
+  * is exclusive, `next_page_offset` echoes the LAST id of the page when
+  * more rows remain (`points_service.go:476-481`).
+  *
+  * `token`: optional bearer gate (gRPC status 16 UNAUTHENTICATED without
+  * it — the reference's authenticator hook, `server_auth_test.go`).
+  */
+final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
+    embCol: String = "embedding", port: Int = 0, token: Option[String] = None) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): QdrantGrpcServer = {
+    server.createContext("/qdrant.Points", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(null)
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  import Protobuf.{Field => PF}
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestURI.getPath.stripPrefix("/qdrant.Points/")
+    try {
+      if (!ServerAuth.bearerOk(ex, token)) {
+        respondTrailersOnly(ex, 16, "unauthenticated: bearer token required")
+        return
+      }
+      val body = ex.getRequestBody.readAllBytes()
+      val req = Protobuf.grpcFrames(body).collectFirst {
+        case (0, payload) => Protobuf.fields(payload)
+      }.getOrElse(throw new IllegalArgumentException("no DATA frame in request"))
+      val t0 = System.nanoTime()
+      def secs: Double = (System.nanoTime() - t0) / 1e9
+      val resp = method match {
+        case "Search" => search(req, secs)
+        case "Count" => countResp(req, secs)
+        case "Scroll" => scroll(req, secs)
+        case "Recommend" => recommend(req, secs)
+        case other =>
+          respondTrailersOnly(ex, 12, s"unimplemented method: $other")
+          return
+      }
+      respondOk(ex, resp.bytes)
+    } catch {
+      case e: IllegalArgumentException =>
+        respondTrailersOnly(ex, 3, Option(e.getMessage).getOrElse("invalid argument"))
+      case e: Exception =>
+        respondTrailersOnly(ex, 13, Option(e.getMessage).getOrElse(e.toString))
+    }
+  }
+
+  // ================================================= request decoding ====
+
+  private def requireCollection(req: Seq[PF]): Unit =
+    require(Protobuf.find(req, 1).exists(_.payload.nonEmpty),
+      "collection_name is required")
+
+  /** vector: packed (wire 2) and unpacked (wire 5) repeated float. */
+  private def vectorOf(req: Seq[PF], no: Int): Seq[Double] =
+    Protobuf.all(req, no).flatMap {
+      case f if f.wire == 2 => f.floats.map(_.toDouble)
+      case f => Seq(f.floatVal.toDouble)
+    }
+
+  private def filterOf(req: Seq[PF], no: Int): Filter =
+    Protobuf.find(req, no).map { f =>
+      val fs = f.msg
+      def conds(fieldNo: Int): Seq[Column] =
+        Protobuf.all(fs, fieldNo).map(c => condition(c.msg))
+      Filter(must = conds(2), mustNot = conds(3), should = conds(1))
+    }.getOrElse(Filter())
+
+  private def condition(fs: Seq[PF]): Column =
+    Protobuf.find(fs, 1).map(fc => fieldCondition(fc.msg))
+      .orElse(Protobuf.find(fs, 3).map { h => // HasIdCondition{1 has_id}
+        val ids = Protobuf.all(h.msg, 1).map(p => pointIdNum(p.msg))
+        col(idCol).isin(ids: _*)
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        "unsupported condition (field/has_id only)"))
+
+  private def fieldCondition(fs: Seq[PF]): Column = {
+    val key = Protobuf.find(fs, 1).getOrElse(
+      throw new IllegalArgumentException("field condition needs key")).str
+    require(key.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid payload key: $key")
+    val c = col(key)
+    Protobuf.find(fs, 2).map { m => // Match oneof
+      val mf = m.msg
+      Protobuf.find(mf, 1).map(k => c === k.str)
+        .orElse(Protobuf.find(mf, 2).map(i => c === i.num))
+        .orElse(Protobuf.find(mf, 3).map(b => c === (b.num != 0)))
+        .orElse(Protobuf.find(mf, 4).map(t => c.contains(t.str)))
+        .getOrElse(throw new IllegalArgumentException("unsupported match kind"))
+    }.orElse(Protobuf.find(fs, 3).map { r => // Range{1 lt, 2 gt, 3 gte, 4 lte}
+      val rf = r.msg
+      Seq(Protobuf.find(rf, 1).map(v => c < v.doubleVal),
+        Protobuf.find(rf, 2).map(v => c > v.doubleVal),
+        Protobuf.find(rf, 3).map(v => c >= v.doubleVal),
+        Protobuf.find(rf, 4).map(v => c <= v.doubleVal)).flatten
+        .reduceOption(_ && _).getOrElse(lit(true))
+    }).getOrElse(throw new IllegalArgumentException(
+      "unsupported field condition (match/range only)"))
+  }
+
+  private def pointIdNum(fs: Seq[PF]): Long =
+    Protobuf.find(fs, 1).map(_.num).orElse(
+      Protobuf.find(fs, 2).map(_.str.toLong)).getOrElse(
+      throw new IllegalArgumentException("point id needs num or uuid"))
+
+  private def withPayloadEnabled(req: Seq[PF], no: Int): Boolean =
+    Protobuf.find(req, no).exists { wp =>
+      // WithPayloadSelector{1 enable, 2 include, 3 exclude} — any include
+      // list also turns payload on (thin: full set, not the subset)
+      Protobuf.find(wp.msg, 1).forall(_.num != 0)
+    }
+
+  // ================================================ response encoding ====
+
+  private def pointIdMsg(id: Long): Protobuf.W = Protobuf.w().uint(1, id)
+
+  /** payload map entries from every non-id/non-vector column. */
+  private def payloadMsg(sp: Protobuf.W, mapField: Int, row: Row): Unit = {
+    row.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (f.name != idCol && f.name != embCol && !row.isNullAt(i)) {
+        val value = Protobuf.w()
+        row.get(i) match {
+          case n: Long => value.uint(3, n)
+          case n: Int => value.uint(3, n.toLong)
+          case n: Short => value.uint(3, n.toLong)
+          case d: Double => value.double(2, d)
+          case d: Float => value.double(2, d.toDouble)
+          case b: Boolean => value.bool(5, b)
+          case s: String => value.str(4, s)
+          case other => value.str(4, String.valueOf(other))
+        }
+        sp.msg(mapField, Protobuf.w().str(1, f.name).msg(2, value))
+      }
+    }
+  }
+
+  private def scoredPoints(resp: Protobuf.W, hits: Seq[Row],
+      payload: Map[Long, Row]): Unit =
+    hits.foreach { r =>
+      val id = r.get(0) match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => other.toString.toLong
+      }
+      val sp = Protobuf.w()
+        .msg(1, pointIdMsg(id))
+        .float(3, r.getDouble(1).toFloat)
+      payload.get(id).foreach(payloadMsg(sp, 2, _))
+      resp.msg(1, sp)
+    }
+
+  private def payloadRows(ids: Seq[Long]): Map[Long, Row] =
+    if (ids.isEmpty) Map.empty
+    else points().filter(col(idCol).isin(ids: _*)).drop(embCol).collect()
+      .map(r => r.getAs[Number](idCol).longValue() -> r).toMap
+
+  private def searchCore(req: Seq[PF], vec: Seq[Double], limitNo: Int,
+      filterNo: Int, thresholdNo: Int, offsetNo: Int, payloadNo: Int,
+      secs: => Double): Protobuf.W = {
+    require(vec.nonEmpty, "vector is required")
+    val limit = Protobuf.find(req, limitNo).map(_.num.toInt).filter(_ > 0).getOrElse(10)
+    val filter = filterOf(req, filterNo)
+    val minScore = Protobuf.find(req, thresholdNo).map(_.floatVal.toDouble)
+    val offset = Protobuf.find(req, offsetNo).map(_.num.toInt).getOrElse(0)
+    val hits = QdrantPoints.search(points(), idCol, embCol, vec, limit,
+      filter, minScore, offset).collect().toSeq
+    val payload =
+      if (withPayloadEnabled(req, payloadNo))
+        payloadRows(hits.map(_.getAs[Number](0).longValue()))
+      else Map.empty[Long, Row]
+    val resp = Protobuf.w()
+    scoredPoints(resp, hits, payload)
+    resp.double(2, secs)
+  }
+
+  private def search(req: Seq[PF], secs: => Double): Protobuf.W = {
+    requireCollection(req)
+    searchCore(req, vectorOf(req, 2), limitNo = 4, filterNo = 3,
+      thresholdNo = 8, offsetNo = 9, payloadNo = 6, secs)
+  }
+
+  private def countResp(req: Seq[PF], secs: => Double): Protobuf.W = {
+    requireCollection(req)
+    val n = QdrantPoints.countPoints(points(), filterOf(req, 2))
+      .collect().head.getLong(0)
+    Protobuf.w()
+      .msg(1, Protobuf.w().uint(1, n))
+      .double(2, secs)
+  }
+
+  private def scroll(req: Seq[PF], secs: => Double): Protobuf.W = {
+    requireCollection(req)
+    val filter = filterOf(req, 2)
+    val after = Protobuf.find(req, 3).map(p => pointIdNum(p.msg))
+    val limit = Protobuf.find(req, 4).map(_.num.toInt).filter(_ > 0).getOrElse(10)
+    // over-fetch one row to learn whether a next page exists
+    val ids = QdrantPoints.scroll(points(), idCol, filter, after, limit + 1)
+      .collect().map(_.getAs[Number](0).longValue()).toSeq
+    val page = ids.take(limit)
+    val payload = payloadRows(page)
+    val resp = Protobuf.w()
+    if (ids.length > limit) resp.msg(1, pointIdMsg(page.last))
+    page.foreach { id =>
+      val rp = Protobuf.w().msg(1, pointIdMsg(id))
+      payload.get(id).foreach(payloadMsg(rp, 2, _))
+      resp.msg(2, rp)
+    }
+    resp.double(3, secs)
+  }
+
+  private def recommend(req: Seq[PF], secs: => Double): Protobuf.W = {
+    requireCollection(req)
+    val posIds = Protobuf.all(req, 2).map(p => pointIdNum(p.msg))
+    val negIds = Protobuf.all(req, 3).map(p => pointIdNum(p.msg))
+    require(posIds.nonEmpty, "at least one positive example is required")
+    // resolve example ids → vectors (bounded point lookup, like the
+    // reference's resolveExampleVectors)
+    val byId = points().filter(col(idCol).isin((posIds ++ negIds): _*))
+      .select(col(idCol), col(embCol)).collect()
+      .map(r => r.getAs[Number](0).longValue() ->
+        r.getSeq[Number](1).map(_.doubleValue()).toSeq).toMap
+    def resolve(ids: Seq[Long]): Seq[Seq[Double]] = ids.map(id =>
+      byId.getOrElse(id, throw new IllegalArgumentException(s"point $id not found")))
+    val vec = QdrantPoints.recommendVector(resolve(posIds), resolve(negIds))
+    searchCore(req, vec, limitNo = 5, filterNo = 4, thresholdNo = 9,
+      offsetNo = 10, payloadNo = 7, secs)
+  }
+
+  // ======================================================= transport =====
+
+  private val contentType = "application/grpc-web+proto"
+
+  private def trailers(status: Int, message: String): Array[Byte] = {
+    val msg = message.replaceAll("[\r\n]", " ")
+    Protobuf.grpcFrame(0x80,
+      s"grpc-status: $status\r\ngrpc-message: $msg\r\n"
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def respondOk(ex: HttpExchange, message: Array[Byte]): Unit = {
+    val body = Protobuf.grpcFrame(0, message) ++ trailers(0, "")
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(200, body.length)
+    ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  private def respondTrailersOnly(ex: HttpExchange, status: Int,
+      message: String): Unit = {
+    val body = trailers(status, message)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(200, body.length)
+    ex.getResponseBody.write(body)
+    ex.close()
+  }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.search.QdrantPoints
+import graft.search.QdrantPoints.Filter
+import graft.sources.{Protobuf, QdrantGrpcServer}
+
+/** Integration: real gRPC-Web frames (5-byte framing + protobuf messages
+  * with the upstream qdrant field numbers) against the wire server, the
+  * way BoltServerSpec drives PackStream byte-for-byte. Results are
+  * cross-checked against the QdrantPoints engines directly.
+  */
+class QdrantGrpcServerSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val client = HttpClient.newHttpClient()
+  private val dim = 64
+
+  private def call(port: Int, method: String, msg: Protobuf.W,
+      bearer: Option[String] = None): Seq[(Int, Array[Byte])] = {
+    val b = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/qdrant.Points/$method"))
+      .header("Content-Type", "application/grpc-web+proto")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(Protobuf.grpcFrame(0, msg.bytes)))
+    bearer.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    assert(resp.statusCode() == 200)
+    Protobuf.grpcFrames(resp.body())
+  }
+
+  private def trailerOf(frames: Seq[(Int, Array[Byte])]): String =
+    new String(frames.find(_._1 == 0x80).get._2, "UTF-8")
+  private def dataOf(frames: Seq[(Int, Array[Byte])]): Seq[Protobuf.Field] =
+    Protobuf.fields(frames.find(_._1 == 0).get._2)
+
+  // Condition{1 field{1 key, 2 match{2 integer}}} inside Filter{2 must}
+  private def mustIntEq(key: String, v: Long): Protobuf.W =
+    Protobuf.w().msg(2, Protobuf.w().msg(1,
+      Protobuf.w().str(1, key).msg(2, Protobuf.w().uint(2, v))))
+
+  private val qv: Seq[Float] =
+    (0 until dim).map(i => if (i % 7 == 0) 1.0f else 0.25f)
+
+  test("Search: filtered top-k with payload matches the engine; trailers say status 0") {
+    val pts = Tables.embeddings(spark, sf)
+    val server = new QdrantGrpcServer(() => pts).start()
+    try {
+      val req = Protobuf.w()
+        .str(1, "embeddings")
+        .packedFloats(2, qv)
+        .msg(3, mustIntEq("label", 1))
+        .uint(4, 5)
+        .msg(6, Protobuf.w().bool(1, true)) // with_payload { enable: true }
+      val frames = call(server.boundPort, "Search", req)
+      assert(trailerOf(frames).contains("grpc-status: 0"))
+      val hits = Protobuf.all(dataOf(frames), 1).map(_.msg)
+      val expected = QdrantPoints.search(pts, "vec_id", "embedding",
+        qv.map(_.toDouble), 5, Filter(must = Seq(col("label") === 1)))
+        .collect().map(r => (r.getAs[Number](0).longValue(), r.getDouble(1)))
+      assert(hits.size == expected.length && expected.nonEmpty)
+      hits.zip(expected).foreach { case (h, (eid, escore)) =>
+        val id = Protobuf.find(Protobuf.find(h, 1).get.msg, 1).get.num
+        val score = Protobuf.find(h, 3).get.floatVal
+        assert(id == eid, s"wire id $id != engine id $eid")
+        assert(math.abs(score - escore) < 1e-6, s"score $score != $escore")
+        // payload carries the label payload field as integer_value 1
+        val payloadEntries = Protobuf.all(h, 2).map(_.msg)
+        val labelEntry = payloadEntries.find(e =>
+          Protobuf.find(e, 1).exists(_.str == "label")).get
+        val v = Protobuf.find(labelEntry, 2).get.msg
+        assert(Protobuf.find(v, 3).map(_.num).contains(1L))
+      }
+    } finally server.stop()
+  }
+
+  test("Count and Scroll match the engine; scroll next_page_offset is the page's last id") {
+    val pts = Tables.embeddings(spark, sf)
+    val server = new QdrantGrpcServer(() => pts).start()
+    try {
+      val p = server.boundPort
+      // CountPoints{1 collection, 2 filter}
+      val cnt = call(p, "Count", Protobuf.w()
+        .str(1, "embeddings").msg(2, mustIntEq("label", 1)))
+      val cntVal = Protobuf.find(
+        Protobuf.find(dataOf(cnt), 1).get.msg, 1).get.num
+      val expectedCnt = pts.filter(col("label") === 1).count()
+      assert(cntVal == expectedCnt && expectedCnt > 0)
+
+      // ScrollPoints{1 collection, 2 filter, 3 offset(PointId), 4 limit}
+      val scr = call(p, "Scroll", Protobuf.w()
+        .str(1, "embeddings")
+        .msg(2, mustIntEq("label", 0))
+        .msg(3, Protobuf.w().uint(1, 100))
+        .uint(4, 10))
+      val data = dataOf(scr)
+      val ids = Protobuf.all(data, 2).map(rp =>
+        Protobuf.find(Protobuf.find(rp.msg, 1).get.msg, 1).get.num)
+      val engineIds = QdrantPoints.scroll(pts, "vec_id",
+        Filter(must = Seq(col("label") === 0)), Some(100L), 10)
+        .collect().map(_.getAs[Number](0).longValue()).toSeq
+      assert(ids == engineIds && ids.size == 10)
+      // reference semantics: next offset echoes the page's LAST id when
+      // more rows remain (points_service.go:476-481)
+      val next = Protobuf.find(data, 1).map(n => Protobuf.find(n.msg, 1).get.num)
+      assert(next.contains(ids.last))
+      // scroll rows carry payload
+      val firstPayload = Protobuf.all(Protobuf.all(data, 2).head.msg, 2)
+      assert(firstPayload.nonEmpty)
+    } finally server.stop()
+  }
+
+  test("Recommend resolves example ids and matches the engine's literal-vector path") {
+    val pts = Tables.embeddings(spark, sf)
+    val server = new QdrantGrpcServer(() => pts).start()
+    try {
+      val req = Protobuf.w()
+        .str(1, "embeddings")
+        .msg(2, Protobuf.w().uint(1, 0)) // positive: point 0
+        .msg(2, Protobuf.w().uint(1, 2)) // positive: point 2
+        .msg(3, Protobuf.w().uint(1, 1)) // negative: point 1
+        .uint(5, 5)
+      val frames = call(server.boundPort, "Recommend", req)
+      assert(trailerOf(frames).contains("grpc-status: 0"))
+      val hits = Protobuf.all(dataOf(frames), 1).map(_.msg)
+      def vecOf(id: Long): Seq[Double] =
+        pts.filter(col("vec_id") === id).select("embedding").collect()
+          .head.getSeq[Number](0).map(_.doubleValue()).toSeq
+      val expected = QdrantPoints.recommend(pts, "vec_id", "embedding",
+        Seq(vecOf(0), vecOf(2)), Seq(vecOf(1)), 5)
+        .collect().map(r => (r.getAs[Number](0).longValue(), r.getDouble(1)))
+      assert(hits.size == expected.length && expected.nonEmpty)
+      hits.zip(expected).foreach { case (h, (eid, escore)) =>
+        val id = Protobuf.find(Protobuf.find(h, 1).get.msg, 1).get.num
+        assert(id == eid)
+        assert(math.abs(Protobuf.find(h, 3).get.floatVal - escore) < 1e-6)
+      }
+      // unknown example id → INVALID_ARGUMENT trailer, not a crash
+      val bad = call(server.boundPort, "Recommend", Protobuf.w()
+        .str(1, "embeddings").msg(2, Protobuf.w().uint(1, 999999999L)).uint(5, 3))
+      assert(trailerOf(bad).contains("grpc-status: 3"))
+    } finally server.stop()
+  }
+
+  test("bearer token gates the endpoint with grpc-status 16") {
+    val pts = Tables.embeddings(spark, sf)
+    val server = new QdrantGrpcServer(() => pts, token = Some("qdr-tok")).start()
+    try {
+      val req = Protobuf.w().str(1, "embeddings").msg(2, mustIntEq("label", 1))
+      val no = call(server.boundPort, "Count", req)
+      assert(trailerOf(no).contains("grpc-status: 16"))
+      assert(no.forall(_._1 == 0x80)) // trailers-only, no data leaked
+      val ok = call(server.boundPort, "Count", req, bearer = Some("qdr-tok"))
+      assert(trailerOf(ok).contains("grpc-status: 0"))
+    } finally server.stop()
+  }
+}
