@@ -90,6 +90,51 @@ class EmbedderSeamSpec extends AnyFunSuite {
     assert(dflt.head.getLong(0) == 1L)
   }
 
+  test("ProcessEmbedder speaks the line protocol to a real external process and reuses it") {
+    import graft.functions.ProcessEmbedder
+    // deterministic model stand-in: vec = [len(text), ord(first), pid] —
+    // the pid component proves the process is spawned ONCE per JVM and
+    // reused across requests (the llama.cpp lifecycle, pkg/localllm)
+    val script = java.nio.file.Files.createTempFile("embedder", ".py")
+    java.nio.file.Files.writeString(script,
+      """import sys, json, os
+        |pid = float(os.getpid() % 100000)
+        |for line in sys.stdin:
+        |    t = json.loads(line)
+        |    print(json.dumps([float(len(t)), float(ord(t[0])) if t else 0.0, pid]))
+        |    sys.stdout.flush()
+        |""".stripMargin)
+    val cmd = Seq("python3", script.toString)
+    val pe = new ProcessEmbedder(cmd, dim = 3)
+    try {
+      val v1 = pe.embed("hello")
+      assert(v1.take(2) == Seq(5.0, 104.0))
+      val v2 = pe.embed("graft \"quoted\"\nline")
+      assert(v2.head == 19.0 && v2(1) == 103.0) // JSON round-trip survives quotes/newlines
+      assert(v1(2) == v2(2), "process was respawned between requests")
+      // distributed column form: one process per executor JVM, reused per row
+      import spark.implicits._
+      val rows = Seq("a", "bb", "ccc").toDF("text")
+        .withColumn("vec", pe.embedCol(spark, col("text")))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1))
+      rows.foreach { case (t, v) =>
+        assert(v.head == t.length.toDouble && v(1) == t.head.toInt.toDouble)
+      }
+      assert(rows.map(_._2(2)).distinct.size == 1, "each row spawned its own process")
+      // dimension contract enforced
+      intercept[IllegalArgumentException] {
+        new ProcessEmbedder(cmd, dim = 7).embed("x")
+      }
+      // flows through the seam like any other provider
+      Embedder.withEmbedder(pe) {
+        assert(Embedder.current.embed("seam")(0) == 4.0)
+      }
+    } finally {
+      ProcessEmbedder.shutdown(cmd)
+      java.nio.file.Files.deleteIfExists(script)
+    }
+  }
+
   test("streaming embed queue writes the injected embedder's vectors") {
     val g = GraphQueries.graph(spark, sf)
     val store = new GraphStore(PropertyGraph(
