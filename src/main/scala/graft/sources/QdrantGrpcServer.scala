@@ -22,8 +22,13 @@ import graft.search.QdrantPoints.Filter
   * HTTP/2 server — the message bytes on the wire are identical to gRPC
   * proper, only the framing layer differs (the disclosed h2 limitation).
   *
-  * Served RPCs on `/qdrant.Points/…`: `Search`, `Scroll`, `Count`,
-  * `Recommend`. Field numbers follow the public qdrant points.proto
+  * Served RPCs: `/qdrant.Points/{Search, SearchBatch, SearchGroups,
+  * Scroll, Count, Recommend}` and `/qdrant.Collections/{Create, List,
+  * Delete, CollectionExists}` (registry semantics; created collections
+  * are metadata-only — point ingest is the engine-side path). Unknown
+  * collections get grpc-status 5 NOT_FOUND like the reference's
+  * registry.GetCollection error. Field numbers follow the public qdrant
+  * points.proto
   * (v1.x): SearchPoints{1 collection, 2 vector(packed float), 3 filter,
   * 4 limit, 6 with_payload, 8 score_threshold, 9 offset};
   * Filter{1 should, 2 must, 3 must_not}; Condition{1 field, 3 has_id};
@@ -44,14 +49,25 @@ import graft.search.QdrantPoints.Filter
   * it — the reference's authenticator hook, `server_auth_test.go`).
   */
 final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
-    embCol: String = "embedding", port: Int = 0, token: Option[String] = None) {
+    embCol: String = "embedding", port: Int = 0, token: Option[String] = None,
+    collectionName: String = "embeddings") {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  /** Collection registry (`registry.go`): the constructor's points
+    * provider under `collectionName`, plus metadata-only collections
+    * clients Create (no point storage behind them — Upsert is the
+    * engine-side ingest path, `streaming/VectorIngest.scala`).
+    */
+  private val collections =
+    scala.collection.concurrent.TrieMap[String, Option[() => DataFrame]](
+      collectionName -> Some(points))
 
   def boundPort: Int = server.getAddress.getPort
 
   def start(): QdrantGrpcServer = {
     server.createContext("/qdrant.Points", (ex: HttpExchange) => handle(ex))
+    server.createContext("/qdrant.Collections", (ex: HttpExchange) => handle(ex))
     server.setExecutor(null)
     server.start()
     this
@@ -61,8 +77,12 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
 
   import Protobuf.{Field => PF}
 
+  /** Statuses: 3 INVALID_ARGUMENT, 5 NOT_FOUND, 12 UNIMPLEMENTED,
+    * 13 INTERNAL, 16 UNAUTHENTICATED. */
+  private final class GrpcError(val code: Int, msg: String) extends RuntimeException(msg)
+
   private def handle(ex: HttpExchange): Unit = {
-    val method = ex.getRequestURI.getPath.stripPrefix("/qdrant.Points/")
+    val path = ex.getRequestURI.getPath
     try {
       if (!ServerAuth.bearerOk(ex, token)) {
         respondTrailersOnly(ex, 16, "unauthenticated: bearer token required")
@@ -74,17 +94,25 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
       }.getOrElse(throw new IllegalArgumentException("no DATA frame in request"))
       val t0 = System.nanoTime()
       def secs: Double = (System.nanoTime() - t0) / 1e9
-      val resp = method match {
-        case "Search" => search(req, secs)
-        case "Count" => countResp(req, secs)
-        case "Scroll" => scroll(req, secs)
-        case "Recommend" => recommend(req, secs)
+      val resp = path.stripPrefix("/qdrant.") match {
+        case "Points/Search" => search(req, secs)
+        case "Points/SearchBatch" => searchBatch(req, secs)
+        case "Points/SearchGroups" => searchGroups(req, secs)
+        case "Points/Count" => countResp(req, secs)
+        case "Points/Scroll" => scroll(req, secs)
+        case "Points/Recommend" => recommend(req, secs)
+        case "Collections/Create" => collectionsCreate(req, secs)
+        case "Collections/List" => collectionsList(secs)
+        case "Collections/Delete" => collectionsDelete(req, secs)
+        case "Collections/CollectionExists" => collectionsExists(req, secs)
         case other =>
           respondTrailersOnly(ex, 12, s"unimplemented method: $other")
           return
       }
       respondOk(ex, resp.bytes)
     } catch {
+      case e: GrpcError =>
+        respondTrailersOnly(ex, e.code, Option(e.getMessage).getOrElse("error"))
       case e: IllegalArgumentException =>
         respondTrailersOnly(ex, 3, Option(e.getMessage).getOrElse("invalid argument"))
       case e: Exception =>
@@ -94,9 +122,26 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
 
   // ================================================= request decoding ====
 
-  private def requireCollection(req: Seq[PF]): Unit =
-    require(Protobuf.find(req, 1).exists(_.payload.nonEmpty),
-      "collection_name is required")
+  private def collectionOf(req: Seq[PF]): String = {
+    val name = Protobuf.find(req, 1).map(_.str).getOrElse("")
+    require(name.nonEmpty, "collection_name is required")
+    name
+  }
+
+  /** Resolve the points provider; metadata-only collections have no
+    * points behind them, unknown ones are NOT_FOUND (the reference's
+    * registry.GetCollection error path).
+    */
+  private def pointsOf(req: Seq[PF]): DataFrame =
+    collections.get(collectionOf(req)) match {
+      case Some(Some(p)) => p()
+      case Some(None) =>
+        throw new GrpcError(9, "collection has no point storage behind it " +
+          "(metadata-only; ingest goes through the engine)")
+      case None =>
+        throw new GrpcError(5, s"collection not found: ${collectionOf(req)}")
+    }
+
 
   /** vector: packed (wire 2) and unpacked (wire 5) repeated float. */
   private def vectorOf(req: Seq[PF], no: Int): Seq[Double] =
@@ -182,7 +227,7 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
   }
 
   private def scoredPoints(resp: Protobuf.W, hits: Seq[Row],
-      payload: Map[Long, Row]): Unit =
+      payload: Map[Long, Row], field: Int = 1): Unit =
     hits.foreach { r =>
       val id = r.get(0) match {
         case l: Long => l
@@ -193,42 +238,95 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
         .msg(1, pointIdMsg(id))
         .float(3, r.getDouble(1).toFloat)
       payload.get(id).foreach(payloadMsg(sp, 2, _))
-      resp.msg(1, sp)
+      resp.msg(field, sp)
     }
 
-  private def payloadRows(ids: Seq[Long]): Map[Long, Row] =
+  private def payloadRows(pts: DataFrame, ids: Seq[Long]): Map[Long, Row] =
     if (ids.isEmpty) Map.empty
-    else points().filter(col(idCol).isin(ids: _*)).drop(embCol).collect()
+    else pts.filter(col(idCol).isin(ids: _*)).drop(embCol).collect()
       .map(r => r.getAs[Number](idCol).longValue() -> r).toMap
 
-  private def searchCore(req: Seq[PF], vec: Seq[Double], limitNo: Int,
-      filterNo: Int, thresholdNo: Int, offsetNo: Int, payloadNo: Int,
-      secs: => Double): Protobuf.W = {
+  private def searchCore(pts: DataFrame, req: Seq[PF], vec: Seq[Double],
+      limitNo: Int, filterNo: Int, thresholdNo: Int, offsetNo: Int,
+      payloadNo: Int, secs: => Double): Protobuf.W = {
     require(vec.nonEmpty, "vector is required")
     val limit = Protobuf.find(req, limitNo).map(_.num.toInt).filter(_ > 0).getOrElse(10)
     val filter = filterOf(req, filterNo)
     val minScore = Protobuf.find(req, thresholdNo).map(_.floatVal.toDouble)
     val offset = Protobuf.find(req, offsetNo).map(_.num.toInt).getOrElse(0)
-    val hits = QdrantPoints.search(points(), idCol, embCol, vec, limit,
+    val hits = QdrantPoints.search(pts, idCol, embCol, vec, limit,
       filter, minScore, offset).collect().toSeq
     val payload =
       if (withPayloadEnabled(req, payloadNo))
-        payloadRows(hits.map(_.getAs[Number](0).longValue()))
+        payloadRows(pts, hits.map(_.getAs[Number](0).longValue()))
       else Map.empty[Long, Row]
     val resp = Protobuf.w()
     scoredPoints(resp, hits, payload)
     resp.double(2, secs)
   }
 
-  private def search(req: Seq[PF], secs: => Double): Protobuf.W = {
-    requireCollection(req)
-    searchCore(req, vectorOf(req, 2), limitNo = 4, filterNo = 3,
-      thresholdNo = 8, offsetNo = 9, payloadNo = 6, secs)
+  private def search(req: Seq[PF], secs: => Double): Protobuf.W =
+    searchCore(pointsOf(req), req, vectorOf(req, 2), limitNo = 4,
+      filterNo = 3, thresholdNo = 8, offsetNo = 9, payloadNo = 6, secs)
+
+  /** SearchBatchPoints{1 collection, 2 search_points} → one-scan batched
+    * scoring (`QdrantPoints.searchBatch` — the scale-correct inversion of
+    * the reference's N-search loop, points_service.go:697-726). Response
+    * SearchBatchResponse{1 result BatchResult{1 result ScoredPoint…},
+    * 2 time}.
+    */
+  private def searchBatch(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val pts = pointsOf(req)
+    val subs = Protobuf.all(req, 2).map(_.msg)
+    require(subs.nonEmpty, "search_points is required")
+    val vecs = subs.map(s => vectorOf(s, 2))
+    require(vecs.forall(_.nonEmpty), "every search needs a vector")
+    // the engine scores the whole batch in ONE scan; per-sub limits vary,
+    // so fetch the max and trim per sub-request
+    val limits = subs.map(s =>
+      Protobuf.find(s, 4).map(_.num.toInt).filter(_ > 0).getOrElse(10))
+    val rows = QdrantPoints.searchBatch(pts, idCol, embCol, vecs, limits.max)
+      .collect().groupBy(_.getInt(0))
+    val resp = Protobuf.w()
+    subs.indices.foreach { qi =>
+      val batch = Protobuf.w()
+      val hits = rows.getOrElse(qi, Array.empty).sortBy(-_.getDouble(2))
+        .take(limits(qi)).toSeq
+        .map(r => Row(r.get(1), r.getDouble(2)))
+      scoredPoints(batch, hits, Map.empty)
+      resp.msg(1, batch)
+    }
+    resp.double(2, secs)
+  }
+
+  /** SearchPointGroups{1 collection, 2 vector, 3 filter, 4 limit(groups),
+    * 10 group_by, 11 group_size} → GroupsResult{1 groups PointGroup{1 id
+    * GroupId{3 string_value}, 2 hits}} (points_service.go:804-880).
+    */
+  private def searchGroups(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val pts = pointsOf(req)
+    val vec = vectorOf(req, 2)
+    require(vec.nonEmpty, "vector is required")
+    val groupBy = Protobuf.find(req, 10).map(_.str).getOrElse(
+      throw new IllegalArgumentException("group_by is required"))
+    require(groupBy.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid group_by: $groupBy")
+    val groupLimit = Protobuf.find(req, 4).map(_.num.toInt).filter(_ > 0).getOrElse(3)
+    val groupSize = Protobuf.find(req, 11).map(_.num.toInt).filter(_ > 0).getOrElse(10)
+    val rows = QdrantPoints.searchGroups(pts, idCol, embCol, vec, groupBy,
+      groupLimit, groupSize, filterOf(req, 3)).collect()
+    val groups = Protobuf.w()
+    rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).foreach { case (key, hits) =>
+      val g = Protobuf.w().msg(1, Protobuf.w().str(3, key))
+      hits.sortBy(-_.getDouble(2)).foreach { r =>
+        scoredPoints(g, Seq(Row(r.get(1), r.getDouble(2))), Map.empty, field = 2)
+      }
+      groups.msg(1, g)
+    }
+    Protobuf.w().msg(1, groups).double(2, secs)
   }
 
   private def countResp(req: Seq[PF], secs: => Double): Protobuf.W = {
-    requireCollection(req)
-    val n = QdrantPoints.countPoints(points(), filterOf(req, 2))
+    val n = QdrantPoints.countPoints(pointsOf(req), filterOf(req, 2))
       .collect().head.getLong(0)
     Protobuf.w()
       .msg(1, Protobuf.w().uint(1, n))
@@ -236,15 +334,15 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
   }
 
   private def scroll(req: Seq[PF], secs: => Double): Protobuf.W = {
-    requireCollection(req)
+    val pts = pointsOf(req)
     val filter = filterOf(req, 2)
     val after = Protobuf.find(req, 3).map(p => pointIdNum(p.msg))
     val limit = Protobuf.find(req, 4).map(_.num.toInt).filter(_ > 0).getOrElse(10)
     // over-fetch one row to learn whether a next page exists
-    val ids = QdrantPoints.scroll(points(), idCol, filter, after, limit + 1)
+    val ids = QdrantPoints.scroll(pts, idCol, filter, after, limit + 1)
       .collect().map(_.getAs[Number](0).longValue()).toSeq
     val page = ids.take(limit)
-    val payload = payloadRows(page)
+    val payload = payloadRows(pts, page)
     val resp = Protobuf.w()
     if (ids.length > limit) resp.msg(1, pointIdMsg(page.last))
     page.foreach { id =>
@@ -256,22 +354,49 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
   }
 
   private def recommend(req: Seq[PF], secs: => Double): Protobuf.W = {
-    requireCollection(req)
+    val pts = pointsOf(req)
     val posIds = Protobuf.all(req, 2).map(p => pointIdNum(p.msg))
     val negIds = Protobuf.all(req, 3).map(p => pointIdNum(p.msg))
     require(posIds.nonEmpty, "at least one positive example is required")
     // resolve example ids → vectors (bounded point lookup, like the
     // reference's resolveExampleVectors)
-    val byId = points().filter(col(idCol).isin((posIds ++ negIds): _*))
+    val byId = pts.filter(col(idCol).isin((posIds ++ negIds): _*))
       .select(col(idCol), col(embCol)).collect()
       .map(r => r.getAs[Number](0).longValue() ->
         r.getSeq[Number](1).map(_.doubleValue()).toSeq).toMap
     def resolve(ids: Seq[Long]): Seq[Seq[Double]] = ids.map(id =>
       byId.getOrElse(id, throw new IllegalArgumentException(s"point $id not found")))
     val vec = QdrantPoints.recommendVector(resolve(posIds), resolve(negIds))
-    searchCore(req, vec, limitNo = 5, filterNo = 4, thresholdNo = 9,
+    searchCore(pts, req, vec, limitNo = 5, filterNo = 4, thresholdNo = 9,
       offsetNo = 10, payloadNo = 7, secs)
   }
+
+  // ==================================================== collections ======
+
+  private def collectionsCreate(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val name = collectionOf(req)
+    require(!collections.contains(name), s"collection already exists: $name")
+    collections.put(name, None) // metadata-only (registry.go semantics)
+    Protobuf.w().bool(1, true).double(2, secs)
+  }
+
+  private def collectionsList(secs: => Double): Protobuf.W = {
+    val resp = Protobuf.w()
+    collections.keys.toSeq.sorted.foreach(n =>
+      resp.msg(1, Protobuf.w().str(1, n)))
+    resp.double(2, secs)
+  }
+
+  private def collectionsDelete(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val name = collectionOf(req)
+    val existed = collections.remove(name).isDefined
+    Protobuf.w().bool(1, existed).double(2, secs)
+  }
+
+  private def collectionsExists(req: Seq[PF], secs: => Double): Protobuf.W =
+    Protobuf.w()
+      .msg(1, Protobuf.w().bool(1, collections.contains(collectionOf(req))))
+      .double(2, secs)
 
   // ======================================================= transport =====
 

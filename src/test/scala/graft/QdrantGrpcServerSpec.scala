@@ -146,6 +146,107 @@ class QdrantGrpcServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("SearchBatch and SearchGroups match the engines over the wire") {
+    val pts = Tables.embeddings(spark, sf)
+    val server = new QdrantGrpcServer(() => pts).start()
+    try {
+      val p = server.boundPort
+      val qv2: Seq[Float] = (0 until dim).map(i => if (i < 8) 1.0f else 0.0f)
+      // SearchBatchPoints{1 collection, 2 search_points{2 vector, 4 limit}}
+      val batch = call(p, "SearchBatch", Protobuf.w()
+        .str(1, "embeddings")
+        .msg(2, Protobuf.w().str(1, "embeddings").packedFloats(2, qv).uint(4, 3))
+        .msg(2, Protobuf.w().str(1, "embeddings").packedFloats(2, qv2).uint(4, 2)))
+      assert(trailerOf(batch).contains("grpc-status: 0"))
+      val results = Protobuf.all(dataOf(batch), 1).map(_.msg)
+      assert(results.size == 2)
+      val engine = QdrantPoints.searchBatch(pts, "vec_id", "embedding",
+        Seq(qv.map(_.toDouble), qv2.map(_.toDouble)), 3).collect()
+        .groupBy(_.getInt(0))
+      Seq(3, 2).zipWithIndex.foreach { case (lim, qi) =>
+        val wireIds = Protobuf.all(results(qi), 1).map(sp =>
+          Protobuf.find(Protobuf.find(sp.msg, 1).get.msg, 1).get.num)
+        val engIds = engine(qi).sortBy(-_.getDouble(2)).take(lim)
+          .map(_.getAs[Number](1).longValue()).toSeq
+        assert(wireIds == engIds, s"batch $qi: $wireIds != $engIds")
+      }
+
+      // SearchPointGroups{…, 4 limit(groups), 10 group_by, 11 group_size}
+      val grp = call(p, "SearchGroups", Protobuf.w()
+        .str(1, "embeddings").packedFloats(2, qv)
+        .uint(4, 2).str(10, "label").uint(11, 3))
+      val groupsMsg = Protobuf.find(dataOf(grp), 1).get.msg
+      val groups = Protobuf.all(groupsMsg, 1).map(_.msg)
+      val engineGroups = QdrantPoints.searchGroups(pts, "vec_id", "embedding",
+        qv.map(_.toDouble), "label", 2, 3).collect()
+        .groupBy(_.getString(0))
+      assert(groups.size == engineGroups.size && groups.nonEmpty)
+      groups.foreach { g =>
+        val key = Protobuf.find(Protobuf.find(g, 1).get.msg, 3).get.str
+        val hitIds = Protobuf.all(g, 2).map(sp =>
+          Protobuf.find(Protobuf.find(sp.msg, 1).get.msg, 1).get.num)
+        val engIds = engineGroups(key).sortBy(-_.getDouble(2))
+          .map(_.getAs[Number](1).longValue()).toSeq
+        assert(hitIds == engIds, s"group $key: $hitIds != $engIds")
+      }
+    } finally server.stop()
+  }
+
+  test("Collections registry: create/list/exists/delete; unknown collection is NOT_FOUND") {
+    val pts = Tables.embeddings(spark, sf)
+    val server = new QdrantGrpcServer(() => pts).start()
+    try {
+      val p = server.boundPort
+      // search against an unknown collection → grpc-status 5
+      val missing = call(p, "Search", Protobuf.w()
+        .str(1, "nope").packedFloats(2, qv).uint(4, 3))
+      assert(trailerOf(missing).contains("grpc-status: 5"))
+
+      // default collection listed; create/exists/delete lifecycle
+      def names(): Seq[String] = {
+        val frames = client.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$p/qdrant.Collections/List"))
+          .header("Content-Type", "application/grpc-web+proto")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(
+            Protobuf.grpcFrame(0, Protobuf.w().bytes))).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        Protobuf.all(Protobuf.fields(
+          Protobuf.grpcFrames(frames.body()).find(_._1 == 0).get._2), 1)
+          .map(d => Protobuf.find(d.msg, 1).get.str)
+      }
+      assert(names() == Seq("embeddings"))
+      val created = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$p/qdrant.Collections/Create"))
+        .header("Content-Type", "application/grpc-web+proto")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(Protobuf.grpcFrame(0,
+          Protobuf.w().str(1, "docs").bytes))).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(new String(Protobuf.grpcFrames(created.body())
+        .find(_._1 == 0x80).get._2, "UTF-8").contains("grpc-status: 0"))
+      assert(names() == Seq("docs", "embeddings"))
+      // route manually since call() targets /qdrant.Points
+      val ex2 = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$p/qdrant.Collections/CollectionExists"))
+        .header("Content-Type", "application/grpc-web+proto")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(Protobuf.grpcFrame(0,
+          Protobuf.w().str(1, "docs").bytes))).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      val existsMsg = Protobuf.fields(
+        Protobuf.grpcFrames(ex2.body()).find(_._1 == 0).get._2)
+      assert(Protobuf.find(Protobuf.find(existsMsg, 1).get.msg, 1)
+        .exists(_.num == 1L))
+      val del = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$p/qdrant.Collections/Delete"))
+        .header("Content-Type", "application/grpc-web+proto")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(Protobuf.grpcFrame(0,
+          Protobuf.w().str(1, "docs").bytes))).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(new String(Protobuf.grpcFrames(del.body())
+        .find(_._1 == 0x80).get._2, "UTF-8").contains("grpc-status: 0"))
+      assert(names() == Seq("embeddings"))
+    } finally server.stop()
+  }
+
   test("bearer token gates the endpoint with grpc-status 16") {
     val pts = Tables.embeddings(spark, sf)
     val server = new QdrantGrpcServer(() => pts, token = Some("qdr-tok")).start()
