@@ -157,6 +157,43 @@ object SearchCallProcs {
     if (ls.isEmpty) None else Some(labelIds(g, ls))
   }
 
+  /** The server-side `search(query, options)` surface the reference's
+    * GraphQL and MCP endpoints expose (DB.Search, `search.go:116-220`,
+    * `docs/user-guides/graphql.md`): BM25 over the `name` property, the
+    * vector leg over the store's `embedding`-named node embeddings with
+    * the query embedded through the [[graft.functions.Embedder]] seam,
+    * RRF-fused for HYBRID; VECTOR / BM25 run a single leg. Returns
+    * (node, score) ranked desc, ≤ k rows.
+    */
+  def defaultSearch(searchStore: GraphStore, query: String, k: Int,
+      labels: Seq[String] = Nil, method: String = "HYBRID"): DataFrame = {
+    val g = searchStore.snapshot
+    val lbl = if (labels.isEmpty) None else Some(labelIds(g, labels))
+    def bm = ftQuery(
+      SearchIndexes.FulltextIdx("__server_ft",
+        () => nodeTextDf(g, labels, Seq("name")), "id", "text", "NODE",
+        labels, Seq("name")),
+      query, 2 * k, "node", lbl.map(_.withColumnRenamed("_lid", "doc_id")))
+    def vs = {
+      val qv = graft.functions.Embedder.current.embed(query)
+      vQuery(SearchIndexes.VectorIdx("__server_vec",
+        () => searchStore.nodeEmbeddings.filter(col("name") === "embedding")
+          .select(col("entity_id").as("id"), col("embedding")),
+        "id", "embedding", "NODE", "*", "embedding", qv.length),
+        2 * k, qv, "node", lbl)
+    }
+    method.toUpperCase match {
+      case "BM25" | "FULLTEXT" =>
+        bm.orderBy(col("score").desc, col("node").asc).limit(k)
+      case "VECTOR" =>
+        vs.orderBy(col("score").desc, col("node").asc).limit(k)
+      case _ => // HYBRID
+        Hybrid.rrf(bm, vs.withColumnRenamed("score", "cos_sim"),
+          "node", "node", 2 * k, k)
+          .select(col("id").as("node"), col("rrf").as("score"))
+    }
+  }
+
   /** The GDS graph for linkPrediction/fastRP calls: the named projection
     * when `graphName` is configured, else the session graph.
     */

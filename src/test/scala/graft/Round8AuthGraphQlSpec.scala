@@ -185,6 +185,50 @@ class Round8AuthGraphQlSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("GraphQL docs examples: stats, node traversal, neighbors, search") {
+    val server = new GraphQlServer(freshStore()).start()
+    try {
+      val p = server.boundPort
+      // the docs' Stats query verbatim (unknown fields resolve to null)
+      val stats = post(p, "/graphql",
+        """{"query":"query Stats { stats { nodeCount relationshipCount embeddedNodeCount uptimeSeconds labels { label count } } }"}""").body()
+      assert(stats.contains("\"nodeCount\":") &&
+        stats.contains("\"label\":\"Region\""), stats)
+
+      // the docs' GetNode with variables, verbatim shape
+      val node = post(p, "/graphql",
+        """{"query":"query GetNode($id: ID!) { node(id: $id) { id labels properties } }","variables":{"id":"Customer:1"}}""").body()
+      assert(node.contains("\"id\":\"Customer:1\""), node)
+
+      // NodeWithRelationships: outgoing with nested endNode
+      val rels = post(p, "/graphql",
+        """{"query":"query { node(id: \"Customer:1\") { id outgoing(limit: 50) { type endNodeId endNode { id labels } } } }"}""").body()
+      assert(rels.contains("\"type\":\"FROM\""), rels)
+      assert(rels.contains("\"type\":\"PLACED\""), rels)
+      assert("\"labels\":\\[\"Nation\"\\]".r.findFirstIn(rels).isDefined, rels)
+      // type filter narrows
+      val only = post(p, "/graphql",
+        """{"query":"query { node(id: \"Customer:1\") { outgoing(types: [\"FROM\"]) { type } } }"}""").body()
+      assert(only.contains("FROM") && !only.contains("PLACED"), only)
+
+      // neighbors with direction
+      val nbrs = post(p, "/graphql",
+        """{"query":"query { node(id: \"Region:0\") { neighbors(direction: INCOMING, limit: 3) { id labels } } }"}""").body()
+      assert(nbrs.contains("\"labels\":[\"Nation\"]"), nbrs)
+
+      // the docs' search field: BM25 over the name property finds the
+      // customer by its unique name token; HYBRID fuses with the (empty)
+      // vector leg and still ranks it
+      val bm = post(p, "/graphql",
+        """{"query":"query { search(query: \"Customer#000000001\", options: {limit: 5, labels: [\"Customer\"], method: BM25}) { results { node { id } score } totalCount } }"}""").body()
+      assert(bm.contains("\"id\":\"Customer:1\""), bm)
+      assert(bm.contains("\"totalCount\":"), bm)
+      val hy = post(p, "/graphql",
+        """{"query":"query Search { search(query: \"Customer#000000001\", options: { limit: 10, labels: [\"Customer\"], method: HYBRID }) { results { node { id labels properties } score rrfScore } totalCount executionTimeMs } }"}""").body()
+      assert(hy.contains("\"id\":\"Customer:1\"") && hy.contains("rrfScore"), hy)
+    } finally server.stop()
+  }
+
   test("GraphQL mutations: create/update/merge/delete node, relationship, executeCypher") {
     val server = new GraphQlServer(freshStore()).start()
     try {
