@@ -34,7 +34,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rewrite the frame wholesale by design), `node_embeddings_upserts`,
   * `rel_embeddings_upserts` (keyed by entity_id+name).
   */
-final class DeltaLog(val spark: SparkSession, val dir: String) {
+final class DeltaLog(val spark: SparkSession, val dir: String,
+    crypto: Option[Encryption.Encryptor] = None) {
 
   private def logDir = s"$dir/_log"
   new File(logDir).mkdirs()
@@ -45,7 +46,11 @@ final class DeltaLog(val spark: SparkSession, val dir: String) {
   def commits(): Seq[Commit] = {
     val fs = Option(new File(logDir).listFiles()).getOrElse(Array.empty)
     fs.filter(_.getName.endsWith(".json")).sortBy(_.getName).toSeq.map { f =>
-      val s = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      val raw = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      // encrypted-at-rest logs (Encryption.Encryptor): plaintext records
+      // from before encryption was enabled stay readable (format sniff)
+      val s = if (raw.startsWith("{")) raw
+        else crypto.map(_.decryptString(raw)).getOrElse(raw)
       def field(k: String): String =
         s.split(s""""$k":""").lift(1)
           .map(_.takeWhile(c => c != ',' && c != '}').replace("\"", "").trim)
@@ -72,8 +77,9 @@ final class DeltaLog(val spark: SparkSession, val dir: String) {
   private def writeRecord(version: Long, kind: String, parts: Seq[String]): Unit = {
     val json = s"""{"version":$version,"kind":"$kind","parts":[${
       parts.map("\"" + _ + "\"").mkString(",")}]}"""
+    val content = crypto.map(_.encryptString(json)).getOrElse(json)
     val tmp = Paths.get(logDir, s".$version.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
     // rename = the atomic commit point (object-store atomic-put at scale)
     Files.move(tmp, Paths.get(logDir, f"$version%020d.json"),
       StandardCopyOption.ATOMIC_MOVE)

@@ -32,7 +32,8 @@ import graft.graph.PropertyGraph
   * reference's default executor mode.
   */
 final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
-    token: Option[String] = None) {
+    token: Option[String] = None,
+    store: Option[graft.graph.GraphStore] = None) {
 
   private val server = new ServerSocket(port)
   private val running = new AtomicBoolean(false)
@@ -130,7 +131,19 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
                       case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v }
                       case _ => Map.empty[String, Any]
                     }
-                    val df = graft.cypher.Cypher.run(graph(), query, params)
+                    // statements with write clauses route through
+                    // CypherWrite against the store (statement-autocommit,
+                    // server.go:1376 routes RUN to the same executor the
+                    // write paths use) — read-only servers refuse them
+                    val df = query match {
+                      case BoltServer.writeRe(_*) =>
+                        val s = store.getOrElse(throw new IllegalArgumentException(
+                          "write statements need a store-backed Bolt server"))
+                        graft.cypher.CypherWrite.execute(s, query,
+                          params.toMap).returned.getOrElse(
+                          s.snapshot.nodes.sparkSession.emptyDataFrame)
+                      case _ => graft.cypher.Cypher.run(graph(), query, params)
+                    }
                     val cols = df.columns.toSeq
                     val rows = df.collect().toSeq
                     lastResult = Some((cols, rows))
@@ -252,7 +265,7 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
   /** Spark Row values → PackStream-encodable values (timestamps/dates as
     * ISO strings — the thin server's simplification).
     */
-  private def boltValue(v: Any): Any = v match {
+  private[sources] def boltValue(v: Any): Any = v match {
     case s: scala.collection.Seq[_] => s.map(boltValue)
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, mv) => k.toString -> boltValue(mv) }
@@ -261,4 +274,16 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
     case d: java.sql.Date => d.toString
     case other => other
   }
+}
+
+object BoltServer {
+  private[sources] val writeRe =
+    """(?is).*\b(CREATE|MERGE|DELETE|REMOVE)\b.*|(?is).*\bSET\s.*""".r
+
+  /** Store-backed server: reads see the store's current snapshot, write
+    * statements commit through [[graft.cypher.CypherWrite]].
+    */
+  def forStore(store: graft.graph.GraphStore, port: Int = 0,
+      token: Option[String] = None): BoltServer =
+    new BoltServer(() => store.snapshot, port, token, Some(store))
 }

@@ -156,6 +156,63 @@ class Round8AuthGraphQlSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("store-backed Bolt serves write statements through CypherWrite") {
+    def struct(sig: Int, fields: Any*): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      b.write(0xB0 + fields.length); b.write(sig)
+      fields.foreach(PackStream.write(b, _))
+      b.toByteArray
+    }
+    def readMessage(in: java.io.InputStream): Array[Byte] = {
+      val buf = new ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        val h0 = in.read(); val h1 = in.read()
+        require(h0 >= 0 && h1 >= 0)
+        val size = (h0 << 8) | h1
+        if (size == 0 && buf.size() > 0) done = true
+        else if (size > 0) {
+          val b = new Array[Byte](size)
+          var off = 0
+          while (off < size) { val r = in.read(b, off, size - off); require(r >= 0); off += r }
+          buf.write(b)
+        }
+      }
+      buf.toByteArray
+    }
+    val store = freshStore()
+    val server = BoltServer.forStore(store).start()
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      out.write(Array[Byte](0x60, 0x60, 0xB0.toByte, 0x17,
+        0, 0, 4, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)); out.flush()
+      assert(in.read(new Array[Byte](4)) == 4)
+      def run(q: String): Int = {
+        out.write(PackStream.frame(struct(0x10, q, Map.empty[String, Any],
+          Map.empty[String, Any]))); out.flush()
+        (readMessage(in)(1) & 0xFF)
+      }
+      out.write(PackStream.frame(struct(0x01,
+        Map("user_agent" -> "spec/1.0", "scheme" -> "none")))); out.flush()
+      assert((readMessage(in)(1) & 0xFF) == 0x70)
+      // a stock driver's CREATE goes through CypherWrite and commits
+      assert(run("CREATE (p:BoltPerson {key: 1, name: 'wire'})") == 0x70)
+      // DISCARD the (empty) result stream, then read it back
+      out.write(PackStream.frame(struct(0x2F, Map("n" -> -1L)))); out.flush()
+      assert((readMessage(in)(1) & 0xFF) == 0x70)
+      assert(run("MATCH (p:BoltPerson) RETURN count(*) AS n") == 0x70)
+      out.write(PackStream.frame(struct(0x3F, Map("n" -> -1L)))); out.flush()
+      val rec = readMessage(in)
+      assert((rec(1) & 0xFF) == 0x71) // RECORD [1]
+      assert((readMessage(in)(1) & 0xFF) == 0x70)
+      assert(store.snapshot.nodes.filter(
+        org.apache.spark.sql.functions.col("id") === "BoltPerson:1").count() == 1)
+      sock.close()
+    } finally server.stop()
+  }
+
   // ================================================ GraphQL executor =====
 
   test("GraphQL variables, fragments, aliases resolve") {
