@@ -586,6 +586,44 @@ object PipelineQueries {
               FROM sweep"""),
       "pipeline"),
 
+    // PII scrubbing: the corpus is PII-free word soup, so deterministic
+    // fake PII is injected per doc (email/SSN/phone/IP derived from
+    // doc_id), then redacted; the oracle replays injection + the same
+    // RE2-compatible regex chain in DuckDB, proving the redaction
+    // actually fires (counts taken pre-redaction)
+    "q_text_redact_pii" -> GQuery(
+      (s, d) => {
+        val injected = Tables.documents(s, d).withColumn("text",
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com ph 555-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+            lit("-0199 ip 10.0."), pmod(col("doc_id"), lit(256)),
+            lit("."), pmod(col("doc_id"), lit(100)), lit(" ssn 123-45-6789")))
+        TextAnalysis.redactPii(injected)
+      },
+      Some("""WITH injected AS (
+                SELECT doc_id,
+                  text || ' contact user' || doc_id || '@example.com ph 555-' ||
+                  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 ip 10.0.' ||
+                  (doc_id % 256) || '.' || (doc_id % 100) || ' ssn 123-45-6789' AS text
+                FROM documents)
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+                  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS text,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssns,
+                CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+                CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ips
+              FROM injected"""),
+      "pipeline"),
+
     // md5-based word hash → the rolling-hash fold is replayed in SQL
     "q_text_fingerprint" -> GQuery(
       (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)),

@@ -72,4 +72,32 @@ object TextAnalysis {
 
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
+
+  /** PII patterns for the scrubbing pass an LLM training pipeline runs
+    * before tokenization (the batch complement of the privacy surface's
+    * pseudonymization, `db_privacy.go`). Order matters: SSN before phone
+    * (disjoint shapes, but explicit), card runs before anything that
+    * could eat their digits. Kept to RE2-compatible constructs so a
+    * DuckDB oracle replays the same redactions.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
+    ("\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"),
+    ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"))
+
+  /** Redact PII in place and count what each family matched (counts are
+    * taken BEFORE redaction so they survive overlapping rewrites). A pure
+    * regexp chain — codegen'd, embarrassingly parallel, no UDF.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = Seq("n_emails", "n_ssns", "n_phones", "n_ips")
+      .zip(piiPatterns).map { case (name, (pat, _)) =>
+        regexp_count(col(textCol), lit(pat)).as(name)
+      }
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    docs.select(col("doc_id") +: redacted.as(textCol) +: counts: _*)
+  }
 }
