@@ -1,5 +1,6 @@
 package graft
 
+
 import org.scalatest.funsuite.AnyFunSuite
 import graft.cypher.{Ast, ExplainCypher, Parser}
 
@@ -90,6 +91,54 @@ class ChaosParserSpec extends AnyFunSuite {
       "MATCH (c:Customer) WHERE c.acctbal > 0 RETURN DISTINCT c.mktsegment AS s ORDER BY s LIMIT 3")
     assert(ops == Seq("NodeByLabelScan(:Customer)", "Filter", "Projection",
       "Distinct", "Sort", "Limit", "ProduceResults"))
+  }
+}
+
+/** Same chaos discipline for the GraphQL mini-parser: every truncation
+  * and random single-char mutation of valid documents must parse or
+  * throw promptly — never hang, never stack-overflow.
+  */
+class GraphQlChaosSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val server = {
+    val store = new graft.graph.GraphStore(
+      GraphQueries.graph(spark, sf), registerGlobal = false)
+    new graft.sources.GraphQlServer(store) // never started — parser only
+  }
+
+  private val docs = Seq(
+    """query N($id: ID! = "x") { node(id: $id) { id labels properties } }""",
+    "fragment F on Node { id labels } query { node(id: \"a\") { ...F ... on Node { id } } }",
+    """mutation M($in: CreateNodeInput!) { createNode(input: $in) { id } }""",
+    """query { search(query: "a b", options: {limit: 5, labels: ["X"], method: HYBRID}) { results { node { id } score } totalCount } }""",
+    "query { a: labels b: relationshipTypes stats { nodeCount labels { label count } } }")
+
+  test("valid documents parse") {
+    docs.foreach(d => assert(server.parseOnly(d) >= 1))
+  }
+
+  test("every truncation parses or throws promptly") {
+    docs.foreach { d =>
+      (0 until d.length).foreach { i =>
+        try server.parseOnly(d.substring(0, i))
+        catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => }
+      }
+    }
+  }
+
+  test("seeded single-char mutations parse or throw promptly") {
+    val rnd = new scala.util.Random(42)
+    val chars = "{}()[]:$\"\\,.@#! abcdef0123"
+    docs.foreach { d =>
+      (1 to 200).foreach { _ =>
+        val i = rnd.nextInt(d.length)
+        val m = d.substring(0, i) + chars(rnd.nextInt(chars.length)) + d.substring(i + 1)
+        try server.parseOnly(m)
+        catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+                     _: NumberFormatException => }
+      }
+    }
   }
 }
 
