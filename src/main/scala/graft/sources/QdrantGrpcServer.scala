@@ -23,12 +23,15 @@ import graft.search.QdrantPoints.Filter
   * proper, only the framing layer differs (the disclosed h2 limitation).
   *
   * Served RPCs: `/qdrant.Points/{Search, SearchBatch, SearchGroups,
-  * Scroll, Count, Recommend}` and `/qdrant.Collections/{Create, List,
-  * Delete, CollectionExists}` (registry semantics; created collections
-  * are metadata-only — point ingest is the engine-side path). Unknown
-  * collections get grpc-status 5 NOT_FOUND like the reference's
-  * registry.GetCollection error. Field numbers follow the public qdrant
-  * points.proto
+  * Scroll, Count, Recommend, Upsert, Get, Delete}` and
+  * `/qdrant.Collections/{Create, List, Delete, CollectionExists}`.
+  * A store-backed endpoint ([[QdrantGrpcServer.forStore]]) maps points
+  * to nodes (Point → Node, server.go:29-31) so mutations commit through
+  * the engine and every search sees them; a read-only points provider
+  * refuses mutations with grpc-status 9 and Creates metadata-only
+  * collections. Unknown collections get grpc-status 5 NOT_FOUND like
+  * the reference's registry.GetCollection error. Field numbers follow
+  * the public qdrant points.proto
   * (v1.x): SearchPoints{1 collection, 2 vector(packed float), 3 filter,
   * 4 limit, 6 with_payload, 8 score_threshold, 9 offset};
   * Filter{1 should, 2 must, 3 must_not}; Condition{1 field, 3 has_id};
@@ -50,7 +53,8 @@ import graft.search.QdrantPoints.Filter
   */
 final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
     embCol: String = "embedding", port: Int = 0, token: Option[String] = None,
-    collectionName: String = "embeddings") {
+    collectionName: String = "embeddings",
+    store: Option[graft.graph.GraphStore] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -101,6 +105,9 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
         case "Points/Count" => countResp(req, secs)
         case "Points/Scroll" => scroll(req, secs)
         case "Points/Recommend" => recommend(req, secs)
+        case "Points/Upsert" => upsert(req, secs)
+        case "Points/Get" => getPoints(req, secs)
+        case "Points/Delete" => deletePoints(req, secs)
         case "Collections/Create" => collectionsCreate(req, secs)
         case "Collections/List" => collectionsList(secs)
         case "Collections/Delete" => collectionsDelete(req, secs)
@@ -206,22 +213,31 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
 
   private def pointIdMsg(id: Long): Protobuf.W = Protobuf.w().uint(1, id)
 
-  /** payload map entries from every non-id/non-vector column. */
+  /** payload map entries from every non-id/non-vector column; a
+    * properties string-map column flattens into per-key fields (hoisted
+    * columns win on key collision).
+    */
   private def payloadMsg(sp: Protobuf.W, mapField: Int, row: Row): Unit = {
+    val emitted = scala.collection.mutable.Set.empty[String]
+    def emit(k: String, value: Protobuf.W): Unit =
+      if (emitted.add(k)) sp.msg(mapField, Protobuf.w().str(1, k).msg(2, value))
     row.schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (f.name != idCol && f.name != embCol && !row.isNullAt(i)) {
-        val value = Protobuf.w()
         row.get(i) match {
-          case n: Long => value.uint(3, n)
-          case n: Int => value.uint(3, n.toLong)
-          case n: Short => value.uint(3, n.toLong)
-          case d: Double => value.double(2, d)
-          case d: Float => value.double(2, d.toDouble)
-          case b: Boolean => value.bool(5, b)
-          case s: String => value.str(4, s)
-          case other => value.str(4, String.valueOf(other))
+          case n: Long => emit(f.name, Protobuf.w().uint(3, n))
+          case n: Int => emit(f.name, Protobuf.w().uint(3, n.toLong))
+          case n: Short => emit(f.name, Protobuf.w().uint(3, n.toLong))
+          case d: Double => emit(f.name, Protobuf.w().double(2, d))
+          case d: Float => emit(f.name, Protobuf.w().double(2, d.toDouble))
+          case b: Boolean => emit(f.name, Protobuf.w().bool(5, b))
+          case s: String => emit(f.name, Protobuf.w().str(4, s))
+          case m: scala.collection.Map[_, _] =>
+            m.foreach { case (k, v) =>
+              if (v != null) emit(String.valueOf(k), Protobuf.w().str(4, String.valueOf(v)))
+            }
+          case _: scala.collection.Seq[_] => () // labels arrays: structural, not payload
+          case other => emit(f.name, Protobuf.w().str(4, String.valueOf(other)))
         }
-        sp.msg(mapField, Protobuf.w().str(1, f.name).msg(2, value))
       }
     }
   }
@@ -371,12 +387,140 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
       offsetNo = 10, payloadNo = 7, secs)
   }
 
+  // ====================================================== mutations ======
+
+  private def mutationStore: graft.graph.GraphStore =
+    store.getOrElse(throw new GrpcError(9,
+      "point mutations need a store-backed endpoint (read-only points provider)"))
+
+  /** qdrant.Value → Scala (subset: {2 double, 3 integer, 4 string, 5 bool}). */
+  private def valueToAny(fs: Seq[PF]): Any =
+    Protobuf.find(fs, 4).map[Any](_.str)
+      .orElse(Protobuf.find(fs, 3).map(_.num))
+      .orElse(Protobuf.find(fs, 2).map(_.doubleVal))
+      .orElse(Protobuf.find(fs, 5).map(_.num != 0))
+      .orNull
+
+  /** One node row per point, conformed to the store's nodes schema
+    * (Point → Node mapping, server.go:29-31: id `<collection>:<num>`,
+    * label = collection, payload → properties).
+    */
+  private def nodeRowsDf(s: graft.graph.GraphStore, collection: String,
+      pts: Seq[(Long, Map[String, Any])]): DataFrame = {
+    val schema = s.snapshot.nodes.schema
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    pts.foreach { case (num, payload) =>
+      rows.add(Row.fromSeq(schema.fields.toSeq.map { f =>
+        f.name match {
+          case "id" => s"$collection:$num"
+          case "labels" => Seq(collection)
+          case "key" => num
+          case "name" => payload.get("name").map(String.valueOf).orNull
+          case "properties" => payload.map { case (k, v) => k -> String.valueOf(v) }
+          case _ => null
+        }
+      }))
+    }
+    s.snapshot.nodes.sparkSession.createDataFrame(rows, schema)
+  }
+
+  /** UpsertPoints{1 collection, 3 points PointStruct{1 id, 3 payload,
+    * 4 vectors{1 vector{1 data}}}} → insert-if-missing nodes, overwrite
+    * payload properties, batch-upsert embeddings
+    * (points_service.go:43-182). Response
+    * PointsOperationResponse{1 UpdateResult{2 status=2 Completed}}.
+    */
+  private def upsert(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val s = mutationStore
+    val coll = collectionOf(req)
+    require(collections.contains(coll), s"collection not found: $coll")
+    val pts = Protobuf.all(req, 3).map(_.msg).map { p =>
+      val id = pointIdNum(Protobuf.find(p, 1).getOrElse(
+        throw new IllegalArgumentException("point needs an id")).msg)
+      val payload = Protobuf.all(p, 3).map(_.msg).flatMap { e =>
+        Protobuf.find(e, 1).map(_.str).map { k =>
+          k -> Protobuf.find(e, 2).map(v => valueToAny(v.msg)).orNull
+        }
+      }.toMap
+      val vec = Protobuf.find(p, 4).flatMap(vs =>
+        Protobuf.find(vs.msg, 1).map(v => vectorOf(v.msg, 1)))
+      (id, payload, vec)
+    }
+    require(pts.nonEmpty, "points are required")
+    s.mergeNodes(nodeRowsDf(s, coll, pts.map(p => (p._1, p._2))))
+    // existing nodes keep their row through MERGE — overwrite payload
+    // properties per key (hoisted-or-map contract)
+    val spark = s.snapshot.nodes.sparkSession
+    import spark.implicits._
+    pts.flatMap(p => p._2.keys).distinct.foreach { k =>
+      val updates = pts.collect { case (id, payload, _) if payload.contains(k) =>
+        (s"$coll:$id", String.valueOf(payload(k)))
+      }.toDF("id", "newval")
+      s.setNodeProperties(updates, k)
+    }
+    val embRows = pts.collect { case (id, _, Some(v)) =>
+      (s"$coll:$id", "embedding", v)
+    }
+    if (embRows.nonEmpty)
+      s.setNodeVectorProperties(embRows.toDF("entity_id", "name", "embedding"))
+    Protobuf.w()
+      .msg(1, Protobuf.w().uint(2, 2)) // UpdateResult{status: Completed}
+      .double(2, secs)
+  }
+
+  /** GetPoints{1 collection, 2 ids} → GetResponse{1 RetrievedPoint…}. */
+  private def getPoints(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val pts = pointsOf(req)
+    val ids = Protobuf.all(req, 2).map(p => pointIdNum(p.msg))
+    require(ids.nonEmpty, "ids are required")
+    val rows = payloadRows(pts, ids)
+    val resp = Protobuf.w()
+    ids.filter(rows.contains).foreach { id =>
+      val rp = Protobuf.w().msg(1, pointIdMsg(id))
+      payloadMsg(rp, 2, rows(id))
+      resp.msg(1, rp)
+    }
+    resp.double(2, secs)
+  }
+
+  /** DeletePoints{1 collection, 3 selector{1 ids list | 2 filter}} →
+    * detach-delete the backing nodes (points_service.go:227-260).
+    */
+  private def deletePoints(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val s = mutationStore
+    val coll = collectionOf(req)
+    val sel = Protobuf.find(req, 3).getOrElse(
+      throw new IllegalArgumentException("points selector is required")).msg
+    val nodeIds: Seq[String] = Protobuf.find(sel, 1) match {
+      case Some(idsList) =>
+        Protobuf.all(idsList.msg, 1).map(p => s"$coll:${pointIdNum(p.msg)}")
+      case None =>
+        val f = Protobuf.find(sel, 2).getOrElse(
+          throw new IllegalArgumentException("selector needs ids or filter"))
+        val fs = f.msg
+        def conds(no: Int): Seq[Column] = Protobuf.all(fs, no).map(c => condition(c.msg))
+        val filter = Filter(must = conds(2), mustNot = conds(3), should = conds(1))
+        pointsOf(req).filter(QdrantPoints.pred(filter))
+          .select(col(idCol)).collect()
+          .map(r => s"$coll:${r.getAs[Number](0).longValue()}").toSeq
+    }
+    val targets = s.snapshot.nodes
+      .filter(col("id").isin(nodeIds: _*)).select("id")
+    val stats = s.deleteNodes(targets, detach = true)
+    Protobuf.w()
+      .msg(1, Protobuf.w().uint(1, stats.nodesDeleted).uint(2, 2))
+      .double(2, secs)
+  }
+
   // ==================================================== collections ======
 
   private def collectionsCreate(req: Seq[PF], secs: => Double): Protobuf.W = {
     val name = collectionOf(req)
     require(!collections.contains(name), s"collection already exists: $name")
-    collections.put(name, None) // metadata-only (registry.go semantics)
+    // store-backed endpoints give new collections live point storage
+    // (label = collection); read-only endpoints register metadata only
+    collections.put(name, store.map(s =>
+      () => QdrantGrpcServer.storePoints(s, name)))
     Protobuf.w().bool(1, true).double(2, secs)
   }
 
@@ -425,4 +569,32 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
     ex.getResponseBody.write(body)
     ex.close()
   }
+}
+
+object QdrantGrpcServer {
+  /** Store-backed points view: nodes labeled `collection` joined with
+    * their "embedding"-named vectors; vec_id = node key. Filterable
+    * payload columns: `vec_id`, `name` (hoisted); map-only payload keys
+    * come back in responses but are not filterable (disclosed thin
+    * layer — the reference hoists nothing and scans nodes instead,
+    * points_service.go:436-443).
+    */
+  def storePoints(store: graft.graph.GraphStore, collection: String): DataFrame = {
+    val emb = store.nodeEmbeddings.filter(col("name") === "embedding")
+      .select(col("entity_id").as("__nid"), col("embedding"))
+    store.snapshot.nodesByLabel(collection)
+      .select(col("id").as("__nid"), col("key").as("vec_id"),
+        col("name"), col("properties"))
+      .join(emb, "__nid").drop("__nid")
+  }
+
+  /** Read-write endpoint over a [[graft.graph.GraphStore]]: Upsert/Get/
+    * Delete mutate nodes + embeddings, Create registers live
+    * label-backed collections, and every search RPC sees committed
+    * writes (the reference's unified-index promise, server.go:12-15).
+    */
+  def forStore(store: graft.graph.GraphStore, collection: String = "points",
+      port: Int = 0, token: Option[String] = None): QdrantGrpcServer =
+    new QdrantGrpcServer(() => storePoints(store, collection), "vec_id",
+      "embedding", port, token, collection, Some(store))
 }

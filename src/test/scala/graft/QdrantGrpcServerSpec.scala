@@ -247,6 +247,75 @@ class QdrantGrpcServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("store-backed lifecycle: upsert, search sees the writes, get, delete") {
+    val g = GraphQueries.graph(spark, sf)
+    val store = new graft.graph.GraphStore(graft.graph.PropertyGraph(
+      g.nodes.filter("false").localCheckpoint(true),
+      g.edges.filter("false").localCheckpoint(true)), registerGlobal = false)
+    val server = QdrantGrpcServer.forStore(store, collection = "points").start()
+    try {
+      val p = server.boundPort
+      def pointStruct(id: Long, vec: Seq[Float], payload: (String, String)*): Protobuf.W = {
+        val ps = Protobuf.w().msg(1, Protobuf.w().uint(1, id))
+        payload.foreach { case (k, v) =>
+          ps.msg(3, Protobuf.w().str(1, k).msg(2, Protobuf.w().str(4, v)))
+        }
+        ps.msg(4, Protobuf.w().msg(1, Protobuf.w().packedFloats(1, vec)))
+      }
+      // Upsert three points with orthogonal-ish vectors
+      val up = call(p, "Upsert", Protobuf.w().str(1, "points")
+        .msg(3, pointStruct(1, Seq(1f, 0f, 0f), "name" -> "alpha", "kind" -> "a"))
+        .msg(3, pointStruct(2, Seq(0f, 1f, 0f), "name" -> "beta", "kind" -> "b"))
+        .msg(3, pointStruct(3, Seq(0f, 0f, 1f), "name" -> "gamma", "kind" -> "a")))
+      assert(trailerOf(up).contains("grpc-status: 0"), new String(up.head._2))
+      // UpdateResult status = 2 (Completed)
+      assert(Protobuf.find(Protobuf.find(dataOf(up), 1).get.msg, 2)
+        .exists(_.num == 2L))
+
+      // Search: query along [1,0,0] ranks point 1 first; payload returned
+      val sr = call(p, "Search", Protobuf.w().str(1, "points")
+        .packedFloats(2, Seq(1f, 0f, 0f)).uint(4, 2)
+        .msg(6, Protobuf.w().bool(1, true)))
+      val hits = Protobuf.all(dataOf(sr), 1).map(_.msg)
+      assert(hits.nonEmpty)
+      val topId = Protobuf.find(Protobuf.find(hits.head, 1).get.msg, 1).get.num
+      assert(topId == 1L, s"expected point 1 first, got $topId")
+      val payloadKeys = Protobuf.all(hits.head, 2).map(e =>
+        Protobuf.find(e.msg, 1).get.str)
+      assert(payloadKeys.contains("name") && payloadKeys.contains("kind"))
+
+      // Upsert overwrite: point 1's payload changes, search sees it
+      val up2 = call(p, "Upsert", Protobuf.w().str(1, "points")
+        .msg(3, pointStruct(1, Seq(1f, 0f, 0f), "name" -> "alpha2", "kind" -> "a")))
+      assert(trailerOf(up2).contains("grpc-status: 0"))
+      val got = call(p, "Get", Protobuf.w().str(1, "points")
+        .msg(2, Protobuf.w().uint(1, 1)))
+      val rp = Protobuf.all(dataOf(got), 1).head.msg
+      val nameVal = Protobuf.all(rp, 2).map(_.msg).find(e =>
+        Protobuf.find(e, 1).exists(_.str == "name")).flatMap(e =>
+        Protobuf.find(Protobuf.find(e, 2).get.msg, 4).map(_.str))
+      assert(nameVal.contains("alpha2"), s"payload after overwrite: $nameVal")
+
+      // Count, then Delete by id list, then Count again
+      def countAll(): Long = Protobuf.find(Protobuf.find(dataOf(
+        call(p, "Count", Protobuf.w().str(1, "points"))), 1).get.msg, 1).get.num
+      assert(countAll() == 3L)
+      val del = call(p, "Delete", Protobuf.w().str(1, "points")
+        .msg(3, Protobuf.w().msg(1, Protobuf.w()
+          .msg(1, Protobuf.w().uint(1, 2))
+          .msg(1, Protobuf.w().uint(1, 3)))))
+      assert(trailerOf(del).contains("grpc-status: 0"))
+      assert(countAll() == 1L)
+      // mutations against a read-only endpoint refuse with status 9
+      val ro = new QdrantGrpcServer(() => Tables.embeddings(spark, sf)).start()
+      try {
+        val refused = call(ro.boundPort, "Upsert", Protobuf.w()
+          .str(1, "embeddings").msg(3, pointStruct(9, Seq(1f))))
+        assert(trailerOf(refused).contains("grpc-status: 9"))
+      } finally ro.stop()
+    } finally server.stop()
+  }
+
   test("bearer token gates the endpoint with grpc-status 16") {
     val pts = Tables.embeddings(spark, sf)
     val server = new QdrantGrpcServer(() => pts, token = Some("qdr-tok")).start()
