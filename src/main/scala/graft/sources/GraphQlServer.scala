@@ -363,10 +363,27 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
           s"{${(m ++ hoisted).toSeq.sortBy(_._1).map { case (k, pv) =>
             s"${jstr(k)}:${jstr(pv)}" }.mkString(",")}}"
         // Node traversal fields (docs/user-guides/graphql.md: outgoing/
-        // incoming/neighbors) — bounded point expansions off this node
-        case "outgoing" => relsJson(r.getAs[String]("id"), out = true, sel)
-        case "incoming" => relsJson(r.getAs[String]("id"), out = false, sel)
+        // incoming/relationships/neighbors) — bounded point expansions
+        case "outgoing" => relsJson(r.getAs[String]("id"), Some(true), sel)
+        case "incoming" => relsJson(r.getAs[String]("id"), Some(false), sel)
+        case "relationships" =>
+          val dir = sel.args.get("direction").map(_.toString.toUpperCase)
+          relsJson(r.getAs[String]("id"), dir match {
+            case Some("OUTGOING") => Some(true)
+            case Some("INCOMING") => Some(false)
+            case _ => None // BOTH
+          }, sel)
         case "neighbors" => neighborsJson(r.getAs[String]("id"), sel)
+        case "hasEmbedding" =>
+          val id = r.getAs[String]("id")
+          store.nodeEmbeddings.filter(col("entity_id") === id)
+            .limit(1).count() > 0 match { case b => b.toString }
+        case "embeddingDimensions" =>
+          val id = r.getAs[String]("id")
+          store.nodeEmbeddings.filter(col("entity_id") === id)
+            .limit(1).collect().headOption
+            .map(_.getAs[Seq[Double]]("embedding").size.toString).getOrElse("0")
+        case "internalId" => jstr(r.getAs[String]("id"))
         case _ => "null"
       }
       s"${jstr(sel.outName)}:$v"
@@ -378,12 +395,15 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
     * Children may select id/type/startNodeId/endNodeId/properties and
     * nested startNode/endNode objects (point lookups, bounded by limit).
     */
-  private def relsJson(nodeId: String, out: Boolean, sel: Sel): String = {
+  private def relsJson(nodeId: String, out: Option[Boolean], sel: Sel): String = {
     val g = store.snapshot
     val types = strList(sel, "types")
     val limit = math.min(intArg(sel, "limit", 25), maxRows)
-    val sideCol = if (out) "src" else "dst"
-    val base = g.edges.filter(col(sideCol) === nodeId)
+    val base = out match {
+      case Some(true) => g.edges.filter(col("src") === nodeId)
+      case Some(false) => g.edges.filter(col("dst") === nodeId)
+      case None => g.edges.filter(col("src") === nodeId || col("dst") === nodeId)
+    }
     val typed = if (types.isEmpty) base else base.filter(col("rel_type").isin(types: _*))
     val rels = typed.orderBy("id").limit(limit).collect()
     val wantNodes = sel.children.exists(c => c.name == "startNode" || c.name == "endNode")

@@ -111,4 +111,34 @@ class PropertySpec extends AnyFunSuite {
       words.isEmpty || sig(words) == sig(words.reverse.reverse)
     })
   }
+
+  test("protobuf wire codec round-trips every field kind and frame") {
+    import graft.sources.Protobuf
+    val varintGen = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    check(Prop.forAll(varintGen, Gen.chooseNum(1, 500000),
+      Gen.asciiPrintableStr, Gen.listOfN(7, Gen.chooseNum(-1e6f, 1e6f)),
+      Gen.chooseNum(-1e12, 1e12)) { (v, no, s, fs, d) =>
+      val w = Protobuf.w()
+        .uint(no, v).str(no + 1, s).packedFloats(no + 2, fs)
+        .double(no + 3, d).float(no + 4, fs.headOption.getOrElse(0f))
+        .msg(no + 5, Protobuf.w().uint(1, 42).bool(2, true))
+      val back = Protobuf.fields(w.bytes)
+      val nested = Protobuf.find(back, no + 5).get.msg
+      Protobuf.find(back, no).get.num == v &&
+        Protobuf.find(back, no + 1).get.str == s &&
+        Protobuf.find(back, no + 2).get.floats == fs &&
+        Protobuf.find(back, no + 3).get.doubleVal == d &&
+        Protobuf.find(nested, 1).get.num == 42L &&
+        Protobuf.find(nested, 2).get.num == 1L
+    })
+    // gRPC frames round-trip in sequence, flags preserved
+    check(Prop.forAll(Gen.listOf(Gen.zip(Gen.oneOf(0, 0x80),
+      Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))))) { frames =>
+      val body = frames.flatMap { case (fl, bs) =>
+        Protobuf.grpcFrame(fl, bs.toArray).toSeq }.toArray
+      val back = Protobuf.grpcFrames(body)
+      back.map(_._1) == frames.map(_._1) &&
+        back.map(_._2.toSeq) == frames.map(_._2)
+    })
+  }
 }
