@@ -18,7 +18,9 @@ object Explain {
     "q_dedup_embedding",      // block-pair equi-join, no BroadcastNestedLoop
     "q_dedup_embedding_lsh",  // bucketed candidates, equi-join on (tbl, bkt)
     "q_cypher_call_vector_index", // literal-vector topK: scan + TakeOrdered
-    "q_cypher_gds_linkpred")  // broadcast neighbor set over filtered edges
+    "q_cypher_gds_linkpred",  // broadcast neighbor set over filtered edges
+    "q_text_redact_pii",      // regexp chain stays one codegen stage
+    "q_multimodal_features")  // partition-batched decode: scan → RDD map, no shuffle
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outFile) = args
