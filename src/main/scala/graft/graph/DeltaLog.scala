@@ -32,7 +32,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `edges_upserts`, `edges_deletes` (id), `nodes_rewrite`, `edges_rewrite`
   * (whole-table refactor ops — apoc.refactor label/type rewrites, which
   * rewrite the frame wholesale by design), `node_embeddings_upserts`,
-  * `rel_embeddings_upserts` (keyed by entity_id+name).
+  * `rel_embeddings_upserts` (keyed by entity_id+name), and
+  * `node_embeddings_deletes` / `rel_embeddings_deletes` (same keys).
   */
 final class DeltaLog(val spark: SparkSession, val dir: String,
     crypto: Option[Encryption.Encryptor] = None) {
@@ -172,19 +173,29 @@ final class DeltaLog(val spark: SparkSession, val dir: String,
         out
       }
     }
-    def applyEmb(cur: DataFrame, v: Long, parts: Seq[String], up: String): DataFrame =
-      if (!parts.contains(up)) cur
-      else {
-        val rows = spark.read.parquet(s"$dir/delta/v$v/$up")
-        cur.join(rows.select("entity_id", "name"), Seq("entity_id", "name"), "left_anti")
-          .unionByName(rows)
+    def applyEmb(cur: DataFrame, v: Long, parts: Seq[String], up: String,
+        del: String): DataFrame = {
+      var out = cur
+      if (parts.contains(del)) {
+        val keys = spark.read.parquet(s"$dir/delta/v$v/$del")
+          .select("entity_id", "name")
+        out = out.join(keys, Seq("entity_id", "name"), "left_anti")
       }
+      if (parts.contains(up)) {
+        val rows = spark.read.parquet(s"$dir/delta/v$v/$up")
+        out = out.join(rows.select("entity_id", "name"),
+          Seq("entity_id", "name"), "left_anti").unionByName(rows)
+      }
+      out
+    }
 
     cs.filter(c => c.kind == "delta" && c.version > cp.version).foreach { c =>
       nodes = applyTable(nodes, c.version, c.parts, "nodes_upserts", "nodes_deletes", "nodes_rewrite")
       edges = applyTable(edges, c.version, c.parts, "edges_upserts", "edges_deletes", "edges_rewrite")
-      nEmb = applyEmb(nEmb, c.version, c.parts, "node_embeddings_upserts")
-      rEmb = applyEmb(rEmb, c.version, c.parts, "rel_embeddings_upserts")
+      nEmb = applyEmb(nEmb, c.version, c.parts, "node_embeddings_upserts",
+        "node_embeddings_deletes")
+      rEmb = applyEmb(rEmb, c.version, c.parts, "rel_embeddings_upserts",
+        "rel_embeddings_deletes")
     }
     Replayed(
       PropertyGraph(nodes.localCheckpoint(true), edges.localCheckpoint(true)),

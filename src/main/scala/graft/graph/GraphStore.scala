@@ -420,6 +420,25 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     }
   }
 
+  /** Remove the named embeddings for the given entities (Qdrant
+    * DeleteVectors; the embedding-side complement of node deletion).
+    * WAL delta = just the (entity_id, name) keys.
+    */
+  def deleteNodeEmbeddings(entityIds: Seq[String],
+      name: String = "embedding"): Unit = synchronized {
+    if (entityIds.isEmpty) return
+    val spark = current.nodes.sparkSession
+    import spark.implicits._
+    val keys = entityIds.map(id => (id, name)).toDF("entity_id", "name")
+      .localCheckpoint(true)
+    nodeEmbs = Some(nodeEmbeddings
+      .join(keys, Seq("entity_id", "name"), "left_anti").localCheckpoint(true))
+    wal.foreach { w =>
+      versionCounter += 1
+      w.commitDelta(versionCounter, Map("node_embeddings_deletes" -> keys))
+    }
+  }
+
   /** db.create.setNodeVectorProperty point write. */
   def setNodeVectorProperty(nodeId: String, name: String, vec: Seq[Double]): Unit = {
     val spark = current.nodes.sparkSession

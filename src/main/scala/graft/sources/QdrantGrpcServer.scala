@@ -108,6 +108,12 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
         case "Points/Upsert" => upsert(req, secs)
         case "Points/Get" => getPoints(req, secs)
         case "Points/Delete" => deletePoints(req, secs)
+        case "Points/SetPayload" => setPayload(req, secs, overwrite = false)
+        case "Points/OverwritePayload" => setPayload(req, secs, overwrite = true)
+        case "Points/DeletePayload" => deletePayload(req, secs)
+        case "Points/ClearPayload" => clearPayload(req, secs)
+        case "Points/UpdateVectors" => updateVectors(req, secs)
+        case "Points/DeleteVectors" => deleteVectors(req, secs)
         case "Collections/Create" => collectionsCreate(req, secs)
         case "Collections/List" => collectionsList(secs)
         case "Collections/Delete" => collectionsDelete(req, secs)
@@ -510,6 +516,132 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
     Protobuf.w()
       .msg(1, Protobuf.w().uint(1, stats.nodesDeleted).uint(2, 2))
       .double(2, secs)
+  }
+
+  /** Resolve a PointsSelector{1 ids list | 2 filter} to node ids. */
+  private def resolveSelector(req: Seq[PF], sel: Seq[PF], coll: String): Seq[String] =
+    Protobuf.find(sel, 1) match {
+      case Some(idsList) =>
+        Protobuf.all(idsList.msg, 1).map(p => s"$coll:${pointIdNum(p.msg)}")
+      case None =>
+        val f = Protobuf.find(sel, 2).getOrElse(
+          throw new IllegalArgumentException("selector needs ids or filter"))
+        val fs = f.msg
+        def conds(no: Int): Seq[Column] = Protobuf.all(fs, no).map(c => condition(c.msg))
+        val filter = Filter(must = conds(2), mustNot = conds(3), should = conds(1))
+        pointsOf(req).filter(QdrantPoints.pred(filter))
+          .select(col(idCol)).collect()
+          .map(r => s"$coll:${r.getAs[Number](0).longValue()}").toSeq
+    }
+
+  private def completedResponse(secs: => Double): Protobuf.W =
+    Protobuf.w().msg(1, Protobuf.w().uint(2, 2)).double(2, secs)
+
+  /** Map-property keys currently present on the target nodes (bounded
+    * point read — payload mutations are point operations).
+    */
+  private def existingMapKeys(s: graft.graph.GraphStore,
+      nodeIds: Seq[String]): Seq[String] =
+    if (nodeIds.isEmpty) Nil
+    else s.snapshot.nodes.filter(col("id").isin(nodeIds: _*))
+      .select(explode(map_keys(col("properties"))).as("k"))
+      .distinct().collect().map(_.getString(0)).toSeq
+
+  /** SetPayloadPoints{1 collection, 3 payload, 5 points_selector} —
+    * merge keys onto the targets; `overwrite` first drops keys absent
+    * from the new payload (points_service.go:487-530 updatePayload).
+    */
+  private def setPayload(req: Seq[PF], secs: => Double,
+      overwrite: Boolean): Protobuf.W = {
+    val s = mutationStore
+    val coll = collectionOf(req)
+    val payload = Protobuf.all(req, 3).map(_.msg).flatMap { e =>
+      Protobuf.find(e, 1).map(_.str).map { k =>
+        k -> Protobuf.find(e, 2).map(v => valueToAny(v.msg)).orNull
+      }
+    }.toMap
+    require(payload.nonEmpty, "payload is required")
+    val sel = Protobuf.find(req, 5).getOrElse(
+      throw new IllegalArgumentException("points_selector is required")).msg
+    val nodeIds = resolveSelector(req, sel, coll)
+    val spark = s.snapshot.nodes.sparkSession
+    import spark.implicits._
+    if (overwrite)
+      existingMapKeys(s, nodeIds).filterNot(payload.contains).foreach { k =>
+        s.setNodeProperties(nodeIds.map(id => (id, null: String)).toDF("id", "newval"), k)
+      }
+    payload.foreach { case (k, v) =>
+      s.setNodeProperties(nodeIds.map(id => (id, String.valueOf(v))).toDF("id", "newval"), k)
+    }
+    completedResponse(secs)
+  }
+
+  /** DeletePayloadPoints{1 collection, 3 keys, 5 points_selector}. */
+  private def deletePayload(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val s = mutationStore
+    val coll = collectionOf(req)
+    val keys = Protobuf.all(req, 3).map(_.str)
+    require(keys.nonEmpty, "keys are required")
+    val sel = Protobuf.find(req, 5).getOrElse(
+      throw new IllegalArgumentException("points_selector is required")).msg
+    val nodeIds = resolveSelector(req, sel, coll)
+    val spark = s.snapshot.nodes.sparkSession
+    import spark.implicits._
+    keys.foreach { k =>
+      s.setNodeProperties(nodeIds.map(id => (id, null: String)).toDF("id", "newval"), k)
+    }
+    completedResponse(secs)
+  }
+
+  /** ClearPayloadPoints{1 collection, 3 points selector}: drop every
+    * map-property key on the targets.
+    */
+  private def clearPayload(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val s = mutationStore
+    val coll = collectionOf(req)
+    val sel = Protobuf.find(req, 3).getOrElse(
+      throw new IllegalArgumentException("points selector is required")).msg
+    val nodeIds = resolveSelector(req, sel, coll)
+    val spark = s.snapshot.nodes.sparkSession
+    import spark.implicits._
+    existingMapKeys(s, nodeIds).foreach { k =>
+      s.setNodeProperties(nodeIds.map(id => (id, null: String)).toDF("id", "newval"), k)
+    }
+    completedResponse(secs)
+  }
+
+  /** UpdatePointVectors{1 collection, 3 points PointVectors{1 id,
+    * 2 vectors{1 vector{1 data}}}} — one batched embedding upsert.
+    */
+  private def updateVectors(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val s = mutationStore
+    val coll = collectionOf(req)
+    val rows = Protobuf.all(req, 3).map(_.msg).flatMap { pv =>
+      val id = pointIdNum(Protobuf.find(pv, 1).getOrElse(
+        throw new IllegalArgumentException("point vectors need an id")).msg)
+      Protobuf.find(pv, 2).flatMap(vs =>
+        Protobuf.find(vs.msg, 1).map(v => vectorOf(v.msg, 1)))
+        .map(vec => (s"$coll:$id", "embedding", vec))
+    }
+    require(rows.nonEmpty, "points with vectors are required")
+    val spark = s.snapshot.nodes.sparkSession
+    import spark.implicits._
+    s.setNodeVectorProperties(rows.toDF("entity_id", "name", "embedding"))
+    completedResponse(secs)
+  }
+
+  /** DeletePointVectors{1 collection, 3 points_selector}: remove the
+    * targets' embeddings (they drop out of every search RPC — the
+    * store-points view inner-joins on embeddings).
+    */
+  private def deleteVectors(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val s = mutationStore
+    val coll = collectionOf(req)
+    val sel = Protobuf.find(req, 3).getOrElse(
+      throw new IllegalArgumentException("points_selector is required")).msg
+    val nodeIds = resolveSelector(req, sel, coll)
+    s.deleteNodeEmbeddings(nodeIds)
+    completedResponse(secs)
   }
 
   // ==================================================== collections ======

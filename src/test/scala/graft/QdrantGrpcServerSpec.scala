@@ -306,6 +306,52 @@ class QdrantGrpcServerSpec extends AnyFunSuite {
           .msg(1, Protobuf.w().uint(1, 3)))))
       assert(trailerOf(del).contains("grpc-status: 0"))
       assert(countAll() == 1L)
+
+      def idSelector(field: Int, id: Long): Protobuf.W =
+        Protobuf.w().msg(field, Protobuf.w().msg(1, Protobuf.w().msg(1,
+          Protobuf.w().uint(1, id))))
+      def payloadKeysOf(id: Long): Seq[String] = {
+        val got2 = call(p, "Get", Protobuf.w().str(1, "points")
+          .msg(2, Protobuf.w().uint(1, id)))
+        Protobuf.all(Protobuf.all(dataOf(got2), 1).head.msg, 2)
+          .map(e => Protobuf.find(e.msg, 1).get.str)
+      }
+      // SetPayload merges a key onto point 1
+      val sp = call(p, "SetPayload", Protobuf.w().str(1, "points")
+        .msg(3, Protobuf.w().str(1, "tier").msg(2, Protobuf.w().str(4, "gold")))
+        .msg(5, Protobuf.w().msg(1, Protobuf.w().msg(1, Protobuf.w().uint(1, 1)))))
+      assert(trailerOf(sp).contains("grpc-status: 0"), new String(sp.head._2))
+      assert(payloadKeysOf(1).contains("tier") && payloadKeysOf(1).contains("kind"))
+      // OverwritePayload drops keys absent from the new payload
+      val ow = call(p, "OverwritePayload", Protobuf.w().str(1, "points")
+        .msg(3, Protobuf.w().str(1, "only").msg(2, Protobuf.w().str(4, "x")))
+        .msg(5, Protobuf.w().msg(1, Protobuf.w().msg(1, Protobuf.w().uint(1, 1)))))
+      assert(trailerOf(ow).contains("grpc-status: 0"))
+      val afterOw = payloadKeysOf(1)
+      assert(afterOw.contains("only") && !afterOw.contains("tier") &&
+        !afterOw.contains("kind"), afterOw.toString)
+      // DeletePayload removes a named key
+      val dp = call(p, "DeletePayload", Protobuf.w().str(1, "points")
+        .str(3, "only")
+        .msg(5, Protobuf.w().msg(1, Protobuf.w().msg(1, Protobuf.w().uint(1, 1)))))
+      assert(trailerOf(dp).contains("grpc-status: 0"))
+      assert(!payloadKeysOf(1).contains("only"))
+      // UpdateVectors re-points the embedding; search follows
+      val uv = call(p, "UpdateVectors", Protobuf.w().str(1, "points")
+        .msg(3, Protobuf.w().msg(1, Protobuf.w().uint(1, 1))
+          .msg(2, Protobuf.w().msg(1, Protobuf.w().packedFloats(1, Seq(0f, 1f, 0f))))))
+      assert(trailerOf(uv).contains("grpc-status: 0"))
+      val sr2 = call(p, "Search", Protobuf.w().str(1, "points")
+        .packedFloats(2, Seq(0f, 1f, 0f)).uint(4, 1))
+      val top2 = Protobuf.find(Protobuf.find(
+        Protobuf.all(dataOf(sr2), 1).head.msg, 1).get.msg, 1).get.num
+      assert(top2 == 1L)
+      // DeleteVectors: the point drops out of the searchable view
+      val dv = call(p, "DeleteVectors", Protobuf.w().str(1, "points")
+        .msg(3, Protobuf.w().msg(1, Protobuf.w().msg(1, Protobuf.w().uint(1, 1)))))
+      assert(trailerOf(dv).contains("grpc-status: 0"))
+      assert(countAll() == 0L)
+
       // mutations against a read-only endpoint refuse with status 9
       val ro = new QdrantGrpcServer(() => Tables.embeddings(spark, sf)).start()
       try {
@@ -314,6 +360,23 @@ class QdrantGrpcServerSpec extends AnyFunSuite {
         assert(trailerOf(refused).contains("grpc-status: 9"))
       } finally ro.stop()
     } finally server.stop()
+  }
+
+  test("embedding deletes replay through the WAL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qdr_wal").toString
+    val g = GraphQueries.graph(spark, sf)
+    val store = new graft.graph.GraphStore(graft.graph.PropertyGraph(
+      g.nodes.filter("false").localCheckpoint(true),
+      g.edges.filter("false").localCheckpoint(true)),
+      registerGlobal = false, walDir = Some(dir))
+    store.setNodeVectorProperty("points:1", "embedding", Seq(1.0, 0.0))
+    store.setNodeVectorProperty("points:2", "embedding", Seq(0.0, 1.0))
+    store.deleteNodeEmbeddings(Seq("points:1"))
+    assert(store.nodeEmbeddings.count() == 1)
+    val replayed = graft.graph.GraphStore.loadWal(spark, dir, registerGlobal = false)
+    val left = replayed.nodeEmbeddings.select("entity_id").collect().map(_.getString(0))
+    assert(left.toSeq == Seq("points:2"), left.toSeq.toString)
   }
 
   test("bearer token gates the endpoint with grpc-status 16") {
