@@ -626,25 +626,40 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
   private def nodeById(id: String): Option[Row] =
     store.snapshot.nodes.filter(col("id") === id).limit(1).collect().headOption
 
+  /** CREATE one node from a CreateNodeInput map; returns its id.
+    * Determinism contract: created ids are Label:key — the key comes from
+    * properties.key or a custom id ("Label:key"), never generated.
+    */
+  private def createNodeCore(in: Map[String, Any]): String = {
+    val labels = in.get("labels") match {
+      case Some(xs: Seq[_]) if xs.nonEmpty => xs.map(_.toString)
+      case _ => throw new IllegalArgumentException("createNode needs labels")
+    }
+    val props0 = propsOf(in, "properties")
+    val key = props0.get("key").map(_.toString)
+      .orElse(in.get("id").map(_.toString.split(":", 2).last))
+      .getOrElse(throw new IllegalArgumentException(
+        "createNode requires properties.key or a custom id (deterministic ids)"))
+    val props = props0 ++ Map("key" -> (try key.toLong: Any catch { case _: Exception => key }))
+    val (pat, params) = patternProps(props, "p")
+    CypherWrite.execute(store, s"CREATE (n:${labels.head} $pat)", params)
+    s"${labels.head}:$key"
+  }
+
+  /** Render a small result object by selection (unknown fields null). */
+  private def resultObj(sel: Sel, defaults: Seq[String],
+      fields: Map[String, String]): String = {
+    val wanted = if (sel.children.isEmpty)
+      defaults.map(n => Sel(None, n, Map.empty, Nil)) else sel.children
+    s"{${wanted.map(c =>
+      s"${jstr(c.outName)}:${fields.getOrElse(c.name, "null")}").mkString(",")}}"
+  }
+
   private def resolveMutation(sel: Sel): String = {
     sel.name match {
       case "createNode" =>
-        val in = inputMap(sel, "input")
-        val labels = in.get("labels") match {
-          case Some(xs: Seq[_]) if xs.nonEmpty => xs.map(_.toString)
-          case _ => throw new IllegalArgumentException("createNode needs labels")
-        }
-        val props0 = propsOf(in, "properties")
-        // determinism contract: created ids are Label:key — derive the key
-        // from properties.key or a custom id ("Label:key"), never generate
-        val key = props0.get("key").map(_.toString)
-          .orElse(in.get("id").map(_.toString.split(":", 2).last))
-          .getOrElse(throw new IllegalArgumentException(
-            "createNode requires properties.key or a custom id (deterministic ids)"))
-        val props = props0 ++ Map("key" -> (try key.toLong: Any catch { case _: Exception => key }))
-        val (pat, params) = patternProps(props, "p")
-        CypherWrite.execute(store, s"CREATE (n:${labels.head} $pat)", params)
-        nodeById(s"${labels.head}:$key").map(nodeJson(_, sel.children))
+        val id = createNodeCore(inputMap(sel, "input"))
+        nodeById(id).map(nodeJson(_, sel.children))
           .getOrElse(throw new IllegalStateException("created node not found"))
       case "updateNode" =>
         val in = inputMap(sel, "input")
@@ -710,6 +725,85 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
         if (exists) store.replaceEdges(g.edges.filter(col("id") =!= id))
         exists.toString
       case "executeCypher" => cypherField(sel, write = true)
+      case "bulkCreateNodes" =>
+        val in = inputMap(sel, "input")
+        val skipDup = in.get("skipDuplicates").exists(_.toString.toBoolean)
+        val nodes = in.get("nodes") match {
+          case Some(xs: Seq[_]) => xs.collect { case m: Map[_, _] =>
+            m.asInstanceOf[Map[String, Any]] }
+          case _ => throw new IllegalArgumentException("bulkCreateNodes needs nodes")
+        }
+        var created = 0
+        var skipped = 0
+        nodes.foreach { n =>
+          try { createNodeCore(n); created += 1 }
+          catch {
+            case e: Exception if skipDup => skipped += 1
+          }
+        }
+        resultObj(sel, Seq("created", "skipped"),
+          Map("created" -> created.toString, "skipped" -> skipped.toString))
+      case "bulkDeleteNodes" =>
+        val ids = strList(sel, "ids")
+        require(ids.nonEmpty, "bulkDeleteNodes needs ids")
+        val g = store.snapshot
+        val found = g.nodes.filter(col("id").isin(ids: _*))
+          .select("id").collect().map(_.getString(0)).toSet
+        val stats = store.deleteNodes(
+          g.nodes.filter(col("id").isin(ids: _*)).select("id"), detach = true)
+        val notFound = ids.filterNot(found)
+        resultObj(sel, Seq("deleted", "notFound"), Map(
+          "deleted" -> stats.nodesDeleted.toString,
+          "notFound" -> s"[${notFound.map(jstr).mkString(",")}]"))
+      case "bulkCreateRelationships" =>
+        val in = inputMap(sel, "input")
+        val skipInvalid = in.get("skipInvalid").exists(_.toString.toBoolean)
+        val rels = in.get("relationships") match {
+          case Some(xs: Seq[_]) => xs.collect { case m: Map[_, _] =>
+            m.asInstanceOf[Map[String, Any]] }
+          case _ => throw new IllegalArgumentException(
+            "bulkCreateRelationships needs relationships")
+        }
+        val g = store.snapshot
+        val endpoints = rels.flatMap(r =>
+          Seq(r.get("startNodeId"), r.get("endNodeId")).flatten.map(_.toString))
+        val existing: Set[String] =
+          if (endpoints.isEmpty) Set.empty
+          else g.nodes.filter(col("id").isin(endpoints.distinct: _*))
+            .select("id").collect().map(_.getString(0)).toSet
+        var created = 0
+        var skipped = 0
+        val rows = new java.util.ArrayList[Row]()
+        rels.foreach { r =>
+          def req(k: String) = r.getOrElse(k, throw new IllegalArgumentException(
+            s"relationship needs $k")).toString
+          val (src, dst, tpe) = (req("startNodeId"), req("endNodeId"), req("type"))
+          if (existing(src) && existing(dst)) {
+            val props = propsOf(r, "properties")
+            rows.add(Row(r.get("id").map(_.toString).getOrElse(s"$tpe:$src->$dst"),
+              src, dst, tpe, props.map { case (k, v) => k -> String.valueOf(v) },
+              props.get("weight").map(_.toString.toDouble).getOrElse(1.0)))
+            created += 1
+          } else if (skipInvalid) skipped += 1
+          else throw new IllegalArgumentException(
+            s"relationship endpoints not found: $src -> $dst")
+        }
+        if (!rows.isEmpty)
+          store.createEdges(spark.createDataFrame(rows,
+            g.edges.select("id", "src", "dst", "rel_type", "properties", "weight").schema))
+        resultObj(sel, Seq("created", "skipped"),
+          Map("created" -> created.toString, "skipped" -> skipped.toString))
+      case "bulkDeleteRelationships" =>
+        val ids = strList(sel, "ids")
+        require(ids.nonEmpty, "bulkDeleteRelationships needs ids")
+        val g = store.snapshot
+        val found = g.edges.filter(col("id").isin(ids: _*))
+          .select("id").collect().map(_.getString(0)).toSet
+        if (found.nonEmpty)
+          store.replaceEdges(g.edges.filter(!col("id").isin(found.toSeq: _*)))
+        resultObj(sel, Seq("deleted", "notFound"), Map(
+          "deleted" -> found.size.toString,
+          "notFound" -> s"[${ids.filterNot(found).map(jstr).mkString(",")}]"))
       case other =>
         throw new IllegalArgumentException(s"unsupported mutation field: $other")
     }

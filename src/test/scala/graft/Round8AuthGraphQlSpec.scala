@@ -156,6 +156,30 @@ class Round8AuthGraphQlSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("GraphQL bulk mutations: create/delete nodes and relationships with skip semantics") {
+    val server = new GraphQlServer(freshStore()).start()
+    try {
+      val p = server.boundPort
+      // two fresh nodes + one duplicate of an existing id, skipDuplicates
+      val bc = post(p, "/graphql",
+        """{"query":"mutation B($in: BulkCreateNodesInput!) { bulkCreateNodes(input: $in) { created skipped } }","variables":{"in":{"skipDuplicates":true,"nodes":[{"labels":["Bulk"],"properties":{"key":1}},{"labels":["Bulk"],"properties":{"key":2}},{"labels":["Customer"],"properties":{"key":1}}]}}}""").body()
+      assert(bc.contains("\"created\":2") && bc.contains("\"skipped\":1"), bc)
+
+      // one valid + one dangling relationship, skipInvalid
+      val br = post(p, "/graphql",
+        """{"query":"mutation { bulkCreateRelationships(input: {skipInvalid: true, relationships: [{startNodeId: \"Bulk:1\", endNodeId: \"Bulk:2\", type: \"KNOWS\"}, {startNodeId: \"Bulk:1\", endNodeId: \"Ghost:9\", type: \"KNOWS\"}]}) { created skipped } }"}""").body()
+      assert(br.contains("\"created\":1") && br.contains("\"skipped\":1"), br)
+
+      // delete the relationship, then the nodes (one bogus id reported)
+      val dr = post(p, "/graphql",
+        """{"query":"mutation { bulkDeleteRelationships(ids: [\"KNOWS:Bulk:1->Bulk:2\", \"KNOWS:nope\"]) { deleted notFound } }"}""").body()
+      assert(dr.contains("\"deleted\":1") && dr.contains("KNOWS:nope"), dr)
+      val dn = post(p, "/graphql",
+        """{"query":"mutation { bulkDeleteNodes(ids: [\"Bulk:1\", \"Bulk:2\", \"Bulk:99\"]) { deleted notFound } }"}""").body()
+      assert(dn.contains("\"deleted\":2") && dn.contains("Bulk:99"), dn)
+    } finally server.stop()
+  }
+
   test("store-backed Bolt serves write statements through CypherWrite") {
     def struct(sig: Int, fields: Any*): Array[Byte] = {
       val b = new ByteArrayOutputStream()
