@@ -804,6 +804,51 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
         resultObj(sel, Seq("deleted", "notFound"), Map(
           "deleted" -> found.size.toString,
           "notFound" -> s"[${ids.filterNot(found).map(jstr).mkString(",")}]"))
+      // ---- maintenance mutations (mutation_impl.go:282-352) ----
+      case "triggerEmbedding" =>
+        // regenerate=true re-embeds every node (upserts overwrite, the
+        // ClearAllEmbeddings+retrigger shape); default embeds only the
+        // missing ones. Embedding goes through the Embedder seam's bulk
+        // column form — distributed, no driver loop.
+        val regen = sel.args.get("regenerate").exists(_.toString.toBoolean)
+        val g = store.snapshot
+        val embedded = store.nodeEmbeddings.filter(col("name") === "embedding")
+          .select(col("entity_id").as("id")).distinct()
+        val targets =
+          if (regen) g.nodes.select(col("id"), col("name"))
+          else g.nodes.select(col("id"), col("name"))
+            .join(embedded, Seq("id"), "left_anti")
+        val emb = graft.functions.Embedder.current
+        val rows = targets
+          .withColumn("embedding", emb.embedCol(spark, coalesce(col("name"), lit(""))))
+          .select(col("id").as("entity_id"), lit("embedding").as("name"),
+            col("embedding"))
+        if (!rows.isEmpty) store.setNodeVectorProperties(rows)
+        val total = g.nodes.count()
+        val nowEmbedded = store.nodeEmbeddings
+          .filter(col("name") === "embedding").select("entity_id").distinct().count()
+        resultObj(sel, Seq("pending", "embedded", "total"), Map(
+          "pending" -> (total - nowEmbedded).toString,
+          "embedded" -> nowEmbedded.toString, "total" -> total.toString))
+      case "rebuildSearchIndex" =>
+        // indexes here are thunks resolved per query against the current
+        // snapshot — there is nothing stale to rebuild; acknowledge like
+        // the reference does after its rebuild completes
+        "true"
+      case "runDecay" =>
+        // no decay scheduler is wired in this engine (decay scoring is the
+        // q_fn_decay_score batch surface) — the reference returns zeros
+        // when decay is disabled (mutation_impl.go:325-331); same here
+        resultObj(sel, Seq("nodesProcessed", "nodesDecayed", "averageDecayScore"),
+          Map("nodesProcessed" -> "0", "nodesDecayed" -> "0",
+            "averageDecayScore" -> "0.0"))
+      case "clearAll" =>
+        val phrase = sel.args.getOrElse("confirmPhrase",
+          throw new IllegalArgumentException("clearAll needs confirmPhrase")).toString
+        // the reference's exact guard phrase (mutation_impl.go:342)
+        require(phrase == "DELETE ALL DATA", "invalid confirmation phrase")
+        CypherWrite.execute(store, "MATCH (n) DETACH DELETE n")
+        "true"
       case other =>
         throw new IllegalArgumentException(s"unsupported mutation field: $other")
     }

@@ -180,6 +180,41 @@ class Round8AuthGraphQlSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("GraphQL maintenance mutations: triggerEmbedding, rebuildSearchIndex, runDecay, clearAll") {
+    val g = GraphQueries.graph(spark, sf)
+    val small = new GraphStore(graft.graph.PropertyGraph(
+      g.nodes.filter(org.apache.spark.sql.functions.array_contains(
+        org.apache.spark.sql.functions.col("labels"), "Region"))
+        .localCheckpoint(true),
+      g.edges.filter("false").localCheckpoint(true)), registerGlobal = false)
+    val server = new GraphQlServer(small).start()
+    try {
+      val p = server.boundPort
+      val te = post(p, "/graphql",
+        """{"query":"mutation { triggerEmbedding { pending embedded total } }"}""").body()
+      assert(te.contains("\"pending\":0") && te.contains("\"embedded\":5") &&
+        te.contains("\"total\":5"), te)
+      // regenerate path acknowledges too
+      val te2 = post(p, "/graphql",
+        """{"query":"mutation { triggerEmbedding(regenerate: true) { embedded total } }"}""").body()
+      assert(te2.contains("\"embedded\":5"), te2)
+      assert(post(p, "/graphql",
+        """{"query":"mutation { rebuildSearchIndex }"}""").body()
+        .contains("\"rebuildSearchIndex\":true"))
+      val rd = post(p, "/graphql",
+        """{"query":"mutation { runDecay { nodesProcessed nodesDecayed averageDecayScore } }"}""").body()
+      assert(rd.contains("\"nodesProcessed\":0"), rd)
+      // wrong phrase refused, right phrase wipes
+      val bad = post(p, "/graphql",
+        """{"query":"mutation { clearAll(confirmPhrase: \"nope\") }"}""").body()
+      assert(bad.contains("invalid confirmation phrase"), bad)
+      val ok = post(p, "/graphql",
+        """{"query":"mutation { clearAll(confirmPhrase: \"DELETE ALL DATA\") }"}""").body()
+      assert(ok.contains("\"clearAll\":true"), ok)
+      assert(small.snapshot.nodes.count() == 0)
+    } finally server.stop()
+  }
+
   test("store-backed Bolt serves write statements through CypherWrite") {
     def struct(sig: Int, fields: Any*): Array[Byte] = {
       val b = new ByteArrayOutputStream()
