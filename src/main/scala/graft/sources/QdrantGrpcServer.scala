@@ -72,6 +72,7 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
   def start(): QdrantGrpcServer = {
     server.createContext("/qdrant.Points", (ex: HttpExchange) => handle(ex))
     server.createContext("/qdrant.Collections", (ex: HttpExchange) => handle(ex))
+    server.createContext("/qdrant.Snapshots", (ex: HttpExchange) => handle(ex))
     server.setExecutor(null)
     server.start()
     this
@@ -118,6 +119,9 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
         case "Collections/List" => collectionsList(secs)
         case "Collections/Delete" => collectionsDelete(req, secs)
         case "Collections/CollectionExists" => collectionsExists(req, secs)
+        case "Snapshots/Create" => snapshotCreate(req, secs)
+        case "Snapshots/List" => snapshotList(req, secs)
+        case "Snapshots/Delete" => snapshotDelete(req, secs)
         case other =>
           respondTrailersOnly(ex, 12, s"unimplemented method: $other")
           return
@@ -642,6 +646,67 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
     val nodeIds = resolveSelector(req, sel, coll)
     s.deleteNodeEmbeddings(nodeIds)
     completedResponse(secs)
+  }
+
+  // ====================================================== snapshots ======
+
+  /** Snapshot artifacts live under one root per server (the reference
+    * stores them as NornicDB snapshot artifacts, `snapshots_service.go`);
+    * Create is a full GraphStore.persist — partitioned parquet through
+    * the cluster writers, no driver collect.
+    */
+  private lazy val snapshotsRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("qdrant_snapshots")
+    p.toFile.deleteOnExit()
+    p
+  }
+  private[graft] def snapshotsDir: String = snapshotsRoot.toString
+
+  private def dirSize(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).getOrElse(Array.empty).map(dirSize).sum
+
+  private def snapshotDesc(name: String): Protobuf.W = {
+    val dir = snapshotsRoot.resolve(name).toFile
+    Protobuf.w().str(1, name).uint(3, dirSize(dir))
+  }
+
+  /** CreateSnapshotRequest{1 collection} → {1 SnapshotDescription{1 name,
+    * 3 size}, 2 time}. Deterministic names: `<collection>-v<version>`.
+    */
+  private def snapshotCreate(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val s = mutationStore
+    val coll = collectionOf(req)
+    require(collections.contains(coll), s"collection not found: $coll")
+    val name = s"$coll-v${s.version}"
+    s.persist(snapshotsRoot.resolve(name).toString)
+    Protobuf.w().msg(1, snapshotDesc(name)).double(2, secs)
+  }
+
+  private def snapshotList(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val coll = collectionOf(req)
+    val resp = Protobuf.w()
+    Option(snapshotsRoot.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$coll-v"))
+      .map(_.getName).sorted
+      .foreach(n => resp.msg(1, snapshotDesc(n)))
+    resp.double(2, secs)
+  }
+
+  private def snapshotDelete(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val coll = collectionOf(req)
+    val name = Protobuf.find(req, 2).map(_.str).getOrElse(
+      throw new IllegalArgumentException("snapshot_name is required"))
+    require(name.startsWith(s"$coll-v") && !name.contains("..") && !name.contains("/"),
+      s"unknown snapshot $name for collection $coll")
+    val dir = snapshotsRoot.resolve(name).toFile
+    if (!dir.exists()) throw new GrpcError(5, s"snapshot not found: $name")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(dir)
+    Protobuf.w().double(1, secs)
   }
 
   // ==================================================== collections ======

@@ -362,6 +362,46 @@ class QdrantGrpcServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("snapshots service: create persists a loadable snapshot; list/delete manage it") {
+    val g = GraphQueries.graph(spark, sf)
+    val store = new graft.graph.GraphStore(graft.graph.PropertyGraph(
+      g.nodes.filter(org.apache.spark.sql.functions.array_contains(
+        org.apache.spark.sql.functions.col("labels"), "Region"))
+        .localCheckpoint(true),
+      g.edges.filter("false").localCheckpoint(true)), registerGlobal = false)
+    val server = QdrantGrpcServer.forStore(store, collection = "points").start()
+    try {
+      val p = server.boundPort
+      def snapCall(method: String, w: Protobuf.W) = {
+        val resp = client.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$p/qdrant.Snapshots/$method"))
+          .header("Content-Type", "application/grpc-web+proto")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(
+            Protobuf.grpcFrame(0, w.bytes))).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        Protobuf.grpcFrames(resp.body())
+      }
+      val created = snapCall("Create", Protobuf.w().str(1, "points"))
+      assert(trailerOf(created).contains("grpc-status: 0"), new String(created.head._2))
+      val desc = Protobuf.find(dataOf(created), 1).get.msg
+      val name = Protobuf.find(desc, 1).get.str
+      assert(name.startsWith("points-v"))
+      assert(Protobuf.find(desc, 3).get.num > 0, "snapshot has zero size")
+      // the artifact is a real GraphStore snapshot — load it back
+      val loaded = graft.graph.GraphStore.load(spark,
+        s"${server.snapshotsDir}/$name", registerGlobal = false)
+      assert(loaded.snapshot.nodes.count() == store.snapshot.nodes.count())
+      // list shows it; delete removes it; double delete is NOT_FOUND
+      val listed = snapCall("List", Protobuf.w().str(1, "points"))
+      assert(Protobuf.all(dataOf(listed), 1).exists(d =>
+        Protobuf.find(d.msg, 1).exists(_.str == name)))
+      val del = snapCall("Delete", Protobuf.w().str(1, "points").str(2, name))
+      assert(trailerOf(del).contains("grpc-status: 0"))
+      val again = snapCall("Delete", Protobuf.w().str(1, "points").str(2, name))
+      assert(trailerOf(again).contains("grpc-status: 5"))
+    } finally server.stop()
+  }
+
   test("embedding deletes replay through the WAL") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("qdr_wal").toString
