@@ -106,6 +106,8 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
         case "Points/Count" => countResp(req, secs)
         case "Points/Scroll" => scroll(req, secs)
         case "Points/Recommend" => recommend(req, secs)
+        case "Points/Query" => queryPoints(req, secs)
+        case "Points/QueryBatch" => queryBatch(req, secs)
         case "Points/Upsert" => upsert(req, secs)
         case "Points/Get" => getPoints(req, secs)
         case "Points/Delete" => deletePoints(req, secs)
@@ -272,9 +274,12 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
     else pts.filter(col(idCol).isin(ids: _*)).drop(embCol).collect()
       .map(r => r.getAs[Number](idCol).longValue() -> r).toMap
 
-  private def searchCore(pts: DataFrame, req: Seq[PF], vec: Seq[Double],
+  /** The shared search body: ONLY the repeated field-1 ScoredPoints (so
+    * it doubles as a BatchResult for the batch RPCs).
+    */
+  private def searchHitsMsg(pts: DataFrame, req: Seq[PF], vec: Seq[Double],
       limitNo: Int, filterNo: Int, thresholdNo: Int, offsetNo: Int,
-      payloadNo: Int, secs: => Double): Protobuf.W = {
+      payloadNo: Int): Protobuf.W = {
     require(vec.nonEmpty, "vector is required")
     val limit = Protobuf.find(req, limitNo).map(_.num.toInt).filter(_ > 0).getOrElse(10)
     val filter = filterOf(req, filterNo)
@@ -288,8 +293,14 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
       else Map.empty[Long, Row]
     val resp = Protobuf.w()
     scoredPoints(resp, hits, payload)
-    resp.double(2, secs)
+    resp
   }
+
+  private def searchCore(pts: DataFrame, req: Seq[PF], vec: Seq[Double],
+      limitNo: Int, filterNo: Int, thresholdNo: Int, offsetNo: Int,
+      payloadNo: Int, secs: => Double): Protobuf.W =
+    searchHitsMsg(pts, req, vec, limitNo, filterNo, thresholdNo, offsetNo,
+      payloadNo).double(2, secs)
 
   private def search(req: Seq[PF], secs: => Double): Protobuf.W =
     searchCore(pointsOf(req), req, vectorOf(req, 2), limitNo = 4,
@@ -395,6 +406,57 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
     val vec = QdrantPoints.recommendVector(resolve(posIds), resolve(negIds))
     searchCore(pts, req, vec, limitNo = 5, filterNo = 4, thresholdNo = 9,
       offsetNo = 10, payloadNo = 7, secs)
+  }
+
+  // ================================================== universal Query ====
+
+  /** VectorInput{1 id | 2 dense{1 data} | 5 document{1 text}} → query
+    * vector (points_service.go:1013-1052 vectorFromInput: id resolves
+    * the stored embedding, document embeds through the seam — the
+    * reference's EmbedQuery hook).
+    */
+  private def vectorFromInput(pts: DataFrame, in: Seq[PF]): Seq[Double] =
+    Protobuf.find(in, 2).map(d => vectorOf(d.msg, 1))
+      .orElse(Protobuf.find(in, 1).map { pid =>
+        val id = pointIdNum(pid.msg)
+        val row = pts.filter(col(idCol) === id).select(embCol).limit(1).collect()
+        if (row.isEmpty) throw new GrpcError(5, s"point not found: $id")
+        row.head.getSeq[Number](0).map(_.doubleValue()).toSeq
+      })
+      .orElse(Protobuf.find(in, 5).map { doc =>
+        val text = Protobuf.find(doc.msg, 1).map(_.str).getOrElse(
+          throw new IllegalArgumentException("document.text is required"))
+        graft.functions.Embedder.current.embed(text)
+      })
+      .getOrElse(throw new GrpcError(12,
+        "vector input variant is not implemented (id/dense/document only)"))
+
+  /** QueryPoints{1 collection, 3 query{1 nearest(VectorInput)}, 5 filter,
+    * 7 score_threshold, 8 limit, 9 offset, 11 with_payload} — delegates
+    * to the Search body like the reference (points_service.go:937-993).
+    */
+  private def queryHits(req: Seq[PF]): Protobuf.W = {
+    val pts = pointsOf(req)
+    val qmsg = Protobuf.find(req, 3).getOrElse(throw new GrpcError(12,
+      "query without Query.variant is not implemented")).msg
+    val nearest = Protobuf.find(qmsg, 1).getOrElse(throw new GrpcError(12,
+      "only Query.nearest is implemented")).msg
+    searchHitsMsg(pts, req, vectorFromInput(pts, nearest), limitNo = 8,
+      filterNo = 5, thresholdNo = 7, offsetNo = 9, payloadNo = 11)
+  }
+
+  private def queryPoints(req: Seq[PF], secs: => Double): Protobuf.W =
+    queryHits(req).double(2, secs)
+
+  /** QueryBatchPoints{1 collection, 2 query_points} → BatchResult per
+    * sub-query (the reference loops Query, points_service.go:995-1011).
+    */
+  private def queryBatch(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val subs = Protobuf.all(req, 2).map(_.msg)
+    require(subs.nonEmpty, "query_points is required")
+    val resp = Protobuf.w()
+    subs.foreach(sub => resp.msg(1, queryHits(sub)))
+    resp.double(2, secs)
   }
 
   // ====================================================== mutations ======

@@ -362,6 +362,61 @@ class QdrantGrpcServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("universal Query API: nearest by dense vector, by point id, by document text; QueryBatch") {
+    val pts = Tables.embeddings(spark, sf)
+    val server = new QdrantGrpcServer(() => pts).start()
+    try {
+      val p = server.boundPort
+      def nearest(input: Protobuf.W): Protobuf.W = Protobuf.w()
+        .str(1, "embeddings")
+        .msg(3, Protobuf.w().msg(1, input))
+        .uint(8, 4)
+      // dense input ≡ Search with the same vector
+      val dense = call(p, "Query", nearest(
+        Protobuf.w().msg(2, Protobuf.w().packedFloats(1, qv))))
+      assert(trailerOf(dense).contains("grpc-status: 0"))
+      val denseIds = Protobuf.all(dataOf(dense), 1).map(h =>
+        Protobuf.find(Protobuf.find(h.msg, 1).get.msg, 1).get.num)
+      val engineIds = QdrantPoints.search(pts, "vec_id", "embedding",
+        qv.map(_.toDouble), 4).collect().map(_.getAs[Number](0).longValue()).toSeq
+      assert(denseIds == engineIds)
+      // id input: query = point 7's own stored vector → 7 ranks first
+      val byId = call(p, "Query", nearest(
+        Protobuf.w().msg(1, Protobuf.w().uint(1, 7))))
+      val top = Protobuf.all(dataOf(byId), 1).map(h =>
+        Protobuf.find(Protobuf.find(h.msg, 1).get.msg, 1).get.num).head
+      assert(top == 7L, s"self-query should rank the point first, got $top")
+      // unknown id → NOT_FOUND
+      val missing = call(p, "Query", nearest(
+        Protobuf.w().msg(1, Protobuf.w().uint(1, 987654321L))))
+      assert(trailerOf(missing).contains("grpc-status: 5"))
+      // document input embeds through the seam (dim-64 fake)
+      object Dim64 extends graft.functions.Embedder {
+        val dim = 64
+        def embed(text: String): Seq[Double] =
+          (0 until 64).map(i => if (i == text.length % 64) 1.0 else 0.0)
+        def embedCol(s: org.apache.spark.sql.SparkSession,
+            c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          throw new UnsupportedOperationException("driver-side only in this spec")
+      }
+      graft.functions.Embedder.withEmbedder(Dim64) {
+        val doc = call(p, "Query", nearest(
+          Protobuf.w().msg(5, Protobuf.w().str(1, "hello"))))
+        assert(trailerOf(doc).contains("grpc-status: 0"))
+        assert(Protobuf.all(dataOf(doc), 1).nonEmpty)
+      }
+      // QueryBatch: two sub-queries → two BatchResults matching singles
+      val batch = call(p, "QueryBatch", Protobuf.w().str(1, "embeddings")
+        .msg(2, nearest(Protobuf.w().msg(2, Protobuf.w().packedFloats(1, qv))))
+        .msg(2, nearest(Protobuf.w().msg(1, Protobuf.w().uint(1, 7)))))
+      val results = Protobuf.all(dataOf(batch), 1).map(_.msg)
+      assert(results.size == 2)
+      val b0 = Protobuf.all(results(0), 1).map(h =>
+        Protobuf.find(Protobuf.find(h.msg, 1).get.msg, 1).get.num)
+      assert(b0 == denseIds)
+    } finally server.stop()
+  }
+
   test("snapshots service: create persists a loadable snapshot; list/delete manage it") {
     val g = GraphQueries.graph(spark, sf)
     val store = new graft.graph.GraphStore(graft.graph.PropertyGraph(
