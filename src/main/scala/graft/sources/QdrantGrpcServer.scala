@@ -121,6 +121,10 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
         case "Collections/List" => collectionsList(secs)
         case "Collections/Delete" => collectionsDelete(req, secs)
         case "Collections/CollectionExists" => collectionsExists(req, secs)
+        case "Collections/Get" => collectionsGet(req, secs)
+        case "Collections/Update" => collectionsUpdate(req, secs)
+        case "Points/CreateFieldIndex" => fieldIndex(req, secs, create = true)
+        case "Points/DeleteFieldIndex" => fieldIndex(req, secs, create = false)
         case "Snapshots/Create" => snapshotCreate(req, secs)
         case "Snapshots/List" => snapshotList(req, secs)
         case "Snapshots/Delete" => snapshotDelete(req, secs)
@@ -800,6 +804,46 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
     Protobuf.w()
       .msg(1, Protobuf.w().bool(1, collections.contains(collectionOf(req))))
       .double(2, secs)
+
+  /** Get: minimal-but-valid CollectionInfo{1 status = 1 Green} (the
+    * reference also fills defaults only, collections_service.go).
+    */
+  private def collectionsGet(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val name = collectionOf(req)
+    if (!collections.contains(name))
+      throw new GrpcError(5, s"collection not found: $name")
+    Protobuf.w().msg(1, Protobuf.w().uint(1, 1)).double(2, secs)
+  }
+
+  /** Update: validates existence, no-op — the engine manages its own
+    * physical params (the reference's Update is the same no-op).
+    */
+  private def collectionsUpdate(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val name = collectionOf(req)
+    if (!collections.contains(name))
+      throw new GrpcError(5, s"collection not found: $name")
+    Protobuf.w().bool(1, true).double(2, secs)
+  }
+
+  /** CreateFieldIndex{1 collection, 3 field_name} / DeleteFieldIndex —
+    * recorded as layout hints in the store's SchemaCatalog (payload
+    * filters here are Catalyst predicates; the hint drives nothing but
+    * is listed by SHOW INDEXES, like the reference's registry entry).
+    */
+  private def fieldIndex(req: Seq[PF], secs: => Double,
+      create: Boolean): Protobuf.W = {
+    val coll = collectionOf(req)
+    val field = Protobuf.find(req, 3).map(_.str).getOrElse(
+      throw new IllegalArgumentException("field_name is required"))
+    store.foreach { s =>
+      val idxName = s"qdrant_${coll}_$field"
+      if (create) s.catalog.createIndex(idxName, "PAYLOAD", coll, Seq(field))
+      else s.catalog.dropIndex(idxName)
+    }
+    Protobuf.w()
+      .msg(1, Protobuf.w().uint(2, 2)) // UpdateResult{status: Completed}
+      .double(2, secs)
+  }
 
   // ======================================================= transport =====
 

@@ -362,6 +362,43 @@ class QdrantGrpcServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("Collections Get/Update and field-index hints") {
+    val g = GraphQueries.graph(spark, sf)
+    val store = new graft.graph.GraphStore(graft.graph.PropertyGraph(
+      g.nodes.filter("false").localCheckpoint(true),
+      g.edges.filter("false").localCheckpoint(true)), registerGlobal = false)
+    val server = QdrantGrpcServer.forStore(store, collection = "points").start()
+    try {
+      val p = server.boundPort
+      def cCall(method: String, w: Protobuf.W) = {
+        val resp = client.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:$p/qdrant.Collections/$method"))
+          .header("Content-Type", "application/grpc-web+proto")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(
+            Protobuf.grpcFrame(0, w.bytes))).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        Protobuf.grpcFrames(resp.body())
+      }
+      val got = cCall("Get", Protobuf.w().str(1, "points"))
+      assert(trailerOf(got).contains("grpc-status: 0"))
+      assert(Protobuf.find(Protobuf.find(dataOf(got), 1).get.msg, 1)
+        .exists(_.num == 1L)) // status Green
+      assert(trailerOf(cCall("Get", Protobuf.w().str(1, "nope")))
+        .contains("grpc-status: 5"))
+      assert(trailerOf(cCall("Update", Protobuf.w().str(1, "points")))
+        .contains("grpc-status: 0"))
+      // field index hints land in the schema catalog
+      val fi = call(p, "CreateFieldIndex",
+        Protobuf.w().str(1, "points").str(3, "kind"))
+      assert(trailerOf(fi).contains("grpc-status: 0"))
+      assert(store.catalog.listIndexes.exists(_.name == "qdrant_points_kind"))
+      val dfi = call(p, "DeleteFieldIndex",
+        Protobuf.w().str(1, "points").str(3, "kind"))
+      assert(trailerOf(dfi).contains("grpc-status: 0"))
+      assert(!store.catalog.listIndexes.exists(_.name == "qdrant_points_kind"))
+    } finally server.stop()
+  }
+
   test("universal Query API: nearest by dense vector, by point id, by document text; QueryBatch") {
     val pts = Tables.embeddings(spark, sf)
     val server = new QdrantGrpcServer(() => pts).start()
