@@ -23,6 +23,58 @@ object ExtQueries {
     Seq("recall_at_k" -> 0.4, "ndcg_at_k" -> 0.5)
 
   val queries: Map[String, GQuery] = Map(
+    // MCP task lifecycle (mcp/server.go:784-1022) replayed over a
+    // deterministic task graph derived from orders: one auto-toggle step
+    // (pending→active→completed) + the unblocked_only dependency filter
+    // (anti-join on DEPENDS_ON targets that aren't completed) — shared
+    // TaskOps semantics with the live `task`/`tasks` tools
+    "q_mcp_tasks_lifecycle" -> GQuery(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.orders(s, d).filter(col("o_orderkey") < 500)
+          .select(row_number().over(
+            Window.orderBy("o_orderkey")).cast("long").as("id"))
+        val tasks = t
+          .withColumn("status",
+            element_at(array(lit("pending"), lit("active"),
+              lit("completed"), lit("blocked")),
+              (pmod(col("id"), lit(4)) + 1).cast("int")))
+          .withColumn("priority",
+            element_at(array(lit("critical"), lit("high"), lit("medium"),
+              lit("low"), lit("medium")),
+              (pmod(col("id"), lit(5)) + 1).cast("int")))
+        val deps = tasks.filter(pmod(col("id"), lit(3)) === 0 && col("id") > 1)
+          .select(col("id").as("src"), (col("id") - 1).as("dst"))
+        val blocked = graft.operators.TaskOps.blockedIds(tasks, deps)
+          .withColumn("is_blocked", lit(true))
+        tasks.join(blocked, Seq("id"), "left_outer")
+          .select(col("id").as("task_id"), col("status"), col("priority"),
+            graft.operators.TaskOps.toggled(col("status")).as("toggled"),
+            coalesce(!col("is_blocked"), lit(true)).as("unblocked"))
+      },
+      Some("""WITH t AS (
+                SELECT row_number() OVER (ORDER BY o_orderkey) AS id
+                FROM orders WHERE o_orderkey < 500),
+              tasks AS (
+                SELECT id,
+                  CASE id % 4 WHEN 0 THEN 'pending' WHEN 1 THEN 'active'
+                    WHEN 2 THEN 'completed' ELSE 'blocked' END AS status,
+                  CASE id % 5 WHEN 0 THEN 'critical' WHEN 1 THEN 'high'
+                    WHEN 2 THEN 'medium' WHEN 3 THEN 'low'
+                    ELSE 'medium' END AS priority
+                FROM t),
+              deps AS (
+                SELECT id AS src, id - 1 AS dst
+                FROM tasks WHERE id % 3 = 0 AND id > 1)
+              SELECT ts.id AS task_id, ts.status, ts.priority,
+                CASE WHEN ts.status IN ('pending', '') THEN 'active'
+                     WHEN ts.status = 'active' THEN 'completed'
+                     ELSE ts.status END AS toggled,
+                NOT EXISTS (
+                  SELECT 1 FROM deps d JOIN tasks dt ON dt.id = d.dst
+                  WHERE d.src = ts.id AND dt.status <> 'completed') AS unblocked
+              FROM tasks ts"""), "2.11"),
+
     "q_path_subgraph_nodes" -> GQuery(
       (s, d) => {
         val g = GraphQueries.graph(s, d)

@@ -339,9 +339,11 @@ object CypherWrite {
     val df = frame.df.select(
       concat_ws(":", lit(label), keyCol.cast("string")).as("id"),
       array((label +: pat.extraLabels).map(lit(_)): _*).as("labels"),
-      keyCol.cast("long").as("key"),
+      // non-numeric keys (GraphQL string keys like "e1") keep a null
+      // numeric key — the id already carries the string form
+      keyCol.try_cast("long").as("key"),
       p("name").getOrElse(lit(null)).cast("string").as("name"),
-      p("acctbal").getOrElse(lit(null)).cast("double").as("acctbal"),
+      p("acctbal").getOrElse(lit(null)).try_cast("double").as("acctbal"),
       p("mktsegment").getOrElse(lit(null)).cast("string").as("mktsegment"),
       extraPropsMap(frame, pat, params).as("properties"))
     (df, v)
@@ -360,9 +362,9 @@ object CypherWrite {
     val df = frame.df
       .withColumn(s"${v}_id", concat_ws(":", lit(label), keyCol.cast("string")))
       .withColumn(s"${v}_labels", array((label +: pat.extraLabels).map(lit(_)): _*))
-      .withColumn(s"${v}_key", keyCol.cast("long"))
+      .withColumn(s"${v}_key", keyCol.try_cast("long"))
       .withColumn(s"${v}_name", p("name").getOrElse(lit(null)).cast("string"))
-      .withColumn(s"${v}_acctbal", p("acctbal").getOrElse(lit(null)).cast("double"))
+      .withColumn(s"${v}_acctbal", p("acctbal").getOrElse(lit(null)).try_cast("double"))
       .withColumn(s"${v}_mktsegment", p("mktsegment").getOrElse(lit(null)).cast("string"))
       .withColumn(s"${v}_properties", extraPropsMap(frame, pat, params))
     Frame(df, frame.kinds + (v -> NodeK))

@@ -119,8 +119,15 @@ object Multimodal {
           bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
         val isJpeg = bytes.length > 3 && (bytes(0) & 0xff) == 0xff &&
           (bytes(1) & 0xff) == 0xd8
-        if (isPng || isJpeg) {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        // ImageIO.read returns null (or throws) on payloads that pass the
+        // magic sniff but are truncated/corrupt — those take the 'bin'
+        // fallback row instead of NPE-ing the executor task.
+        val img: java.awt.image.BufferedImage =
+          if (isPng || isJpeg)
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          else null
+        if (img != null) {
           val (w, h) = (img.getWidth, img.getHeight)
           val raster = img.getRaster
           val bands = raster.getNumBands

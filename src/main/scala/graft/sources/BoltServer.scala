@@ -33,7 +33,15 @@ import graft.graph.PropertyGraph
   */
 final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
     token: Option[String] = None,
-    store: Option[graft.graph.GraphStore] = None) {
+    store: Option[graft.graph.GraphStore] = None,
+    rbac: Option[ServerAuth.Rbac] = None) {
+
+  /** Connection RBAC (auth.go:183-188): write statements need `write` →
+    * Neo.ClientError.Security.Forbidden. A bare `token` is an admin
+    * credential.
+    */
+  private val effectiveRbac: Option[ServerAuth.Rbac] =
+    rbac.orElse(ServerAuth.Rbac.legacy(token))
 
   private val server = new ServerSocket(port)
   private val running = new AtomicBoolean(false)
@@ -78,22 +86,25 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
       var failed = false
       var open = true
       // the reference refuses unauthenticated Bolt by default
-      // (pkg/auth/auth.go); with a token set, HELLO/LOGON must carry
-      // matching `credentials` before any RUN is served
-      var authed = token.isEmpty
+      // (pkg/auth/auth.go); with auth configured, HELLO/LOGON must carry
+      // `credentials` that resolve to a role before any RUN is served
+      var role: Option[ServerAuth.Role] =
+        if (effectiveRbac.isEmpty) Some(ServerAuth.Role.Admin) else None
+      def authed = role.isDefined
       // wrong credentials → immediate FAILURE; absent credentials leave
       // the session unauthenticated (a 5.1 driver LOGONs next; anyone
       // else hits the RUN gate below). Returns false on FAILURE.
       def checkAuth(fields: Seq[_]): Boolean =
-        (token, ServerAuth.boltCredentials(fields)) match {
-          case (None, _) => authed = true; true
-          case (Some(t), Some(c)) if ServerAuth.constantTimeEq(c, t) =>
-            authed = true; true
-          case (Some(_), Some(_)) =>
-            failed = true
-            sendFailure(out, "Neo.ClientError.Security.Unauthorized",
-              "invalid credentials")
-            false
+        (effectiveRbac, ServerAuth.boltCredentials(fields)) match {
+          case (None, _) => role = Some(ServerAuth.Role.Admin); true
+          case (Some(r), Some(c)) => r.resolve(Some(c)) match {
+            case some @ Some(_) => role = some; true
+            case None =>
+              failed = true
+              sendFailure(out, "Neo.ClientError.Security.Unauthorized",
+                "invalid credentials")
+              false
+          }
           case (Some(_), None) => true // await LOGON; RUN stays gated
         }
       while (open) {
@@ -135,20 +146,26 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
                     // CypherWrite against the store (statement-autocommit,
                     // server.go:1376 routes RUN to the same executor the
                     // write paths use) — read-only servers refuse them
-                    val df = query match {
-                      case BoltServer.writeRe(_*) =>
-                        val s = store.getOrElse(throw new IllegalArgumentException(
-                          "write statements need a store-backed Bolt server"))
-                        graft.cypher.CypherWrite.execute(s, query,
-                          params.toMap).returned.getOrElse(
-                          s.snapshot.nodes.sparkSession.emptyDataFrame)
-                      case _ => graft.cypher.Cypher.run(graph(), query, params)
+                    val isWrite = BoltServer.isWriteStatement(query)
+                    if (isWrite && !role.exists(
+                        ServerAuth.can(_, ServerAuth.Permission.Write))) {
+                      failed = true
+                      sendFailure(out, "Neo.ClientError.Security.Forbidden",
+                        "Write permission required")
+                    } else {
+                      val df =
+                        if (isWrite && store.isDefined) {
+                          val s = store.get
+                          graft.cypher.CypherWrite.execute(s, query,
+                            params.toMap).returned.getOrElse(
+                            s.snapshot.nodes.sparkSession.emptyDataFrame)
+                        } else graft.cypher.Cypher.run(graph(), query, params)
+                      val cols = df.columns.toSeq
+                      val rows = df.collect().toSeq
+                      lastResult = Some((cols, rows))
+                      resultIndex = 0
+                      sendSuccess(out, Map("fields" -> cols, "t_first" -> 0L))
                     }
-                    val cols = df.columns.toSeq
-                    val rows = df.collect().toSeq
-                    lastResult = Some((cols, rows))
-                    resultIndex = 0
-                    sendSuccess(out, Map("fields" -> cols, "t_first" -> 0L))
                   } catch {
                     case e: Exception =>
                       failed = true
@@ -280,10 +297,33 @@ object BoltServer {
   private[sources] val writeRe =
     """(?is).*\b(CREATE|MERGE|DELETE|REMOVE)\b.*|(?is).*\bSET\s.*""".r
 
+  /** True when the statement carries a write clause. Quoted string
+    * literals are blanked first so a keyword *inside a value* (e.g.
+    * `WHERE n.name = 'SET x'`) never routes a read to the write path —
+    * and on a store-less server a keyword-in-literal read keeps working.
+    */
+  private[sources] def isWriteStatement(query: String): Boolean = {
+    val b = new StringBuilder(query.length)
+    var i = 0
+    var quote: Char = 0
+    while (i < query.length) {
+      val c = query.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && i + 1 < query.length) i += 1 // skip escaped char
+        else if (c == quote) { quote = 0; b.append(' ') }
+        // chars inside a literal are dropped
+      } else if (c == '\'' || c == '"') quote = c
+      else b.append(c)
+      i += 1
+    }
+    writeRe.pattern.matcher(b.toString).matches()
+  }
+
   /** Store-backed server: reads see the store's current snapshot, write
     * statements commit through [[graft.cypher.CypherWrite]].
     */
   def forStore(store: graft.graph.GraphStore, port: Int = 0,
-      token: Option[String] = None): BoltServer =
-    new BoltServer(() => store.snapshot, port, token, Some(store))
+      token: Option[String] = None,
+      rbac: Option[ServerAuth.Rbac] = None): BoltServer =
+    new BoltServer(() => store.snapshot, port, token, Some(store), rbac)
 }

@@ -39,7 +39,14 @@ import graft.graph.GraphStore
   * requests without `Authorization: Bearer <token>` get 401.
   */
 final class GraphQlServer(store: GraphStore, port: Int = 0,
-    maxRows: Int = 1000, token: Option[String] = None) {
+    maxRows: Int = 1000, token: Option[String] = None,
+    rbac: Option[ServerAuth.Rbac] = None) {
+
+  /** Per-operation RBAC (auth.go:183-188): queries need read, mutations
+    * write, clearAll admin. A bare `token` is an admin credential.
+    */
+  private val effectiveRbac: Option[ServerAuth.Rbac] =
+    rbac.orElse(ServerAuth.Rbac.legacy(token))
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -56,10 +63,12 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
 
   private def handle(ex: HttpExchange): Unit = {
     try {
-      if (!ServerAuth.bearerOk(ex, token)) {
-        respond(ex, 401,
-          """{"errors":[{"message":"unauthorized: bearer token required"}]}""")
-        return
+      val role = ServerAuth.roleOf(ex, effectiveRbac) match {
+        case Some(r) => r
+        case None =>
+          respond(ex, 401,
+            """{"errors":[{"message":"unauthorized: bearer token required"}]}""")
+          return
       }
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       // {"query","variables","operationName"} envelope, or a raw document
@@ -74,12 +83,17 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
           case _ => (body, Map.empty[String, Any], None)
         }
       val out =
-        try execute(doc, vars, opName)
+        try Right(execute(doc, vars, opName, role))
         catch {
+          case f: GraphQlServer.Forbidden => Left(f.getMessage)
           case e: Exception =>
-            s"""{"errors":[{"message":${jstr(Option(e.getMessage).getOrElse(e.toString))}}]}"""
+            Right(s"""{"errors":[{"message":${jstr(Option(e.getMessage).getOrElse(e.toString))}}]}""")
         }
-      respond(ex, 200, out)
+      out match {
+        case Right(body) => respond(ex, 200, body)
+        case Left(msg) =>
+          respond(ex, 403, s"""{"errors":[{"message":${jstr(msg)}}]}""")
+      }
     } catch {
       case e: Exception =>
         respond(ex, 400, s"""{"errors":[{"message":${jstr(
@@ -153,7 +167,25 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
           i += 1
           val b = new StringBuilder
           while (peek != '"') {
-            if (peek == '\\') { i += 1; b.append(s.charAt(i)); i += 1 }
+            if (peek == '\\') {
+              i += 1
+              s.charAt(i) match {
+                case '"'  => b.append('"'); i += 1
+                case '\\' => b.append('\\'); i += 1
+                case '/'  => b.append('/'); i += 1
+                case 'n'  => b.append('\n'); i += 1
+                case 't'  => b.append('\t'); i += 1
+                case 'r'  => b.append('\r'); i += 1
+                case 'b'  => b.append('\b'); i += 1
+                case 'f'  => b.append('\f'); i += 1
+                case 'u'  =>
+                  require(i + 4 < s.length, "truncated \\u escape in string literal")
+                  val hex = s.substring(i + 1, i + 5)
+                  b.append(Integer.parseInt(hex, 16).toChar)
+                  i += 5
+                case c    => throw new IllegalArgumentException(s"unknown escape \\$c in string literal")
+              }
+            }
             else { b.append(s.charAt(i)); i += 1 }
           }
           i += 1
@@ -318,7 +350,8 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
   // ====================================================== execution ======
 
   private def execute(doc: String, provided: Map[String, Any],
-      opName: Option[String]): String = {
+      opName: Option[String],
+      role: ServerAuth.Role = ServerAuth.Role.Admin): String = {
     val d = new P(doc).document()
     require(d.ops.nonEmpty, "no operation in document")
     val op = opName match {
@@ -331,6 +364,17 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
     val vars = coerceVars(op.varDefs, provided) ++
       provided.filterNot(kv => op.varDefs.exists(_.name == kv._1))
     val sels = expand(op.sels, d.fragments, vars)
+    // RBAC (server_db.go:656 shape): reads need `read`, mutations `write`,
+    // destructive maintenance (clearAll) `admin`
+    import ServerAuth.{can, Permission => P}
+    if (op.kind == "mutation") {
+      sels.foreach { sel =>
+        val needed = if (sel.name == "clearAll") P.Admin else P.Write
+        if (!can(role, needed)) throw new GraphQlServer.Forbidden(
+          s"forbidden: ${needed.name} permission required for ${sel.name}")
+      }
+    } else if (!can(role, P.Read))
+      throw new GraphQlServer.Forbidden("forbidden: read permission required")
     val resolver: Sel => String =
       if (op.kind == "mutation") resolveMutation else resolve
     val fields = sels.map(sel => s""""${sel.outName}":${resolver(sel)}""")
@@ -635,6 +679,7 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
       case Some(xs: Seq[_]) if xs.nonEmpty => xs.map(_.toString)
       case _ => throw new IllegalArgumentException("createNode needs labels")
     }
+    labels.foreach(l => require(identRe.pattern.matcher(l).matches(), s"invalid label: $l"))
     val props0 = propsOf(in, "properties")
     val key = props0.get("key").map(_.toString)
       .orElse(in.get("id").map(_.toString.split(":", 2).last))
@@ -682,6 +727,7 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
       case "mergeNode" =>
         val labels = strList(sel, "labels")
         require(labels.nonEmpty, "mergeNode needs labels")
+        labels.foreach(l => require(identRe.pattern.matcher(l).matches(), s"invalid label: $l"))
         val matchProps = sel.args.get("matchProperties") match {
           case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
           case _ => throw new IllegalArgumentException("mergeNode needs matchProperties")
@@ -895,4 +941,9 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
     ex.getResponseBody.write(bytes)
     ex.close()
   }
+}
+
+object GraphQlServer {
+  /** Authenticated but lacking the operation's permission → HTTP 403. */
+  final class Forbidden(msg: String) extends RuntimeException(msg)
 }

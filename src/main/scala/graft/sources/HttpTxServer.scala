@@ -25,7 +25,15 @@ import graft.graph.GraphStore
   * (ResultJson's contract). JDK built-in HttpServer: zero dependencies.
   */
 final class HttpTxServer(store: GraphStore, port: Int = 0,
-    maxRows: Int = 10000, token: Option[String] = None) {
+    maxRows: Int = 10000, token: Option[String] = None,
+    rbac: Option[ServerAuth.Rbac] = None) {
+
+  /** Per-statement RBAC: write statements need `write`
+    * (server_db.go:654-663 → Neo.ClientError.Security.Forbidden in the
+    * body). A bare `token` is an admin credential.
+    */
+  private val effectiveRbac: Option[ServerAuth.Rbac] =
+    rbac.orElse(ServerAuth.Rbac.legacy(token))
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -40,15 +48,14 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
 
   def stop(): Unit = server.stop(0)
 
-  private val writeRe =
-    """(?is).*\b(CREATE|MERGE|DELETE|REMOVE)\b.*|(?is).*\bSET\s.*""".r
-
   private def handle(ex: HttpExchange): Unit = {
     try {
-      if (!ServerAuth.bearerOk(ex, token)) {
-        respond(ex, 401,
-          """{"results":[],"errors":[{"code":"Neo.ClientError.Security.Unauthorized","message":"bearer token required"}]}""")
-        return
+      val role = ServerAuth.roleOf(ex, effectiveRbac) match {
+        case Some(r) => r
+        case None =>
+          respond(ex, 401,
+            """{"results":[],"errors":[{"code":"Neo.ClientError.Security.Unauthorized","message":"bearer token required"}]}""")
+          return
       }
       val path = ex.getRequestURI.getPath
       if (ex.getRequestMethod != "POST" || !path.endsWith("/tx/commit")) {
@@ -62,14 +69,29 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
       val errors = new StringBuilder
       statements.foreach { case (stmt, params) =>
         try {
-          val df = stmt match {
-            case writeRe(_*) =>
-              CypherWrite.execute(store, stmt, params).returned
-                .getOrElse(store.snapshot.nodes.sparkSession.emptyDataFrame)
-            case _ => Cypher.run(store.snapshot, stmt, params)
+          // literal-safe write sniff (shared with the Bolt loop); schema
+          // DDL is admin-territory (PermSchema — editors hold only
+          // read/write/create/delete, auth.go:183-188)
+          val isWrite = BoltServer.isWriteStatement(stmt)
+          val isDdl = HttpTxServer.ddlRe.pattern.matcher(stmt).matches()
+          val missing =
+            if (isDdl && !ServerAuth.can(role, ServerAuth.Permission.Schema))
+              Some("Schema permission required")
+            else if (isWrite && !ServerAuth.can(role, ServerAuth.Permission.Write))
+              Some("Write permission required")
+            else None
+          if (missing.isDefined) {
+            if (errors.nonEmpty) errors.append(",")
+            errors.append(s"""{"code":"Neo.ClientError.Security.Forbidden","message":"${missing.get}"}""")
+          } else {
+            val df =
+              if (isWrite)
+                CypherWrite.execute(store, stmt, params).returned
+                  .getOrElse(store.snapshot.nodes.sparkSession.emptyDataFrame)
+              else Cypher.run(store.snapshot, stmt, params)
+            if (results.nonEmpty) results.append(",")
+            results.append(ResultJson.resultObject(df, maxRows))
           }
-          if (results.nonEmpty) results.append(",")
-          results.append(ResultJson.resultObject(df, maxRows))
         } catch {
           case e: Exception =>
             if (errors.nonEmpty) errors.append(",")
@@ -154,4 +176,12 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
     }
     b.toString
   }
+}
+
+object HttpTxServer {
+  /** Schema DDL: index/constraint/database management statements — admin
+    * territory (PermSchema, auth.go:183-188).
+    */
+  private[sources] val ddlRe =
+    """(?is)\s*(CREATE|DROP)\s+(INDEX|CONSTRAINT|FULLTEXT|VECTOR|TEXT|DATABASE|ALIAS|COMPOSITE)\b.*""".r
 }

@@ -31,11 +31,28 @@ import graft.graph.GraphStore
   *
   * Tool-call results follow the MCP content shape
   * `{"content":[{"type":"text","text":<json>}], "isError":…}`
-  * (server.go:395-405). The reference's task/tasks tools are a task-
-  * manager layer over the same store — out of engine scope.
+  * (server.go:395-405).
+  *
+  * Task tools (server.go:784-1022, tools.go:277-345):
+  *   - `task(id?, title, description, status, priority, depends_on,
+  *     assign, complete, delete)` — Task nodes with a status lifecycle.
+  *     An id without a status auto-toggles pending→active→completed;
+  *     `complete:true` is shorthand for status=completed; `delete:true`
+  *     removes the task. `depends_on` creates DEPENDS_ON edges.
+  *   - `tasks(status, priority, assigned_to, unblocked_only, limit)` —
+  *     filtered listing + stats; `unblocked_only` excludes tasks with an
+  *     incomplete dependency (the reference's NOT EXISTS over DEPENDS_ON,
+  *     server.go:963-969 — here an anti-join, so it stays distributed).
+  *
+  * RBAC (mcp/auth.go:104-141): viewers may recall/discover/tasks; store/
+  * link/task need write. A bare `token` is an admin credential.
   */
 final class McpServer(store: GraphStore, port: Int = 0,
-    token: Option[String] = None) {
+    token: Option[String] = None,
+    rbac: Option[ServerAuth.Rbac] = None) {
+
+  private val effectiveRbac: Option[ServerAuth.Rbac] =
+    rbac.orElse(ServerAuth.Rbac.legacy(token))
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -52,16 +69,34 @@ final class McpServer(store: GraphStore, port: Int = 0,
 
   private def spark = store.snapshot.nodes.sparkSession
 
-  val toolNames = Seq("store", "recall", "discover", "link")
+  val toolNames = Seq("store", "recall", "discover", "link", "task", "tasks")
+
+  /** ToolPermissions (mcp/auth.go:133-141) folded onto the core roles:
+    * mutating tools need write, listings read.
+    */
+  private val toolPerms: Map[String, ServerAuth.Permission] = Map(
+    "store" -> ServerAuth.Permission.Write,
+    "link" -> ServerAuth.Permission.Write,
+    "task" -> ServerAuth.Permission.Write,
+    "recall" -> ServerAuth.Permission.Read,
+    "discover" -> ServerAuth.Permission.Read,
+    "tasks" -> ServerAuth.Permission.Read)
 
   // ======================================================== dispatch =====
 
   private def handle(ex: HttpExchange): Unit = {
     try {
-      if (!ServerAuth.bearerOk(ex, token)) {
-        respond(ex, 401,
-          """{"jsonrpc":"2.0","id":null,"error":{"code":-32001,"message":"unauthorized: bearer token required"}}""")
-        return
+      val role = ServerAuth.roleOf(ex, effectiveRbac) match {
+        case Some(r) => r
+        case None =>
+          respond(ex, 401,
+            """{"jsonrpc":"2.0","id":null,"error":{"code":-32001,"message":"unauthorized: bearer token required"}}""")
+          return
+      }
+      def denied(name: String): Option[String] = {
+        val needed = toolPerms.getOrElse(name, ServerAuth.Permission.Write)
+        if (ServerAuth.can(role, needed)) None
+        else Some(s"forbidden: $name requires ${needed.name} permission")
       }
       val path = ex.getRequestURI.getPath
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -70,7 +105,11 @@ final class McpServer(store: GraphStore, port: Int = 0,
           respond(ex, 200, toolsJson)
         case "/mcp/tools/call" =>
           // REST alias: {"name": ..., "arguments": {...}}
-          respond(ex, 200, callTool(strField(body, "name").getOrElse(""), body))
+          val name = strField(body, "name").getOrElse("")
+          denied(name) match {
+            case Some(msg) => respond(ex, 403, s"""{"error":${jstr(msg)}}""")
+            case None => respond(ex, 200, callTool(name, body))
+          }
         case _ => // JSON-RPC 2.0
           val id = rawField(body, "id").getOrElse("null")
           strField(body, "method") match {
@@ -81,7 +120,11 @@ final class McpServer(store: GraphStore, port: Int = 0,
               respond(ex, 200, rpcResult(id, toolsJson))
             case Some("tools/call") =>
               val name = strField(body, "name").getOrElse("")
-              respond(ex, 200, rpcResult(id, callTool(name, body)))
+              denied(name) match {
+                case Some(msg) => respond(ex, 403,
+                  s"""{"jsonrpc":"2.0","id":$id,"error":{"code":-32002,"message":${jstr(msg)}}}""")
+                case None => respond(ex, 200, rpcResult(id, callTool(name, body)))
+              }
             case Some(other) =>
               respond(ex, 200,
                 s"""{"jsonrpc":"2.0","id":$id,"error":{"code":-32601,"message":${jstr(s"unknown method $other")}}}""")
@@ -108,7 +151,11 @@ final class McpServer(store: GraphStore, port: Int = 0,
       ("discover", "Semantic similarity search over stored content.",
         """{"type":"object","properties":{"query":{"type":"string"},"limit":{"type":"integer","default":10}},"required":["query"]}"""),
       ("link", "Create a relationship between two stored nodes.",
-        """{"type":"object","properties":{"from":{"type":"string"},"to":{"type":"string"},"type":{"type":"string","default":"RELATES_TO"}},"required":["from","to"]}"""))
+        """{"type":"object","properties":{"from":{"type":"string"},"to":{"type":"string"},"type":{"type":"string","default":"RELATES_TO"}},"required":["from","to"]}"""),
+      ("task", "Create or manage a task (status lifecycle pending/active/completed/blocked; auto-toggle, complete and delete shorthands).",
+        """{"type":"object","properties":{"id":{"type":"string"},"title":{"type":"string"},"description":{"type":"string"},"status":{"type":"string","enum":["pending","active","done","completed","blocked"]},"priority":{"type":"string","enum":["low","medium","high","critical"],"default":"medium"},"depends_on":{"type":"array","items":{"type":"string"}},"assign":{"type":"string"},"complete":{"type":"boolean"},"delete":{"type":"boolean"}},"required":[]}"""),
+      ("tasks", "List or query tasks with filtering (status/priority/assignee, unblocked_only) plus stats.",
+        """{"type":"object","properties":{"status":{"type":"array","items":{"type":"string"}},"priority":{"type":"array","items":{"type":"string"}},"assigned_to":{"type":"string"},"unblocked_only":{"type":"boolean","default":false},"limit":{"type":"integer","default":20,"minimum":1,"maximum":100}},"required":[]}"""))
     val objs = tools.map { case (n, d, schema) =>
       s"""{"name":"$n","description":${jstr(d)},"inputSchema":$schema}"""
     }
@@ -122,6 +169,8 @@ final class McpServer(store: GraphStore, port: Int = 0,
         case "recall" => recallTool(body)
         case "discover" => discoverTool(body)
         case "link" => linkTool(body)
+        case "task" => taskTool(body)
+        case "tasks" => tasksTool(body)
         case other => throw new IllegalArgumentException(s"unknown tool $other")
       }
       s"""{"content":[{"type":"text","text":${jstr(json)}}],"isError":false}"""
@@ -226,6 +275,140 @@ final class McpServer(store: GraphStore, port: Int = 0,
     s"""{"from":"$from","to":"$to","type":"$relType","created":true}"""
   }
 
+  /** `task` (server.go:784-923): create / update / auto-toggle / complete
+    * / delete a Task node. Ids are title-hash deterministic (no
+    * wall-clock), statuses canonicalize "done"→"completed" (the handler's
+    * stored form, server.go:811).
+    */
+  private def taskTool(body: String): String = {
+    val id = strField(body, "id")
+    val title = strField(body, "title")
+    val description = strField(body, "description")
+    val status0 = strField(body, "status").map(canonStatus)
+    val priority = strField(body, "priority")
+    val assign = strField(body, "assign")
+    val dependsOn = strArray(body, "depends_on")
+    val complete = boolField(body, "complete").getOrElse(false)
+    val del = boolField(body, "delete").getOrElse(false)
+
+    id match {
+      case Some(tid) =>
+        val existing = store.snapshot.nodes.filter(col("id") === tid)
+        val row = existing.select(col("id"),
+          element_at(col("properties"), "status").as("status")).limit(1).collect()
+        require(row.nonEmpty, s"task not found: $tid")
+        if (del) {
+          store.deleteNodes(existing.select("id"), detach = true)
+          s"""{"id":${jstr(tid)},"deleted":true}"""
+        } else {
+          val current = Option(row.head.getString(1)).getOrElse("pending")
+          // auto-toggle when no explicit status: pending→active→completed
+          val newStatus =
+            if (complete) Some("completed")
+            else status0.orElse(current match {
+              case "pending" | "" => Some("active")
+              case "active" => Some("completed")
+              case _ => None
+            })
+          val ids = existing.select("id")
+          newStatus.foreach(s => store.setNodeProperty(ids, "status", lit(s)))
+          title.foreach(t => store.setNodeProperty(ids, "title", lit(t)))
+          description.foreach(d =>
+            store.setNodeProperty(ids, "description", lit(d)))
+          priority.foreach(p => store.setNodeProperty(ids, "priority", lit(p)))
+          assign.foreach(a => store.setNodeProperty(ids, "assigned_to", lit(a)))
+          s"""{"task":{"id":${jstr(tid)},"status":${jstr(
+            newStatus.getOrElse(current))}}}"""
+        }
+      case None =>
+        val t = title.getOrElse(
+          throw new IllegalArgumentException("title is required for new tasks"))
+        val st = if (complete) "completed" else status0.getOrElse("pending")
+        val pr = priority.getOrElse("medium")
+        val key = PackStream.hashStringToInt64(t)
+        val tid = s"Task:$key"
+        val props = Map("key" -> key.toString, "title" -> t, "status" -> st,
+          "priority" -> pr) ++
+          description.map("description" -> _) ++ assign.map("assigned_to" -> _)
+        val base: Map[String, Any] = Map("id" -> tid,
+          "labels" -> Seq("Task"), "properties" -> props)
+        val row = Row.fromSeq(nodeSchema.fields.toSeq.map { f =>
+          base.get(f.name).getOrElse(f.name match {
+            case "key" => key
+            case "name" => t
+            case _ => null
+          })
+        })
+        store.createNodes(spark.createDataFrame(
+          java.util.Collections.singletonList(row), nodeSchema))
+        if (dependsOn.nonEmpty) {
+          val es = store.snapshot.edges.schema
+          val rows = dependsOn.map { dep =>
+            val b: Map[String, Any] = Map(
+              "id" -> s"DEPENDS_ON|$tid|$dep", "src" -> tid, "dst" -> dep,
+              "rel_type" -> "DEPENDS_ON", "weight" -> 1.0,
+              "properties" -> Map.empty[String, String])
+            Row.fromSeq(es.fields.toSeq.map(f => b.get(f.name).orNull))
+          }
+          import scala.jdk.CollectionConverters._
+          store.createEdges(spark.createDataFrame(rows.asJava, es))
+        }
+        s"""{"task":{"id":${jstr(tid)},"title":${jstr(t)},"status":${jstr(
+          st)},"priority":${jstr(pr)}},"next_action":"Task created. Consider adding dependencies or subtasks."}"""
+    }
+  }
+
+  /** `tasks` (server.go:925-1022): filtered listing + stats. The
+    * unblocked filter is an anti-join against DEPENDS_ON edges whose
+    * target isn't completed — the distributed form of the reference's
+    * NOT EXISTS subquery (server.go:963-969).
+    */
+  private def tasksTool(body: String): String = {
+    val statuses = strArray(body, "status").map(canonStatus)
+    val priorities = strArray(body, "priority")
+    val assigned = strField(body, "assigned_to")
+    val unblockedOnly = boolField(body, "unblocked_only").getOrElse(false)
+    val limit = intField(body, "limit").getOrElse(20)
+    val all = store.snapshot.nodes
+      .filter(array_contains(col("labels"), "Task"))
+      .select(col("id"),
+        coalesce(element_at(col("properties"), "title"), col("name")).as("title"),
+        coalesce(element_at(col("properties"), "status"), lit("pending")).as("status"),
+        coalesce(element_at(col("properties"), "priority"), lit("medium")).as("priority"),
+        element_at(col("properties"), "assigned_to").as("assigned_to"))
+    var df = all
+    if (statuses.nonEmpty) df = df.filter(col("status").isin(statuses: _*))
+    if (priorities.nonEmpty) df = df.filter(col("priority").isin(priorities: _*))
+    assigned.foreach(a => df = df.filter(col("assigned_to") === a))
+    if (unblockedOnly)
+      df = df.join(graft.operators.TaskOps.blockedIds(
+        all.select("id", "status"),
+        store.snapshot.edges.filter(col("rel_type") === "DEPENDS_ON")
+          .select("src", "dst")), Seq("id"), "left_anti")
+    val prioRank = when(col("priority") === "critical", 0)
+      .when(col("priority") === "high", 1)
+      .when(col("priority") === "medium", 2).otherwise(3)
+    val rows = df.orderBy(prioRank.asc, col("id").asc).limit(limit).collect()
+    val byStatus = all.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byPriority = all.groupBy("priority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def statObj(m: Map[String, Long], keys: Seq[String]): String =
+      s"{${keys.map(k => s""""$k":${m.getOrElse(k, 0L)}""").mkString(",")}}"
+    val taskArr = rows.map { r =>
+      s"""{"id":${jstr(r.getString(0))},"title":${jstr(
+        Option(r.getString(1)).getOrElse(""))},"status":${jstr(
+        r.getString(2))},"priority":${jstr(r.getString(3))},"assigned_to":${
+        Option(r.getString(4)).map(jstr).getOrElse("null")}}"""
+    }.mkString(",")
+    s"""{"tasks":[$taskArr],"stats":{"total":${byStatus.values.sum},"by_status":${
+      statObj(byStatus, Seq("pending", "active", "completed", "blocked"))},"by_priority":${
+      statObj(byPriority, Seq("critical", "high", "medium", "low"))}}}"""
+  }
+
+  private def canonStatus(s: String): String =
+    if (s == "done") "completed" else s
+
   // ================================================== tiny JSON lite =====
 
   private def jstr(s: String): String =
@@ -246,6 +429,10 @@ final class McpServer(store: GraphStore, port: Int = 0,
   private def intField(body: String, key: String): Option[Int] =
     ("\"" + key + "\"\\s*:\\s*(-?[0-9]+)").r
       .findFirstMatchIn(body).map(_.group(1).toInt)
+
+  private def boolField(body: String, key: String): Option[Boolean] =
+    ("\"" + key + "\"\\s*:\\s*(true|false)").r
+      .findFirstMatchIn(body).map(_.group(1).toBoolean)
 
   private def strArray(body: String, key: String): Seq[String] =
     ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r

@@ -54,7 +54,17 @@ import graft.search.QdrantPoints.Filter
 final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
     embCol: String = "embedding", port: Int = 0, token: Option[String] = None,
     collectionName: String = "embeddings",
-    store: Option[graft.graph.GraphStore] = None) {
+    store: Option[graft.graph.GraphStore] = None,
+    rbac: Option[ServerAuth.Rbac] = None) {
+
+  /** Per-method RBAC (qdrantgrpc/server.go:557-601
+    * defaultMethodPermissions): searches/reads need `read`, point
+    * mutations `write`/`delete`, collection DDL `create`/`delete`,
+    * snapshots `admin`. Missing permission → grpc-status 7
+    * PERMISSION_DENIED. A bare `token` is an admin credential.
+    */
+  private val effectiveRbac: Option[ServerAuth.Rbac] =
+    rbac.orElse(ServerAuth.Rbac.legacy(token))
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -86,12 +96,45 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
     * 13 INTERNAL, 16 UNAUTHENTICATED. */
   private final class GrpcError(val code: Int, msg: String) extends RuntimeException(msg)
 
+  /** defaultMethodPermissions (qdrantgrpc/server.go:557-601). */
+  private val methodPerms: Map[String, ServerAuth.Permission] = {
+    import ServerAuth.Permission._
+    Map(
+      "Points/Search" -> Read, "Points/SearchBatch" -> Read,
+      "Points/SearchGroups" -> Read, "Points/Scroll" -> Read,
+      "Points/Get" -> Read, "Points/Count" -> Read,
+      "Points/Recommend" -> Read, "Points/Query" -> Read,
+      "Points/QueryBatch" -> Read,
+      "Points/Upsert" -> Write, "Points/UpdateVectors" -> Write,
+      "Points/DeleteVectors" -> Write, "Points/SetPayload" -> Write,
+      "Points/OverwritePayload" -> Write, "Points/DeletePayload" -> Write,
+      "Points/ClearPayload" -> Write,
+      "Points/Delete" -> Delete,
+      "Points/CreateFieldIndex" -> Create, "Points/DeleteFieldIndex" -> Create,
+      "Collections/Create" -> Create, "Collections/Update" -> Create,
+      "Collections/Delete" -> Delete,
+      "Collections/Get" -> Read, "Collections/List" -> Read,
+      "Collections/CollectionExists" -> Read,
+      "Snapshots/Create" -> Admin, "Snapshots/List" -> Admin,
+      "Snapshots/Delete" -> Admin)
+  }
+
   private def handle(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
     try {
-      if (!ServerAuth.bearerOk(ex, token)) {
-        respondTrailersOnly(ex, 16, "unauthenticated: bearer token required")
-        return
+      val role = ServerAuth.roleOf(ex, effectiveRbac) match {
+        case Some(r) => r
+        case None =>
+          respondTrailersOnly(ex, 16, "unauthenticated: bearer token required")
+          return
+      }
+      val methodName = path.stripPrefix("/qdrant.")
+      methodPerms.get(methodName).foreach { needed =>
+        if (!ServerAuth.can(role, needed)) {
+          respondTrailersOnly(ex, 7,
+            s"permission denied: $methodName requires ${needed.name}")
+          return
+        }
       }
       val body = ex.getRequestBody.readAllBytes()
       val req = Protobuf.grpcFrames(body).collectFirst {
@@ -322,20 +365,30 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
     require(subs.nonEmpty, "search_points is required")
     val vecs = subs.map(s => vectorOf(s, 2))
     require(vecs.forall(_.nonEmpty), "every search needs a vector")
-    // the engine scores the whole batch in ONE scan; per-sub limits vary,
-    // so fetch the max and trim per sub-request
-    val limits = subs.map(s =>
-      Protobuf.find(s, 4).map(_.num.toInt).filter(_ > 0).getOrElse(10))
-    val rows = QdrantPoints.searchBatch(pts, idCol, embCol, vecs, limits.max)
-      .collect().groupBy(_.getInt(0))
     val resp = Protobuf.w()
-    subs.indices.foreach { qi =>
-      val batch = Protobuf.w()
-      val hits = rows.getOrElse(qi, Array.empty).sortBy(-_.getDouble(2))
-        .take(limits(qi)).toSeq
-        .map(r => Row(r.get(1), r.getDouble(2)))
-      scoredPoints(batch, hits, Map.empty)
-      resp.msg(1, batch)
+    // each SearchPoints sub-message is the SAME shape as single Search;
+    // the reference delegates every sub-search to full Search
+    // (points_service.go:697-726). Subs carrying filter/threshold/offset/
+    // payload take that exact path; the plain vector+limit case keeps the
+    // one-scan batched scoring (the scale-correct inversion of the loop).
+    val plain = subs.forall(s =>
+      Seq(3, 6, 8, 9).forall(no => Protobuf.find(s, no).isEmpty))
+    if (plain) {
+      val limits = subs.map(s =>
+        Protobuf.find(s, 4).map(_.num.toInt).filter(_ > 0).getOrElse(10))
+      val rows = QdrantPoints.searchBatch(pts, idCol, embCol, vecs, limits.max)
+        .collect().groupBy(_.getInt(0))
+      subs.indices.foreach { qi =>
+        val batch = Protobuf.w()
+        val hits = rows.getOrElse(qi, Array.empty).sortBy(-_.getDouble(2))
+          .take(limits(qi)).toSeq
+          .map(r => Row(r.get(1), r.getDouble(2)))
+        scoredPoints(batch, hits, Map.empty)
+        resp.msg(1, batch)
+      }
+    } else subs.zip(vecs).foreach { case (s, vec) =>
+      resp.msg(1, searchHitsMsg(pts, s, vec, limitNo = 4, filterNo = 3,
+        thresholdNo = 8, offsetNo = 9, payloadNo = 6))
     }
     resp.double(2, secs)
   }

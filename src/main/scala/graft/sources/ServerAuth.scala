@@ -1,15 +1,165 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
 import com.sun.net.httpserver.HttpExchange
 
-/** Shared bearer-token gate for the HTTP-based server loops (HTTP-tx, MCP,
-  * GraphQL) — the minimal counterpart of the reference's token check
-  * (`/root/reference/pkg/auth/auth.go`: every request must present a valid
-  * token; the reference refuses unauthenticated connections by default).
-  * `token = None` leaves the endpoint open (dev mode), matching the
-  * reference's `--auth-disabled` escape hatch.
+/** Authentication + role-based authorization shared by the server loops
+  * (HTTP-tx, MCP, GraphQL, Qdrant-gRPC, Bolt) — the counterpart of the
+  * reference's auth package (`/root/reference/pkg/auth/auth.go:154-226`):
+  * four roles (admin/editor/viewer/none), seven permissions, token→role
+  * resolution from static API tokens or HS256 JWTs, constant-time
+  * credential comparison.
+  *
+  * Semantics mirror the reference:
+  *  - no/invalid credentials → UNAUTHENTICATED (HTTP 401 / grpc 16 / Bolt
+  *    `Security.Unauthorized`);
+  *  - valid credentials lacking the operation's permission → FORBIDDEN
+  *    (HTTP 403 / grpc 7 / Bolt `Security.Forbidden`, server_db.go:656);
+  *  - no auth configured → open dev mode (`--auth-disabled` escape hatch).
   */
 object ServerAuth {
+
+  /** auth.go:158-166 — predefined roles. */
+  sealed abstract class Role(val name: String)
+  object Role {
+    case object Admin extends Role("admin")
+    case object Editor extends Role("editor")
+    case object Viewer extends Role("viewer")
+    case object NoAccess extends Role("none")
+    val all: Seq[Role] = Seq(Admin, Editor, Viewer, NoAccess)
+    def parse(s: String): Option[Role] = all.find(_.name == s.trim.toLowerCase)
+  }
+
+  /** auth.go:169-179 — Neo4j-compatible actions. */
+  sealed abstract class Permission(val name: String)
+  object Permission {
+    case object Read extends Permission("read")
+    case object Write extends Permission("write")
+    case object Create extends Permission("create")
+    case object Delete extends Permission("delete")
+    case object Admin extends Permission("admin")
+    case object Schema extends Permission("schema")
+    case object UserManage extends Permission("user_manage")
+  }
+
+  /** auth.go:183-188 — RolePermissions. */
+  val rolePermissions: Map[Role, Set[Permission]] = {
+    import Permission._
+    Map(
+      Role.Admin -> Set(Read, Write, Create, Delete, Admin, Schema, UserManage),
+      Role.Editor -> Set[Permission](Read, Write, Create, Delete),
+      Role.Viewer -> Set[Permission](Read),
+      Role.NoAccess -> Set.empty[Permission])
+  }
+
+  def can(role: Role, p: Permission): Boolean = rolePermissions(role).contains(p)
+
+  /** Token→role RBAC config. Static API tokens map directly to a role;
+    * when `jwtSecret` is set, HS256 JWTs with a `roles` claim are also
+    * accepted (auth.go JWT validation — signature, exp, roles).
+    */
+  final case class Rbac(tokens: Map[String, Role],
+      jwtSecret: Option[Array[Byte]] = None) {
+
+    /** Resolve a presented credential to a role; None = unauthenticated.
+      * Every static token is compared (constant-time, no early exit on
+      * the match) so timing doesn't leak which token prefix matched.
+      */
+    def resolve(cred: Option[String]): Option[Role] = cred.flatMap { c =>
+      var found: Option[Role] = None
+      tokens.foreach { case (t, r) =>
+        if (constantTimeEq(c, t)) found = Some(r)
+      }
+      found.orElse(jwtSecret.flatMap(validateJwt(_, c)))
+    }
+  }
+  object Rbac {
+    /** Back-compat: a bare server token is an admin credential. */
+    def legacy(token: Option[String]): Option[Rbac] =
+      token.map(t => Rbac(Map(t -> Role.Admin)))
+  }
+
+  /** Strongest role wins when a JWT carries several (auth.go users may
+    * hold multiple roles; permissions are the union).
+    */
+  private def strongest(roles: Seq[Role]): Role =
+    Seq(Role.Admin, Role.Editor, Role.Viewer).find(roles.contains)
+      .getOrElse(Role.NoAccess)
+
+  private val b64url = Base64.getUrlEncoder.withoutPadding
+  private val b64urlDec = Base64.getUrlDecoder
+
+  private def hs256(secret: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(secret, "HmacSHA256"))
+    mac.doFinal(data)
+  }
+
+  /** Mint an HS256 JWT with `sub` + `roles` claims (auth.go token shape).
+    * `expEpochSec <= 0` means no expiry (the reference omits `exp` for
+    * never-expiring tokens).
+    */
+  def mintJwt(secret: Array[Byte], username: String, roles: Seq[Role],
+      expEpochSec: Long = 0L): String = {
+    val header = b64url.encodeToString(
+      """{"alg":"HS256","typ":"JWT"}""".getBytes(StandardCharsets.UTF_8))
+    val exp = if (expEpochSec > 0) s""","exp":$expEpochSec""" else ""
+    val payload = b64url.encodeToString(
+      (s"""{"sub":"$username","roles":[${roles.map(r => "\"" + r.name + "\"")
+        .mkString(",")}]$exp}""").getBytes(StandardCharsets.UTF_8))
+    val signed = s"$header.$payload"
+    val sig = b64url.encodeToString(
+      hs256(secret, signed.getBytes(StandardCharsets.UTF_8)))
+    s"$signed.$sig"
+  }
+
+  /** Validate an HS256 JWT: signature (constant-time), optional `exp`,
+    * then resolve the strongest of its `roles` claim.
+    */
+  def validateJwt(secret: Array[Byte], token: String): Option[Role] = {
+    val parts = token.split('.')
+    if (parts.length != 3) return None
+    try {
+      val expected = hs256(secret,
+        s"${parts(0)}.${parts(1)}".getBytes(StandardCharsets.UTF_8))
+      val given = b64urlDec.decode(parts(2))
+      if (!java.security.MessageDigest.isEqual(expected, given)) return None
+      val payload = new String(b64urlDec.decode(parts(1)), StandardCharsets.UTF_8)
+      graft.functions.JsonImpls.parse(payload).filter(_.isObject).flatMap { n =>
+        val expOk = !n.has("exp") ||
+          n.get("exp").asLong() > System.currentTimeMillis() / 1000
+        if (!expOk) None
+        else {
+          import scala.jdk.CollectionConverters._
+          val roles = Option(n.get("roles")).filter(_.isArray).toSeq
+            .flatMap(_.elements().asScala)
+            .flatMap(e => Role.parse(e.asText()))
+          Some(strongest(roles))
+        }
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Bearer credential from an HTTP exchange (Authorization header or
+    * X-API-Key, extractTokenFromMetadata in qdrantgrpc/server.go:613-636).
+    */
+  def credential(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer "))
+      .map(_.substring("Bearer ".length))
+      .orElse(Option(ex.getRequestHeaders.getFirst("X-API-Key")))
+
+  /** Resolve this request's role. `None` rbac = open dev mode → Admin.
+    * `Some(None)` from resolve = unauthenticated.
+    */
+  def roleOf(ex: HttpExchange, rbac: Option[Rbac]): Option[Role] =
+    rbac match {
+      case None => Some(Role.Admin)
+      case Some(r) => r.resolve(credential(ex))
+    }
+
   def bearerOk(ex: HttpExchange, token: Option[String]): Boolean =
     token.forall { t =>
       Option(ex.getRequestHeaders.getFirst("Authorization"))

@@ -523,4 +523,47 @@ class QdrantGrpcServerSpec extends AnyFunSuite {
       assert(trailerOf(ok).contains("grpc-status: 0"))
     } finally server.stop()
   }
+
+  test("SearchBatch honors per-sub filter/threshold/payload (full-Search delegation)") {
+    val pts = Tables.embeddings(spark, sf)
+    val server = new QdrantGrpcServer(() => pts).start()
+    try {
+      // sub 0: filter label==1; sub 1: plain but with score_threshold
+      val batch = call(server.boundPort, "SearchBatch", Protobuf.w()
+        .str(1, "embeddings")
+        .msg(2, Protobuf.w().str(1, "embeddings").packedFloats(2, qv)
+          .msg(3, mustIntEq("label", 1)).uint(4, 4)
+          .msg(6, Protobuf.w().bool(1, true)))
+        .msg(2, Protobuf.w().str(1, "embeddings").packedFloats(2, qv)
+          .uint(4, 4).float(8, 0.5f)))
+      assert(trailerOf(batch).contains("grpc-status: 0"))
+      val results = Protobuf.all(dataOf(batch), 1).map(_.msg)
+      assert(results.size == 2)
+
+      val filtered = QdrantPoints.search(pts, "vec_id", "embedding",
+        qv.map(_.toDouble), 4, Filter(must = Seq(col("label") === 1)))
+        .collect().map(_.getAs[Number](0).longValue()).toSeq
+      val thresholded = QdrantPoints.search(pts, "vec_id", "embedding",
+        qv.map(_.toDouble), 4, Filter(), minScore = Some(0.5))
+        .collect().map(r => (r.getAs[Number](0).longValue(), r.getDouble(1))).toSeq
+
+      val ids0 = Protobuf.all(results(0), 1).map(sp =>
+        Protobuf.find(Protobuf.find(sp.msg, 1).get.msg, 1).get.num)
+      assert(ids0 == filtered, s"filtered sub: $ids0 != $filtered")
+      // every hit of the filtered sub really has label==1 and carries payload
+      val label1 = pts.filter(col("label") === 1).select("vec_id")
+        .collect().map(_.getAs[Number](0).longValue()).toSet
+      assert(ids0.forall(label1.contains))
+      assert(Protobuf.all(results(0), 1).forall(sp =>
+        Protobuf.all(sp.msg, 2).nonEmpty)) // with_payload honored per sub
+
+      val hits1 = Protobuf.all(results(1), 1).map { sp =>
+        (Protobuf.find(Protobuf.find(sp.msg, 1).get.msg, 1).get.num,
+          Protobuf.find(sp.msg, 3).get.floatVal.toDouble)
+      }
+      assert(hits1.map(_._1) == thresholded.map(_._1),
+        s"threshold sub: $hits1 != $thresholded")
+      assert(hits1.forall(_._2 >= 0.5))
+    } finally server.stop()
+  }
 }
