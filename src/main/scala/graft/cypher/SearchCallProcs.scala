@@ -194,6 +194,76 @@ object SearchCallProcs {
     }
   }
 
+  /** [[defaultSearch]] with SearchHit diagnostics — the native
+    * NornicSearch gRPC service's engine (`pkg/nornicgrpc/
+    * search_service.go:58-121` + `search.go:855-887` fallback chain):
+    * hybrid RRF when the store has content embeddings (the embed-query
+    * hook rides the Embedder seam), BM25-only with
+    * `fallback_triggered` when it doesn't or when fusion comes back
+    * empty. Returns (hits, search_method, fallback, message); hit columns
+    * = (node, labels, properties, score, rrf_score, vector_rank,
+    * bm25_rank).
+    */
+  def searchTextDetailed(searchStore: GraphStore, query: String, k: Int,
+      labels: Seq[String] = Nil, minSimilarity: Option[Double] = None):
+      (DataFrame, String, Boolean, String) = {
+    val g = searchStore.snapshot
+    val lbl = if (labels.isEmpty) None else Some(labelIds(g, labels))
+    def bm = ftQuery(
+      SearchIndexes.FulltextIdx("__server_ft",
+        () => nodeTextDf(g, labels, Seq("name")), "id", "text", "NODE",
+        labels, Seq("name")),
+      query, 2 * k, "node", lbl.map(_.withColumnRenamed("_lid", "doc_id")))
+    def enrich(hits: DataFrame): DataFrame = {
+      // hoisted key/name columns fold back into the property map (the
+      // same overlay the GraphQL node renderer applies)
+      val props = coalesce(col("properties"),
+        expr("map()").cast("map<string,string>"))
+      val hoisted = map_filter(
+        map_from_arrays(array(lit("key"), lit("name")),
+          array(col("key").cast("string"), col("name").cast("string"))),
+        (k, v) => v.isNotNull && !array_contains(map_keys(props), k))
+      hits.join(g.nodes.select(col("id").as("node"), col("labels"),
+          col("properties"), col("key"), col("name")),
+          Seq("node"), "left_outer")
+        .select(col("node"),
+          coalesce(col("labels"), array().cast("array<string>")).as("labels"),
+          map_concat(props, hoisted).as("properties"), col("score"),
+          col("rrf_score"), col("vector_rank"), col("bm25_rank"))
+        .orderBy(col("score").desc, col("node").asc)
+    }
+    def textOnly: DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      enrich(bm.orderBy(col("score").desc, col("node").asc).limit(k)
+        .withColumn("rrf_score", lit(0.0))
+        .withColumn("vector_rank", lit(0))
+        .withColumn("bm25_rank", row_number().over(
+          Window.orderBy(col("score").desc, col("node").asc))))
+    }
+    val hasEmb = searchStore.nodeEmbeddings
+      .filter(col("name") === "embedding").limit(1).count() > 0
+    if (!hasEmb)
+      (textOnly, "fulltext", true,
+        "embeddings unavailable, BM25-only search")
+    else {
+      val qv = graft.functions.Embedder.current.embed(query)
+      val vs = vQuery(SearchIndexes.VectorIdx("__server_vec",
+        () => searchStore.nodeEmbeddings.filter(col("name") === "embedding")
+          .select(col("entity_id").as("id"), col("embedding")),
+        "id", "embedding", "NODE", "*", "embedding", qv.length),
+        2 * k, qv, "node", lbl, minSimilarity)
+        .withColumnRenamed("score", "cos_sim")
+      val fused = Hybrid.rrfDetailed(bm, vs, "node", "node", 2 * k, k)
+        .withColumnRenamed("id", "node")
+        .withColumnRenamed("rrf", "score")
+        .withColumn("rrf_score", col("score"))
+      if (fused.isEmpty)
+        (textOnly, "fulltext", true,
+          "RRF search returned no results, fell back to full-text")
+      else (enrich(fused), "rrf_hybrid", false, "")
+    }
+  }
+
   /** The GDS graph for linkPrediction/fastRP calls: the named projection
     * when `graphName` is configured, else the session graph.
     */
@@ -321,7 +391,10 @@ object SearchCallProcs {
     // Options: {labels, minScore} scope both legs (minScore thresholds the
     // vector leg, GetMinSimilarity semantics); {vectorWeight, bm25Weight}
     // override RRF weights; {adaptive: true} derives them from the query
-    // shape (GetAdaptiveRRFConfig, search.go:2081).
+    // shape (GetAdaptiveRRFConfig, search.go:2081); {mmrLambda < 1.0}
+    // diversifies the RRF result via MMR (search.go:174-176 MMREnabled)
+    // over {candidateLimit} candidates (default 2·k) — candidateLimit is
+    // validated against the driver-side MMR cap BEFORE any search runs.
     "db.index.hybrid.querynodes" -> ((g, args) => {
       val (vIdx, ftIdx) = (SearchIndexes.vector(args(0).toString),
         SearchIndexes.fulltext(args(1).toString))
@@ -329,6 +402,17 @@ object SearchCallProcs {
       val query = args(3).toString
       val qv = asVec(args(4))
       val c = cfg(args.drop(5))
+      val mmrLambda = c.get("mmrLambda").map(_.toString.toDouble)
+        .filter(_ < 1.0)
+      val candLimit = cfgInt(c, "candidateLimit", 2 * k)
+      // early, descriptive refusal (before the shuffle): MMR's greedy
+      // selection materializes its candidates on the driver
+      mmrLambda.foreach { _ =>
+        require(candLimit <= graft.search.Mmr.MaxCandidates,
+          s"candidateLimit $candLimit exceeds the MMR candidate cap " +
+          s"${graft.search.Mmr.MaxCandidates}: MMR's greedy selection is " +
+          "driver-side by design — narrow the RRF top-N (candidateLimit)")
+      }
       val lbl = cfgLabelIds(g, c)
       val (awVec, awText) = Hybrid.adaptiveWeights(query)
       val adaptive = c.get("adaptive").exists(_.toString.toBoolean)
@@ -336,12 +420,24 @@ object SearchCallProcs {
         .getOrElse(if (adaptive) awVec else 1.0)
       val wText = c.get("bm25Weight").map(_.toString.toDouble)
         .getOrElse(if (adaptive) awText else 1.0)
-      val bm = ftQuery(ftIdx, query, 2 * k, "node",
+      val fetch = math.max(2 * k, if (mmrLambda.isDefined) candLimit else 0)
+      val bm = ftQuery(ftIdx, query, fetch, "node",
         lbl.map(_.withColumnRenamed("_lid", "doc_id")))
-      val vs = vQuery(vIdx, 2 * k, qv, "node", lbl, cfgMinScore(c))
+      val vs = vQuery(vIdx, fetch, qv, "node", lbl, cfgMinScore(c))
         .withColumnRenamed("score", "cos_sim")
-      Hybrid.rrf(bm, vs, "node", "node", 2 * k, k, wText, wVec)
-        .select(col("id").as("node"), col("rrf").as("score"))
+      mmrLambda match {
+        case Some(l) =>
+          val cand = Hybrid.rrf(bm, vs, "node", "node", fetch, candLimit,
+              wText, wVec)
+            .select(col("id"), col("rrf").as("rel"))
+            .join(vIdx.df().select(col(vIdx.idCol).as("id"),
+              col(vIdx.embCol).as("embedding")), Seq("id"))
+          graft.search.Mmr.select(cand, k, l)
+            .select(col("id").as("node"), col("rel").as("score"))
+        case None =>
+          Hybrid.rrf(bm, vs, "node", "node", fetch, k, wText, wVec)
+            .select(col("id").as("node"), col("rrf").as("score"))
+      }
     }),
 
     // ---- gds.fastRP (fastrp.go:360,395) ----

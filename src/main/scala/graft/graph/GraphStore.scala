@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * here, exactly as the reference's apoc packages do.
   */
 object GraphStore {
+  /** One committed graph change, for subscription fan-out (the GraphQL
+    * `Subscription` events, `schema.graphql:1174-1208`). `kind` ∈
+    * node_created / node_updated / node_deleted / rel_created /
+    * rel_updated / rel_deleted.
+    */
+  final case class GraphChange(kind: String, id: String,
+      labels: Seq[String] = Nil, relType: Option[String] = None,
+      properties: Map[String, String] = Map.empty)
+
   private val cur = new java.util.concurrent.atomic.AtomicReference[GraphStore]()
   private[graph] def registerCurrent(s: GraphStore): Unit = cur.set(s)
   def currentOption: Option[GraphStore] = Option(cur.get)
@@ -110,6 +119,48 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
   def snapshot: PropertyGraph = current
   def version: Long = versionCounter
 
+  // ===================================================== change feed =====
+
+  private val changeListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[GraphStore.GraphChange => Unit]()
+
+  /** Register a post-commit change listener (subscription fan-out).
+    * Returns a handle that unregisters it. Events materialize ONLY while
+    * listeners exist — the write path pays nothing otherwise — and each
+    * commit's fan-out is capped at [[maxEventRows]] rows (serving-layer
+    * bound, like the reference's subscription channel buffer).
+    */
+  def addChangeListener(f: GraphStore.GraphChange => Unit): AutoCloseable = {
+    changeListeners.add(f)
+    () => changeListeners.remove(f)
+  }
+
+  private val maxEventRows = 1000
+
+  private def fanOut(ev: GraphStore.GraphChange): Unit =
+    changeListeners.forEach(l =>
+      try l(ev) catch { case _: Exception => /* dead subscriber */ })
+
+  private def emitNodes(kind: String, df: DataFrame): Unit =
+    if (!changeListeners.isEmpty)
+      df.select("id", "labels", "properties").limit(maxEventRows).collect()
+        .foreach { r =>
+          fanOut(GraphStore.GraphChange(kind, r.getString(0),
+            r.getSeq[String](1), None,
+            Option(r.getAs[Map[String, String]](2)).getOrElse(Map.empty)))
+        }
+
+  private def emitIds(kind: String, df: DataFrame): Unit =
+    if (!changeListeners.isEmpty)
+      df.select("id").limit(maxEventRows).collect()
+        .foreach(r => fanOut(GraphStore.GraphChange(kind, r.getString(0))))
+
+  private def emitEdges(kind: String, df: DataFrame): Unit =
+    if (!changeListeners.isEmpty)
+      df.select("id", "rel_type").limit(maxEventRows).collect()
+        .foreach(r => fanOut(GraphStore.GraphChange(kind, r.getString(0),
+          Nil, Option(r.getString(1)))))
+
   private def swap(g: PropertyGraph,
       parts: Map[String, DataFrame] = Map.empty): Unit = synchronized {
     versionCounter += 1
@@ -197,6 +248,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val n = newNodes.count()
     swap(PropertyGraph(g.nodes.unionByName(newNodes), g.edges),
       Map("nodes_upserts" -> newNodes))
+    emitNodes("node_created", newNodes)
     QueryStats(nodesCreated = n)
   }
 
@@ -211,6 +263,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val n = missing.count()
     swap(PropertyGraph(g.nodes.unionByName(missing), g.edges),
       if (n > 0) Map("nodes_upserts" -> missing) else Map.empty)
+    if (n > 0) emitNodes("node_created", missing)
     QueryStats(nodesCreated = n)
   }
 
@@ -243,6 +296,8 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     // WAL delta = only the touched rows (updated values, keyed by id)
     swap(PropertyGraph(updated, g.edges),
       Map("nodes_upserts" -> updated.join(u.select("id"), Seq("id"), "left_semi")))
+    emitNodes("node_updated",
+      updated.join(u.select("id"), Seq("id"), "left_semi"))
     QueryStats(propertiesSet = n)
   }
 
@@ -271,6 +326,8 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val n = ids.count()
     swap(PropertyGraph(updated, g.edges),
       Map("nodes_upserts" -> updated.join(ids.select("id"), Seq("id"), "left_semi")))
+    emitNodes("node_updated",
+      updated.join(ids.select("id"), Seq("id"), "left_semi"))
     QueryStats(propertiesSet = n)
   }
 
@@ -306,6 +363,8 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
           .select("id"))
       else Map.empty)
     swap(PropertyGraph(newNodes, newEdges), parts)
+    emitIds("node_deleted", victims)
+    parts.get("edges_deletes").foreach(emitIds("rel_deleted", _))
     QueryStats(nodesDeleted = nDel, relationshipsDeleted = eDel)
   }
 
@@ -330,6 +389,8 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val n = ids.count()
     swap(PropertyGraph(g.nodes, updated),
       Map("edges_upserts" -> updated.join(ids.select("id"), Seq("id"), "left_semi")))
+    emitEdges("rel_updated",
+      updated.join(ids.select("id"), Seq("id"), "left_semi"))
     QueryStats(propertiesSet = n)
   }
 
@@ -358,6 +419,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val n = newEdges.count()
     swap(PropertyGraph(g.nodes, g.edges.unionByName(newEdges)),
       Map("edges_upserts" -> newEdges))
+    emitEdges("rel_created", newEdges)
     QueryStats(relationshipsCreated = n)
   }
 

@@ -41,6 +41,26 @@ object Hybrid {
       .limit(k)
   }
 
+  /** [[rrf]] with per-leg rank diagnostics kept (the SearchHit
+    * explainability fields, nornicdb_search.proto: rrf_score /
+    * vector_rank / bm25_rank; 0 = absent from that leg).
+    */
+  def rrfDetailed(bm25: DataFrame, vec: DataFrame, idColA: String,
+      idColB: String, perList: Int, k: Int, wText: Double = 1.0,
+      wVec: Double = 1.0): DataFrame = {
+    val ra = ranked(bm25, idColA, "score", perList).withColumnRenamed("rank", "rank_text")
+    val rb = ranked(vec, idColB, "cos_sim", perList).withColumnRenamed("rank", "rank_vec")
+    ra.join(rb, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(wText) / (lit(RrfK) + col("rank_text")), lit(0.0)) +
+          coalesce(lit(wVec) / (lit(RrfK) + col("rank_vec")), lit(0.0)))
+      .select(col("id"), col("rrf"),
+        coalesce(col("rank_text"), lit(0)).cast("int").as("bm25_rank"),
+        coalesce(col("rank_vec"), lit(0)).cast("int").as("vector_rank"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Query-shape-adaptive (vectorWeight, bm25Weight) — the reference's
     * `GetAdaptiveRRFConfig` (`search.go:2081`): short queries (≤2 words)
     * lack context so keywords are more reliable (0.5/1.5); long queries

@@ -45,8 +45,15 @@ object Mmr {
     * (rel desc, id asc) like the RRF stage emits them. λ ≥ 1 → no
     * diversification (reference early-return).
     */
+  /** Hard cap on the MMR candidate set: the greedy selection is
+    * inherently sequential, so candidates materialize on the driver —
+    * callers must bound their RRF top-N to this (validated EARLY on the
+    * CALL surface, `SearchCallProcs` hybrid options).
+    */
+  val MaxCandidates = 10000
+
   def select(candidates: DataFrame, limit: Int, lambda: Double,
-      maxCandidates: Int = 10000): DataFrame = {
+      maxCandidates: Int = MaxCandidates): DataFrame = {
     val spark = candidates.sparkSession
     if (lambda >= 1.0)
       return candidates.orderBy(col("rel").desc, col("id").asc).limit(limit)

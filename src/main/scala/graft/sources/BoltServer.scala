@@ -124,6 +124,18 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
                     "connection_id" -> s"bolt-${sock.getPort}"))
               case 0x6A => // LOGON (Bolt 5.1+ drivers split auth out of HELLO)
                 if (checkAuth(fields)) sendSuccess(out, Map.empty)
+              case 0x66 => // ROUTE (4.3+; neo4j:// drivers send it pre-RUN)
+                // single-server routing table: this server fills all three
+                // roles (the reference acks with ttl 300, server.go:1529-
+                // 1537; addresses filled in so stock neo4j:// URIs work)
+                val addr = s"127.0.0.1:$boundPort"
+                sendSuccess(out, Map("rt" -> Map(
+                  "ttl" -> 300L,
+                  "db" -> "neo4j",
+                  "servers" -> Seq(
+                    Map("addresses" -> Seq(addr), "role" -> "ROUTE"),
+                    Map("addresses" -> Seq(addr), "role" -> "READ"),
+                    Map("addresses" -> Seq(addr), "role" -> "WRITE")))))
               case 0x02 => // GOODBYE
                 open = false
               case 0x0F => // RESET

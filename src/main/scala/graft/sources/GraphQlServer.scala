@@ -54,7 +54,10 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
 
   def start(): GraphQlServer = {
     server.createContext("/graphql", (ex: HttpExchange) => handle(ex))
-    server.setExecutor(null)
+    // a real pool, not the dispatch thread: subscription connections are
+    // long-lived SSE streams and must not block other requests
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => { val t = new Thread(r, "graphql-worker"); t.setDaemon(true); t }))
     server.start()
     this
   }
@@ -82,6 +85,11 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
             (n.get("query").asText(), vs, on)
           case _ => (body, Map.empty[String, Any], None)
         }
+      // subscriptions switch the connection to an SSE stream
+      val isSub =
+        try new P(doc).document().ops.exists(_.kind == "subscription")
+        catch { case _: Exception => false }
+      if (isSub) { subscribe(ex, doc, vars, opName, role); return }
       val out =
         try Right(execute(doc, vars, opName, role))
         catch {
@@ -120,7 +128,8 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
   /** `...Name` spread / `... on Type {}` inline fragment marker. */
   private final case class Sel(alias: Option[String], name: String,
       args: Map[String, Any], children: Seq[Sel],
-      spread: Option[String] = None, inline: Option[Seq[Sel]] = None) {
+      spread: Option[String] = None, inline: Option[Seq[Sel]] = None,
+      directives: Seq[(String, Map[String, Any])] = Nil) {
     def outName: String = alias.getOrElse(name)
   }
   private final case class VarDef(name: String, tpe: String, default: Option[Any])
@@ -222,6 +231,23 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
           }
       }
     }
+    def argList(): Map[String, Any] = {
+      ws()
+      if (peek != '(') return Map.empty
+      i += 1
+      val m = Map.newBuilder[String, Any]
+      ws()
+      while (peek != ')') { val k = ident(); eat(':'); m += (k -> value()); ws() }
+      i += 1
+      m.result()
+    }
+    /** `@skip(if: …)` / `@include(if: …)` chains (graphql spec §3.13). */
+    def directiveList(): Seq[(String, Map[String, Any])] = {
+      val out = Seq.newBuilder[(String, Map[String, Any])]
+      ws()
+      while (peek == '@') { i += 1; out += (ident() -> argList()); ws() }
+      out.result()
+    }
     def selection(): Sel = {
       ws()
       if (peek == '.') { // fragment spread or inline fragment
@@ -230,28 +256,24 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
         if (s.startsWith("on", i) && i + 2 < s.length && !s.charAt(i + 2).isLetterOrDigit) {
           ident() // "on"
           ident() // type condition — single Node object type: not filtered
+          val dirs = directiveList()
           val children = selectionSet()
-          return Sel(None, "...", Map.empty, Nil, inline = Some(children))
+          return Sel(None, "...", Map.empty, Nil, inline = Some(children),
+            directives = dirs)
         }
-        return Sel(None, "...", Map.empty, Nil, spread = Some(ident()))
+        val name = ident()
+        return Sel(None, "...", Map.empty, Nil, spread = Some(name),
+          directives = directiveList())
       }
       val first = ident()
       ws()
       val (alias, name) =
         if (peek == ':') { i += 1; (Some(first), ident()) } else (None, first)
-      ws()
-      val args =
-        if (peek == '(') {
-          i += 1
-          val m = Map.newBuilder[String, Any]
-          ws()
-          while (peek != ')') { val k = ident(); eat(':'); m += (k -> value()); ws() }
-          i += 1
-          m.result()
-        } else Map.empty[String, Any]
+      val args = argList()
+      val dirs = directiveList()
       ws()
       val children = if (peek == '{') selectionSet() else Nil
-      Sel(alias, name, args, children)
+      Sel(alias, name, args, children, directives = dirs)
     }
     def selectionSet(): Seq[Sel] = {
       eat('{')
@@ -292,14 +314,14 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
             require(ident() == "on", s"fragment $n missing type condition")
             ident() // type condition
             frags += (n -> selectionSet())
-          case kw @ ("query" | "mutation") =>
+          case kw @ ("query" | "mutation" | "subscription") =>
             ws()
             val name = if (peek != '{' && peek != '(') Some(ident()) else None
             val vds = varDefs()
             ops += Op(kw, name, vds, selectionSet())
           case other =>
             throw new IllegalArgumentException(
-              s"only query/mutation/fragment are served (got $other)")
+              s"only query/mutation/subscription/fragment are served (got $other)")
         }
       }
       Doc(ops.result(), frags.result())
@@ -332,15 +354,35 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
     case other => other
   }
 
+  /** True when a selection survives its `@skip`/`@include` directives
+    * (graphql spec §3.13 — the reference's gqlgen executor evaluates the
+    * same pair; unknown directives are rejected, not ignored).
+    */
+  private def keep(dirs: Seq[(String, Map[String, Any])],
+      vars: Map[String, Any]): Boolean =
+    dirs.forall { case (name, args) =>
+      if (name != "skip" && name != "include")
+        throw new IllegalArgumentException(s"unsupported directive @$name")
+      val cond = substitute(args.getOrElse("if",
+        throw new IllegalArgumentException(s"@$name needs an if: argument")),
+        vars) match {
+        case b: Boolean => b
+        case other => throw new IllegalArgumentException(
+          s"@$name(if:) must be a Boolean, got $other")
+      }
+      if (name == "skip") !cond else cond
+    }
+
   private def expand(sels: Seq[Sel], frags: Map[String, Seq[Sel]],
       vars: Map[String, Any], depth: Int = 0): Seq[Sel] = {
     require(depth < 16, "fragment nesting too deep (cycle?)")
-    sels.flatMap {
-      case Sel(_, _, _, _, Some(name), _) =>
+    sels.filter(s => keep(s.directives, vars)).flatMap {
+      case Sel(_, _, _, _, Some(name), _, _) =>
         expand(frags.getOrElse(name,
           throw new IllegalArgumentException(s"unknown fragment $name")),
           frags, vars, depth + 1)
-      case Sel(_, _, _, _, _, Some(inline)) => expand(inline, frags, vars, depth + 1)
+      case Sel(_, _, _, _, _, Some(inline), _) =>
+        expand(inline, frags, vars, depth + 1)
       case s => Seq(s.copy(
         args = s.args.map { case (k, v) => k -> substitute(v, vars) },
         children = expand(s.children, frags, vars, depth + 1)))
@@ -517,6 +559,96 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
       case xs: Seq[_] => xs.map(_.toString)
       case one => Seq(one.toString)
     }
+
+  // ================================================== subscriptions ======
+
+  /** GraphQL subscriptions over SSE (`schema.graphql:1174-1208` —
+    * nodeCreated/nodeUpdated/nodeDeleted + relationship twins). The
+    * connection becomes a `text/event-stream`; every GraphStore commit
+    * fans its change events through [[GraphStore.addChangeListener]] and
+    * matching ones stream as `event:`/`data:` frames until the client
+    * disconnects (detected by the keep-alive write failing). The
+    * reference serves the same events over websockets via gqlgen; SSE is
+    * the JDK-server transport with identical event payloads.
+    */
+  private def subscribe(ex: HttpExchange, doc: String,
+      provided: Map[String, Any], opName: Option[String],
+      role: ServerAuth.Role): Unit = {
+    val parsed = new P(doc).document()
+    val op = opName match {
+      case Some(n) => parsed.ops.find(_.name.contains(n)).getOrElse(
+        throw new IllegalArgumentException(s"operation $n not found"))
+      case None => parsed.ops.head
+    }
+    if (!ServerAuth.can(role, ServerAuth.Permission.Read)) {
+      respond(ex, 403,
+        """{"errors":[{"message":"forbidden: read permission required"}]}""")
+      return
+    }
+    val vars = coerceVars(op.varDefs, provided) ++
+      provided.filterNot(kv => op.varDefs.exists(_.name == kv._1))
+    val sels = expand(op.sels, parsed.fragments, vars)
+    require(sels.size == 1, "exactly one subscription field per operation")
+    val sel = sels.head
+    val labelArg = strList(sel, "labels")
+    val typeArg = strList(sel, "types")
+    val idArg = sel.args.get("id").map(_.toString)
+    val kind = sel.name match {
+      case "nodeCreated" => "node_created"
+      case "nodeUpdated" => "node_updated"
+      case "nodeDeleted" => "node_deleted"
+      case "relationshipCreated" => "rel_created"
+      case "relationshipUpdated" => "rel_updated"
+      case "relationshipDeleted" => "rel_deleted"
+      case other =>
+        throw new IllegalArgumentException(s"unsupported subscription field: $other")
+    }
+    def matches(ev: graft.graph.GraphStore.GraphChange): Boolean =
+      ev.kind == kind &&
+        (labelArg.isEmpty || ev.labels.exists(labelArg.contains)) &&
+        (typeArg.isEmpty || ev.relType.exists(typeArg.contains)) &&
+        idArg.forall(_ == ev.id)
+    def eventJson(ev: graft.graph.GraphStore.GraphChange): String =
+      if (kind.endsWith("_deleted")) jstr(ev.id)
+      else if (kind.startsWith("node")) {
+        val wanted = if (sel.children.isEmpty) Seq("id", "labels") else sel.children.map(_.name)
+        val parts = wanted.flatMap {
+          case "id" => Some(s""""id":${jstr(ev.id)}""")
+          case "labels" => Some(s""""labels":[${ev.labels.map(jstr).mkString(",")}]""")
+          case "properties" => Some(s""""properties":{${ev.properties.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")}}""")
+          case _ => None
+        }
+        s"{${parts.mkString(",")}}"
+      } else s"""{"id":${jstr(ev.id)},"type":${jstr(ev.relType.getOrElse(""))}}"""
+
+    val queue = new java.util.concurrent.LinkedBlockingQueue[
+      graft.graph.GraphStore.GraphChange](1024)
+    val handle = store.addChangeListener(ev => if (matches(ev)) queue.offer(ev))
+    try {
+      ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+      ex.getResponseHeaders.set("Cache-Control", "no-cache")
+      ex.sendResponseHeaders(200, 0)
+      val out = ex.getResponseBody
+      while (true) {
+        val ev = queue.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        if (ev == null) {
+          out.write(": keep-alive\n\n".getBytes(StandardCharsets.UTF_8))
+          out.flush() // throws when the client went away → loop exits
+        } else {
+          out.write(s"event: ${sel.outName}\ndata: ${eventJson(ev)}\n\n"
+            .getBytes(StandardCharsets.UTF_8))
+          out.flush()
+        }
+      }
+    } catch {
+      case _: java.io.IOException => // client disconnected
+      case _: InterruptedException =>
+    } finally {
+      handle.close()
+      try ex.close() catch { case _: Exception => }
+    }
+  }
 
   private def resolve(sel: Sel): String = {
     val g = store.snapshot

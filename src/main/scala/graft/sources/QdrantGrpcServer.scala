@@ -83,6 +83,11 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
     server.createContext("/qdrant.Points", (ex: HttpExchange) => handle(ex))
     server.createContext("/qdrant.Collections", (ex: HttpExchange) => handle(ex))
     server.createContext("/qdrant.Snapshots", (ex: HttpExchange) => handle(ex))
+    // the NornicDB-native search API rides the same endpoint (the
+    // reference registers it on the Qdrant gRPC server,
+    // server_qdrantgrpc.go:95-103)
+    server.createContext("/nornicdb.grpc.v1.NornicSearch",
+      (ex: HttpExchange) => handle(ex))
     server.setExecutor(null)
     server.start()
     this
@@ -116,7 +121,8 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
       "Collections/Get" -> Read, "Collections/List" -> Read,
       "Collections/CollectionExists" -> Read,
       "Snapshots/Create" -> Admin, "Snapshots/List" -> Admin,
-      "Snapshots/Delete" -> Admin)
+      "Snapshots/Delete" -> Admin,
+      "NornicSearch/SearchText" -> Read)
   }
 
   private def handle(ex: HttpExchange): Unit = {
@@ -128,7 +134,8 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
           respondTrailersOnly(ex, 16, "unauthenticated: bearer token required")
           return
       }
-      val methodName = path.stripPrefix("/qdrant.")
+      val methodName =
+        path.stripPrefix("/qdrant.").stripPrefix("/nornicdb.grpc.v1.")
       methodPerms.get(methodName).foreach { needed =>
         if (!ServerAuth.can(role, needed)) {
           respondTrailersOnly(ex, 7,
@@ -142,7 +149,8 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
       }.getOrElse(throw new IllegalArgumentException("no DATA frame in request"))
       val t0 = System.nanoTime()
       def secs: Double = (System.nanoTime() - t0) / 1e9
-      val resp = path.stripPrefix("/qdrant.") match {
+      val resp = methodName match {
+        case "NornicSearch/SearchText" => searchText(req, secs)
         case "Points/Search" => search(req, secs)
         case "Points/SearchBatch" => searchBatch(req, secs)
         case "Points/SearchGroups" => searchGroups(req, secs)
@@ -348,6 +356,53 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
       payloadNo: Int, secs: => Double): Protobuf.W =
     searchHitsMsg(pts, req, vec, limitNo, filterNo, thresholdNo, offsetNo,
       payloadNo).double(2, secs)
+
+  /** NornicSearch/SearchText (nornicdb_search.proto):
+    * SearchTextRequest{1 database, 2 query, 3 limit, 4 labels,
+    * 5 min_similarity} → SearchTextResponse{1 search_method,
+    * 2 hits SearchHit{1 node_id, 2 labels, 3 properties Struct,
+    * 4 score, 5 rrf_score, 6 vector_rank, 7 bm25_rank},
+    * 3 fallback_triggered, 4 message, 5 time_seconds}. Delegates to the
+    * shared hybrid engine (`SearchCallProcs.searchTextDetailed`) with the
+    * Embedder seam as the embed-query hook (search_service.go:58-121);
+    * limit clamps to 1000 (maxLimit default, search_service.go:44-46).
+    */
+  private def searchText(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val s = store.getOrElse(throw new GrpcError(12,
+      "NornicSearch needs a store-backed endpoint"))
+    val query = Protobuf.find(req, 2).map(_.str).getOrElse("")
+    require(query.nonEmpty, "query is required")
+    val limit0 = Protobuf.find(req, 3).map(_.num.toInt).getOrElse(0)
+    val limit = math.min(if (limit0 <= 0) 10 else limit0, 1000)
+    val labels = Protobuf.all(req, 4).map(_.str)
+    val minSim = Protobuf.find(req, 5).map(_.floatVal.toDouble)
+    val (df, method, fallback, msg) =
+      graft.cypher.SearchCallProcs.searchTextDetailed(
+        s, query, limit, labels, minSim)
+    val rows = df.collect() // post-top-k serving materialization
+    val resp = Protobuf.w().str(1, method)
+    rows.foreach { r =>
+      val hit = Protobuf.w().str(1, r.getString(0))
+      Option(r.getSeq[String](1)).getOrElse(Nil).foreach(hit.str(2, _))
+      val props = Option(r.getAs[Map[String, String]](2)).getOrElse(Map.empty)
+      if (props.nonEmpty) {
+        // google.protobuf.Struct{1 fields map<string, Value{3 string}>}
+        val st = Protobuf.w()
+        props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          st.msg(1, Protobuf.w().str(1, k).msg(2, Protobuf.w().str(3, v)))
+        }
+        hit.msg(3, st)
+      }
+      hit.float(4, r.getDouble(3).toFloat)
+      hit.float(5, r.getDouble(4).toFloat)
+      hit.uint(6, r.getInt(5))
+      hit.uint(7, r.getInt(6))
+      resp.msg(2, hit)
+    }
+    if (fallback) resp.bool(3, true)
+    if (msg.nonEmpty) resp.str(4, msg)
+    resp.double(5, secs)
+  }
 
   private def search(req: Seq[PF], secs: => Double): Protobuf.W =
     searchCore(pointsOf(req), req, vectorOf(req, 2), limitNo = 4,
@@ -950,7 +1005,8 @@ object QdrantGrpcServer {
     * writes (the reference's unified-index promise, server.go:12-15).
     */
   def forStore(store: graft.graph.GraphStore, collection: String = "points",
-      port: Int = 0, token: Option[String] = None): QdrantGrpcServer =
+      port: Int = 0, token: Option[String] = None,
+      rbac: Option[ServerAuth.Rbac] = None): QdrantGrpcServer =
     new QdrantGrpcServer(() => storePoints(store, collection), "vec_id",
-      "embedding", port, token, collection, Some(store))
+      "embedding", port, token, collection, Some(store), rbac)
 }

@@ -168,4 +168,41 @@ class BoltServerSpec extends AnyFunSuite {
       sock.close()
     } finally server.stop()
   }
+
+  test("ROUTE answers the single-server routing table; RUN still works after") {
+    val g = GraphQueries.graph(spark, sf)
+    val server = new BoltServer(() => g).start()
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      out.write(Array[Byte](0x60, 0x60, 0xB0.toByte, 0x17,
+        0, 0, 4, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+      out.flush()
+      in.read(new Array[Byte](4))
+      out.write(PackStream.frame(struct(0x01, Map("user_agent" -> "spec"))))
+      out.flush()
+      readMessage(in)
+      // ROUTE {routing_context} [bookmarks] db — a neo4j:// driver's first
+      // message after HELLO
+      out.write(PackStream.frame(struct(0x66,
+        Map("address" -> s"127.0.0.1:${server.boundPort}"),
+        Seq.empty[Any], "neo4j")))
+      out.flush()
+      val (sig, meta) = decodeMsg(readMessage(in))
+      assert(sig == 0x70, s"ROUTE failed: $meta")
+      val rt = meta.asInstanceOf[Map[String, Any]]("rt").asInstanceOf[Map[String, Any]]
+      assert(rt("ttl") == 300L)
+      val servers = rt("servers").asInstanceOf[Seq[Map[String, Any]]]
+      assert(servers.map(_("role")).toSet == Set("ROUTE", "READ", "WRITE"))
+      assert(servers.forall(_("addresses") ==
+        Seq(s"127.0.0.1:${server.boundPort}")))
+      // the session keeps serving RUN afterwards
+      out.write(PackStream.frame(struct(0x10, "RETURN 7 AS seven",
+        Map.empty[String, Any], Map.empty[String, Any])))
+      out.flush()
+      assert(decodeMsg(readMessage(in))._1 == 0x70)
+      sock.close()
+    } finally server.stop()
+  }
 }

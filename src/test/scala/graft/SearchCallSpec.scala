@@ -286,4 +286,33 @@ class SearchCallSpec extends AnyFunSuite {
       Map("qv" -> TextEmbed.embed("quick brown fox"))).collect().toSeq
     assert(byText == byVec && byText.size == 5)
   }
+
+  test("hybrid mmrLambda: oversized candidateLimit refused EARLY, valid one diversifies") {
+    SearchIndexes.registerVector(SearchIndexes.VectorIdx(
+      "mmr_emb", () => Tables.embeddings(spark, sf), "vec_id", "embedding", "DATASET"))
+    SearchIndexes.registerFulltext(SearchIndexes.FulltextIdx(
+      "mmr_ft", () => Tables.documents(spark, sf), "doc_id", "text", "DATASET"))
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+    // candidateLimit over the cap → descriptive refusal BEFORE any search
+    val e = intercept[Exception] {
+      Cypher.run(g,
+        """CALL db.index.hybrid.queryNodes('mmr_emb', 'mmr_ft', 5, 'graph', $qv,
+             {mmrLambda: 0.5, candidateLimit: 20000})
+           YIELD node, score RETURN node, score""", Map("qv" -> qv)).collect()
+    }
+    assert(e.getMessage.contains("MMR candidate cap") &&
+      e.getMessage.contains("20000"), e.getMessage)
+    // a valid candidateLimit returns k diversified rows
+    val rows = Cypher.run(g,
+      """CALL db.index.hybrid.queryNodes('mmr_emb', 'mmr_ft', 5, 'graph', $qv,
+           {mmrLambda: 0.5, candidateLimit: 50})
+         YIELD node, score RETURN node, score""", Map("qv" -> qv)).collect()
+    assert(rows.length == 5)
+    // without mmrLambda the plain RRF path is unchanged
+    val plain = Cypher.run(g,
+      """CALL db.index.hybrid.queryNodes('mmr_emb', 'mmr_ft', 5, 'graph', $qv)
+         YIELD node, score RETURN node, score""", Map("qv" -> qv)).collect()
+    assert(plain.length == 5)
+  }
 }
