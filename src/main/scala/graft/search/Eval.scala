@@ -60,6 +60,36 @@ object Eval {
     if (exact) out.withColumn("ndcg_at_k", round(col("ndcg_at_k"), 9)) else out
   }
 
+  /** Brute-force ground truth (top-k per query), computed ONCE per
+    * (embedding frame, nQueries, k) and materialized — the eval tiers
+    * (LSH / IVF / HNSW) all rank against the same truth, so the
+    * crossJoin+window only runs for the first tier (the shared-index
+    * cache the GraphX ctx cache provides for the algo family). Keyed by
+    * the frame's canonicalized plan, so different scale factors don't
+    * collide; truth is nQueries·k rows — trivially cacheable.
+    */
+  private val truthCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), DataFrame]
+
+  private def bruteTruth(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFns
+    val key = (emb.queryExecution.analyzed.canonicalized.hashCode,
+      nQueries, k)
+    truthCache.getOrElseUpdate(key, {
+      val queries = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+      emb.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos_sim", VectorFns.cosineCol(col("embedding"), col("q")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id").as("item_id"))
+        .localCheckpoint(true)
+    })
+  }
+
   /** Evaluate LSH ANN against brute-force cosine ground truth for the first
     * `nQueries` vectors: macro-averaged metrics at k.
     */
@@ -69,15 +99,10 @@ object Eval {
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
 
-    // ground truth: brute-force top-k per query (one crossJoin, windowed)
-    val scored = emb.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", VectorFns.cosineCol(col("embedding"), col("q")))
+    // ground truth: brute-force top-k per query (shared cached frame)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    val truth = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("item_id"))
+    val truth = bruteTruth(emb, nQueries, k)
 
     // ANN candidates: shared bucket in any table, ranked by true cosine
     val index = VectorSearch.lshIndex(emb, nBits, nTables)
@@ -110,14 +135,9 @@ object Eval {
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"))
 
-    val scored = emb.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", VectorFns.cosineCol(col("embedding"), col("q")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    val truth = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("item_id"))
+    val truth = bruteTruth(emb, nQueries, k)
 
     val (assigned, centroids) = VectorSearch.ivfIndex(emb, nLists)
     val cw = org.apache.spark.sql.expressions.Window
@@ -193,17 +213,9 @@ object Eval {
   def hnswVsBrute(spark: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
       m: Int = 16, efC: Int = 200, efS: Int = 100): DataFrame = {
     import graft.functions.VectorFns
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-
-    val scored = emb.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", VectorFns.cosineCol(col("embedding"), col("q")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
-    val truth = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("item_id"))
+    val truth = bruteTruth(emb, nQueries, k)
 
     val qVecs = emb.filter(col("vec_id") < nQueries)
       .select("vec_id", "embedding").collect()

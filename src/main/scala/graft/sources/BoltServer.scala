@@ -164,7 +164,7 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
                       failed = true
                       sendFailure(out, "Neo.ClientError.Security.Forbidden",
                         "Write permission required")
-                    } else {
+                    } else graft.cypher.QueryGuard.guarded("neo4j", isWrite) {
                       val df =
                         if (isWrite && store.isDefined) {
                           val s = store.get
@@ -179,6 +179,10 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
                       sendSuccess(out, Map("fields" -> cols, "t_first" -> 0L))
                     }
                   } catch {
+                    case e: graft.cypher.QueryGuard.LimitExceeded =>
+                      failed = true
+                      sendFailure(out, "Neo.TransientError.General.ResourceExhausted",
+                        Option(e.getMessage).getOrElse("query limit exceeded"))
                     case e: Exception =>
                       failed = true
                       sendFailure(out, "Neo.ClientError.Statement.SyntaxError",

@@ -419,8 +419,10 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
       throw new GraphQlServer.Forbidden("forbidden: read permission required")
     val resolver: Sel => String =
       if (op.kind == "mutation") resolveMutation else resolve
-    val fields = sels.map(sel => s""""${sel.outName}":${resolver(sel)}""")
-    s"""{"data":{${fields.mkString(",")}}}"""
+    graft.cypher.QueryGuard.guarded("neo4j", op.kind == "mutation") {
+      val fields = sels.map(sel => s""""${sel.outName}":${resolver(sel)}""")
+      s"""{"data":{${fields.mkString(",")}}}"""
+    }
   }
 
   private def spark = store.snapshot.nodes.sparkSession

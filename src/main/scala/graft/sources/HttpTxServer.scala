@@ -84,15 +84,22 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
             if (errors.nonEmpty) errors.append(",")
             errors.append(s"""{"code":"Neo.ClientError.Security.Forbidden","message":"${missing.get}"}""")
           } else {
-            val df =
-              if (isWrite)
-                CypherWrite.execute(store, stmt, params).returned
-                  .getOrElse(store.snapshot.nodes.sparkSession.emptyDataFrame)
-              else Cypher.run(store.snapshot, stmt, params)
-            if (results.nonEmpty) results.append(",")
-            results.append(ResultJson.resultObject(df, maxRows))
+            val dbName = path.split("/").lift(2).getOrElse("neo4j")
+            graft.cypher.QueryGuard.guarded(dbName, isWrite) {
+              val df =
+                if (isWrite)
+                  CypherWrite.execute(store, stmt, params).returned
+                    .getOrElse(store.snapshot.nodes.sparkSession.emptyDataFrame)
+                else Cypher.run(store.snapshot, stmt, params)
+              if (results.nonEmpty) results.append(",")
+              results.append(ResultJson.resultObject(df, maxRows))
+            }
           }
         } catch {
+          case e: graft.cypher.QueryGuard.LimitExceeded =>
+            if (errors.nonEmpty) errors.append(",")
+            errors.append(s"""{"code":"Neo.TransientError.General.ResourceExhausted","message":${jstr(
+              Option(e.getMessage).getOrElse("query limit exceeded"))}}""")
           case e: Exception =>
             if (errors.nonEmpty) errors.append(",")
             errors.append(s"""{"code":"Neo.ClientError.Statement.SyntaxError","message":${jstr(

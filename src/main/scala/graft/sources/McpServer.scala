@@ -163,7 +163,8 @@ final class McpServer(store: GraphStore, port: Int = 0,
   }
 
   private def callTool(name: String, body: String): String =
-    try {
+    try graft.cypher.QueryGuard.guarded("neo4j",
+        toolPerms.get(name).contains(ServerAuth.Permission.Write)) {
       val json = name match {
         case "store" => storeTool(body)
         case "recall" => recallTool(body)

@@ -149,7 +149,10 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
       }.getOrElse(throw new IllegalArgumentException("no DATA frame in request"))
       val t0 = System.nanoTime()
       def secs: Double = (System.nanoTime() - t0) / 1e9
-      val resp = methodName match {
+      val isWriteMethod = methodPerms.get(methodName).exists(p =>
+        p == ServerAuth.Permission.Write || p == ServerAuth.Permission.Delete)
+      val resp = graft.cypher.QueryGuard.guarded(collectionName,
+          isWriteMethod) { methodName match {
         case "NornicSearch/SearchText" => searchText(req, secs)
         case "Points/Search" => search(req, secs)
         case "Points/SearchBatch" => searchBatch(req, secs)
@@ -182,9 +185,12 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
         case other =>
           respondTrailersOnly(ex, 12, s"unimplemented method: $other")
           return
-      }
+      } }
       respondOk(ex, resp.bytes)
     } catch {
+      case e: graft.cypher.QueryGuard.LimitExceeded =>
+        respondTrailersOnly(ex, 8, // RESOURCE_EXHAUSTED
+          Option(e.getMessage).getOrElse("query limit exceeded"))
       case e: GrpcError =>
         respondTrailersOnly(ex, e.code, Option(e.getMessage).getOrElse("error"))
       case e: IllegalArgumentException =>
