@@ -48,8 +48,13 @@ object PathExpand {
   def spanningTree(g: PropertyGraph, startId: String, maxLevel: Int,
       relType: Option[String] = None): DataFrame = {
     val start = g.nodes.filter(col("id") === startId).select("id")
-    val dist = Expand.shortestPaths(g, start, relType, maxLevel, Expand.Out)
-      .select(col("end_id").as("node_id"), col("length"))
+    // the BFS frontier of ONE start node is result-sized (it IS the tree
+    // the caller gets back) but comes from an RDD with no Catalyst stats —
+    // without the explicit broadcast both parent joins sort-merge the FULL
+    // edge table, which went 2.5x super-linear at the 10x scale check
+    val dist = broadcast(
+      Expand.shortestPaths(g, start, relType, maxLevel, Expand.Out)
+        .select(col("end_id").as("node_id"), col("length")))
     val es = relType.map(g.edgesByType).getOrElse(g.edges).select("src", "dst")
     // parent candidates: edges whose src sits exactly one level above dst
     dist.toDF("parent", "plen")
