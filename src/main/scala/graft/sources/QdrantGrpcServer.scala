@@ -108,7 +108,8 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
       "Points/Search" -> Read, "Points/SearchBatch" -> Read,
       "Points/SearchGroups" -> Read, "Points/Scroll" -> Read,
       "Points/Get" -> Read, "Points/Count" -> Read,
-      "Points/Recommend" -> Read, "Points/Query" -> Read,
+      "Points/Recommend" -> Read, "Points/RecommendBatch" -> Read,
+      "Points/Query" -> Read,
       "Points/QueryBatch" -> Read,
       "Points/Upsert" -> Write, "Points/UpdateVectors" -> Write,
       "Points/DeleteVectors" -> Write, "Points/SetPayload" -> Write,
@@ -160,6 +161,7 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
         case "Points/Count" => countResp(req, secs)
         case "Points/Scroll" => scroll(req, secs)
         case "Points/Recommend" => recommend(req, secs)
+        case "Points/RecommendBatch" => recommendBatch(req, secs)
         case "Points/Query" => queryPoints(req, secs)
         case "Points/QueryBatch" => queryBatch(req, secs)
         case "Points/Upsert" => upsert(req, secs)
@@ -508,8 +510,7 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
     resp.double(3, secs)
   }
 
-  private def recommend(req: Seq[PF], secs: => Double): Protobuf.W = {
-    val pts = pointsOf(req)
+  private def recommendHits(pts: DataFrame, req: Seq[PF]): Protobuf.W = {
     val posIds = Protobuf.all(req, 2).map(p => pointIdNum(p.msg))
     val negIds = Protobuf.all(req, 3).map(p => pointIdNum(p.msg))
     require(posIds.nonEmpty, "at least one positive example is required")
@@ -522,8 +523,25 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
     def resolve(ids: Seq[Long]): Seq[Seq[Double]] = ids.map(id =>
       byId.getOrElse(id, throw new IllegalArgumentException(s"point $id not found")))
     val vec = QdrantPoints.recommendVector(resolve(posIds), resolve(negIds))
-    searchCore(pts, req, vec, limitNo = 5, filterNo = 4, thresholdNo = 9,
-      offsetNo = 10, payloadNo = 7, secs)
+    searchHitsMsg(pts, req, vec, limitNo = 5, filterNo = 4, thresholdNo = 9,
+      offsetNo = 10, payloadNo = 7)
+  }
+
+  private def recommend(req: Seq[PF], secs: => Double): Protobuf.W =
+    recommendHits(pointsOf(req), req).double(2, secs)
+
+  /** RecommendBatchPoints{1 collection, 2 recommend_points} — each sub
+    * runs the full Recommend path against the outer collection
+    * (points_service.go:774-801 delegates sub-by-sub the same way);
+    * response = repeated BatchResult.
+    */
+  private def recommendBatch(req: Seq[PF], secs: => Double): Protobuf.W = {
+    val pts = pointsOf(req)
+    val subs = Protobuf.all(req, 2).map(_.msg)
+    require(subs.nonEmpty, "recommend_points are required")
+    val resp = Protobuf.w()
+    subs.foreach(s => resp.msg(1, recommendHits(pts, s)))
+    resp.double(2, secs)
   }
 
   // ================================================== universal Query ====

@@ -524,6 +524,36 @@ class QdrantGrpcServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("RecommendBatch delegates each sub to the full Recommend path") {
+    val pts = Tables.embeddings(spark, sf)
+    val server = new QdrantGrpcServer(() => pts).start()
+    try {
+      val p = server.boundPort
+      def hitIds(msg: Seq[Protobuf.Field]): Seq[Long] =
+        Protobuf.all(msg, 1).map(sp =>
+          Protobuf.find(Protobuf.find(sp.msg, 1).get.msg, 1).get.num)
+      // sub 0: positive 0, limit 4; sub 1: positive 2 / negative 1, limit 3
+      val batch = call(p, "RecommendBatch", Protobuf.w()
+        .str(1, "embeddings")
+        .msg(2, Protobuf.w().msg(2, Protobuf.w().uint(1, 0)).uint(5, 4))
+        .msg(2, Protobuf.w().msg(2, Protobuf.w().uint(1, 2))
+          .msg(3, Protobuf.w().uint(1, 1)).uint(5, 3)))
+      assert(trailerOf(batch).contains("grpc-status: 0"))
+      val results = Protobuf.all(dataOf(batch), 1).map(_.msg)
+      assert(results.size == 2)
+      val single0 = hitIds(dataOf(call(p, "Recommend", Protobuf.w()
+        .str(1, "embeddings").msg(2, Protobuf.w().uint(1, 0)).uint(5, 4))))
+      val single1 = hitIds(dataOf(call(p, "Recommend", Protobuf.w()
+        .str(1, "embeddings").msg(2, Protobuf.w().uint(1, 2))
+        .msg(3, Protobuf.w().uint(1, 1)).uint(5, 3))))
+      assert(hitIds(results(0)) == single0 && single0.size == 4)
+      assert(hitIds(results(1)) == single1 && single1.size == 3)
+      // empty batch → INVALID_ARGUMENT
+      val bad = call(p, "RecommendBatch", Protobuf.w().str(1, "embeddings"))
+      assert(trailerOf(bad).contains("grpc-status: 3"))
+    } finally server.stop()
+  }
+
   test("SearchBatch honors per-sub filter/threshold/payload (full-Search delegation)") {
     val pts = Tables.embeddings(spark, sf)
     val server = new QdrantGrpcServer(() => pts).start()
