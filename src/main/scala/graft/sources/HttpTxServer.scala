@@ -26,7 +26,8 @@ import graft.graph.GraphStore
   */
 final class HttpTxServer(store: GraphStore, port: Int = 0,
     maxRows: Int = 10000, token: Option[String] = None,
-    rbac: Option[ServerAuth.Rbac] = None) {
+    rbac: Option[ServerAuth.Rbac] = None,
+    authenticator: Option[Authenticator] = None) {
 
   /** Per-statement RBAC: write statements need `write`
     * (server_db.go:654-663 → Neo.ClientError.Security.Forbidden in the
@@ -41,9 +42,55 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
 
   def start(): HttpTxServer = {
     server.createContext("/db", (ex: HttpExchange) => handle(ex))
+    server.createContext("/auth", (ex: HttpExchange) => handleAuth(ex))
     server.setExecutor(null) // accept-thread dispatch; queries run on Spark
     server.start()
     this
+  }
+
+  /** POST /auth/token — the OAuth 2.0 password grant
+    * (server_auth.go:19-77): JSON {username, password, grant_type} →
+    * {access_token, token_type, expires_in}. Locked accounts get 429,
+    * bad credentials 401, other grant types 400; without a configured
+    * authenticator the endpoint is 503 (authentication not configured).
+    */
+  private def handleAuth(ex: HttpExchange): Unit = {
+    try {
+      val path = ex.getRequestURI.getPath
+      if (ex.getRequestMethod != "POST" || path != "/auth/token") {
+        respond(ex, 404, """{"error":"only POST /auth/token is served"}""")
+        return
+      }
+      authenticator match {
+        case None =>
+          respond(ex, 503, """{"error":"authentication not configured"}""")
+        case Some(auth) =>
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          def field(k: String): Option[String] =
+            ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+              .findFirstMatchIn(body).map(_.group(1))
+          val grant = field("grant_type")
+          if (grant.exists(_ != "password")) {
+            respond(ex, 400, """{"error":"unsupported grant_type"}""")
+            return
+          }
+          auth.authenticate(field("username").getOrElse(""),
+            field("password").getOrElse("")) match {
+            case Right(t) =>
+              respond(ex, 200,
+                s"""{"access_token":${jstr(t.accessToken)},"token_type":"${t.tokenType}","expires_in":${t.expiresIn}}""")
+            case Left(auth.AccountLocked) =>
+              respond(ex, 429, s"""{"error":${jstr(auth.AccountLocked.message)}}""")
+            case Left(e) =>
+              respond(ex, 401, s"""{"error":${jstr(e.message)}}""")
+          }
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 400, s"""{"error":${jstr(
+          Option(e.getMessage).getOrElse(e.toString))}}""")
+    }
   }
 
   def stop(): Unit = server.stop(0)

@@ -320,4 +320,63 @@ class Round9RbacSpec extends AnyFunSuite {
       assert(!afterDel.contains(id1) && afterDel.contains(id2), afterDel)
     } finally server.stop()
   }
+
+  // ========================================= user accounts + /auth/token ==
+
+  test("OAuth token grant: users log in, JWTs carry roles, lockout after 5 failures") {
+    val secret = "token-endpoint-secret-32-chars!!".getBytes("UTF-8")
+    val auth = new sources.Authenticator(secret, lockoutDurationMs = 300L)
+    assert(auth.createUser("alice", "alice-password", Seq(Role.Editor)).isRight)
+    assert(auth.createUser("victor", "victor-password", Seq(Role.Viewer)).isRight)
+    // password policy + duplicate user refused
+    assert(auth.createUser("short", "tiny", Seq(Role.Viewer)).isLeft)
+    assert(auth.createUser("alice", "alice-password-2", Seq(Role.Admin)).isLeft)
+
+    val store = emptyStore()
+    val server = new HttpTxServer(store,
+      rbac = Some(auth.rbac()), authenticator = Some(auth)).start()
+    try {
+      val p = server.boundPort
+      def tokenReq(user: String, pw: String, grant: String = "password"): (Int, String) =
+        post(p, "/auth/token",
+          s"""{"grant_type":"$grant","username":"$user","password":"$pw"}""", None)
+
+      // RFC 6749 password grant shape
+      val (s0, b0) = tokenReq("alice", "alice-password")
+      assert(s0 == 200 && b0.contains("\"token_type\":\"Bearer\"") &&
+        b0.contains("\"expires_in\":3600"), b0)
+      val jwt = """"access_token":"([^"]+)"""".r
+        .findFirstMatchIn(b0).get.group(1)
+
+      // the minted JWT resolves to the user's role on the tx endpoint
+      val w = post(p, "/db/neo4j/tx/commit",
+        """{"statements":[{"statement":"CREATE (n:P {key: 11})"}]}""",
+        Some(jwt))._2
+      assert(!w.contains("Forbidden"), w)
+      assert(store.snapshot.nodes.count() == 1)
+      // a viewer's JWT cannot write
+      val vJwt = """"access_token":"([^"]+)"""".r.findFirstMatchIn(
+        tokenReq("victor", "victor-password")._2).get.group(1)
+      val vw = post(p, "/db/neo4j/tx/commit",
+        """{"statements":[{"statement":"CREATE (n:P {key: 12})"}]}""",
+        Some(vJwt))._2
+      assert(vw.contains("Write permission required"), vw)
+
+      // unsupported grant type + unknown user never reveals existence
+      assert(tokenReq("alice", "alice-password", grant = "client_credentials")._1 == 400)
+      val (su, bu) = tokenReq("ghost", "whatever-pw")
+      assert(su == 401 && bu.contains("invalid credentials"))
+
+      // 5 wrong passwords lock the account (429), then the window passes
+      (1 to 5).foreach(_ => assert(tokenReq("alice", "wrong-password")._1 == 401))
+      val (sl, bl) = tokenReq("alice", "alice-password")
+      assert(sl == 429 && bl.contains("locked"), bl)
+      Thread.sleep(400) // lockoutDurationMs = 300
+      assert(tokenReq("alice", "alice-password")._1 == 200)
+
+      // disabled account refuses even the right password
+      auth.setDisabled("victor", disabled = true)
+      assert(tokenReq("victor", "victor-password")._1 == 401)
+    } finally server.stop()
+  }
 }
