@@ -129,6 +129,20 @@ final class Authenticator(jwtSecret: Array[Byte],
     }
   }
 
+  /** Public user view — never the password hash (auth.go `json:"-"`). */
+  final case class UserInfo(username: String, roles: Seq[Role],
+      disabled: Boolean)
+
+  def listUsers(): Seq[UserInfo] =
+    users.toSeq.sortBy(_._1).map { case (n, a) =>
+      UserInfo(n, a.roles, a.disabled)
+    }
+
+  def getUser(username: String): Option[UserInfo] =
+    users.get(username).map(a => UserInfo(username, a.roles, a.disabled))
+
+  def deleteUser(username: String): Boolean = users.remove(username).isDefined
+
   /** The Rbac every server takes: static API tokens (optional) plus this
     * authenticator's JWTs.
     */

@@ -57,6 +57,10 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
   private def handleAuth(ex: HttpExchange): Unit = {
     try {
       val path = ex.getRequestURI.getPath
+      if (path == "/auth/users" || path.startsWith("/auth/users/")) {
+        handleUsers(ex, path)
+        return
+      }
       if (ex.getRequestMethod != "POST" || path != "/auth/token") {
         respond(ex, 404, """{"error":"only POST /auth/token is served"}""")
         return
@@ -159,6 +163,68 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
         respond(ex, 400,
           s"""{"results":[],"errors":[{"code":"Neo.ClientError.Request.InvalidFormat","message":${jstr(
             Option(e.getMessage).getOrElse(e.toString))}}]}""")
+    }
+  }
+
+  /** /auth/users CRUD (server_auth.go:549-645), gated on the
+    * `user_manage` permission (admin role only — router line 127):
+    * GET list, POST create {username, password, roles}, GET/PUT/DELETE
+    * per user (PUT updates roles and/or disabled).
+    */
+  private def handleUsers(ex: HttpExchange, path: String): Unit = {
+    val auth = authenticator.getOrElse {
+      respond(ex, 503, """{"error":"authentication not configured"}""")
+      return
+    }
+    val role = ServerAuth.roleOf(ex, effectiveRbac).getOrElse {
+      respond(ex, 401, """{"error":"unauthorized"}""")
+      return
+    }
+    if (!ServerAuth.can(role, ServerAuth.Permission.UserManage)) {
+      respond(ex, 403, """{"error":"user_manage permission required"}""")
+      return
+    }
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    def field(k: String): Option[String] =
+      ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+        .findFirstMatchIn(body).map(_.group(1))
+    def rolesField: Seq[ServerAuth.Role] =
+      """"roles"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body).toSeq
+        .flatMap(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)))
+        .flatMap(ServerAuth.Role.parse)
+    def userJson(u: auth.UserInfo): String =
+      s"""{"username":${jstr(u.username)},"roles":[${u.roles.map(r =>
+        jstr(r.name)).mkString(",")}],"disabled":${u.disabled}}"""
+    val name = if (path == "/auth/users") None
+      else Some(path.stripPrefix("/auth/users/")).filter(_.nonEmpty)
+    (ex.getRequestMethod, name) match {
+      case ("GET", None) =>
+        respond(ex, 200, s"[${auth.listUsers().map(userJson).mkString(",")}]")
+      case ("POST", None) =>
+        auth.createUser(field("username").getOrElse(""),
+          field("password").getOrElse(""), rolesField) match {
+          case Right(_) =>
+            respond(ex, 201, userJson(auth.getUser(field("username").get).get))
+          case Left(e) => respond(ex, 400, s"""{"error":${jstr(e.message)}}""")
+        }
+      case ("GET", Some(n)) => auth.getUser(n) match {
+        case Some(u) => respond(ex, 200, userJson(u))
+        case None => respond(ex, 404, """{"error":"user not found"}""")
+      }
+      case ("PUT", Some(n)) =>
+        if (auth.getUser(n).isEmpty) {
+          respond(ex, 404, """{"error":"user not found"}""")
+        } else {
+          if (rolesField.nonEmpty) auth.setRoles(n, rolesField)
+          """"disabled"\s*:\s*(true|false)""".r.findFirstMatchIn(body)
+            .foreach(m => auth.setDisabled(n, m.group(1).toBoolean))
+          respond(ex, 200, """{"status":"updated"}""")
+        }
+      case ("DELETE", Some(n)) =>
+        if (auth.deleteUser(n)) respond(ex, 200, """{"status":"deleted"}""")
+        else respond(ex, 404, """{"error":"user not found"}""")
+      case _ =>
+        respond(ex, 405, """{"error":"GET, POST, PUT, or DELETE required"}""")
     }
   }
 

@@ -379,4 +379,50 @@ class Round9RbacSpec extends AnyFunSuite {
       assert(tokenReq("victor", "victor-password")._1 == 401)
     } finally server.stop()
   }
+
+  private def req(port: Int, method: String, path: String, body: String,
+      bearer: Option[String]): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .method(method, if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+        else HttpRequest.BodyPublishers.ofString(body))
+    bearer.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("user CRUD API requires user_manage (admin); full lifecycle over the wire") {
+    val secret = "user-crud-endpoint-secret-32char".getBytes("UTF-8")
+    val auth = new sources.Authenticator(secret)
+    assert(auth.createUser("root", "root-password", Seq(Role.Admin)).isRight)
+    val server = new HttpTxServer(emptyStore(),
+      rbac = Some(auth.rbac(Map("tok-ed" -> Role.Editor))),
+      authenticator = Some(auth)).start()
+    try {
+      val p = server.boundPort
+      val rootJwt = """"access_token":"([^"]+)"""".r.findFirstMatchIn(
+        post(p, "/auth/token",
+          """{"grant_type":"password","username":"root","password":"root-password"}""",
+          None)._2).get.group(1)
+      // editor lacks user_manage; unauthenticated gets 401
+      assert(req(p, "GET", "/auth/users", "", Some("tok-ed"))._1 == 403)
+      assert(req(p, "GET", "/auth/users", "", None)._1 == 401)
+      // create → list → get → update roles+disabled → delete
+      val (cs, cb) = req(p, "POST", "/auth/users",
+        """{"username":"bob","password":"bob-password","roles":["viewer"]}""",
+        Some(rootJwt))
+      assert(cs == 201 && cb.contains("\"roles\":[\"viewer\"]"), cb)
+      assert(req(p, "GET", "/auth/users", "", Some(rootJwt))._2.contains("\"bob\""))
+      assert(req(p, "GET", "/auth/users/bob", "", Some(rootJwt))._1 == 200)
+      assert(req(p, "PUT", "/auth/users/bob",
+        """{"roles":["editor"],"disabled":true}""", Some(rootJwt))._1 == 200)
+      val (_, gb) = req(p, "GET", "/auth/users/bob", "", Some(rootJwt))
+      assert(gb.contains("\"editor\"") && gb.contains("\"disabled\":true"), gb)
+      // disabled bob cannot log in even with the right password
+      assert(post(p, "/auth/token",
+        """{"grant_type":"password","username":"bob","password":"bob-password"}""",
+        None)._1 == 401)
+      assert(req(p, "DELETE", "/auth/users/bob", "", Some(rootJwt))._1 == 200)
+      assert(req(p, "GET", "/auth/users/bob", "", Some(rootJwt))._1 == 404)
+    } finally server.stop()
+  }
 }
