@@ -592,6 +592,7 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
     val sels = expand(op.sels, parsed.fragments, vars)
     require(sels.size == 1, "exactly one subscription field per operation")
     val sel = sels.head
+    if (sel.name == "searchStream") { searchStream(ex, sel); return }
     val labelArg = strList(sel, "labels")
     val typeArg = strList(sel, "types")
     val idArg = sel.args.get("id").map(_.toString)
@@ -718,6 +719,44 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
     * search.go:116) over [[graft.cypher.SearchCallProcs.defaultSearch]]:
     * BM25 + Embedder-seam vector legs, RRF for HYBRID.
     */
+  /** `subscription { searchStream(query, options) }`
+    * (schema.graphql:1205-1208): the search runs through the shared
+    * hybrid engine and each hit streams as its own SSE event — the
+    * "streaming results" subscription — followed by a `complete` event.
+    */
+  private def searchStream(ex: HttpExchange, sel: Sel): Unit = {
+    val q = sel.args.getOrElse("query",
+      throw new IllegalArgumentException("searchStream(query:) is required")).toString
+    val opts = sel.args.get("options") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty[String, Any]
+    }
+    val k = opts.get("limit").map(_.toString.toInt).getOrElse(10)
+    val labels = opts.get("labels") match {
+      case Some(xs: Seq[_]) => xs.map(_.toString)
+      case Some(one) => Seq(one.toString)
+      case None => Nil
+    }
+    val method = opts.get("method").map(_.toString).getOrElse("HYBRID")
+    val hits = graft.cypher.SearchCallProcs
+      .defaultSearch(store, q, math.min(k, maxRows), labels, method).collect()
+    ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+    ex.getResponseHeaders.set("Cache-Control", "no-cache")
+    ex.sendResponseHeaders(200, 0)
+    val out = ex.getResponseBody
+    try {
+      hits.foreach { h =>
+        val payload = s"""{"node":{"id":${jstr(h.getString(0))}},"score":${h.getDouble(1)}}"""
+        out.write(s"event: ${sel.outName}\ndata: $payload\n\n"
+          .getBytes(StandardCharsets.UTF_8))
+        out.flush()
+      }
+      out.write("event: complete\ndata: {}\n\n".getBytes(StandardCharsets.UTF_8))
+      out.flush()
+    } catch { case _: java.io.IOException => /* client went away */ }
+    finally { try ex.close() catch { case _: Exception => } }
+  }
+
   private def searchField(sel: Sel): String = {
     val q = sel.args.getOrElse("query",
       throw new IllegalArgumentException("search(query:) is required")).toString

@@ -92,4 +92,37 @@ class Round9SubscriptionSpec extends AnyFunSuite {
       assert(ev.contains("\"id\":\"Item:") && ev.contains("\"labels\":[\"Item\"]"), ev)
     } finally server.stop()
   }
+
+  test("searchStream subscription streams hits then completes") {
+    val store = emptyStore()
+    Seq("graph vector search", "vector index", "plain prose").zipWithIndex
+      .foreach { case (n, i) =>
+        graft.cypher.CypherWrite.execute(store,
+          s"CREATE (d:Doc {key: ${i + 1}, name: '$n'})")
+      }
+    val server = new GraphQlServer(store).start()
+    try {
+      val resp = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${server.boundPort}/graphql"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """subscription { searchStream(query: "vector search", options: {limit: 2, method: "BM25"}) }"""))
+        .build(), HttpResponse.BodyHandlers.ofInputStream())
+      assert(resp.headers().firstValue("Content-Type")
+        .orElse("").startsWith("text/event-stream"))
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(resp.body(), "UTF-8"))
+      val events = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var evName: String = null
+      var line = br.readLine()
+      while (line != null && !events.exists(_._1 == "complete")) {
+        if (line.startsWith("event: ")) evName = line.substring(7)
+        else if (line.startsWith("data: ")) events += (evName -> line.substring(6))
+        line = br.readLine()
+      }
+      val hits = events.filter(_._1 == "searchStream")
+      assert(hits.nonEmpty && hits.size <= 2, events.toString)
+      assert(hits.forall(_._2.contains("\"id\":\"Doc:")), hits.toString)
+      assert(events.last._1 == "complete")
+    } finally server.stop()
+  }
 }
