@@ -143,6 +143,13 @@ final class Authenticator(jwtSecret: Array[Byte],
 
   def deleteUser(username: String): Boolean = users.remove(username).isDefined
 
+  /** Stateless machine token (GenerateAPIToken, auth.go): a JWT with the
+    * given subject + roles, validated by signature only — never stored.
+    */
+  def mintApiToken(subject: String, roles: Seq[Role],
+      expEpochSec: Long = 0L): String =
+    ServerAuth.mintJwt(jwtSecret, subject, roles, expEpochSec)
+
   /** The Rbac every server takes: static API tokens (optional) plus this
     * authenticator's JWTs.
     */

@@ -61,6 +61,7 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
         handleUsers(ex, path)
         return
       }
+      if (path == "/auth/api-token") { handleApiToken(ex); return }
       if (ex.getRequestMethod != "POST" || path != "/auth/token") {
         respond(ex, 404, """{"error":"only POST /auth/token is served"}""")
         return
@@ -163,6 +164,53 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
         respond(ex, 400,
           s"""{"results":[],"errors":[{"code":"Neo.ClientError.Request.InvalidFormat","message":${jstr(
             Option(e.getMessage).getOrElse(e.toString))}}]}""")
+    }
+  }
+
+  /** POST /auth/api-token (server_auth.go:98-200): admin-only mint of a
+    * stateless API token for machine clients (MCP servers). The token is
+    * a signature-validated JWT carrying the requested subject and the
+    * caller's role — never stored. `expires_in` accepts Nh/Nm/Nd or
+    * "0"/"never" (days get the reference's special d-suffix handling).
+    */
+  private def handleApiToken(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") {
+      respond(ex, 405, """{"error":"POST required"}""")
+      return
+    }
+    val auth = authenticator.getOrElse {
+      respond(ex, 503, """{"error":"authentication not configured"}""")
+      return
+    }
+    val role = ServerAuth.roleOf(ex, effectiveRbac).getOrElse {
+      respond(ex, 401, """{"error":"not authenticated"}""")
+      return
+    }
+    if (role != ServerAuth.Role.Admin) {
+      respond(ex, 403, """{"error":"admin role required to generate API tokens"}""")
+      return
+    }
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    def field(k: String): Option[String] =
+      ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+        .findFirstMatchIn(body).map(_.group(1))
+    val subject = field("subject").filter(_.nonEmpty).getOrElse("api-token")
+    val expSecs: Either[String, Long] =
+      field("expires_in").filter(e => e.nonEmpty && e != "0" && e != "never")
+        .map {
+          case s if s.matches("\\d+d") => Right(s.dropRight(1).toLong * 86400)
+          case s if s.matches("\\d+h") => Right(s.dropRight(1).toLong * 3600)
+          case s if s.matches("\\d+m") => Right(s.dropRight(1).toLong * 60)
+          case s if s.matches("\\d+s") => Right(s.dropRight(1).toLong)
+          case _ => Left("invalid expires_in format (use: 1h, 24h, 7d, 365d, 0 for never)")
+        }.getOrElse(Right(0L))
+    expSecs match {
+      case Left(msg) => respond(ex, 400, s"""{"error":${jstr(msg)}}""")
+      case Right(secs) =>
+        val exp = if (secs > 0) System.currentTimeMillis() / 1000 + secs else 0L
+        val token = auth.mintApiToken(subject, Seq(role), exp)
+        respond(ex, 200,
+          s"""{"token":${jstr(token)},"subject":${jstr(subject)},"token_type":"Bearer"}""")
     }
   }
 

@@ -142,14 +142,35 @@ object ServerAuth {
     } catch { case _: Exception => None }
   }
 
-  /** Bearer credential from an HTTP exchange (Authorization header or
-    * X-API-Key, extractTokenFromMetadata in qdrantgrpc/server.go:613-636).
+  /** Credential from an HTTP exchange — the reference's four sources in
+    * precedence order (auth.go:1800-1805, extractTokenFromMetadata in
+    * qdrantgrpc/server.go:613-636): Authorization Bearer header,
+    * X-API-Key header, the `nornicdb_token` browser cookie
+    * (server_auth.go:66-75), and `access_token`/`api_key` query params.
     */
   def credential(ex: HttpExchange): Option[String] =
     Option(ex.getRequestHeaders.getFirst("Authorization"))
       .filter(_.startsWith("Bearer "))
       .map(_.substring("Bearer ".length))
       .orElse(Option(ex.getRequestHeaders.getFirst("X-API-Key")))
+      .orElse(cookieToken(ex))
+      .orElse(queryToken(ex))
+
+  private def cookieToken(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Cookie")).flatMap { c =>
+      c.split(';').map(_.trim).collectFirst {
+        case kv if kv.startsWith("nornicdb_token=") =>
+          kv.substring("nornicdb_token=".length)
+      }
+    }
+
+  private def queryToken(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestURI.getRawQuery).flatMap { q =>
+      q.split('&').collectFirst {
+        case kv if kv.startsWith("access_token=") || kv.startsWith("api_key=") =>
+          java.net.URLDecoder.decode(kv.substring(kv.indexOf('=') + 1), "UTF-8")
+      }
+    }
 
   /** Resolve this request's role. `None` rbac = open dev mode → Admin.
     * `Some(None)` from resolve = unauthenticated.

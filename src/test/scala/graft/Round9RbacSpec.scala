@@ -425,4 +425,49 @@ class Round9RbacSpec extends AnyFunSuite {
       assert(req(p, "GET", "/auth/users/bob", "", Some(rootJwt))._1 == 404)
     } finally server.stop()
   }
+
+  test("API tokens mint admin-only; cookie and query-param credentials resolve") {
+    val secret = "api-token-endpoint-secret-32char".getBytes("UTF-8")
+    val auth = new sources.Authenticator(secret)
+    assert(auth.createUser("root", "root-password", Seq(Role.Admin)).isRight)
+    val server = new HttpTxServer(emptyStore(),
+      rbac = Some(auth.rbac(Map("tok-ed" -> Role.Editor))),
+      authenticator = Some(auth)).start()
+    try {
+      val p = server.boundPort
+      val rootJwt = """"access_token":"([^"]+)"""".r.findFirstMatchIn(
+        post(p, "/auth/token",
+          """{"grant_type":"password","username":"root","password":"root-password"}""",
+          None)._2).get.group(1)
+      // editor may not mint; bad expires_in refused; admin mints
+      assert(post(p, "/auth/api-token", """{"subject":"mcp"}""",
+        Some("tok-ed"))._1 == 403)
+      assert(post(p, "/auth/api-token",
+        """{"subject":"mcp","expires_in":"soon"}""", Some(rootJwt))._1 == 400)
+      val (ms, mb) = post(p, "/auth/api-token",
+        """{"subject":"my-mcp-server","expires_in":"7d"}""", Some(rootJwt))
+      assert(ms == 200 && mb.contains("\"subject\":\"my-mcp-server\""), mb)
+      val apiTok = """"token":"([^"]+)"""".r.findFirstMatchIn(mb).get.group(1)
+
+      val stmt = """{"statements":[{"statement":"RETURN 1 AS one"}]}"""
+      // the minted token works as a Bearer credential...
+      assert(post(p, "/db/neo4j/tx/commit", stmt, Some(apiTok))._2
+        .contains("\"one\":1"))
+      // ...as the browser cookie...
+      val cookieResp = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$p/db/neo4j/tx/commit"))
+        .header("Cookie", s"nornicdb_token=$apiTok")
+        .POST(HttpRequest.BodyPublishers.ofString(stmt)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(cookieResp.body().contains("\"one\":1"), cookieResp.body())
+      // ...and as an access_token query parameter
+      val qResp = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$p/db/neo4j/tx/commit?access_token=$apiTok"))
+        .POST(HttpRequest.BodyPublishers.ofString(stmt)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(qResp.body().contains("\"one\":1"), qResp.body())
+      // no credential at all stays 401
+      assert(post(p, "/db/neo4j/tx/commit", stmt, None)._1 == 401)
+    } finally server.stop()
+  }
 }
