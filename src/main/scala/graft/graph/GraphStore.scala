@@ -100,6 +100,39 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
   /** Schema metadata: indexes (layout hints) + enforced constraints. */
   val catalog = new SchemaCatalog
 
+  // ================================================== storage limits =====
+
+  /** Per-database storage caps (enforcement.go:169-205 CheckStorageLimits:
+    * MaxNodes / MaxEdges, 0 = unlimited). Checked batch-wise before every
+    * create commits; the refusal message mirrors the reference's
+    * ErrStorageLimitExceeded shape. MaxBytes delegates to the storage
+    * layer (parquet/object-store quotas), like encryption-at-rest.
+    */
+  @volatile private var maxNodes: Long = 0L
+  @volatile private var maxEdges: Long = 0L
+  @volatile private var limitDb: String = "neo4j"
+
+  def setStorageLimits(maxNodes: Long = 0L, maxEdges: Long = 0L,
+      db: String = "neo4j"): Unit = {
+    this.maxNodes = maxNodes; this.maxEdges = maxEdges; this.limitDb = db
+  }
+
+  private def checkNodeLimit(g: PropertyGraph, adding: Long): Unit =
+    if (maxNodes > 0) {
+      val cur = g.nodes.count()
+      if (cur + adding > maxNodes) throw new IllegalStateException(
+        s"storage limit exceeded: database '$limitDb' has reached " +
+          s"max_nodes limit ($cur/$maxNodes)")
+    }
+
+  private def checkEdgeLimit(g: PropertyGraph, adding: Long): Unit =
+    if (maxEdges > 0) {
+      val cur = g.edges.count()
+      if (cur + adding > maxEdges) throw new IllegalStateException(
+        s"storage limit exceeded: database '$limitDb' has reached " +
+          s"max_edges limit ($cur/$maxEdges)")
+    }
+
   /** Incremental commit log (None = in-memory-only store). When present,
     * every mutation appends a delta commit of ONLY its touched rows and a
     * checkpoint is written every `compactEvery` deltas — the reference's
@@ -246,6 +279,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     require(conflicts == 0, s"unique-id constraint violated for $conflicts node(s)")
     enforceUnique(g, newNodes)
     val n = newNodes.count()
+    checkNodeLimit(g, n)
     swap(PropertyGraph(g.nodes.unionByName(newNodes), g.edges),
       Map("nodes_upserts" -> newNodes))
     emitNodes("node_created", newNodes)
@@ -261,6 +295,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
       .localCheckpoint(true)
     enforceUnique(g, missing)
     val n = missing.count()
+    checkNodeLimit(g, n)
     swap(PropertyGraph(g.nodes.unionByName(missing), g.edges),
       if (n > 0) Map("nodes_upserts" -> missing) else Map.empty)
     if (n > 0) emitNodes("node_created", missing)
@@ -417,6 +452,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
   def createEdges(newEdges: DataFrame): QueryStats = {
     val g = current
     val n = newEdges.count()
+    checkEdgeLimit(g, n)
     swap(PropertyGraph(g.nodes, g.edges.unionByName(newEdges)),
       Map("edges_upserts" -> newEdges))
     emitEdges("rel_created", newEdges)

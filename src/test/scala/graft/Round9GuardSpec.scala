@@ -73,6 +73,36 @@ class Round9GuardSpec extends AnyFunSuite {
     }
   }
 
+  test("storage limits refuse creates past max_nodes/max_edges, reference shape") {
+    import graft.cypher.CypherWrite
+    val g = GraphQueries.graph(spark, sf)
+    val store = new GraphStore(PropertyGraph(
+      g.nodes.filter("false").localCheckpoint(true),
+      g.edges.filter("false").localCheckpoint(true)), registerGlobal = false)
+    store.setStorageLimits(maxNodes = 3, maxEdges = 1, db = "capped")
+    CypherWrite.execute(store,
+      "UNWIND [1, 2, 3] AS k CREATE (p:P {key: k})")
+    assert(store.snapshot.nodes.count() == 3)
+    val e = intercept[Exception] {
+      CypherWrite.execute(store, "CREATE (p:P {key: 4})")
+    }
+    assert(e.getMessage.contains("max_nodes limit (3/3)") &&
+      e.getMessage.contains("capped"), e.getMessage)
+    assert(store.snapshot.nodes.count() == 3) // nothing committed
+    // edges: the first link lands, the second trips max_edges
+    CypherWrite.execute(store,
+      "MATCH (a:P {key: 1}), (b:P {key: 2}) CREATE (a)-[:L]->(b)")
+    val e2 = intercept[Exception] {
+      CypherWrite.execute(store,
+        "MATCH (a:P {key: 2}), (b:P {key: 3}) CREATE (a)-[:L]->(b)")
+    }
+    assert(e2.getMessage.contains("max_edges limit (1/1)"), e2.getMessage)
+    // lifting the limits lets writes through again
+    store.setStorageLimits()
+    CypherWrite.execute(store, "CREATE (p:P {key: 4})")
+    assert(store.snapshot.nodes.count() == 4)
+  }
+
   test("statement timeout cancels the Spark job group and reports max_query_time") {
     QueryGuard.install("guard_to", QueryGuard.Limits(maxQueryTimeMs = 400))
     try {
