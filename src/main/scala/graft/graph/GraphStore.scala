@@ -537,6 +537,27 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     }
   }
 
+  /** Drop EVERY node embedding under `name` — the reference's
+    * ClearAllEmbeddings behind `/nornicdb/embed/clear`
+    * (`pkg/server/server_nornicdb.go:158-177`): returns how many entities
+    * lost their vector so the caller can report it. Distributed: the keys
+    * frame is derived by filter, never an id collect.
+    */
+  def clearNodeEmbeddings(name: String = "embedding"): Long = synchronized {
+    import org.apache.spark.sql.functions.col
+    val cur = nodeEmbeddings
+    val keys = cur.filter(col("name") === name)
+      .select("entity_id", "name").localCheckpoint(true)
+    val cleared = keys.select("entity_id").distinct().count()
+    if (cleared == 0) return 0L
+    nodeEmbs = Some(cur.filter(col("name") =!= name).localCheckpoint(true))
+    wal.foreach { w =>
+      versionCounter += 1
+      w.commitDelta(versionCounter, Map("node_embeddings_deletes" -> keys))
+    }
+    cleared
+  }
+
   /** db.create.setNodeVectorProperty point write. */
   def setNodeVectorProperty(nodeId: String, name: String, vec: Seq[Double]): Unit = {
     val spark = current.nodes.sparkSession

@@ -52,11 +52,13 @@ final class Authenticator(jwtSecret: Array[Byte],
   @volatile var auditLogger: AuditEvent => Unit = _ => ()
 
   private final class Account(
-      val salt: Array[Byte], val hash: Array[Byte],
+      @volatile var salt: Array[Byte], @volatile var hash: Array[Byte],
       @volatile var roles: Seq[Role],
       @volatile var failedLogins: Int = 0,
       @volatile var lockedUntil: Long = 0L,
-      @volatile var disabled: Boolean = false)
+      @volatile var disabled: Boolean = false,
+      @volatile var email: String = "",
+      @volatile var metadata: Map[String, String] = Map.empty)
 
   private val users = TrieMap.empty[String, Account]
   private val rng = new SecureRandom()
@@ -131,15 +133,79 @@ final class Authenticator(jwtSecret: Array[Byte],
 
   /** Public user view — never the password hash (auth.go `json:"-"`). */
   final case class UserInfo(username: String, roles: Seq[Role],
-      disabled: Boolean)
+      disabled: Boolean, email: String = "",
+      metadata: Map[String, String] = Map.empty)
 
   def listUsers(): Seq[UserInfo] =
     users.toSeq.sortBy(_._1).map { case (n, a) =>
-      UserInfo(n, a.roles, a.disabled)
+      UserInfo(n, a.roles, a.disabled, a.email, a.metadata)
     }
 
   def getUser(username: String): Option[UserInfo] =
-    users.get(username).map(a => UserInfo(username, a.roles, a.disabled))
+    users.get(username).map(a =>
+      UserInfo(username, a.roles, a.disabled, a.email, a.metadata))
+
+  /** Self-service password change (server_auth.go:444-497 →
+    * auth.ChangePassword): the old password must verify — lockout and
+    * disabled states behave exactly like a login attempt — and the new
+    * one passes the policy before the hash re-derives with a FRESH salt.
+    */
+  def changePassword(username: String, oldPassword: String,
+      newPassword: String): Either[AuthError, Unit] = {
+    def audit(ok: Boolean, details: String): Unit =
+      auditLogger(AuditEvent("password_change", username, ok, details))
+    users.get(username) match {
+      case None =>
+        audit(ok = false, "user not found")
+        Left(InvalidCredentials)
+      case Some(a) =>
+        val now = System.currentTimeMillis()
+        if (a.lockedUntil > now) { audit(ok = false, "locked"); Left(AccountLocked) }
+        else if (a.disabled) { audit(ok = false, "disabled"); Left(InvalidCredentials) }
+        else if (!java.security.MessageDigest.isEqual(
+            pbkdf2(oldPassword, a.salt), a.hash)) {
+          a.synchronized {
+            a.failedLogins += 1
+            if (a.failedLogins >= maxFailedLogins)
+              a.lockedUntil = now + lockoutDurationMs
+          }
+          audit(ok = false, "old password incorrect")
+          Left(InvalidCredentials)
+        } else if (newPassword.length < minPasswordLength) {
+          audit(ok = false, "policy violation")
+          Left(PolicyViolation(
+            s"password does not meet minimum length requirement ($minPasswordLength)"))
+        } else {
+          val salt = new Array[Byte](16)
+          rng.nextBytes(salt)
+          a.synchronized {
+            a.salt = salt; a.hash = pbkdf2(newPassword, salt)
+            a.failedLogins = 0; a.lockedUntil = 0L
+          }
+          audit(ok = true, "user changed own password")
+          Right(())
+        }
+    }
+  }
+
+  /** Self-service profile update (server_auth.go:499-547 →
+    * auth.UpdateUser): email and/or metadata; metadata keys merge over
+    * the existing map (empty-string value deletes the key).
+    */
+  def updateProfile(username: String, email: Option[String],
+      metadata: Map[String, String]): Boolean =
+    users.get(username) match {
+      case Some(a) =>
+        email.foreach(a.email = _)
+        if (metadata.nonEmpty) a.synchronized {
+          val (drop, keep) = metadata.partition(_._2.isEmpty)
+          a.metadata = a.metadata -- drop.keys ++ keep
+        }
+        auditLogger(AuditEvent("profile_update", username, success = true,
+          "user updated own profile"))
+        true
+      case None => false
+    }
 
   def deleteUser(username: String): Boolean = users.remove(username).isDefined
 

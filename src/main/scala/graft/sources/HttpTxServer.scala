@@ -40,9 +40,26 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
 
   def boundPort: Int = server.getAddress.getPort
 
+  /** The plain-REST surface sharing this listener (discovery, health,
+    * status/metrics, the native /nornicdb API, GDPR, admin, auth
+    * self-service) — one implementation, same RBAC.
+    */
+  val rest = new RestApi(store, effectiveRbac, authenticator,
+    advertisedHttpPort = () => boundPort)
+
   def start(): HttpTxServer = {
-    server.createContext("/db", (ex: HttpExchange) => handle(ex))
-    server.createContext("/auth", (ex: HttpExchange) => handleAuth(ex))
+    server.createContext("/db", rest.counted((ex: HttpExchange) => handle(ex)))
+    server.createContext("/auth",
+      rest.counted((ex: HttpExchange) => handleAuth(ex)))
+    // reference route table, server_router.go:100-170 — "/" is the JDK
+    // longest-prefix fallback, so unknown paths 404 through discovery
+    server.createContext("/", rest.counted(rest.handleDiscovery))
+    server.createContext("/health", rest.counted(rest.handleHealth))
+    server.createContext("/status", rest.counted(rest.handleStatus))
+    server.createContext("/metrics", rest.counted(rest.handleMetrics))
+    server.createContext("/nornicdb", rest.counted(rest.handleNornicdb))
+    server.createContext("/gdpr", rest.counted(rest.handleGdpr))
+    server.createContext("/admin", rest.counted(rest.handleAdmin))
     server.setExecutor(null) // accept-thread dispatch; queries run on Spark
     server.start()
     this
@@ -57,6 +74,7 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
   private def handleAuth(ex: HttpExchange): Unit = {
     try {
       val path = ex.getRequestURI.getPath
+      if (rest.handleAuthSelf(ex)) return // me/password/profile/logout/config
       if (path == "/auth/users" || path.startsWith("/auth/users/")) {
         handleUsers(ex, path)
         return

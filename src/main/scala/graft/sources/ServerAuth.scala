@@ -181,6 +181,25 @@ object ServerAuth {
       case Some(r) => r.resolve(credential(ex))
     }
 
+  /** The authenticated subject (JWT `sub` claim) behind this request —
+    * the reference's getClaims(r).Sub (server_middleware.go). Static API
+    * tokens and open dev mode carry no user identity → None; callers
+    * treat that as the anonymous/admin case the reference special-cases.
+    * The signature is verified before the claim is trusted.
+    */
+  def subjectOf(ex: HttpExchange, rbac: Option[Rbac]): Option[String] =
+    for {
+      r <- rbac
+      secret <- r.jwtSecret
+      cred <- credential(ex)
+      if validateJwt(secret, cred).isDefined // signature + exp first
+      parts = cred.split('.')
+      if parts.length == 3
+      payload = new String(b64urlDec.decode(parts(1)), StandardCharsets.UTF_8)
+      node <- graft.functions.JsonImpls.parse(payload).filter(_.isObject)
+      sub <- Option(node.get("sub")).map(_.asText()).filter(_.nonEmpty)
+    } yield sub
+
   def bearerOk(ex: HttpExchange, token: Option[String]): Boolean =
     token.forall { t =>
       Option(ex.getRequestHeaders.getFirst("Authorization"))
