@@ -47,6 +47,12 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
   val rest = new RestApi(store, effectiveRbac, authenticator,
     advertisedHttpPort = () => boundPort)
 
+  /** MCP served beside the transaction API, same port, same RBAC
+    * (server_router.go:178-201) — the delegate never binds its own
+    * socket.
+    */
+  private val mcpDelegate = new McpServer(store, rbac = effectiveRbac)
+
   def start(): HttpTxServer = {
     server.createContext("/db", rest.counted((ex: HttpExchange) => handle(ex)))
     server.createContext("/auth",
@@ -60,6 +66,10 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
     server.createContext("/nornicdb", rest.counted(rest.handleNornicdb))
     server.createContext("/gdpr", rest.counted(rest.handleGdpr))
     server.createContext("/admin", rest.counted(rest.handleAdmin))
+    server.createContext("/mcp", rest.counted { ex =>
+      if (ex.getRequestURI.getPath == "/mcp/health") rest.handleHealth(ex)
+      else mcpDelegate.handleExchange(ex) // per-tool RBAC inside
+    })
     server.setExecutor(null) // accept-thread dispatch; queries run on Spark
     server.start()
     this
@@ -118,6 +128,24 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
 
   def stop(): Unit = server.stop(0)
 
+  /** Route `/db/{dbName}/...` like the reference's
+    * handleDatabaseEndpoint (server_db.go:29-59,382-428):
+    *
+    *   GET  /db/{db}             → database info
+    *   GET  /db/{db}/cluster     → cluster status (standalone)
+    *   POST /db/{db}/tx          → open explicit transaction (201)
+    *   POST /db/{db}/tx/commit   → implicit transaction
+    *   POST /db/{db}/tx/{id}     → execute in open transaction
+    *   POST /db/{db}/tx/{id}/commit → commit (+ final statements)
+    *   DELETE /db/{db}/tx/{id}   → rollback (acknowledge)
+    *
+    * The reference's explicit-transaction model is simplified: every
+    * statement executes immediately (no deferred commit,
+    * server_db.go:1065-1082), so open/execute/commit share the implicit
+    * executor and rollback just acknowledges — this endpoint mirrors
+    * that contract exactly so stock Neo4j HTTP-API clients complete
+    * their begin/run/commit dance.
+    */
   private def handle(ex: HttpExchange): Unit = {
     try {
       val role = ServerAuth.roleOf(ex, effectiveRbac) match {
@@ -128,11 +156,75 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
           return
       }
       val path = ex.getRequestURI.getPath
-      if (ex.getRequestMethod != "POST" || !path.endsWith("/tx/commit")) {
-        respond(ex, 404,
-          """{"results":[],"errors":[{"code":"Neo.ClientError.Request.Invalid","message":"only POST /db/{db}/tx/commit is served"}]}""")
+      val parts = path.stripPrefix("/db/").split("/").toSeq.filter(_.nonEmpty)
+      if (parts.isEmpty) {
+        neo4jError(ex, 400, "Neo.ClientError.Request.Invalid",
+          "database name required")
         return
       }
+      val dbName = parts.head
+      val method = ex.getRequestMethod
+      (parts.tail, method) match {
+        case (Seq(), "GET") => databaseInfo(ex, dbName)
+        case (Seq("cluster"), "GET") =>
+          respond(ex, 200,
+            s"""{"mode":"standalone","database":${jstr(dbName)},"status":"online"}""")
+        case (Seq("tx"), "POST") => // open explicit tx (server_db.go:1084)
+          val txId = System.nanoTime().toString
+          val (results, errors) = runStatements(ex, role, dbName)
+          val expires = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+            .format(java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+              .plusSeconds(30))
+          respond(ex, 201,
+            s"""{"results":[$results],"errors":[$errors],"commit":"http://localhost:$boundPort/db/$dbName/tx/$txId/commit","transaction":{"expires":${jstr(expires)}}}""")
+        case (Seq("tx", "commit"), "POST") => // implicit tx
+          val (results, errors) = runStatements(ex, role, dbName)
+          respond(ex, 200, s"""{"results":[$results],"errors":[$errors]}""")
+        case (Seq("tx", _), "POST") => // execute in open tx = immediate
+          val (results, errors) = runStatements(ex, role, dbName)
+          respond(ex, 200, s"""{"results":[$results],"errors":[$errors]}""")
+        case (Seq("tx", _), "DELETE") => // rollback: acknowledge
+          respond(ex, 200, """{"results":[],"errors":[]}""")
+        case (Seq("tx", _, "commit"), "POST") => // commit + final statements
+          val (results, errors) = runStatements(ex, role, dbName)
+          respond(ex, 200,
+            s"""{"results":[$results],"errors":[$errors],"lastBookmarks":["FB:nornicdb:${System.nanoTime()}"]}""")
+        case (Seq("tx"), _) | (Seq("tx", "commit"), _) | (Seq("tx", _, "commit"), _) =>
+          neo4jError(ex, 405, "Neo.ClientError.Request.Invalid", "POST required")
+        case _ =>
+          neo4jError(ex, 404, "Neo.ClientError.Request.Invalid",
+            "unknown endpoint")
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 400,
+          s"""{"results":[],"errors":[{"code":"Neo.ClientError.Request.InvalidFormat","message":${jstr(
+            Option(e.getMessage).getOrElse(e.toString))}}]}""")
+    }
+  }
+
+  private def neo4jError(ex: HttpExchange, status: Int, code: String,
+      message: String): Unit =
+    respond(ex, status,
+      s"""{"results":[],"errors":[{"code":"$code","message":${jstr(message)}}]}""")
+
+  /** `GET /db/{db}` — name/status/default + counts
+    * (server_db.go:326-369). This server fronts one store, so any
+    * requested name reflects it; `neo4j` is the default database.
+    */
+  private def databaseInfo(ex: HttpExchange, dbName: String): Unit = {
+    val g = store.snapshot
+    respond(ex, 200,
+      s"""{"name":${jstr(dbName)},"status":"online","default":${dbName == "neo4j"},"nodeCount":${g.nodes.count()},"edgeCount":${g.edges.count()}}""")
+  }
+
+  /** Parse the request body and execute each statement under the
+    * caller's role — the shared executor behind the implicit and
+    * explicit transaction routes. Returns (results, errors) JSON
+    * fragments.
+    */
+  private def runStatements(ex: HttpExchange, role: ServerAuth.Role,
+      dbName: String): (String, String) = {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val statements = parseStatements(body)
       val results = new StringBuilder
@@ -154,7 +246,6 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
             if (errors.nonEmpty) errors.append(",")
             errors.append(s"""{"code":"Neo.ClientError.Security.Forbidden","message":"${missing.get}"}""")
           } else {
-            val dbName = path.split("/").lift(2).getOrElse("neo4j")
             graft.cypher.QueryGuard.guarded(dbName, isWrite) {
               val df =
                 if (isWrite)
@@ -176,13 +267,7 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
               Option(e.getMessage).getOrElse(e.toString))}}""")
         }
       }
-      respond(ex, 200, s"""{"results":[$results],"errors":[$errors]}""")
-    } catch {
-      case e: Exception =>
-        respond(ex, 400,
-          s"""{"results":[],"errors":[{"code":"Neo.ClientError.Request.InvalidFormat","message":${jstr(
-            Option(e.getMessage).getOrElse(e.toString))}}]}""")
-    }
+      (results.toString, errors.toString)
   }
 
   /** POST /auth/api-token (server_auth.go:98-200): admin-only mint of a

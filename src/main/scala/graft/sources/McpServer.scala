@@ -54,9 +54,18 @@ final class McpServer(store: GraphStore, port: Int = 0,
   private val effectiveRbac: Option[ServerAuth.Rbac] =
     rbac.orElse(ServerAuth.Rbac.legacy(token))
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // lazy: when this instance is only mounted on another listener
+  // (HttpTxServer's /mcp routes, server_router.go:178-201) no socket
+  // binds here
+  private lazy val server = HttpServer.create(new InetSocketAddress(port), 0)
 
   def boundPort: Int = server.getAddress.getPort
+
+  /** Serve one exchange — the mount point for the main HTTP server's
+    * `/mcp` routes (the reference registers MCP on port 7474 beside the
+    * transaction API, server_router.go:178-201). Same per-tool RBAC.
+    */
+  def handleExchange(ex: HttpExchange): Unit = handle(ex)
 
   def start(): McpServer = {
     server.createContext("/mcp", (ex: HttpExchange) => handle(ex))

@@ -516,8 +516,28 @@ final class RestApi(store: GraphStore,
       case "/admin/stats" => adminStats(ex)
       case "/admin/config" => adminConfig(ex)
       case "/admin/backup" => adminBackup(ex)
+      case "/admin/gpu/status" => gpuStatus(ex)
+      case "/admin/gpu/enable" | "/admin/gpu/disable" | "/admin/gpu/test" =>
+        gpuControl(ex)
       case other => err(ex, 404, s"not found: $other")
     }
+  }
+
+  /** `/admin/gpu/status|enable|disable|test` (server_gpu.go:14-61):
+    * this engine's acceleration
+    * layer is Tungsten whole-stage codegen, not a discrete GPU, so it
+    * reports exactly what the reference reports with no GPU manager
+    * initialized — status 200 available:false, control 503.
+    */
+  private def gpuStatus(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") { err(ex, 405, "GET required"); return }
+    respond(ex, 200,
+      """{"available":false,"enabled":false,"message":"GPU manager not initialized"}""")
+  }
+
+  private def gpuControl(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") { err(ex, 405, "POST required"); return }
+    err(ex, 503, "GPU manager not initialized")
   }
 
   /** `GET /admin/stats` (server_admin.go:12-63): server counters +
@@ -573,6 +593,10 @@ final class RestApi(store: GraphStore,
         withAuth(ex, Permission.Read)(_ => authPassword(ex)); true
       case "/auth/profile" =>
         withAuth(ex, Permission.Read)(_ => authProfile(ex)); true
+      case "/auth/oauth/redirect" | "/auth/oauth/callback" =>
+        // no OAuth issuer is configured in this engine — the reference's
+        // nil-oauthManager refusal (server_auth.go:282-312)
+        err(ex, 400, "OAuth not configured"); true
       case _ => false
     }
   }

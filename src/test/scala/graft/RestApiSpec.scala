@@ -307,6 +307,85 @@ class RestApiSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("explicit transactions, database info, cluster status (server_db.go:29-59)") {
+    val store = tpchStore()
+    val server = new HttpTxServer(store, rbac = Some(rbac)).start()
+    try {
+      val p = server.boundPort
+      // GET /db/{db} — info with live counts
+      val (is, ib) = get(p, "/db/neo4j", Some("tok-viewer"))
+      assert(is == 200 && ib.contains("\"default\":true") &&
+        ib.contains(s""""nodeCount":${store.snapshot.nodes.count()}"""), ib)
+      assert(get(p, "/db/other", Some("tok-viewer"))._2
+        .contains("\"default\":false"))
+      // GET /db/{db}/cluster — standalone
+      val (cs, cb) = get(p, "/db/neo4j/cluster", Some("tok-viewer"))
+      assert(cs == 200 && cb.contains("\"mode\":\"standalone\""), cb)
+      // open an explicit tx: 201, commit URL, 30s expiry, statements run
+      val (os, ob) = post(p, "/db/neo4j/tx",
+        """{"statements":[{"statement":"RETURN 1 AS a"}]}""", Some("tok-editor"))
+      assert(os == 201 && ob.contains(""""columns":["a"]""") &&
+        ob.contains("\"expires\":"), ob)
+      val commitUrl = """"commit":"([^"]+)"""".r.findFirstMatchIn(ob).get.group(1)
+      assert(commitUrl.contains(s"/db/neo4j/tx/") && commitUrl.endsWith("/commit"))
+      val txPath = commitUrl.replaceFirst("http://[^/]+", "")
+        .stripSuffix("/commit")
+      // execute in the open tx (immediate execution, server_db.go:1186)
+      val (xs, xb) = post(p, txPath,
+        """{"statements":[{"statement":"CREATE (n:TxSpec {key: 900001})"}]}""",
+        Some("tok-editor"))
+      assert(xs == 200 && xb.contains(""""errors":[]"""), xb)
+      assert(store.snapshot.nodes
+        .filter(col("id") === "TxSpec:900001").count() == 1)
+      // commit with a final statement: 200 + lastBookmarks
+      val (fs, fb) = post(p, s"$txPath/commit",
+        """{"statements":[{"statement":"RETURN 2 AS b"}]}""", Some("tok-editor"))
+      assert(fs == 200 && fb.contains(""""columns":["b"]""") &&
+        fb.contains("\"lastBookmarks\":[\"FB:nornicdb:"), fb)
+      // rollback acknowledges (simplified model: immediate execution)
+      val rr = req(p, "DELETE", txPath, "", Some("tok-editor"))
+      assert(rr.statusCode() == 200 &&
+        rr.body() == """{"results":[],"errors":[]}""")
+      // viewer still cannot write through the explicit path
+      val (vs, vb) = post(p, "/db/neo4j/tx",
+        """{"statements":[{"statement":"CREATE (n:TxSpec {key: 900002})"}]}""",
+        Some("tok-viewer"))
+      assert(vs == 201 && vb.contains("Write permission required"), vb)
+      // wrong method / unknown endpoint shapes
+      assert(get(p, "/db/neo4j/tx", Some("tok-viewer"))._1 == 405)
+      assert(get(p, "/db/neo4j/nope", Some("tok-viewer"))._1 == 404)
+    } finally server.stop()
+  }
+
+  test("gpu admin stubs, oauth-not-configured, MCP mounted on the shared port") {
+    val store = tpchStore()
+    val server = new HttpTxServer(store, rbac = Some(rbac)).start()
+    try {
+      val p = server.boundPort
+      // GPU: status reports no manager (this engine's accel is Tungsten)
+      val (gs, gb) = get(p, "/admin/gpu/status", Some("tok-admin"))
+      assert(gs == 200 && gb.contains("\"available\":false"), gb)
+      assert(post(p, "/admin/gpu/enable", "", Some("tok-admin"))._1 == 503)
+      assert(post(p, "/admin/gpu/test", "", Some("tok-admin"))._1 == 503)
+      // OAuth endpoints refuse like the reference's nil manager
+      val (os, ob) = get(p, "/auth/oauth/redirect")
+      assert(os == 400 && ob.contains("OAuth not configured"), ob)
+      // MCP rides the same listener: health public, RPC behind RBAC
+      assert(get(p, "/mcp/health") == ((200, """{"status":"healthy"}""")))
+      val (ms, mb) = post(p, "/mcp",
+        """{"jsonrpc":"2.0","id":1,"method":"initialize"}""", Some("tok-viewer"))
+      assert(ms == 200 && mb.contains("\"protocolVersion\""), mb)
+      val (ls, lb) = post(p, "/mcp/tools/list", "{}", Some("tok-viewer"))
+      assert(ls == 200 && lb.contains("\"task\"") && lb.contains("\"recall\""), lb)
+      // per-tool RBAC: viewer may not store, editor may
+      val storeCall =
+        """{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"store","arguments":{"content":"mounted mcp spec row"}}}"""
+      assert(post(p, "/mcp", storeCall, Some("tok-viewer"))._1 == 403)
+      assert(post(p, "/mcp", storeCall, Some("tok-editor"))._1 == 200)
+      assert(post(p, "/mcp", storeCall, None)._1 == 401)
+    } finally server.stop()
+  }
+
   test("auth self-service without an authenticator: anonymous admin, 503 on change") {
     val server = new HttpTxServer(tpchStore(), rbac = Some(rbac)).start()
     try {
