@@ -229,7 +229,7 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
       val statements = parseStatements(body)
       val results = new StringBuilder
       val errors = new StringBuilder
-      statements.foreach { case (stmt, params) =>
+      statements.foreach { case (stmt, params, includeStats) =>
         try {
           // literal-safe write sniff (shared with the Bolt loop); schema
           // DDL is admin-territory (PermSchema — editors hold only
@@ -253,7 +253,8 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
                     .getOrElse(store.snapshot.nodes.sparkSession.emptyDataFrame)
                 else Cypher.run(store.snapshot, stmt, params)
               if (results.nonEmpty) results.append(",")
-              results.append(ResultJson.resultObject(df, maxRows))
+              results.append(ResultJson.resultObjectNeo4j(df, maxRows,
+                stats = if (includeStats) Some(isWrite) else None))
             }
           }
         } catch {
@@ -398,9 +399,11 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
     * scalar forms the transaction API sends (string/number/bool/null) —
     * the same subset the Bolt RUN path binds.
     */
-  private[sources] def parseStatements(body: String): Seq[(String, Map[String, Any])] = {
+  private[sources] def parseStatements(
+      body: String): Seq[(String, Map[String, Any], Boolean)] = {
     val stmtRe = """"statement"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
     val paramsRe = """"parameters"\s*:\s*\{([^{}]*)\}""".r
+    val statsRe = """"includeStats"\s*:\s*true""".r
     // a statement's parameters block sits between it and the NEXT
     // statement key — positional pairing survives omitted parameters
     val stmtMatches = stmtRe.findAllMatchIn(body).toSeq
@@ -409,7 +412,7 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
       val region = body.substring(m.end, regionEnd)
       val params = paramsRe.findFirstMatchIn(region)
         .map(pm => parseFlatMap(pm.group(1))).getOrElse(Map.empty[String, Any])
-      (unescape(m.group(1)), params)
+      (unescape(m.group(1)), params, statsRe.findFirstIn(region).isDefined)
     }
   }
 

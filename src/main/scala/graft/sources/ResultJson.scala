@@ -40,4 +40,119 @@ object ResultJson {
     */
   def envelope(df: DataFrame, maxRows: Int = 10000): String =
     s"""{"results":[${resultObject(df, maxRows)}],"errors":[]}"""
+
+  // ================== Neo4j HTTP-API row format (server_db.go:455-506) ==
+
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+  import com.fasterxml.jackson.databind.node.ObjectNode
+  import scala.jdk.CollectionConverters._
+
+  /** Embedding-vector property names stripped from HTTP node payloads
+    * (too large to serialize; metadata like embedding_model stays —
+    * server_db.go:965-1000).
+    */
+  private val embeddingKeys = Set("embedding", "embeddings", "vector",
+    "vectors", "_embedding", "_embeddings", "chunk_embedding",
+    "chunk_embeddings")
+
+  /** The reference's hashStringToInt64 (server_db.go:1046-1057): Neo4j
+    * drivers expect a numeric id in row meta beside the elementId.
+    */
+  private def hash31(s: String): Long = {
+    var h = 0L
+    s.foreach(c => h = h * 31 + c)
+    if (h < 0) -h else h
+  }
+
+  private def filterProps(mapper: ObjectMapper, p: JsonNode): JsonNode = {
+    val out = mapper.createObjectNode()
+    if (p != null && p.isObject)
+      p.fields().asScala.foreach { e =>
+        if (!embeddingKeys(e.getKey.toLowerCase)) out.set[JsonNode](e.getKey, e.getValue)
+      }
+    out
+  }
+
+  /** Convert one value to Neo4j HTTP form
+    * (convertValueToNeo4jFormat, server_db.go:838-879): entity structs
+    * become elementId-keyed objects (`4:nornicdb:` nodes /
+    * `5:nornicdb:` relationships), containers recurse, scalars pass.
+    */
+  private def neoConvert(mapper: ObjectMapper, n: JsonNode): JsonNode = n match {
+    case o: ObjectNode if o.has("elementId") => o // already converted
+    case o: ObjectNode if o.has("id") && o.has("type") &&
+        o.has("start") && o.has("end") =>
+      val out = mapper.createObjectNode()
+      out.put("elementId", "5:nornicdb:" + o.get("id").asText())
+      out.put("type", o.get("type").asText())
+      out.put("startNodeElementId", "4:nornicdb:" + o.get("start").asText())
+      out.put("endNodeElementId", "4:nornicdb:" + o.get("end").asText())
+      out.set[JsonNode]("properties", filterProps(mapper, o.get("properties")))
+      out
+    case o: ObjectNode if o.has("id") && o.has("labels") =>
+      val out = mapper.createObjectNode()
+      out.put("elementId", "4:nornicdb:" + o.get("id").asText())
+      out.set[JsonNode]("labels",
+        Option[JsonNode](o.get("labels")).getOrElse(mapper.createArrayNode()))
+      out.set[JsonNode]("properties", filterProps(mapper, o.get("properties")))
+      out
+    case o: ObjectNode =>
+      val out = mapper.createObjectNode()
+      o.fields().asScala.foreach(e =>
+        out.set[JsonNode](e.getKey, neoConvert(mapper, e.getValue)))
+      out
+    case a if a.isArray =>
+      val out = mapper.createArrayNode()
+      a.elements().asScala.foreach(e => out.add(neoConvert(mapper, e)))
+      out
+    case other => other
+  }
+
+  /** Per-value row meta (generateRowMeta, server_db.go:1012-1044):
+    * `{"id":…,"type":"node"|"relationship","deleted":false,
+    * "elementId":…}` for entities, null otherwise.
+    */
+  private def metaFor(mapper: ObjectMapper, v: JsonNode): JsonNode =
+    if (v != null && v.isObject && v.has("elementId")) {
+      val eid = v.get("elementId").asText()
+      val m = mapper.createObjectNode()
+      m.put("id", hash31(eid.stripPrefix("4:nornicdb:").stripPrefix("5:nornicdb:")))
+      m.put("type", if (eid.startsWith("5:")) "relationship" else "node")
+      m.put("deleted", false)
+      m.put("elementId", eid)
+      m
+    } else mapper.nullNode()
+
+  /** One statement's result in the Neo4j HTTP-API shape the reference
+    * serves (server_db.go:773-790): `row` is an ARRAY in column order,
+    * `meta` carries entity ids, `stats` appears when the statement asked
+    * includeStats. Row JSON is still produced distributed ([[rowsJson]],
+    * codegen'd `to_json`); only the bounded collected tail reshapes
+    * object → array on the driver.
+    */
+  def resultObjectNeo4j(df: DataFrame, maxRows: Int = 10000,
+      stats: Option[Boolean] = None): String = {
+    val mapper = new ObjectMapper()
+    val names = df.columns
+    val cols = names.map(c => "\"" + c.replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+    val data = rowsJson(df).limit(maxRows).collect().map { r =>
+      val obj = mapper.readTree(r.getString(0))
+      val rowArr = mapper.createArrayNode()
+      val metaArr = mapper.createArrayNode()
+      names.foreach { c =>
+        // to_json omits null struct fields → absent = null
+        val v = Option[JsonNode](obj.get(c)).map(neoConvert(mapper, _))
+          .getOrElse(mapper.nullNode())
+        rowArr.add(v)
+        metaArr.add(metaFor(mapper, v))
+      }
+      s"""{"row":${mapper.writeValueAsString(rowArr)},"meta":${
+        mapper.writeValueAsString(metaArr)}}"""
+    }
+    val statsJson = stats.map(cu =>
+      s""","stats":{${if (cu) "\"contains_updates\":true" else ""}}""")
+      .getOrElse("")
+    s"""{"columns":$cols,"data":[${data.mkString(",")}]$statsJson}"""
+  }
 }

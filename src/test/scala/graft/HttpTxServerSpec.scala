@@ -71,4 +71,36 @@ class HttpTxServerSpec extends AnyFunSuite {
       assert(bad.statusCode() == 404)
     } finally server.stop()
   }
+
+  test("Neo4j row format: arrays in column order, entity meta, includeStats") {
+    val g = GraphQueries.graph(spark, sf)
+    val store = new GraphStore(PropertyGraph(
+      g.nodes.localCheckpoint(true), g.edges.localCheckpoint(true)),
+      registerGlobal = false)
+    val server = new HttpTxServer(store).start()
+    try {
+      // scalar row is an ARRAY in column order with null meta slots
+      val (_, b1) = post(server.boundPort,
+        """{"statements":[{"statement":"RETURN 1 AS a, 'x' AS b"}]}""")
+      assert(b1.contains(""""row":[1,"x"]""") &&
+        b1.contains(""""meta":[null,null]"""), b1)
+      // a returned node becomes the elementId form (server_db.go:882-899)
+      // with matching meta; the embedding vector property is filtered
+      val (_, b2) = post(server.boundPort,
+        """{"statements":[{"statement":"MATCH (n:Nation) WHERE n.key = 7 RETURN n"}]}""")
+      assert(b2.contains(""""elementId":"4:nornicdb:Nation:7""""), b2)
+      assert(b2.contains(""""type":"node","deleted":false"""), b2)
+      assert(!b2.contains("\"id\":\"Nation:7\""), b2) // internal shape gone
+      // includeStats: write reports contains_updates, read an empty stats
+      val (_, b3) = post(server.boundPort,
+        """{"statements":[{"statement":"CREATE (x:StatSpec {key: 777002})","includeStats":true}]}""")
+      assert(b3.contains(""""stats":{"contains_updates":true}"""), b3)
+      val (_, b4) = post(server.boundPort,
+        """{"statements":[{"statement":"RETURN 1 AS a","includeStats":true}]}""")
+      assert(b4.contains(""""stats":{}"""), b4)
+      val (_, b5) = post(server.boundPort,
+        """{"statements":[{"statement":"RETURN 2 AS a"}]}""")
+      assert(!b5.contains("\"stats\""), b5)
+    } finally server.stop()
+  }
 }
