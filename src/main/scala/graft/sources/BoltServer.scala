@@ -296,9 +296,46 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
   }
 
   /** Spark Row values → PackStream-encodable values (timestamps/dates as
-    * ISO strings — the thin server's simplification).
+    * ISO strings — the thin server's simplification). Entity-shaped
+    * structs become real Bolt Node (0x4E) / Relationship (0x52)
+    * structures with FNV-hashed numeric ids, exactly what a stock driver
+    * materializes as graph types (packstream.go:527,701-727) — not plain
+    * lists.
     */
+  /** An entity struct's properties: the nested `properties` map when
+    * present, else the hoisted top-level columns (the planner types
+    * frequent properties as real columns) — the HTTP layer's fallback
+    * (server_db.go:920-934), embedding vectors skipped.
+    */
+  private def entityProps(r: Row, metaKeys: Set[String]): Map[String, Any] = {
+    val names = r.schema.fieldNames
+    if (names.contains("properties") && r.getAs[Any]("properties") != null)
+      r.getAs[scala.collection.Map[String, Any]]("properties")
+        .map { case (k, mv) => k -> boltValue(mv) }.toMap
+    else names.iterator
+      .filterNot(k => metaKeys(k) || k.toLowerCase.contains("embedding"))
+      .flatMap(k => Option(r.getAs[Any](k)).map(mv => k -> boltValue(mv)))
+      .toMap
+  }
+
   private[sources] def boltValue(v: Any): Any = v match {
+    case r: Row if r.schema != null && {
+        val f = r.schema.fieldNames.toSet
+        f("id") && f("type") && f("start") && f("end") } =>
+      PackStream.BoltRel(
+        PackStream.hashStringToInt64(String.valueOf(r.getAs[Any]("id"))),
+        PackStream.hashStringToInt64(String.valueOf(r.getAs[Any]("start"))),
+        PackStream.hashStringToInt64(String.valueOf(r.getAs[Any]("end"))),
+        String.valueOf(r.getAs[Any]("type")),
+        entityProps(r, Set("id", "type", "start", "end", "properties")))
+    case r: Row if r.schema != null && {
+        val f = r.schema.fieldNames.toSet
+        f("id") && f("labels") } =>
+      PackStream.BoltNode(
+        PackStream.hashStringToInt64(String.valueOf(r.getAs[Any]("id"))),
+        Option(r.getAs[scala.collection.Seq[String]]("labels")).map(_.toSeq)
+          .getOrElse(Nil),
+        entityProps(r, Set("id", "labels", "properties")))
     case s: scala.collection.Seq[_] => s.map(boltValue)
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, mv) => k.toString -> boltValue(mv) }

@@ -64,11 +64,24 @@ object ResultJson {
     if (h < 0) -h else h
   }
 
-  private def filterProps(mapper: ObjectMapper, p: JsonNode): JsonNode = {
+  /** Entity properties: the nested `properties` map when present,
+    * otherwise the hoisted top-level fields (the planner types frequent
+    * properties as real columns) — the reference's map-node fallback
+    * "properties might be at top level" (server_db.go:920-934). Metadata
+    * keys and embedding vectors are skipped either way.
+    */
+  private def entityProps(mapper: ObjectMapper, o: ObjectNode,
+      metaKeys: Set[String]): JsonNode = {
     val out = mapper.createObjectNode()
-    if (p != null && p.isObject)
-      p.fields().asScala.foreach { e =>
+    val nested = o.get("properties")
+    if (nested != null && nested.isObject)
+      nested.fields().asScala.foreach { e =>
         if (!embeddingKeys(e.getKey.toLowerCase)) out.set[JsonNode](e.getKey, e.getValue)
+      }
+    else
+      o.fields().asScala.foreach { e =>
+        if (!metaKeys(e.getKey) && !embeddingKeys(e.getKey.toLowerCase))
+          out.set[JsonNode](e.getKey, e.getValue)
       }
     out
   }
@@ -87,14 +100,16 @@ object ResultJson {
       out.put("type", o.get("type").asText())
       out.put("startNodeElementId", "4:nornicdb:" + o.get("start").asText())
       out.put("endNodeElementId", "4:nornicdb:" + o.get("end").asText())
-      out.set[JsonNode]("properties", filterProps(mapper, o.get("properties")))
+      out.set[JsonNode]("properties", entityProps(mapper, o,
+        Set("id", "type", "start", "end", "properties", "elementId")))
       out
     case o: ObjectNode if o.has("id") && o.has("labels") =>
       val out = mapper.createObjectNode()
       out.put("elementId", "4:nornicdb:" + o.get("id").asText())
       out.set[JsonNode]("labels",
         Option[JsonNode](o.get("labels")).getOrElse(mapper.createArrayNode()))
-      out.set[JsonNode]("properties", filterProps(mapper, o.get("properties")))
+      out.set[JsonNode]("properties", entityProps(mapper, o,
+        Set("id", "labels", "properties", "elementId")))
       out
     case o: ObjectNode =>
       val out = mapper.createObjectNode()

@@ -133,6 +133,40 @@ class BoltServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("entity returns stream as Bolt Node structures (0x4E), not lists") {
+    val g = GraphQueries.graph(spark, sf)
+    val server = new BoltServer(() => g).start()
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      out.write(Array[Byte](0x60, 0x60, 0xB0.toByte, 0x17,
+        0, 0, 4, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+      out.flush()
+      assert(in.read(new Array[Byte](4)) == 4)
+      out.write(PackStream.frame(struct(0x01,
+        Map("user_agent" -> "graft-spec/1.0", "scheme" -> "none"))))
+      out.flush()
+      assert(decodeMsg(readMessage(in))._1 == 0x70)
+
+      out.write(PackStream.frame(struct(0x10,
+        "MATCH (n:Nation) WHERE n.key = 7 RETURN n",
+        Map.empty[String, Any], Map.empty[String, Any])))
+      out.flush()
+      assert(decodeMsg(readMessage(in))._1 == 0x70)
+      out.write(PackStream.frame(struct(0x3F, Map("n" -> -1L))))
+      out.flush()
+      val (recSig, recVal) = decodeMsg(readMessage(in))
+      assert(recSig == 0x71)
+      val node = recVal.asInstanceOf[Seq[Any]].head
+        .asInstanceOf[PackStream.BoltNode]
+      assert(node.id == PackStream.hashStringToInt64("Nation:7"))
+      assert(node.labels == Seq("Nation"))
+      assert(node.props.get("name").map(_.toString).exists(_.nonEmpty), node)
+      sock.close()
+    } finally server.stop()
+  }
+
   test("PULL honors n and reports has_more") {
     val g = GraphQueries.graph(spark, sf)
     val server = new BoltServer(() => g).start()

@@ -91,6 +91,8 @@ class HttpTxServerSpec extends AnyFunSuite {
       assert(b2.contains(""""elementId":"4:nornicdb:Nation:7""""), b2)
       assert(b2.contains(""""type":"node","deleted":false"""), b2)
       assert(!b2.contains("\"id\":\"Nation:7\""), b2) // internal shape gone
+      // hoisted property columns land in the properties map
+      assert(b2.matches("""(?s).*"properties":\{[^}]*"name":"NATION_7".*"""), b2)
       // includeStats: write reports contains_updates, read an empty stats
       val (_, b3) = post(server.boundPort,
         """{"statements":[{"statement":"CREATE (x:StatSpec {key: 777002})","includeStats":true}]}""")
