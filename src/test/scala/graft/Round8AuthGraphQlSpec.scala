@@ -43,7 +43,7 @@ class Round8AuthGraphQlSpec extends AnyFunSuite {
       val wrong = post(p, "/db/graft/tx/commit", body, Some("nope"))
       assert(wrong.statusCode() == 401)
       val ok = post(p, "/db/graft/tx/commit", body, Some("s3cret"))
-      assert(ok.statusCode() == 200 && ok.body().contains("\"n\":5"))
+      assert(ok.statusCode() == 200 && ok.body().contains("\"row\":[5]"))
     } finally server.stop()
   }
 

@@ -59,14 +59,14 @@ class Round9GuardSpec extends AnyFunSuite {
       // rapid-fire well past the bucket (requests may take long enough to
       // refill a token, so assert the refusal exists, not an exact count)
       val bodies = (1 to 8).map(_ => run())
-      assert(bodies.take(2).forall(_.contains("\"one\":1")),
+      assert(bodies.take(2).forall(_.contains("\"row\":[1]")),
         "the first two statements (full bucket) must pass")
       val refused = bodies.filter(_.contains("ResourceExhausted"))
       assert(refused.nonEmpty &&
         refused.forall(_.contains("max_queries_per_second")), bodies.mkString("\n"))
       // bucket refills after a second → recovery
       Thread.sleep(1100)
-      assert(run().contains("\"one\":1"))
+      assert(run().contains("\"row\":[1]"))
     } finally {
       server.stop()
       QueryGuard.uninstall("guarded_db")

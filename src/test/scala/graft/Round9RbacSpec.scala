@@ -119,7 +119,7 @@ class Round9RbacSpec extends AnyFunSuite {
       assert(post(p, "/db/neo4j/tx/commit",
         """{"statements":[]}""", None)._1 == 401)
       // viewer read OK, write Forbidden
-      assert(tx("RETURN 1 AS one", "tok-viewer").contains("\"one\":1"))
+      assert(tx("RETURN 1 AS one", "tok-viewer").contains("\"row\":[1]"))
       val vw = tx("CREATE (n:P {key: 7})", "tok-viewer")
       assert(vw.contains("Neo.ClientError.Security.Forbidden") &&
         vw.contains("Write permission required"), vw)
@@ -452,20 +452,20 @@ class Round9RbacSpec extends AnyFunSuite {
       val stmt = """{"statements":[{"statement":"RETURN 1 AS one"}]}"""
       // the minted token works as a Bearer credential...
       assert(post(p, "/db/neo4j/tx/commit", stmt, Some(apiTok))._2
-        .contains("\"one\":1"))
+        .contains("\"row\":[1]"))
       // ...as the browser cookie...
       val cookieResp = client.send(HttpRequest.newBuilder(
           URI.create(s"http://127.0.0.1:$p/db/neo4j/tx/commit"))
         .header("Cookie", s"nornicdb_token=$apiTok")
         .POST(HttpRequest.BodyPublishers.ofString(stmt)).build(),
         HttpResponse.BodyHandlers.ofString())
-      assert(cookieResp.body().contains("\"one\":1"), cookieResp.body())
+      assert(cookieResp.body().contains("\"row\":[1]"), cookieResp.body())
       // ...and as an access_token query parameter
       val qResp = client.send(HttpRequest.newBuilder(
           URI.create(s"http://127.0.0.1:$p/db/neo4j/tx/commit?access_token=$apiTok"))
         .POST(HttpRequest.BodyPublishers.ofString(stmt)).build(),
         HttpResponse.BodyHandlers.ofString())
-      assert(qResp.body().contains("\"one\":1"), qResp.body())
+      assert(qResp.body().contains("\"row\":[1]"), qResp.body())
       // no credential at all stays 401
       assert(post(p, "/db/neo4j/tx/commit", stmt, None)._1 == 401)
     } finally server.stop()
