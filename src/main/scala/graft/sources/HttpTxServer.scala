@@ -27,7 +27,8 @@ import graft.graph.GraphStore
 final class HttpTxServer(store: GraphStore, port: Int = 0,
     maxRows: Int = 10000, token: Option[String] = None,
     rbac: Option[ServerAuth.Rbac] = None,
-    authenticator: Option[Authenticator] = None) {
+    authenticator: Option[Authenticator] = None,
+    oauth: Option[OAuthClient] = None) {
 
   /** Per-statement RBAC: write statements need `write`
     * (server_db.go:654-663 → Neo.ClientError.Security.Forbidden in the
@@ -45,7 +46,7 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
     * self-service) — one implementation, same RBAC.
     */
   val rest = new RestApi(store, effectiveRbac, authenticator,
-    advertisedHttpPort = () => boundPort)
+    advertisedHttpPort = () => boundPort, oauth = oauth)
 
   /** MCP served beside the transaction API, same port, same RBAC
     * (server_router.go:178-201) — the delegate never binds its own

@@ -42,7 +42,8 @@ final class RestApi(store: GraphStore,
     rbac: Option[ServerAuth.Rbac],
     authenticator: Option[Authenticator],
     advertisedBoltPort: Int = 7687,
-    advertisedHttpPort: () => Int = () => 7474) {
+    advertisedHttpPort: () => Int = () => 7474,
+    oauth: Option[OAuthClient] = None) {
 
   import ServerAuth.{Permission, Role}
 
@@ -593,11 +594,59 @@ final class RestApi(store: GraphStore,
         withAuth(ex, Permission.Read)(_ => authPassword(ex)); true
       case "/auth/profile" =>
         withAuth(ex, Permission.Read)(_ => authProfile(ex)); true
-      case "/auth/oauth/redirect" | "/auth/oauth/callback" =>
-        // no OAuth issuer is configured in this engine — the reference's
-        // nil-oauthManager refusal (server_auth.go:282-312)
-        err(ex, 400, "OAuth not configured"); true
+      case "/auth/oauth/redirect" => oauthRedirect(ex); true
+      case "/auth/oauth/callback" => oauthCallback(ex); true
       case _ => false
+    }
+  }
+
+  /** `GET /auth/oauth/redirect` (server_auth.go:282-303): 302 to the
+    * provider's authorize URL with a stored CSRF state; the reference's
+    * nil-manager refusal when no issuer is configured.
+    */
+  private def oauthRedirect(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") { err(ex, 405, "method not allowed"); return }
+    oauth match {
+      case None => err(ex, 400, "OAuth not configured")
+      case Some(o) =>
+        val (_, url) = o.generateAuthUrl()
+        ex.getResponseHeaders.set("Location", url)
+        respond(ex, 302, "")
+    }
+  }
+
+  /** `GET /auth/oauth/callback` (server_auth.go:307-366): code+state →
+    * token exchange + userinfo + find-or-create account, then the
+    * browser cookie and a redirect to the UI root.
+    */
+  private def oauthCallback(ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "GET") { err(ex, 405, "method not allowed"); return }
+    val o = oauth.getOrElse { err(ex, 400, "OAuth not configured"); return }
+    val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      .split('&').toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+    params.get("error") match {
+      case Some(e) =>
+        err(ex, 400, s"OAuth error: $e - ${params.getOrElse("error_description", "")}")
+        return
+      case None => ()
+    }
+    val code = params.getOrElse("code", "")
+    val state = params.getOrElse("state", "")
+    if (code.isEmpty) { err(ex, 400, "missing authorization code"); return }
+    if (state.isEmpty) { err(ex, 400, "missing state parameter"); return }
+    o.handleCallback(code, state) match {
+      case Left(msg) => err(ex, 400, msg)
+      case Right((_, jwt)) =>
+        ex.getResponseHeaders.add("Set-Cookie",
+          s"nornicdb_token=$jwt; Path=/; HttpOnly; SameSite=Lax; Max-Age=${86400 * 7}")
+        ex.getResponseHeaders.set("Location", "/")
+        respond(ex, 302, "")
     }
   }
 
@@ -607,7 +656,8 @@ final class RestApi(store: GraphStore,
     */
   private def authConfig(ex: HttpExchange): Unit =
     respond(ex, 200,
-      s"""{"devLoginEnabled":true,"securityEnabled":${authenticator.isDefined},"oauthProviders":[]}""")
+      s"""{"devLoginEnabled":true,"securityEnabled":${authenticator.isDefined},"oauthProviders":[${
+        if (oauth.isDefined) "\"oauth\"" else ""}]}""")
 
   /** `POST /auth/logout` (server_auth.go:79-97) — clears the browser
     * cookie credential source.
@@ -636,8 +686,9 @@ final class RestApi(store: GraphStore,
             case Some(u) =>
               val meta = u.metadata.toSeq.sortBy(_._1)
                 .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
+              val method = u.metadata.getOrElse("auth_method", "password")
               respond(ex, 200,
-                s"""{"id":${jstr(u.username)},"username":${jstr(u.username)},"email":${jstr(u.email)},"roles":${rolesJson(u.roles)},"disabled":${u.disabled},"metadata":{$meta},"auth_method":"password"}""")
+                s"""{"id":${jstr(u.username)},"username":${jstr(u.username)},"email":${jstr(u.email)},"roles":${rolesJson(u.roles)},"disabled":${u.disabled},"metadata":{$meta},"auth_method":${jstr(method)}}""")
           }
         }
     }
