@@ -1250,6 +1250,50 @@ object CypherQueries {
                   (acc, x) -> acc * 2 + x) AS folded
          FROM nation GROUP BY 1"""),
 
+    cq("q_cypher_kalman_fold", "2.10",
+      // the kalman.* Cypher function family (kalman_functions.go): state
+      // is a user-held JSON string threaded through reduce(); DuckDB
+      // replays the exact default-config recurrence (x/lx/p fold with
+      // q=0.0001, r=88, p0=30) in the same floating-point op order
+      """MATCH (c:Customer) WHERE c.key <= 1000
+         WITH c.key % 5 AS grp, sort(collect(c.key)) AS ks
+         WITH grp, size(ks) AS n_obs, [k IN ks | toFloat(k % 97)] AS series
+         WITH grp, n_obs,
+              reduce(s = kalman.init(), m IN series | kalman.process(m, s).state) AS fs
+         RETURN grp, round(kalman.state(fs), 9) AS est,
+                round(kalman.predict(fs, 5), 9) AS pred5,
+                round(kalman.rate(fs), 9) AS trend, n_obs""",
+      // recursive-CTE fold (the EvolutionQueries idiom) — a list_reduce
+      // struct accumulator is NOT safe: DuckDB 1.0 updates the struct
+      // field by field, so later fields observe already-updated values
+      """WITH RECURSIVE m AS (
+           SELECT CAST(c_custkey % 5 AS BIGINT) AS grp,
+                  CAST(c_custkey % 97 AS DOUBLE) AS z,
+                  row_number() OVER (PARTITION BY c_custkey % 5
+                                     ORDER BY c_custkey) AS i
+           FROM customer WHERE c_custkey <= 1000),
+         cnt AS (SELECT grp, CAST(count(*) AS INT) AS n_obs FROM m GROUP BY grp),
+         r AS (
+           SELECT grp, 0 AS i, CAST(0.0 AS DOUBLE) AS x,
+                  CAST(0.0 AS DOUBLE) AS lx, CAST(30.0 AS DOUBLE) AS p
+           FROM cnt
+           UNION ALL
+           SELECT r.grp, m.i,
+             ((r.x + (r.x - r.lx))
+              + ((r.p + CAST(0.0001 AS DOUBLE)) /
+                 ((r.p + CAST(0.0001 AS DOUBLE)) + CAST(88.0 AS DOUBLE)))
+                * (m.z - (r.x + (r.x - r.lx)))) AS x,
+             (r.x + (r.x - r.lx)) AS lx,
+             ((CAST(1.0 AS DOUBLE) -
+               (r.p + CAST(0.0001 AS DOUBLE)) /
+               ((r.p + CAST(0.0001 AS DOUBLE)) + CAST(88.0 AS DOUBLE)))
+              * (r.p + CAST(0.0001 AS DOUBLE))) AS p
+           FROM r JOIN m ON m.grp = r.grp AND m.i = r.i + 1)
+         SELECT r.grp, round(r.x, 9) AS est,
+                round(r.x + 5 * (r.x - r.lx), 9) AS pred5,
+                round(r.x - r.lx, 9) AS trend, cnt.n_obs
+         FROM r JOIN cnt ON cnt.grp = r.grp AND r.i = cnt.n_obs"""),
+
     cq("q_cypher_quantifiers", "2.2",
       // all/any/none/single(x IN list WHERE p) → forall/exists HOFs
       """MATCH (c:Customer) WHERE c.key <= 200

@@ -2713,8 +2713,13 @@ object Planner {
             case Lit(s: String) => s
             case _ => throw new IllegalArgumentException("field name must be literal")
           }
-          f.df.select(base).schema.head.dataType match {
-            case _: org.apache.spark.sql.types.MapType => element_at(base, key)
+          // inside a lambda (reduce/transform) the frame can't type-probe a
+          // column that references lambda variables — structs are the only
+          // shape function results take there, so getField is the fallback
+          val dt = try Some(f.df.select(base).schema.head.dataType)
+            catch { case _: Exception => None }
+          dt match {
+            case Some(_: org.apache.spark.sql.types.MapType) => element_at(base, key)
             case _ => base.getField(key)
           }
 
@@ -2914,6 +2919,13 @@ object Planner {
           throw new IllegalArgumentException(s"$name(...) list predicate: use forall/exists via the functions API")
         case "vector.similarity.cosine" => graft.functions.VectorFns.cosineCol(a(0), a(1))
         case "vector.similarity.euclidean" => graft.functions.VectorFns.euclideanSimCol(a(0), a(1))
+        // the kalman.* family: user-held JSON state, struct results
+        // (kalman_functions.go; SHOW FUNCTIONS rows executor_show.go:152-161)
+        case kn if kn.startsWith("kalman.") =>
+          graft.functions.KalmanFns.ensure(f.df.sparkSession)
+          org.apache.spark.sql.functions.call_function(
+            "graft_" + kn.replace(".", "_"),
+            args.map(x => compile(x, f, params)): _*)
         case other =>
           throw new IllegalArgumentException(s"unknown function $other")
       }
