@@ -533,6 +533,35 @@ object ProcQueries {
       Some("SELECT r_regionkey AS k, CAST(1.0 AS DOUBLE) AS acctbal FROM region"),
       "2.8"),
 
+    // SHOW PROCEDURES / SHOW FUNCTIONS — the reference's curated catalog
+    // tables (executor_show.go:33-161), summarized per family/mode so the
+    // oracle pins the counts and catalog boundaries without 105 VALUES
+    "q_cypher_show_catalogs" -> GQuery(
+      (s, d) => {
+        val store = new graft.graph.GraphStore(GraphQueries.graph(s, d),
+          registerGlobal = false)
+        import graft.cypher.CypherDdl.tryExecute
+        val procs = tryExecute(store, "SHOW PROCEDURES").get
+        val fns = tryExecute(store, "SHOW FUNCTIONS").get
+        procs.groupBy("mode").agg(
+            count(lit(1)).as("n"), min("name").as("first_name"),
+            max("name").as("last_name"))
+          .select(lit("procedures").as("catalog"), col("mode"),
+            col("n"), col("first_name"), col("last_name"))
+          .unionAll(fns.groupBy(col("aggregating").cast("string").as("mode"))
+            .agg(count(lit(1)).as("n"), min("name").as("first_name"),
+              max("name").as("last_name"))
+            .select(lit("functions").as("catalog"), col("mode"),
+              col("n"), col("first_name"), col("last_name")))
+      },
+      Some("""SELECT * FROM (VALUES
+                ('procedures', 'READ', CAST(20 AS BIGINT), 'apoc.path.expand', 'nornicdb.version'),
+                ('procedures', 'DBMS', CAST(7 AS BIGINT), 'dbms.clientConfig', 'dbms.procedures'),
+                ('functions', 'false', CAST(72 AS BIGINT), 'abs', 'vector.similarity.euclidean'),
+                ('functions', 'true', CAST(6 AS BIGINT), 'avg', 'sum'))
+              t(catalog, mode, n, first_name, last_name)"""),
+      "2.9"),
+
     // schema DDL lifecycle through the string surface: create three
     // indexes + a constraint, drop one, SHOW the survivors
     "q_cypher_ddl_show" -> GQuery(

@@ -28,6 +28,8 @@ object CypherDdl {
     (word(0), word(1)) match {
       case ("SHOW", "INDEXES") => Some(showIndexes(spark, store))
       case ("SHOW", "CONSTRAINTS") => Some(showConstraints(spark, store))
+      case ("SHOW", "PROCEDURES") => Some(ShowCatalog.proceduresDf(spark))
+      case ("SHOW", "FUNCTIONS") => Some(ShowCatalog.functionsDf(spark))
       case ("DROP", "INDEX") =>
         store.catalog.dropIndex(identAt(toks, 2)); Some(emptyOk(spark))
       case ("DROP", "CONSTRAINT") =>
