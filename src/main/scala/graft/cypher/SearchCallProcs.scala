@@ -1,6 +1,6 @@
 package graft.cypher
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.functions._
 
 import graft.graph.{GraphStore, PropertyGraph}
@@ -89,6 +89,30 @@ object SearchCallProcs {
     else re.join(store.snapshot.edgesByType(relType).select("id"), "id")
   }
 
+  /** The default fulltext property set (`pkg/indexing/config.go:104`
+    * SearchableProperties — matches the Mimir node_search index) and the
+    * auto-embed text set (`pkg/embed/auto_embed.go:125`
+    * EmbeddableProperties).
+    */
+  val SearchableProps: Seq[String] = Seq("content", "text", "title", "name",
+    "description", "path", "workerRole", "requirements")
+  val EmbeddableProps: Seq[String] = Seq("content", "text", "title", "name",
+    "description")
+
+  /** Space-joined embeddable text per node (ExtractEmbeddableText,
+    * auto_embed.go:365): hoisted column or string-map fallback, empty
+    * parts skipped.
+    */
+  def embeddableTextCol(nodes: DataFrame): Column = {
+    val cols = EmbeddableProps.map { p =>
+      val v = if (nodes.columns.contains(p))
+        coalesce(col(p).cast("string"), element_at(col("properties"), p))
+      else element_at(col("properties"), p)
+      when(v === "", lit(null)).otherwise(v)
+    }
+    concat_ws(" ", cols: _*)
+  }
+
   /** Fulltext frame over nodes: (id, text) where text is the
     * space-concatenation of the indexed properties (hoisted column or
     * string-map fallback — `call_fulltext.go:95` extractTextContent).
@@ -171,8 +195,8 @@ object SearchCallProcs {
     val lbl = if (labels.isEmpty) None else Some(labelIds(g, labels))
     def bm = ftQuery(
       SearchIndexes.FulltextIdx("__server_ft",
-        () => nodeTextDf(g, labels, Seq("name")), "id", "text", "NODE",
-        labels, Seq("name")),
+        () => nodeTextDf(g, labels, SearchableProps), "id", "text", "NODE",
+        labels, SearchableProps),
       query, 2 * k, "node", lbl.map(_.withColumnRenamed("_lid", "doc_id")))
     def vs = {
       val qv = graft.functions.Embedder.current.embed(query)
@@ -211,8 +235,8 @@ object SearchCallProcs {
     val lbl = if (labels.isEmpty) None else Some(labelIds(g, labels))
     def bm = ftQuery(
       SearchIndexes.FulltextIdx("__server_ft",
-        () => nodeTextDf(g, labels, Seq("name")), "id", "text", "NODE",
-        labels, Seq("name")),
+        () => nodeTextDf(g, labels, SearchableProps), "id", "text", "NODE",
+        labels, SearchableProps),
       query, 2 * k, "node", lbl.map(_.withColumnRenamed("_lid", "doc_id")))
     def enrich(hits: DataFrame): DataFrame = {
       // hoisted key/name columns fold back into the property map (the

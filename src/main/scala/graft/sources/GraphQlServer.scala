@@ -1034,12 +1034,12 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
         val embedded = store.nodeEmbeddings.filter(col("name") === "embedding")
           .select(col("entity_id").as("id")).distinct()
         val targets =
-          if (regen) g.nodes.select(col("id"), col("name"))
-          else g.nodes.select(col("id"), col("name"))
-            .join(embedded, Seq("id"), "left_anti")
+          if (regen) g.nodes
+          else g.nodes.join(embedded, Seq("id"), "left_anti")
         val emb = graft.functions.Embedder.current
         val rows = targets
-          .withColumn("embedding", emb.embedCol(spark, coalesce(col("name"), lit(""))))
+          .withColumn("embedding", emb.embedCol(spark,
+            graft.cypher.SearchCallProcs.embeddableTextCol(targets)))
           .select(col("id").as("entity_id"), lit("embedding").as("name"),
             col("embedding"))
         if (!rows.isEmpty) store.setNodeVectorProperties(rows)

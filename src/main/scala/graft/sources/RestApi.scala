@@ -347,12 +347,14 @@ final class RestApi(store: GraphStore,
     val embedded = store.nodeEmbeddings.filter(col("name") === "embedding")
       .select(col("entity_id").as("id")).distinct()
     val targets =
-      if (regenerate) g.nodes.select(col("id"), col("name"))
-      else g.nodes.select(col("id"), col("name"))
-        .join(embedded, Seq("id"), "left_anti")
+      if (regenerate) g.nodes
+      else g.nodes.join(embedded, Seq("id"), "left_anti")
     val emb = Embedder.current
+    // the reference's auto-embed text: content/text/title/name/description
+    // (ExtractEmbeddableText, auto_embed.go:365)
     val rows = targets
-      .withColumn("embedding", emb.embedCol(spark, coalesce(col("name"), lit(""))))
+      .withColumn("embedding", emb.embedCol(spark,
+        SearchCallProcs.embeddableTextCol(targets)))
       .select(col("id").as("entity_id"), lit("embedding").as("name"),
         col("embedding"))
     if (!rows.isEmpty) store.setNodeVectorProperties(rows)

@@ -115,6 +115,14 @@ class RestApiSpec extends AnyFunSuite {
         """{"query":"Customer#000000001","labels":["Nation"],"limit":3}""",
         Some("tok-viewer"))
       assert(ls == 200 && !lb.contains("Customer:1"), lb)
+      // content-property documents are searchable (SearchableProperties,
+      // indexing/config.go:104 — not just the name column)
+      graft.cypher.CypherWrite.execute(store,
+        "CREATE (d:Doc {key: 900100, content: 'qzx vector databases are fast', title: 'qzx intro'})")
+      val (ds, db2) = post(p, "/nornicdb/search",
+        """{"query":"qzx","limit":3}""", Some("tok-viewer"))
+      assert(ds == 200 && db2.contains("Doc:900100"), db2)
+
       // decay config mirrors the reference defaults (db.go:950-957)
       val (dcs, dcb) = get(p, "/nornicdb/decay", Some("tok-viewer"))
       assert(dcs == 200 && dcb.contains("\"archiveThreshold\":0.05") &&
