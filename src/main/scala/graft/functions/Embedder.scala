@@ -20,6 +20,9 @@ import org.apache.spark.sql.{Column, SparkSession}
 trait Embedder {
   /** Output dimension (must match the vectors already in the store). */
   def dim: Int
+  /** Provider/model names the ops surfaces disclose (embed stats). */
+  def provider: String = "builtin"
+  def model: String = "hash-projection"
   /** Driver-side single-text form (CALL-argument query texts — tiny). */
   def embed(text: String): Seq[Double]
   /** Distributed column form for bulk embedding: `text column → ARRAY<DOUBLE>`

@@ -36,6 +36,9 @@ final case class HttpEmbedderConfig(provider: String, apiUrl: String,
 final class HttpEmbedder(config: HttpEmbedderConfig, val dim: Int)
     extends Embedder with Serializable {
 
+  override def provider: String = config.provider
+  override def model: String = config.model
+
   def embed(text: String): Seq[Double] =
     HttpEmbedder.request(config, Seq(text), dim).head
 
@@ -117,6 +120,8 @@ final class CachedEmbedder(base: Embedder, maxSize: Int)
   require(maxSize > 0, "cache size must be positive")
 
   val dim: Int = base.dim
+  override def provider: String = base.provider
+  override def model: String = base.model
 
   // per-JVM state (rebuilt empty after deserialization on executors)
   @transient private lazy val cache =

@@ -390,8 +390,12 @@ case class KalmanFnExpr(fn: String, children: Seq[Expression])
         val (v, st) = KalmanFns.process(dbl(arg(0)), str(arg(1)), target)
         InternalRow(v, UTF8String.fromString(st))
       case "kalman.velocity.init" =>
+        // both args optional: (pos), or (pos, vel) — signature
+        // initialPos? :: FLOAT, initialVel? :: FLOAT
         val initial =
-          if (children.size >= 2) Some((dbl(arg(0)), dbl(arg(1)))) else None
+          if (children.isEmpty) None
+          else Some((dbl(arg(0)),
+            if (children.size >= 2) dbl(arg(1)) else 0.0))
         UTF8String.fromString(KalmanFns.velocityInit(initial))
       case "kalman.velocity.process" =>
         val (v, vel, st) = KalmanFns.velocityProcess(dbl(arg(0)), str(arg(1)))

@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions.udf
 final class ProcessEmbedder(command: Seq[String], val dim: Int)
     extends Embedder with Serializable {
 
+  override def provider: String = "process"
+  override def model: String = command.headOption.getOrElse("process")
+
   def embed(text: String): Seq[Double] = ProcessEmbedder.request(command, text, dim)
 
   def embedCol(spark: SparkSession, c: Column): Column = {

@@ -111,8 +111,12 @@ final class Authenticator(jwtSecret: Array[Byte],
         } else if (a.disabled) {
           audit(ok = false, "account disabled")
           Left(InvalidCredentials)
-        } else if (!java.security.MessageDigest.isEqual(
-            pbkdf2(password, a.salt), a.hash)) {
+        } else {
+          // read the (salt, hash) pair under the account lock: a
+          // concurrent changePassword swaps both together, and a torn
+          // read (new hash, old salt) would spuriously fail the login
+          val (salt, hash) = a.synchronized((a.salt, a.hash))
+          if (!java.security.MessageDigest.isEqual(pbkdf2(password, salt), hash)) {
           a.synchronized {
             a.failedLogins += 1
             if (a.failedLogins >= maxFailedLogins)
@@ -127,6 +131,7 @@ final class Authenticator(jwtSecret: Array[Byte],
           Right(TokenResponse(
             ServerAuth.mintJwt(jwtSecret, username, a.roles, exp),
             expiresIn = tokenTtlSec))
+        }
         }
     }
   }
@@ -162,8 +167,9 @@ final class Authenticator(jwtSecret: Array[Byte],
         val now = System.currentTimeMillis()
         if (a.lockedUntil > now) { audit(ok = false, "locked"); Left(AccountLocked) }
         else if (a.disabled) { audit(ok = false, "disabled"); Left(InvalidCredentials) }
-        else if (!java.security.MessageDigest.isEqual(
-            pbkdf2(oldPassword, a.salt), a.hash)) {
+        else if ({ val (salt, hash) = a.synchronized((a.salt, a.hash))
+            !java.security.MessageDigest.isEqual(
+              pbkdf2(oldPassword, salt), hash) }) {
           a.synchronized {
             a.failedLogins += 1
             if (a.failedLogins >= maxFailedLogins)

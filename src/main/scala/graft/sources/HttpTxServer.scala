@@ -157,6 +157,14 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
           return
       }
       val path = ex.getRequestURI.getPath
+      // the JDK context is a raw string prefix: "/database" or bare
+      // "/db" also land here — only real /db/{name}/… paths are served
+      if (!path.startsWith("/db/")) {
+        neo4jError(ex, if (path == "/db") 400 else 404,
+          "Neo.ClientError.Request.Invalid",
+          if (path == "/db") "database name required" else "not found")
+        return
+      }
       val parts = path.stripPrefix("/db/").split("/").toSeq.filter(_.nonEmpty)
       if (parts.isEmpty) {
         neo4jError(ex, 400, "Neo.ClientError.Request.Invalid",
@@ -405,12 +413,15 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
     val stmtRe = """"statement"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
     val paramsRe = """"parameters"\s*:\s*\{([^{}]*)\}""".r
     val statsRe = """"includeStats"\s*:\s*true""".r
-    // a statement's parameters block sits between it and the NEXT
-    // statement key — positional pairing survives omitted parameters
+    // a statement object's sibling keys (parameters, includeStats) sit
+    // between the PREVIOUS statement key and the NEXT one — covering
+    // keys serialized before or after "statement" in the same object
     val stmtMatches = stmtRe.findAllMatchIn(body).toSeq
     stmtMatches.zipWithIndex.map { case (m, i) =>
+      val regionStart = stmtMatches.lift(i - 1).map(_.end).getOrElse(0)
       val regionEnd = stmtMatches.lift(i + 1).map(_.start).getOrElse(body.length)
-      val region = body.substring(m.end, regionEnd)
+      val region = body.substring(regionStart, m.start) +
+        body.substring(m.end, regionEnd)
       val params = paramsRe.findFirstMatchIn(region)
         .map(pm => parseFlatMap(pm.group(1))).getOrElse(Map.empty[String, Any])
       (unescape(m.group(1)), params, statsRe.findFirstIn(region).isDefined)

@@ -54,13 +54,26 @@ final class RestApi(store: GraphStore,
   private val active = new AtomicLong
 
   /** Wrap a handler with the middleware counters (requests/active; any
-    * 4xx/5xx response or uncaught throw counts as an error).
+    * 4xx/5xx response or uncaught throw counts as an error). Uncaught
+    * handler failures answer a 500 JSON error instead of letting the
+    * JDK dispatcher drop the connection (the reference middleware's
+    * recover path).
     */
   def counted(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler = { ex =>
     requests.incrementAndGet()
     active.incrementAndGet()
     try f(ex)
-    catch { case e: Exception => errors.incrementAndGet(); throw e }
+    catch {
+      case e: Exception =>
+        // best effort: headers may already be sent mid-stream (the 500
+        // respond() counts the error; the fallback close counts it here)
+        try respond(ex, 500, s"""{"error":${jstr(
+          Option(e.getMessage).getOrElse(e.toString))}}""")
+        catch { case _: Exception =>
+          errors.incrementAndGet()
+          try ex.close() catch { case _: Exception => () }
+        }
+    }
     finally active.decrementAndGet()
   }
 
@@ -176,14 +189,22 @@ final class RestApi(store: GraphStore,
       s"""{"bolt_direct":"bolt://localhost:$advertisedBoltPort","bolt_routing":"neo4j://localhost:$advertisedBoltPort","transaction":"http://localhost:$port/db/{databaseName}/tx","neo4j_version":"5.0.0","neo4j_edition":"community","default_database":"neo4j"}""")
   }
 
-  /** `GET /health` — unauthenticated, minimal (server_public.go:44-51). */
+  /** `GET /health` — unauthenticated, minimal (server_public.go:44-51).
+    * JDK contexts are raw string prefixes, so `/healthz` etc. must 404
+    * like the reference router.
+    */
   def handleHealth(ex: HttpExchange): Unit =
-    respond(ex, 200, """{"status":"healthy"}""")
+    if (!ex.getRequestURI.getPath.matches("/(mcp/)?health"))
+      err(ex, 404, s"not found: ${ex.getRequestURI.getPath}")
+    else respond(ex, 200, """{"status":"healthy"}""")
 
   /** `GET /status` — authenticated operational summary
     * (server_public.go:53-117).
     */
   def handleStatus(ex: HttpExchange): Unit = withAuth(ex, Permission.Read) { _ =>
+    if (ex.getRequestURI.getPath != "/status") {
+      err(ex, 404, s"not found: ${ex.getRequestURI.getPath}"); return
+    }
     val g = store.snapshot
     val nodes = g.nodes.count()
     val edges = g.edges.count()
@@ -198,6 +219,9 @@ final class RestApi(store: GraphStore,
     * existing scrape config works unchanged.
     */
   def handleMetrics(ex: HttpExchange): Unit = withAuth(ex, Permission.Read) { _ =>
+    if (ex.getRequestURI.getPath != "/metrics") {
+      err(ex, 404, s"not found: ${ex.getRequestURI.getPath}"); return
+    }
     val g = store.snapshot
     val nodes = g.nodes.count()
     val edges = g.edges.count()
@@ -377,9 +401,15 @@ final class RestApi(store: GraphStore,
     if (regenerate) {
       respond(ex, 202,
         """{"accepted":true,"regenerate":true,"message":"Regeneration started - clearing embeddings and regenerating in background. Check /nornicdb/embed/stats for progress."}""")
+      regenRunning = true
+      regenError = None
       val t = new Thread(() => {
         try { store.clearNodeEmbeddings(); embedMissing(regenerate = true) }
-        catch { case _: Exception => () }
+        catch { case e: Exception =>
+          // the 202 already went out — stats must surface the failure
+          regenError = Some(Option(e.getMessage).getOrElse(e.toString))
+        }
+        finally regenRunning = false
       }, "embed-regenerate")
       t.setDaemon(true)
       t.start()
@@ -390,14 +420,21 @@ final class RestApi(store: GraphStore,
     }
   }
 
-  /** `GET /nornicdb/embed/stats` (server_nornicdb.go:126-157). The
-    * configured model/provider name the deterministic seam discloses.
+  @volatile private var regenRunning = false
+  @volatile private var regenError: Option[String] = None
+
+  /** `GET /nornicdb/embed/stats` (server_nornicdb.go:126-157): the
+    * INSTALLED embedder's provider/model (the seam is pluggable —
+    * hash-projection is only the default) plus background-regeneration
+    * state, including a failure that happened after the 202 went out.
     */
   private def embedStats(ex: HttpExchange): Unit = {
     val total = embeddedCount()
-    val dim = Embedder.current.dim
+    val e = Embedder.current
+    val failed = if (regenError.isDefined) 1 else 0
+    val errField = regenError.map(m => s""","last_error":${jstr(m)}""").getOrElse("")
     respond(ex, 200,
-      s"""{"enabled":true,"stats":{"processed":$total,"failed":0,"running":false},"total_embeddings":$total,"configured_model":"hash-projection","configured_dimensions":$dim,"configured_provider":"builtin","vector_index_dimensions":$dim}""")
+      s"""{"enabled":true,"stats":{"processed":$total,"failed":$failed,"running":$regenRunning$errField},"total_embeddings":$total,"configured_model":${jstr(e.model)},"configured_dimensions":${e.dim},"configured_provider":${jstr(e.provider)},"vector_index_dimensions":${e.dim}}""")
   }
 
   /** `POST|DELETE /nornicdb/embed/clear` (server_nornicdb.go:158-177) —

@@ -106,8 +106,14 @@ object ServerAuth {
     val header = b64url.encodeToString(
       """{"alg":"HS256","typ":"JWT"}""".getBytes(StandardCharsets.UTF_8))
     val exp = if (expEpochSec > 0) s""","exp":$expEpochSec""" else ""
+    // sub may come from an external identity provider — JSON-escape it
+    // so a quote in a username can't break (or inject into) the payload
+    val sub = username.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
     val payload = b64url.encodeToString(
-      (s"""{"sub":"$username","roles":[${roles.map(r => "\"" + r.name + "\"")
+      (s"""{"sub":"$sub","roles":[${roles.map(r => "\"" + r.name + "\"")
         .mkString(",")}]$exp}""").getBytes(StandardCharsets.UTF_8))
     val signed = s"$header.$payload"
     val sig = b64url.encodeToString(

@@ -100,6 +100,10 @@ class HttpTxServerSpec extends AnyFunSuite {
       val (_, b4) = post(server.boundPort,
         """{"statements":[{"statement":"RETURN 1 AS a","includeStats":true}]}""")
       assert(b4.contains(""""stats":{}"""), b4)
+      // key order must not matter: includeStats BEFORE statement
+      val (_, b4b) = post(server.boundPort,
+        """{"statements":[{"includeStats":true,"statement":"RETURN 1 AS a"}]}""")
+      assert(b4b.contains(""""stats":{}"""), b4b)
       val (_, b5) = post(server.boundPort,
         """{"statements":[{"statement":"RETURN 2 AS a"}]}""")
       assert(!b5.contains("\"stats\""), b5)

@@ -55,6 +55,9 @@ class KalmanFnsSpec extends AnyFunSuite {
     // custom initial point
     val init = KalmanFns.velocityInit(Some((5.0, 0.25)))
     assert(init.contains("\"pos\":5") && init.contains("\"vel\":0.25"), init)
+    // single-arg form honors the position (initialVel defaults to 0)
+    val one1 = one("RETURN kalman.velocity.init(50.0) AS s")
+    assert(one1.getAs[String]("s").contains("\"pos\":50"), one1)
 
     // adaptive: trending signal switches basic→velocity after hysteresis,
     // then a flat signal switches back (kalman_functions.go:878-898)

@@ -70,6 +70,12 @@ class RestApiSpec extends AnyFunSuite {
       // unknown paths fall through the "/" context to a Neo4j 404 envelope
       val (ns, nb) = get(p, "/no-such-route")
       assert(ns == 404 && nb.contains("Neo.ClientError.Request.Invalid"), nb)
+      // JDK raw-prefix contexts must not leak: /healthz, /database 404;
+      // bare /db wants a database name
+      assert(get(p, "/healthz")._1 == 404)
+      assert(get(p, "/database", Some("tok-viewer"))._1 == 404)
+      assert(get(p, "/db", Some("tok-viewer"))._1 == 400)
+      assert(get(p, "/statusx", Some("tok-viewer"))._1 == 404)
       // /health is unauthenticated and minimal
       assert(get(p, "/health") == ((200, """{"status":"healthy"}""")))
       // /status needs a credential

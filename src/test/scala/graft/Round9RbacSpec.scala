@@ -65,6 +65,9 @@ class Round9RbacSpec extends AnyFunSuite {
     val expired = ServerAuth.mintJwt(secret, "carol", Seq(Role.Admin),
       expEpochSec = 1000L)
     assert(ServerAuth.validateJwt(secret, expired).isEmpty)
+    // provider-controlled identities with quotes can't break the payload
+    val weird = ServerAuth.mintJwt(secret, "bob\",\"roles\":[\"admin", Seq(Role.Viewer))
+    assert(ServerAuth.validateJwt(secret, weird).contains(Role.Viewer))
     // an Rbac with a jwtSecret accepts both static tokens and JWTs
     val r = Rbac(Map("tok" -> Role.Viewer), Some(secret))
     assert(r.resolve(Some("tok")).contains(Role.Viewer))
