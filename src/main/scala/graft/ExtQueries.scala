@@ -369,6 +369,53 @@ object ProcQueries {
                 ('Nation', 'IN', 'Region')) t(src_label, rel_type, dst_label)"""),
       "2.11"),
 
+    // db.schema.nodeTypeProperties / relTypeProperties — Neo4j schema
+    // introspection (the SHOW PROCEDURES rows executor_show.go:45-46):
+    // per-(label, property) types + mandatory flags; TPC-H has no nulls,
+    // so the expected table is static (Supplier/Nation/Region drop their
+    // always-null hoisted columns entirely)
+    "q_proc_node_type_props" -> GQuery(
+      (s, d) => Procedures.nodeTypeProperties(GraphQueries.graph(s, d))
+        .select(col("nodeType"),
+          element_at(col("nodeLabels"), 1).as("label"), col("propertyName"),
+          element_at(col("propertyTypes"), 1).as("ptype"), col("mandatory")),
+      Some("""SELECT * FROM (VALUES
+                (':`Customer`', 'Customer', 'key', 'Long', true),
+                (':`Customer`', 'Customer', 'name', 'String', true),
+                (':`Customer`', 'Customer', 'acctbal', 'Double', true),
+                (':`Customer`', 'Customer', 'mktsegment', 'String', true),
+                (':`Order`', 'Order', 'key', 'Long', true),
+                (':`Order`', 'Order', 'name', 'String', true),
+                (':`Order`', 'Order', 'acctbal', 'Double', true),
+                (':`Order`', 'Order', 'mktsegment', 'String', true),
+                (':`Order`', 'Order', 'orderstatus', 'String', true),
+                (':`Order`', 'Order', 'orderdate', 'String', true),
+                (':`Part`', 'Part', 'key', 'Long', true),
+                (':`Part`', 'Part', 'name', 'String', true),
+                (':`Part`', 'Part', 'acctbal', 'Double', true),
+                (':`Part`', 'Part', 'mktsegment', 'String', true),
+                (':`Part`', 'Part', 'type', 'String', true),
+                (':`Part`', 'Part', 'size', 'String', true),
+                (':`Supplier`', 'Supplier', 'key', 'Long', true),
+                (':`Supplier`', 'Supplier', 'name', 'String', true),
+                (':`Supplier`', 'Supplier', 'acctbal', 'Double', true),
+                (':`Nation`', 'Nation', 'key', 'Long', true),
+                (':`Nation`', 'Nation', 'name', 'String', true),
+                (':`Region`', 'Region', 'key', 'Long', true),
+                (':`Region`', 'Region', 'name', 'String', true))
+              t(nodeType, label, propertyName, ptype, mandatory)"""),
+      "2.11"),
+
+    "q_proc_rel_type_props" -> GQuery(
+      (s, d) => Procedures.relTypeProperties(GraphQueries.graph(s, d))
+        .select(col("relType"), col("propertyName"),
+          element_at(col("propertyTypes"), 1).as("ptype"), col("mandatory")),
+      Some("""SELECT * FROM (VALUES
+                (':`CONTAINS`', 'quantity', 'String', true),
+                (':`CONTAINS`', 'extendedprice', 'String', true))
+              t(relType, propertyName, ptype, mandatory)"""),
+      "2.11"),
+
     "q_proc_property_keys" -> GQuery(
       (s, d) => Procedures.dbPropertyKeys(GraphQueries.graph(s, d)),
       Some("""SELECT property_key FROM (VALUES ('key'), ('name'), ('acctbal'),

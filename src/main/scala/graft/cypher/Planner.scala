@@ -118,6 +118,8 @@ object Planner {
     "db.relationshiptypes" -> ((g, _) => graft.graph.Procedures.dbRelationshipTypes(g)),
     "db.propertykeys" -> ((g, _) => graft.graph.Procedures.dbPropertyKeys(g)),
     "db.schema.visualization" -> ((g, _) => graft.graph.Procedures.schemaVisualization(g)),
+    "db.schema.nodetypeproperties" -> ((g, _) => graft.graph.Procedures.nodeTypeProperties(g)),
+    "db.schema.reltypeproperties" -> ((g, _) => graft.graph.Procedures.relTypeProperties(g)),
     "dbms.components" -> ((g, _) => graft.graph.Procedures.dbmsComponents(g)),
     "db.info" -> ((g, _) => graft.graph.Procedures.dbInfo(g)),
     "apoc.meta.stats" -> ((g, _) => graft.graph.Procedures.metaStats(g)),
