@@ -1250,6 +1250,51 @@ object CypherQueries {
                   (acc, x) -> acc * 2 + x) AS folded
          FROM nation GROUP BY 1"""),
 
+    cq("q_fn_point_in_polygon", "2.10",
+      // polygon() + point.contains/intersects (functions_eval_math.go:
+      // 1041-1198): ray casting over a CONCAVE 5-vertex arrow, replayed
+      // edge-by-edge in DuckDB with the same crossing formula (XOR chain
+      // == the fold's inside-toggling; .5 vertices vs integer-grid
+      // points keep the horizontal-boundary branch off this data)
+      """MATCH (c:Customer) WHERE c.key <= 600
+         WITH c.mktsegment AS seg,
+              point({x: toFloat(c.key % 7), y: toFloat((c.key * 3) % 7)}) AS p,
+              polygon([point({x: 0.5, y: 0.5}), point({x: 6.5, y: 0.5}),
+                       point({x: 3.5, y: 3.5}), point({x: 6.5, y: 6.5}),
+                       point({x: 0.5, y: 6.5})]) AS poly
+         RETURN seg,
+                sum(CASE WHEN point.contains(poly, p) THEN 1 ELSE 0 END) AS n_inside,
+                sum(CASE WHEN point.intersects(p, poly) THEN 1 ELSE 0 END) AS n_hit,
+                count(*) AS n""",
+      """WITH pts AS (
+           SELECT c_mktsegment AS seg,
+                  CAST(c_custkey % 7 AS DOUBLE) AS px,
+                  CAST((c_custkey * 3) % 7 AS DOUBLE) AS py
+           FROM customer WHERE c_custkey <= 600),
+         hit AS (
+           SELECT seg,
+             ((((CASE WHEN (0.5 > py) <> (6.5 > py)
+                 THEN px < (0.5 - 0.5) * (py - 0.5) / (6.5 - 0.5) + 0.5
+                 ELSE false END
+             <> CASE WHEN (0.5 > py) <> (0.5 > py)
+                 THEN px < (0.5 - 6.5) * (py - 0.5) / (0.5 - 0.5) + 6.5
+                 ELSE false END)
+             <> CASE WHEN (3.5 > py) <> (0.5 > py)
+                 THEN px < (6.5 - 3.5) * (py - 3.5) / (0.5 - 3.5) + 3.5
+                 ELSE false END)
+             <> CASE WHEN (6.5 > py) <> (3.5 > py)
+                 THEN px < (3.5 - 6.5) * (py - 6.5) / (3.5 - 6.5) + 6.5
+                 ELSE false END)
+             <> CASE WHEN (6.5 > py) <> (6.5 > py)
+                 THEN px < (6.5 - 0.5) * (py - 6.5) / (6.5 - 6.5) + 0.5
+                 ELSE false END) AS inside
+           FROM pts)
+         SELECT seg,
+                CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+                CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                count(*) AS n
+         FROM hit GROUP BY seg"""),
+
     cq("q_cypher_kalman_fold", "2.10",
       // the kalman.* Cypher function family (kalman_functions.go): state
       // is a user-held JSON string threaded through reduce(); DuckDB

@@ -2024,8 +2024,14 @@ object Planner {
 
         // ---- apoc.temporal.* (ref apoc/temporal/temporal.go; operates on
         // TimestampType columns — construct via datetime()/date())
-        case "datetime" | "localdatetime" => to_timestamp(a(0))
-        case "date" => to_date(a(0))
+        case "datetime" | "localdatetime" => // optional arg: () = now
+          if (args.isEmpty) current_timestamp() else to_timestamp(a(0))
+        case "date" =>
+          if (args.isEmpty) current_date() else to_date(a(0))
+        case "time" | "localtime" => // Spark has no TIME type: HH:mm:ss text
+          date_format(
+            if (args.isEmpty) current_timestamp() else to_timestamp(a(0)),
+            "HH:mm:ss")
         case "apoc.temporal.toepochmillis" => unix_millis(a(0).cast("timestamp"))
         case "apoc.temporal.fromepochmillis" => timestamp_millis(a(0).cast("long"))
         case "apoc.temporal.add" | "apoc.temporal.subtract" =>
@@ -2776,6 +2782,44 @@ object Planner {
         // Cypher point() constructor: {x, y} (cartesian) or
         // {longitude, latitude} (WGS-84) map literal → the engine's point
         // struct (functions_eval_math.go:720 point creation)
+        // polygon/lineString geometries + point-in-polygon predicates
+        // (functions_eval_math.go:1041-1198; ray casting helpers.go:191-249)
+        case "polygon" =>
+          when(size(a(0)) < 3, lit(null)).otherwise(
+            struct(lit("polygon").as("type"), a(0).as("points")))
+        case "linestring" =>
+          when(size(a(0)) < 2, lit(null)).otherwise(
+            struct(lit("linestring").as("type"), a(0).as("points")))
+        case "point.intersects" | "point.contains" =>
+          // intersects(point, polygon) / contains(polygon, point)
+          val (pt, poly) =
+            if (name == "point.intersects") (a(0), a(1)) else (a(1), a(0))
+          val pts = poly.getField("points")
+          val n = size(pts)
+          val px = pt.getField("x").cast("double")
+          val py = pt.getField("y").cast("double")
+          // ray casting with a boundary short-circuit: fold over edges
+          // (coords(i), coords(i-1 mod n)), toggling `inside` per
+          // crossing; the division is guarded by the crossing test
+          val res = aggregate(sequence(lit(1), n),
+            struct(lit(false).as("inside"), lit(false).as("onEdge")),
+            (acc, i) => {
+              val cur = element_at(pts, i)
+              val prev = element_at(pts, when(i === 1, n).otherwise(i - 1))
+              val xi = cur.getField("x").cast("double")
+              val yi = cur.getField("y").cast("double")
+              val xj = prev.getField("x").cast("double")
+              val yj = prev.getField("y").cast("double")
+              val onH = (yi === py) && (yj === py) &&
+                (((xi <= px) && (px <= xj)) || ((xj <= px) && (px <= xi)))
+              val crossed = when((yi > py) =!= (yj > py),
+                px < (xj - xi) * (py - yi) / (yj - yi) + xi)
+                .otherwise(lit(false))
+              struct((acc.getField("inside") =!= crossed).as("inside"),
+                (acc.getField("onEdge") || onH).as("onEdge"))
+            })
+          when(poly.isNull || pt.isNull || n < 3, lit(false))
+            .otherwise(res.getField("onEdge") || res.getField("inside"))
         case "point" => args.head match {
           case MapLit(items) =>
             val m = items.toMap
@@ -2909,6 +2953,7 @@ object Planner {
         case "asin" => asin(a(0)); case "acos" => acos(a(0)); case "atan" => atan(a(0))
         case "atan2" => atan2(a(0), a(1))
         case "pi" => lit(math.Pi)
+        case "e" => lit(math.E)
         case "rand" => rand()
         case "timestamp" => // ms since epoch (Neo4j timestamp())
           unix_millis(current_timestamp())
