@@ -246,7 +246,8 @@ final class RestApi(store: GraphStore,
     metric("nornicdb_embeddings_processed", "Total embeddings processed",
       "counter", embedded.toString)
     metric("nornicdb_embedding_worker_running",
-      "Whether embed worker is active", "gauge", "0")
+      "Whether embed worker is active", "gauge",
+      if (regenRunning) "1" else "0")
     respond(ex, 200, sb.toString, "text/plain; version=0.0.4")
   }
 
