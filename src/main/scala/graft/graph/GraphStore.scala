@@ -204,16 +204,140 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
         w.commitCheckpoint(versionCounter, g, nodeEmbeddings, relEmbeddings)
       }
     }
-    // bound the logical-plan lineage: every few versions, materialize the
-    // snapshot (localCheckpoint) so a long write sequence doesn't stack
-    // unbounded join/withColumn layers — Catalyst analysis cost grows
-    // super-linearly with depth. A durable deployment's Delta-style commit
-    // materializes every version anyway; this is the in-memory analog.
+    // Lineage bounding. A bucketed side is materialized bucket-wise by the
+    // copy-on-write committer (only touched buckets ever rewrite — the
+    // file-granularity commit Delta Lake does); an unbucketed side falls
+    // back to the periodic whole-frame checkpoint, skipped when this
+    // commit didn't change that side's frame at all.
+    val old = current
     current =
       if (versionCounter % 6 == 0)
-        PropertyGraph(g.nodes.localCheckpoint(true), g.edges.localCheckpoint(true))
+        PropertyGraph(
+          if (nodeBuckets.isDefined || (g.nodes eq old.nodes)) g.nodes
+          else g.nodes.localCheckpoint(true),
+          if (edgeBuckets.isDefined || (g.edges eq old.edges)) g.edges
+          else g.edges.localCheckpoint(true))
       else g
   }
+
+  // ============================================ bucketed copy-on-write =====
+  // The node/edge frames are hash-bucketed by id once a store starts
+  // mutating: a keyed mutation rewrites ONLY the buckets containing
+  // touched rows, leaving every other bucket's materialized blocks live —
+  // so a point SET on a 100 TB store rewrites O(store/nBuckets), never the
+  // store. Id-equality reads on the write path (duplicate-id checks, WAL
+  // delta rows, change events) prune to the same touched buckets. The WAL
+  // below is untouched: deltas stay row-keyed (`wal_engine.go:28-45`
+  // recovery shape preserved). Read-only stores never bucketize.
+
+  /** Target rows per bucket: bucket count adapts to store size (4..64 in
+    * local mode; a cluster deployment sizes this to its file-granularity
+    * commit target, e.g. 128 MB of Parquet per bucket).
+    */
+  private val bucketTargetRows = 25000L
+
+  @volatile private var nodeBuckets: Option[IndexedSeq[DataFrame]] = None
+  @volatile private var edgeBuckets: Option[IndexedSeq[DataFrame]] = None
+  // un-materialized mutation layers stacked per bucket; a bucket
+  // re-checkpoints when its depth reaches the bound, so lineage stays flat
+  // without ever rewriting untouched buckets
+  private var nodeDepth: Array[Int] = Array.empty
+  private var edgeDepth: Array[Int] = Array.empty
+  private val maxDepth = 4
+
+  private def bucketColFor(n: Int)(c: Column): Column =
+    pmod(xxhash64(c), lit(n)).cast("int")
+
+  /** Split `df` into independently materialized hash-buckets: one pass to
+    * cache the parent, one small job per bucket, parent blocks released.
+    */
+  private def bucketize(df: DataFrame): IndexedSeq[DataFrame] = {
+    val parent = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = parent.count()
+    val n = math.max(4L, math.min(64L, (rows + bucketTargetRows - 1) / bucketTargetRows)).toInt
+    val out = (0 until n).map(b =>
+      parent.filter(bucketColFor(n)(col("id")) === b).localCheckpoint(true))
+    parent.unpersist(false)
+    out
+  }
+
+  private def ensureNodeBuckets(): IndexedSeq[DataFrame] = synchronized {
+    nodeBuckets.getOrElse {
+      val bs = bucketize(current.nodes)
+      nodeDepth = Array.fill(bs.size)(0)
+      nodeBuckets = Some(bs)
+      bs
+    }
+  }
+
+  private def ensureEdgeBuckets(): IndexedSeq[DataFrame] = synchronized {
+    edgeBuckets.getOrElse {
+      val bs = bucketize(current.edges)
+      edgeDepth = Array.fill(bs.size)(0)
+      edgeBuckets = Some(bs)
+      bs
+    }
+  }
+
+  private def unionAll(bs: Seq[DataFrame]): DataFrame =
+    bs.reduce(_.unionByName(_))
+
+  /** Distinct bucket ids that can contain `keys.id` rows — a ≤nBuckets-int
+    * driver read over the (checkpointed, small) key frame.
+    */
+  private def touchedBuckets(keys: DataFrame, n: Int): Set[Int] =
+    keys.select(bucketColFor(n)(col("id")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+
+  /** Union of only the buckets in `touched` — the pruned frame every
+    * id-equality join on the write path reads instead of the full store.
+    */
+  private def prunedUnion(bs: IndexedSeq[DataFrame], touched: Set[Int]): DataFrame =
+    if (touched.isEmpty) bs.head.limit(0)
+    else unionAll(bs.indices.filter(touched).map(bs))
+
+  /** Rewrite exactly the touched buckets through `f(bucketId, frame)`,
+    * re-materializing a bucket only when its stacked-layer depth hits the
+    * bound. Returns the new bucket vector (also installed).
+    */
+  private def rewriteNodeBuckets(touched: Set[Int])(
+      f: (Int, DataFrame) => DataFrame): IndexedSeq[DataFrame] = synchronized {
+    val bs = ensureNodeBuckets()
+    val nb = bs.zipWithIndex.map { case (df, b) =>
+      if (!touched(b)) df
+      else {
+        val nf = f(b, df)
+        nodeDepth(b) += 1
+        if (nodeDepth(b) >= maxDepth) { nodeDepth(b) = 0; nf.localCheckpoint(true) }
+        else nf
+      }
+    }
+    nodeBuckets = Some(nb)
+    nb
+  }
+
+  private def rewriteEdgeBuckets(touched: Set[Int])(
+      f: (Int, DataFrame) => DataFrame): IndexedSeq[DataFrame] = synchronized {
+    val bs = ensureEdgeBuckets()
+    val nb = bs.zipWithIndex.map { case (df, b) =>
+      if (!touched(b)) df
+      else {
+        val nf = f(b, df)
+        edgeDepth(b) += 1
+        if (edgeDepth(b) >= maxDepth) { edgeDepth(b) = 0; nf.localCheckpoint(true) }
+        else nf
+      }
+    }
+    edgeBuckets = Some(nb)
+    nb
+  }
+
+  /** Wholesale rewrites and transaction commits replace a side's frame
+    * outside the bucket committer — drop that side back to unbucketed
+    * mode (the next keyed mutation re-buckets).
+    */
+  private def invalidateNodeBuckets(): Unit = synchronized { nodeBuckets = None }
+  private def invalidateEdgeBuckets(): Unit = synchronized { edgeBuckets = None }
 
   /** Optimistic explicit transaction (§2.9 `transaction.go`): `f` runs
     * against a PRIVATE store seeded from the current snapshot; its writes
@@ -231,6 +355,10 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     synchronized {
       require(versionCounter == baseVersion,
         "transaction conflict: the store changed underneath; rolled back")
+      // the committed frames were built by the PRIVATE store's bucket
+      // committer — this store's bucket vectors no longer describe them
+      invalidateNodeBuckets()
+      invalidateEdgeBuckets()
       current = tx.snapshot
       versionCounter += 1
       // a committed transaction's net effect isn't tracked statement-wise
@@ -271,32 +399,48 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     }
 
   /** CREATE nodes (duplicate-id rows rejected — unique-id constraint,
-    * `pkg/storage/constraint_validation.go` analog).
+    * `pkg/storage/constraint_validation.go` analog). The duplicate check
+    * joins only the buckets the new ids hash into, and the insert routes
+    * each new row to its bucket — untouched buckets stay materialized.
     */
   def createNodes(newNodes: DataFrame): QueryStats = {
     val g = current
-    val conflicts = newNodes.join(g.nodes.select("id"), Seq("id"), "left_semi").count()
+    // pin the rows once: the frame may carry nondeterministic exprs
+    // (generated ids) and is read by the check, the router, and the WAL
+    val nn = newNodes.localCheckpoint(true)
+    val bs = ensureNodeBuckets()
+    val touched = touchedBuckets(nn, bs.size)
+    val conflicts = nn.join(prunedUnion(bs, touched).select("id"),
+      Seq("id"), "left_semi").count()
     require(conflicts == 0, s"unique-id constraint violated for $conflicts node(s)")
-    enforceUnique(g, newNodes)
-    val n = newNodes.count()
+    enforceUnique(g, nn)
+    val n = nn.count()
     checkNodeLimit(g, n)
-    swap(PropertyGraph(g.nodes.unionByName(newNodes), g.edges),
-      Map("nodes_upserts" -> newNodes))
-    emitNodes("node_created", newNodes)
+    val nb = rewriteNodeBuckets(touched)((b, df) =>
+      df.unionByName(nn.filter(bucketColFor(bs.size)(col("id")) === b)))
+    swap(PropertyGraph(unionAll(nb), g.edges), Map("nodes_upserts" -> nn))
+    emitNodes("node_created", nn)
     QueryStats(nodesCreated = n)
   }
 
   /** MERGE nodes by id: insert the ones that do not exist (ON CREATE);
-    * existing ones are left untouched (no ON MATCH SET here).
+    * existing ones are left untouched (no ON MATCH SET here). The
+    * existence anti-join reads only the candidate ids' buckets.
     */
   def mergeNodes(candidates: DataFrame): QueryStats = {
     val g = current
-    val missing = candidates.join(g.nodes.select("id"), Seq("id"), "left_anti")
-      .localCheckpoint(true)
+    val cand = candidates.localCheckpoint(true)
+    val bs = ensureNodeBuckets()
+    val candBuckets = touchedBuckets(cand, bs.size)
+    val missing = cand.join(prunedUnion(bs, candBuckets).select("id"),
+      Seq("id"), "left_anti").localCheckpoint(true)
     enforceUnique(g, missing)
     val n = missing.count()
     checkNodeLimit(g, n)
-    swap(PropertyGraph(g.nodes.unionByName(missing), g.edges),
+    val touched = if (n > 0) touchedBuckets(missing, bs.size) else Set.empty[Int]
+    val nb = rewriteNodeBuckets(touched)((b, df) =>
+      df.unionByName(missing.filter(bucketColFor(bs.size)(col("id")) === b)))
+    swap(PropertyGraph(unionAll(nb), g.edges),
       if (n > 0) Map("nodes_upserts" -> missing) else Map.empty)
     if (n > 0) emitNodes("node_created", missing)
     QueryStats(nodesCreated = n)
@@ -311,28 +455,36 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
   def setNodeProperties(updates: DataFrame, property: String): QueryStats = {
     val g = current
     val u = updates.select(col("id"), col("newval")).withColumn("_upd", lit(true))
-    val joined = g.nodes.join(u, Seq("id"), "left_outer")
-    val withCol =
-      if (g.nodes.columns.contains(property)) {
-        val dtype = g.nodes.schema(property).dataType
-        joined.withColumn(property,
-          when(col("_upd"), col("newval").cast(dtype)).otherwise(col(property)))
-      } else joined
-    val updated = withCol.withColumn("properties",
-      when(col("_upd") && col("newval").isNotNull,
-        map_concat(
-          map_filter(col("properties"), (k, _) => k =!= property),
-          map(lit(property), col("newval").cast("string"))))
-        .when(col("_upd"), // null newval: drop the key
-          map_filter(col("properties"), (k, _) => k =!= property))
-        .otherwise(col("properties")))
-      .drop("newval", "_upd")
-    val n = updates.count()
-    // WAL delta = only the touched rows (updated values, keyed by id)
-    swap(PropertyGraph(updated, g.edges),
-      Map("nodes_upserts" -> updated.join(u.select("id"), Seq("id"), "left_semi")))
-    emitNodes("node_updated",
-      updated.join(u.select("id"), Seq("id"), "left_semi"))
+      .localCheckpoint(true)
+    val bs = ensureNodeBuckets()
+    val touched = touchedBuckets(u, bs.size)
+    def transform(bucket: DataFrame): DataFrame = {
+      val joined = bucket.join(u, Seq("id"), "left_outer")
+      val withCol =
+        if (bucket.columns.contains(property)) {
+          val dtype = bucket.schema(property).dataType
+          joined.withColumn(property,
+            when(col("_upd"), col("newval").cast(dtype)).otherwise(col(property)))
+        } else joined
+      withCol.withColumn("properties",
+        when(col("_upd") && col("newval").isNotNull,
+          map_concat(
+            map_filter(col("properties"), (k, _) => k =!= property),
+            map(lit(property), col("newval").cast("string"))))
+          .when(col("_upd"), // null newval: drop the key
+            map_filter(col("properties"), (k, _) => k =!= property))
+          .otherwise(col("properties")))
+        .drop("newval", "_upd")
+    }
+    val nb = rewriteNodeBuckets(touched)((_, df) => transform(df))
+    // WAL delta + change feed = only the touched rows, read from only the
+    // touched buckets
+    val touchedRows = prunedUnion(nb, touched)
+      .join(u.select("id"), Seq("id"), "left_semi")
+    val n = u.count()
+    swap(PropertyGraph(unionAll(nb), g.edges),
+      Map("nodes_upserts" -> touchedRows))
+    emitNodes("node_updated", touchedRows)
     QueryStats(propertiesSet = n)
   }
 
@@ -341,28 +493,34 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     */
   def setNodeProperty(ids: DataFrame, property: String, value: Column): QueryStats = {
     val g = current
-    val marked = g.nodes.join(ids.select(col("id")).withColumn("_hit", lit(true)),
-      Seq("id"), "left_outer")
-    val withCol =
-      if (g.nodes.columns.contains(property))
-        marked.withColumn(property,
-          when(col("_hit"), value.cast(g.nodes.schema(property).dataType))
-            .otherwise(col(property)))
-      else marked
-    val updated = withCol.withColumn("properties",
-      when(col("_hit") && value.isNotNull,
-        map_concat(
-          map_filter(col("properties"), (k, _) => k =!= property),
-          map(lit(property), value.cast("string"))))
-        .when(col("_hit"),
-          map_filter(col("properties"), (k, _) => k =!= property))
-        .otherwise(col("properties")))
-      .drop("_hit")
-    val n = ids.count()
-    swap(PropertyGraph(updated, g.edges),
-      Map("nodes_upserts" -> updated.join(ids.select("id"), Seq("id"), "left_semi")))
-    emitNodes("node_updated",
-      updated.join(ids.select("id"), Seq("id"), "left_semi"))
+    val keys = ids.select(col("id")).localCheckpoint(true)
+    val marked = keys.withColumn("_hit", lit(true))
+    val bs = ensureNodeBuckets()
+    val touched = touchedBuckets(keys, bs.size)
+    def transform(bucket: DataFrame): DataFrame = {
+      val joined = bucket.join(marked, Seq("id"), "left_outer")
+      val withCol =
+        if (bucket.columns.contains(property))
+          joined.withColumn(property,
+            when(col("_hit"), value.cast(bucket.schema(property).dataType))
+              .otherwise(col(property)))
+        else joined
+      withCol.withColumn("properties",
+        when(col("_hit") && value.isNotNull,
+          map_concat(
+            map_filter(col("properties"), (k, _) => k =!= property),
+            map(lit(property), value.cast("string"))))
+          .when(col("_hit"),
+            map_filter(col("properties"), (k, _) => k =!= property))
+          .otherwise(col("properties")))
+        .drop("_hit")
+    }
+    val nb = rewriteNodeBuckets(touched)((_, df) => transform(df))
+    val touchedRows = prunedUnion(nb, touched).join(keys, Seq("id"), "left_semi")
+    val n = keys.count()
+    swap(PropertyGraph(unionAll(nb), g.edges),
+      Map("nodes_upserts" -> touchedRows))
+    emitNodes("node_updated", touchedRows)
     QueryStats(propertiesSet = n)
   }
 
@@ -371,36 +529,85 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     */
   def deleteNodes(ids: DataFrame, detach: Boolean): QueryStats = {
     val g = current
-    val victims = ids.select("id")
+    val victims = ids.select("id").localCheckpoint(true)
+    val v = victims.withColumnRenamed("id", "vid")
+    val incidentCond = col("src") === col("vid") || col("dst") === col("vid")
     if (!detach) {
       // edges carry their own `id` column — alias the victim ids
-      val v = victims.withColumnRenamed("id", "vid")
-      val incident = g.edges.join(v,
-        col("src") === col("vid") || col("dst") === col("vid"), "left_semi").count()
+      val incident = g.edges.join(v, incidentCond, "left_semi").count()
       require(incident == 0, s"cannot delete nodes with $incident incident edge(s); use DETACH DELETE")
     }
-    val nDel = g.nodes.join(victims, Seq("id"), "left_semi").count()
-    val newNodes = g.nodes.join(victims, Seq("id"), "left_anti")
-    val eDel =
+    val bs = ensureNodeBuckets()
+    val touched = touchedBuckets(victims, bs.size)
+    val nDel = prunedUnion(bs, touched).join(victims, Seq("id"), "left_semi").count()
+    val nb = rewriteNodeBuckets(touched)((_, df) =>
+      df.join(victims, Seq("id"), "left_anti"))
+    // detach: the incident scan is one pass on src/dst (no id-pruning
+    // possible there), but the edge REWRITE keys on the found edge ids —
+    // so only the buckets holding deleted edges rewrite
+    val edgeVictims =
       if (detach)
-        g.edges.join(victims.withColumnRenamed("id", "vid"),
-          col("src") === col("vid") || col("dst") === col("vid"), "left_semi").count()
-      else 0L
-    val newEdges =
-      if (detach)
-        g.edges.join(victims.withColumnRenamed("id", "vid"),
-          col("src") === col("vid") || col("dst") === col("vid"), "left_anti")
-      else g.edges
+        Some(g.edges.join(v, incidentCond, "left_semi").select("id")
+          .localCheckpoint(true))
+      else None
+    val eDel = edgeVictims.map(_.count()).getOrElse(0L)
+    val newEdgesFrame = edgeVictims match {
+      case Some(ev) if eDel > 0 =>
+        val ebs = ensureEdgeBuckets()
+        val tE = touchedBuckets(ev, ebs.size)
+        unionAll(rewriteEdgeBuckets(tE)((_, df) =>
+          df.join(ev, Seq("id"), "left_anti")))
+      case _ => g.edges
+    }
+    // detach always logs the edge-delete part (possibly empty) — the WAL
+    // commit shape a replayer and the byte-bound spec rely on
     val parts = Map("nodes_deletes" -> victims) ++
-      (if (detach)
-        Map("edges_deletes" -> g.edges.join(victims.withColumnRenamed("id", "vid"),
-          col("src") === col("vid") || col("dst") === col("vid"), "left_semi")
-          .select("id"))
-      else Map.empty)
-    swap(PropertyGraph(newNodes, newEdges), parts)
+      edgeVictims.map(ev => Map("edges_deletes" -> ev)).getOrElse(Map.empty)
+    swap(PropertyGraph(unionAll(nb), newEdgesFrame), parts)
     emitIds("node_deleted", victims)
     parts.get("edges_deletes").foreach(emitIds("rel_deleted", _))
     QueryStats(nodesDeleted = nDel, relationshipsDeleted = eDel)
+  }
+
+  /** Copy-on-write keyed rewrite: apply `transform` to exactly the rows
+    * whose id appears in `ids` (it receives ONLY the matched rows and
+    * must return the same schema without changing ids), leaving every
+    * other row — and every untouched bucket's materialized blocks —
+    * untouched. The anonymize-class operation (db_admin.go:1390-1439)
+    * rides this instead of a wholesale frame replace.
+    */
+  def updateNodes(ids: DataFrame)(transform: DataFrame => DataFrame): QueryStats = {
+    val g = current
+    val keys = ids.select("id").localCheckpoint(true)
+    val bs = ensureNodeBuckets()
+    val touched = touchedBuckets(keys, bs.size)
+    val nb = rewriteNodeBuckets(touched)((_, df) =>
+      transform(df.join(keys, Seq("id"), "left_semi"))
+        .unionByName(df.join(keys, Seq("id"), "left_anti")))
+    val touchedRows = prunedUnion(nb, touched).join(keys, Seq("id"), "left_semi")
+    val n = keys.count()
+    swap(PropertyGraph(unionAll(nb), g.edges),
+      Map("nodes_upserts" -> touchedRows))
+    emitNodes("node_updated", touchedRows)
+    QueryStats(propertiesSet = n)
+  }
+
+  /** Delete relationships by edge id — the keyed copy-on-write path (the
+    * GraphQL deleteRelationship mutation and friends), rewriting only the
+    * buckets holding the victims.
+    */
+  def deleteEdges(ids: DataFrame): QueryStats = {
+    val g = current
+    val victims = ids.select("id").localCheckpoint(true)
+    val ebs = ensureEdgeBuckets()
+    val touched = touchedBuckets(victims, ebs.size)
+    val eDel = prunedUnion(ebs, touched).join(victims, Seq("id"), "left_semi").count()
+    val nb = rewriteEdgeBuckets(touched)((_, df) =>
+      df.join(victims, Seq("id"), "left_anti"))
+    swap(PropertyGraph(g.nodes, unionAll(nb)),
+      if (eDel > 0) Map("edges_deletes" -> victims) else Map.empty)
+    emitIds("rel_deleted", victims)
+    QueryStats(relationshipsDeleted = eDel)
   }
 
   /** SET a relationship property for matching edge ids: `weight` is a
@@ -408,54 +615,71 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     */
   def setEdgeProperty(ids: DataFrame, key: String, value: Column): QueryStats = {
     val g = current
-    val marked = g.edges.join(ids.select(col("id")).withColumn("_hit", lit(true)),
-      Seq("id"), "left_outer")
-    val updated =
+    val keys = ids.select(col("id")).localCheckpoint(true)
+    val marked = keys.withColumn("_hit", lit(true))
+    val ebs = ensureEdgeBuckets()
+    val touched = touchedBuckets(keys, ebs.size)
+    def transform(bucket: DataFrame): DataFrame = {
+      val joined = bucket.join(marked, Seq("id"), "left_outer")
       if (key == "weight")
-        marked.withColumn("weight",
+        joined.withColumn("weight",
           when(col("_hit"), value.cast("double")).otherwise(col("weight"))).drop("_hit")
       else
-        marked.withColumn("properties",
+        joined.withColumn("properties",
           when(col("_hit"),
             map_concat(
               map_filter(col("properties"), (k, _) => k =!= key),
               map(lit(key), value.cast("string"))))
             .otherwise(col("properties"))).drop("_hit")
-    val n = ids.count()
-    swap(PropertyGraph(g.nodes, updated),
-      Map("edges_upserts" -> updated.join(ids.select("id"), Seq("id"), "left_semi")))
-    emitEdges("rel_updated",
-      updated.join(ids.select("id"), Seq("id"), "left_semi"))
+    }
+    val nb = rewriteEdgeBuckets(touched)((_, df) => transform(df))
+    val touchedRows = prunedUnion(nb, touched).join(keys, Seq("id"), "left_semi")
+    val n = keys.count()
+    swap(PropertyGraph(g.nodes, unionAll(nb)),
+      Map("edges_upserts" -> touchedRows))
+    emitEdges("rel_updated", touchedRows)
     QueryStats(propertiesSet = n)
   }
 
   /** Replace the node set wholesale (label rewrites — apoc.label.add/
     * remove/replace mutate the labels array per node).
     */
-  def replaceNodes(nodes: DataFrame): Unit =
+  def replaceNodes(nodes: DataFrame): Unit = {
     // refactor ops rewrite the frame wholesale by design → rewrite commit
+    invalidateNodeBuckets()
     swap(PropertyGraph(nodes, current.edges), Map("nodes_rewrite" -> nodes))
+  }
 
   /** Replace the edge set wholesale (apoc.refactor rel rewrites: rename
     * type, invert, redirect).
     */
-  def replaceEdges(edges: DataFrame): Unit =
+  def replaceEdges(edges: DataFrame): Unit = {
+    invalidateEdgeBuckets()
     swap(PropertyGraph(current.nodes, edges), Map("edges_rewrite" -> edges))
+  }
 
   /** Replace both sides in one version (refactor operations that rewrite
     * nodes and their incident edges together).
     */
-  def replaceGraph(g: PropertyGraph): Unit =
+  def replaceGraph(g: PropertyGraph): Unit = {
+    invalidateNodeBuckets()
+    invalidateEdgeBuckets()
     swap(g, Map("nodes_rewrite" -> g.nodes, "edges_rewrite" -> g.edges))
+  }
 
-  /** CREATE relationships. */
+  /** CREATE relationships — routed to their id-hash buckets. */
   def createEdges(newEdges: DataFrame): QueryStats = {
     val g = current
-    val n = newEdges.count()
+    val ne = newEdges.localCheckpoint(true)
+    val n = ne.count()
     checkEdgeLimit(g, n)
-    swap(PropertyGraph(g.nodes, g.edges.unionByName(newEdges)),
-      Map("edges_upserts" -> newEdges))
-    emitEdges("rel_created", newEdges)
+    val ebs = ensureEdgeBuckets()
+    val touched = touchedBuckets(ne, ebs.size)
+    val nb = rewriteEdgeBuckets(touched)((b, df) =>
+      df.unionByName(ne.filter(bucketColFor(ebs.size)(col("id")) === b)))
+    swap(PropertyGraph(g.nodes, unionAll(nb)),
+      Map("edges_upserts" -> ne))
+    emitEdges("rel_created", ne)
     QueryStats(relationshipsCreated = n)
   }
 

@@ -110,25 +110,19 @@ object Privacy {
 
   /** Pseudonymize every owned node: owner_id → [[anonymousId]], PII keys
     * stripped from the property map, the hoisted `name` column nulled for
-    * the rewritten rows (db_admin.go:1390-1439). One wholesale node
-    * rewrite — the refactor-commit shape.
+    * the rewritten rows (db_admin.go:1390-1439). One ownership scan finds
+    * the victims; the rewrite itself is a keyed copy-on-write commit that
+    * touches only the buckets holding owned rows — never the whole frame.
     */
   def anonymizeUserData(store: GraphStore, userId: String): Unit = {
     val anon = anonymousId(userId)
-    val owned = ownedBy(userId)
     val cleaned = map_concat(
       map_filter(col("properties"),
         (k, _) => !k.isin((PiiKeys :+ "owner_id").map(lit): _*)),
       map(lit("owner_id"), lit(anon)))
-    // materialize the ownership flag FIRST: the properties rewrite changes
-    // owner_id, so a flag computed afterwards would never match
-    val nodes = store.snapshot.nodes
-      .withColumn("_owned", owned)
-      .withColumn("properties",
-        when(col("_owned"), cleaned).otherwise(col("properties")))
-      .withColumn("name",
-        when(col("_owned"), lit(null).cast("string")).otherwise(col("name")))
-      .drop("_owned")
-    store.replaceNodes(nodes)
+    val owned = store.snapshot.nodes.filter(ownedBy(userId)).select("id")
+    store.updateNodes(owned)(_
+      .withColumn("properties", cleaned)
+      .withColumn("name", lit(null).cast("string")))
   }
 }

@@ -941,7 +941,11 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
           throw new IllegalArgumentException("deleteRelationship(id:) is required")).toString
         val g = store.snapshot
         val exists = g.edges.filter(col("id") === id).limit(1).count() > 0
-        if (exists) store.replaceEdges(g.edges.filter(col("id") =!= id))
+        if (exists) {
+          val s = spark
+          import s.implicits._
+          store.deleteEdges(Seq(id).toDF("id")) // keyed copy-on-write delete
+        }
         exists.toString
       case "executeCypher" => cypherField(sel, write = true)
       case "bulkCreateNodes" =>
@@ -1018,8 +1022,11 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
         val g = store.snapshot
         val found = g.edges.filter(col("id").isin(ids: _*))
           .select("id").collect().map(_.getString(0)).toSet
-        if (found.nonEmpty)
-          store.replaceEdges(g.edges.filter(!col("id").isin(found.toSeq: _*)))
+        if (found.nonEmpty) {
+          val s = spark
+          import s.implicits._
+          store.deleteEdges(found.toSeq.toDF("id"))
+        }
         resultObj(sel, Seq("deleted", "notFound"), Map(
           "deleted" -> found.size.toString,
           "notFound" -> s"[${ids.filterNot(found).map(jstr).mkString(",")}]"))

@@ -101,9 +101,7 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
         case Some(auth) =>
           val body = new String(ex.getRequestBody.readAllBytes(),
             StandardCharsets.UTF_8)
-          def field(k: String): Option[String] =
-            ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-              .findFirstMatchIn(body).map(_.group(1))
+          def field(k: String): Option[String] = ServerAuth.strField(body, k)
           val grant = field("grant_type")
           if (grant.exists(_ != "password")) {
             respond(ex, 400, """{"error":"unsupported grant_type"}""")
@@ -155,6 +153,14 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
           respond(ex, 401,
             """{"results":[],"errors":[{"code":"Neo.ClientError.Security.Unauthorized","message":"bearer token required"}]}""")
           return
+      }
+      // the reference registers /db/ behind withAuth(PermRead)
+      // (server_router.go:100-170): a credential that authenticates but
+      // resolves to no-access must not read Cypher or database counts
+      if (!ServerAuth.can(role, ServerAuth.Permission.Read)) {
+        neo4jError(ex, 403, "Neo.ClientError.Security.Forbidden",
+          "Read permission required")
+        return
       }
       val path = ex.getRequestURI.getPath
       // the JDK context is a raw string prefix: "/database" or bare
@@ -250,6 +256,8 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
               Some("Schema permission required")
             else if (isWrite && !ServerAuth.can(role, ServerAuth.Permission.Write))
               Some("Write permission required")
+            else if (!ServerAuth.can(role, ServerAuth.Permission.Read))
+              Some("Read permission required")
             else None
           if (missing.isDefined) {
             if (errors.nonEmpty) errors.append(",")
@@ -304,9 +312,7 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
       return
     }
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-    def field(k: String): Option[String] =
-      ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-        .findFirstMatchIn(body).map(_.group(1))
+    def field(k: String): Option[String] = ServerAuth.strField(body, k)
     val subject = field("subject").filter(_.nonEmpty).getOrElse("api-token")
     val expSecs: Either[String, Long] =
       field("expires_in").filter(e => e.nonEmpty && e != "0" && e != "never")
@@ -346,9 +352,7 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
       return
     }
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-    def field(k: String): Option[String] =
-      ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-        .findFirstMatchIn(body).map(_.group(1))
+    def field(k: String): Option[String] = ServerAuth.strField(body, k)
     def rolesField: Seq[ServerAuth.Role] =
       """"roles"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body).toSeq
         .flatMap(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)))
@@ -403,64 +407,40 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
     ex.close()
   }
 
-  /** Minimal parse of {"statements":[{"statement":…, "parameters":{…}}]}.
-    * Statement strings are JSON-unescaped; parameters support the flat
-    * scalar forms the transaction API sends (string/number/bool/null) —
-    * the same subset the Bolt RUN path binds.
+  /** Parse {"statements":[{"statement":…, "parameters":{…},
+    * "includeStats":…}]} with the Jackson-backed parser — per-object
+    * field binding, so one statement's parameters/includeStats can never
+    * leak into its neighbor regardless of key serialization order.
+    * Parameters bind the flat scalar forms the transaction API sends
+    * (string/number/bool/null) — the same subset the Bolt RUN path binds.
     */
   private[sources] def parseStatements(
       body: String): Seq[(String, Map[String, Any], Boolean)] = {
-    val stmtRe = """"statement"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    val paramsRe = """"parameters"\s*:\s*\{([^{}]*)\}""".r
-    val statsRe = """"includeStats"\s*:\s*true""".r
-    // a statement object's sibling keys (parameters, includeStats) sit
-    // between the PREVIOUS statement key and the NEXT one — covering
-    // keys serialized before or after "statement" in the same object
-    val stmtMatches = stmtRe.findAllMatchIn(body).toSeq
-    stmtMatches.zipWithIndex.map { case (m, i) =>
-      val regionStart = stmtMatches.lift(i - 1).map(_.end).getOrElse(0)
-      val regionEnd = stmtMatches.lift(i + 1).map(_.start).getOrElse(body.length)
-      val region = body.substring(regionStart, m.start) +
-        body.substring(m.end, regionEnd)
-      val params = paramsRe.findFirstMatchIn(region)
-        .map(pm => parseFlatMap(pm.group(1))).getOrElse(Map.empty[String, Any])
-      (unescape(m.group(1)), params, statsRe.findFirstIn(region).isDefined)
-    }
-  }
-
-  private def parseFlatMap(inner: String): Map[String, Any] = {
-    val kvRe = """"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*"|-?[0-9.]+|true|false|null)""".r
-    kvRe.findAllMatchIn(inner).map { m =>
-      val k = unescape(m.group(1))
-      val v: Any = m.group(2) match {
-        case "true" => true
-        case "false" => false
-        case "null" => null
-        case q if q.startsWith("\"") => unescape(q.substring(1, q.length - 1))
-        case n if n.contains('.') => n.toDouble
-        case n => n.toLong
+    import scala.jdk.CollectionConverters._
+    graft.functions.JsonImpls.parse(body).filter(_.isObject).toSeq.flatMap { root =>
+      Option(root.get("statements")).filter(_.isArray).toSeq.flatMap { arr =>
+        arr.elements().asScala.filter(_.isObject).flatMap { obj =>
+          Option(obj.get("statement")).filter(_.isTextual).map { stmtNode =>
+            val params = Option(obj.get("parameters")).filter(_.isObject)
+              .map { p =>
+                p.fields().asScala.map { e =>
+                  val v = e.getValue
+                  val any: Any =
+                    if (v.isTextual) v.asText()
+                    else if (v.isBoolean) v.asBoolean()
+                    else if (v.isIntegralNumber) v.asLong()
+                    else if (v.isNumber) v.asDouble()
+                    else null
+                  e.getKey -> any
+                }.toMap
+              }.getOrElse(Map.empty[String, Any])
+            val stats = Option(obj.get("includeStats"))
+              .exists(n => n.isBoolean && n.asBoolean())
+            (stmtNode.asText(), params, stats)
+          }
+        }.toSeq
       }
-      k -> v
-    }.toMap
-  }
-
-  private def unescape(s: String): String = {
-    val b = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 'n' => b.append('\n'); i += 2
-          case 't' => b.append('\t'); i += 2
-          case 'r' => b.append('\r'); i += 2
-          case 'u' if i + 5 < s.length =>
-            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
-          case other => b.append(other); i += 2
-        }
-      } else { b.append(c); i += 1 }
     }
-    b.toString
   }
 }
 

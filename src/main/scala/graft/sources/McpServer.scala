@@ -102,6 +102,14 @@ final class McpServer(store: GraphStore, port: Int = 0,
             """{"jsonrpc":"2.0","id":null,"error":{"code":-32001,"message":"unauthorized: bearer token required"}}""")
           return
       }
+      // the reference registers all /mcp endpoints behind
+      // withAuth(PermRead) minimum (server_router.go:178-201): a
+      // no-access credential must not even enumerate the tool catalog
+      if (!ServerAuth.can(role, ServerAuth.Permission.Read)) {
+        respond(ex, 403,
+          """{"jsonrpc":"2.0","id":null,"error":{"code":-32002,"message":"forbidden: read permission required"}}""")
+        return
+      }
       def denied(name: String): Option[String] = {
         val needed = toolPerms.getOrElse(name, ServerAuth.Permission.Write)
         if (ServerAuth.can(role, needed)) None
@@ -428,9 +436,7 @@ final class McpServer(store: GraphStore, port: Int = 0,
     } + "\""
 
   private def strField(body: String, key: String): Option[String] =
-    ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-      .findFirstMatchIn(body).map(m => m.group(1)
-        .replace("\\\"", "\"").replace("\\n", "\n").replace("\\\\", "\\"))
+    ServerAuth.strField(body, key)
 
   private def rawField(body: String, key: String): Option[String] =
     ("\"" + key + "\"\\s*:\\s*([0-9]+|\"[^\"]*\"|null)").r

@@ -400,9 +400,16 @@ final class RestApi(store: GraphStore,
     val regenerate = Option(ex.getRequestURI.getRawQuery)
       .exists(_.split('&').contains("regenerate=true"))
     if (regenerate) {
+      // compare-and-set so two concurrent regenerations can't interleave
+      // clearNodeEmbeddings + embedMissing (the reference reports
+      // already_active instead, server_nornicdb.go:43-125)
+      if (!regenFlag.compareAndSet(false, true)) {
+        respond(ex, 202,
+          """{"accepted":false,"regenerate":true,"already_active":true,"message":"Regeneration already in progress. Check /nornicdb/embed/stats for progress."}""")
+        return
+      }
       respond(ex, 202,
         """{"accepted":true,"regenerate":true,"message":"Regeneration started - clearing embeddings and regenerating in background. Check /nornicdb/embed/stats for progress."}""")
-      regenRunning = true
       regenError = None
       val t = new Thread(() => {
         try { store.clearNodeEmbeddings(); embedMissing(regenerate = true) }
@@ -410,7 +417,7 @@ final class RestApi(store: GraphStore,
           // the 202 already went out — stats must surface the failure
           regenError = Some(Option(e.getMessage).getOrElse(e.toString))
         }
-        finally regenRunning = false
+        finally regenFlag.set(false)
       }, "embed-regenerate")
       t.setDaemon(true)
       t.start()
@@ -421,7 +428,8 @@ final class RestApi(store: GraphStore,
     }
   }
 
-  @volatile private var regenRunning = false
+  private val regenFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def regenRunning: Boolean = regenFlag.get()
   @volatile private var regenError: Option[String] = None
 
   /** `GET /nornicdb/embed/stats` (server_nornicdb.go:126-157): the

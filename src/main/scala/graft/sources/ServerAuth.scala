@@ -56,6 +56,36 @@ object ServerAuth {
 
   def can(role: Role, p: Permission): Boolean = rolePermissions(role).contains(p)
 
+  /** Shared JSON string-field extraction with full unescaping — the one
+    * helper every server-side regex field read goes through, so a
+    * password containing a quote or backslash hashes to the same bytes
+    * on every endpoint that reads it.
+    */
+  private[sources] def strField(body: String, key: String): Option[String] =
+    ("\"" + java.util.regex.Pattern.quote(key) +
+      "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      .findFirstMatchIn(body).map(m => unescapeJson(m.group(1)))
+
+  private[sources] def unescapeJson(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Token→role RBAC config. Static API tokens map directly to a role;
     * when `jwtSecret` is set, HS256 JWTs with a `roles` claim are also
     * accepted (auth.go JWT validation — signature, exp, roles).
