@@ -168,8 +168,14 @@ final class DeltaLog(val spark: SparkSession, val dir: String,
         delIds.reduceOption(_ unionByName _).foreach { ids =>
           out = out.join(ids.distinct(), Seq("id"), "left_anti")
         }
-        if (parts.contains(up))
-          out = out.unionByName(spark.read.parquet(s"$dir/delta/v$v/$up"))
+        if (parts.contains(up)) {
+          // schema evolution across commits: an upsert batch may carry
+          // hoisted property columns older commits (or the checkpoint)
+          // never saw — the live store widens buckets the same way
+          // (GraphStore.widenSchemas)
+          val rows = spark.read.parquet(s"$dir/delta/v$v/$up")
+          out = out.unionByName(rows, allowMissingColumns = true)
+        }
         out
       }
     }

@@ -248,6 +248,17 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
   private def bucketColFor(n: Int)(c: Column): Column =
     pmod(xxhash64(c), lit(n)).cast("int")
 
+  /** Partitions a materialized bucket compacts to: a bucket is the commit
+    * unit (≤ bucketTargetRows), so a handful of partitions carries it.
+    * WITHOUT this compaction, every union/join layer ADDS partitions and
+    * localCheckpoint freezes the accumulation — a mutation-heavy session
+    * snowballed a 4-bucket store to a 22k-task scan before this bound.
+    */
+  private def bucketParts(df: DataFrame): Int = {
+    val conf = df.sparkSession.sessionState.conf.numShufflePartitions
+    math.max(1, conf / 8)
+  }
+
   /** Split `df` into independently materialized hash-buckets: one pass to
     * cache the parent, one small job per bucket, parent blocks released.
     */
@@ -255,8 +266,10 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val parent = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = parent.count()
     val n = math.max(4L, math.min(64L, (rows + bucketTargetRows - 1) / bucketTargetRows)).toInt
+    val p = bucketParts(df)
     val out = (0 until n).map(b =>
-      parent.filter(bucketColFor(n)(col("id")) === b).localCheckpoint(true))
+      parent.filter(bucketColFor(n)(col("id")) === b).coalesce(p)
+        .localCheckpoint(true))
     parent.unpersist(false)
     out
   }
@@ -296,6 +309,43 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     if (touched.isEmpty) bs.head.limit(0)
     else unionAll(bs.indices.filter(touched).map(bs))
 
+  /** Schema evolution on insert: `rows` may carry hoisted property
+    * columns the store has not seen yet (the first CREATE against an
+    * empty server store starts from the 3-column floor). Widen every
+    * bucket with a typed-null PROJECTION — lazy, never a rewrite, the
+    * materialized blocks stay live — and align `rows` to the store-side
+    * dtype where both have the column (store wins a type clash).
+    */
+  private def widenSchemas(bs: IndexedSeq[DataFrame], rows: DataFrame)
+      : (IndexedSeq[DataFrame], DataFrame) = {
+    val base = bs.head.schema
+    val extra = rows.schema.fields.filterNot(f => base.fieldNames.contains(f.name))
+    val widened =
+      if (extra.isEmpty) bs
+      else bs.map(df => extra.foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType))))
+    val aligned = base.fields.foldLeft(rows) { (d, f) =>
+      if (!d.columns.contains(f.name))
+        d.withColumn(f.name, lit(null).cast(f.dataType))
+      // catalogString ignores nullability: array<string> with a different
+      // containsNull must NOT cast — Spark refuses the no-op cast
+      else if (d.schema(f.name).dataType.catalogString != f.dataType.catalogString)
+        d.withColumn(f.name, col(f.name).cast(f.dataType))
+      else d
+    }
+    (widened, aligned)
+  }
+
+  private def conformNodeInsert(rows: DataFrame): DataFrame = synchronized {
+    val (nbs, r) = widenSchemas(ensureNodeBuckets(), rows)
+    nodeBuckets = Some(nbs); r
+  }
+
+  private def conformEdgeInsert(rows: DataFrame): DataFrame = synchronized {
+    val (ebs, r) = widenSchemas(ensureEdgeBuckets(), rows)
+    edgeBuckets = Some(ebs); r
+  }
+
   /** Rewrite exactly the touched buckets through `f(bucketId, frame)`,
     * re-materializing a bucket only when its stacked-layer depth hits the
     * bound. Returns the new bucket vector (also installed).
@@ -308,8 +358,13 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
       else {
         val nf = f(b, df)
         nodeDepth(b) += 1
-        if (nodeDepth(b) >= maxDepth) { nodeDepth(b) = 0; nf.localCheckpoint(true) }
-        else nf
+        if (nodeDepth(b) >= maxDepth) {
+          nodeDepth(b) = 0
+          // coalesce BEFORE materializing: layers accumulate partitions
+          // (union appends, broadcast joins preserve) and localCheckpoint
+          // would freeze the growth unbounded
+          nf.coalesce(bucketParts(nf)).localCheckpoint(true)
+        } else nf
       }
     }
     nodeBuckets = Some(nb)
@@ -324,8 +379,10 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
       else {
         val nf = f(b, df)
         edgeDepth(b) += 1
-        if (edgeDepth(b) >= maxDepth) { edgeDepth(b) = 0; nf.localCheckpoint(true) }
-        else nf
+        if (edgeDepth(b) >= maxDepth) {
+          edgeDepth(b) = 0
+          nf.coalesce(bucketParts(nf)).localCheckpoint(true)
+        } else nf
       }
     }
     edgeBuckets = Some(nb)
@@ -377,14 +434,17 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
   private def enforceUnique(g: PropertyGraph, newNodes: DataFrame): Unit =
     catalog.uniqueConstraints.foreach { c =>
       val hoisted = Set("id", "key", "name", "acctbal", "mktsegment")
-      def valueOf(df: DataFrame): Column = struct(c.properties.map { p =>
-        if (hoisted(p)) df(p) else element_at(df("properties"), p)
-      }: _*)
+      // a store that has not evolved a hoisted column yet (empty-server
+      // floor) reads the property from the schema-free map instead
+      def propCol(df: DataFrame, p: String): Column =
+        if (hoisted(p) && df.columns.contains(p)) df(p)
+        else element_at(df("properties"), p)
+      def valueOf(df: DataFrame): Column =
+        struct(c.properties.map(propCol(df, _)): _*)
       // Neo4j unique constraints ignore entities missing the property:
       // rows where every constrained property is null never collide
-      def anyPresent(df: DataFrame): Column = c.properties.map { p =>
-        (if (hoisted(p)) df(p) else element_at(df("properties"), p)).isNotNull
-      }.reduce(_ || _)
+      def anyPresent(df: DataFrame): Column =
+        c.properties.map(propCol(df, _).isNotNull).reduce(_ || _)
       val fresh = newNodes.filter(array_contains(col("labels"), c.label))
         .filter(anyPresent(newNodes))
         .select(valueOf(newNodes).as("v"))
@@ -416,10 +476,11 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     enforceUnique(g, nn)
     val n = nn.count()
     checkNodeLimit(g, n)
+    val nnA = conformNodeInsert(nn)
     val nb = rewriteNodeBuckets(touched)((b, df) =>
-      df.unionByName(nn.filter(bucketColFor(bs.size)(col("id")) === b)))
-    swap(PropertyGraph(unionAll(nb), g.edges), Map("nodes_upserts" -> nn))
-    emitNodes("node_created", nn)
+      df.unionByName(nnA.filter(bucketColFor(bs.size)(col("id")) === b)))
+    swap(PropertyGraph(unionAll(nb), g.edges), Map("nodes_upserts" -> nnA))
+    emitNodes("node_created", nnA)
     QueryStats(nodesCreated = n)
   }
 
@@ -438,11 +499,12 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val n = missing.count()
     checkNodeLimit(g, n)
     val touched = if (n > 0) touchedBuckets(missing, bs.size) else Set.empty[Int]
+    val missA = if (n > 0) conformNodeInsert(missing) else missing
     val nb = rewriteNodeBuckets(touched)((b, df) =>
-      df.unionByName(missing.filter(bucketColFor(bs.size)(col("id")) === b)))
+      df.unionByName(missA.filter(bucketColFor(bs.size)(col("id")) === b)))
     swap(PropertyGraph(unionAll(nb), g.edges),
-      if (n > 0) Map("nodes_upserts" -> missing) else Map.empty)
-    if (n > 0) emitNodes("node_created", missing)
+      if (n > 0) Map("nodes_upserts" -> missA) else Map.empty)
+    if (n > 0) emitNodes("node_created", missA)
     QueryStats(nodesCreated = n)
   }
 
@@ -675,11 +737,12 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     checkEdgeLimit(g, n)
     val ebs = ensureEdgeBuckets()
     val touched = touchedBuckets(ne, ebs.size)
+    val neA = conformEdgeInsert(ne)
     val nb = rewriteEdgeBuckets(touched)((b, df) =>
-      df.unionByName(ne.filter(bucketColFor(ebs.size)(col("id")) === b)))
+      df.unionByName(neA.filter(bucketColFor(ebs.size)(col("id")) === b)))
     swap(PropertyGraph(g.nodes, unionAll(nb)),
-      Map("edges_upserts" -> ne))
-    emitEdges("rel_created", ne)
+      Map("edges_upserts" -> neA))
+    emitEdges("rel_created", neA)
     QueryStats(relationshipsCreated = n)
   }
 
