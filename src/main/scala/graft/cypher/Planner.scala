@@ -223,8 +223,12 @@ object Planner {
       ApocWriteProcs.procedures ++ SearchCallProcs.procedures ++
       CompatProcs.procedures
 
-  /** Sorted CALL-surface names — apoc.meta.procedures' row source. */
-  def procedureNames: Seq[String] = procedures.keys.toSeq.sorted
+  /** Sorted CALL-surface names — apoc.meta.procedures' row source.
+    * Runtime plugin registrations ([[Plugins]]) list beside built-ins,
+    * like the reference's merged registry (plugins.go:104-113).
+    */
+  def procedureNames: Seq[String] =
+    (procedures.keys ++ Plugins.procedures.keys).toSeq.distinct.sorted
 
   /** apoc.algo.dijkstra / aStar surface: point-to-point (path, weight) via
     * [[graft.algos.Algorithms.aStar]] with the zero heuristic (= exact
@@ -240,9 +244,10 @@ object Planner {
 
   private def planCallProc(g: PropertyGraph, f: Frame, cp: CallProc,
       params: Map[String, Any]): Frame = {
-    val fn = procedures.getOrElse(cp.name,
-      throw new IllegalArgumentException(
-        s"unknown procedure ${cp.name} (have: ${procedures.keys.toSeq.sorted.mkString(", ")})"))
+    val fn = procedures.get(cp.name)
+      .orElse(Plugins.procedures.get(cp.name)) // runtime plugin registrations
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown procedure ${cp.name} (have: ${procedureNames.mkString(", ")})"))
     // CALL arguments evaluate driver-side (never per-row): literals,
     // parameters, and literal-composed lists/maps — the GDS config-map and
     // query-vector surfaces (`linkprediction.go:85`, `call_vector.go:37`)
@@ -267,8 +272,17 @@ object Planner {
     if (cp.yields.nonEmpty)
       res = res.select(cp.yields.map { case (c, al) => col(c).as(al.getOrElse(c)) }: _*)
     // metadata procedures are uncorrelated: their rows apply to every
-    // driving row (a cross join; the seed frame makes leading CALL work)
-    var out = Frame(f.df.crossJoin(res), f.kinds ++ res.columns.map(_ -> (ValK: Kind)))
+    // driving row (a cross join). A LEADING CALL (driving frame = the
+    // column-less 1-row seed) must NOT cross-join: Catalyst legitimately
+    // drops a Sort under a join (join output order is undefined), which
+    // would silently discard an ORDER BY inside the procedure's query
+    // (apoc.cypher.runFirstColumn's contract is ordered rows) — surfaced
+    // when bucketized stores stopped matching insertion order.
+    var out =
+      if (f.df.columns.isEmpty)
+        Frame(res, f.kinds ++ res.columns.map(_ -> (ValK: Kind)))
+      else
+        Frame(f.df.crossJoin(res), f.kinds ++ res.columns.map(_ -> (ValK: Kind)))
     cp.where.foreach(w => out = Frame(out.df.filter(compile(w, out, params)), out.kinds))
     out
   }
@@ -297,7 +311,11 @@ object Planner {
         val (f2, fi) = advance(g, f, first, c, params)
         f = f2; first = fi
       }
-      Frame(outer.df.crossJoin(f.df),
+      // leading CALL {} on the seed: no cross join (see planCallProc —
+      // a join would let Catalyst drop the subquery's ORDER BY)
+      if (outer.df.columns.isEmpty)
+        Frame(f.df, outer.kinds ++ f.df.columns.map(_ -> (ValK: Kind)))
+      else Frame(outer.df.crossJoin(f.df),
         outer.kinds ++ f.df.columns.map(_ -> (ValK: Kind)))
     } else {
       imports.foreach(v => require(outer.kinds.contains(v), s"CALL import $v is unbound"))

@@ -55,6 +55,30 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 
 object PropertyGraph {
 
+  /** An empty graph with the canonical base schema — what a fresh server
+    * data directory starts from (the reference opens an empty BadgerDB
+    * store, `pkg/nornicdb/nornicdb.go` Open; here an empty frame pair).
+    * Typed `prop_*` columns appear lazily as writes hoist them; the
+    * string `properties` map is the schema-free floor.
+    */
+  def empty(spark: SparkSession): PropertyGraph = {
+    import org.apache.spark.sql.types._
+    def df(schema: StructType): DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    PropertyGraph(
+      df(StructType(Seq(
+        StructField("id", StringType),
+        StructField("labels", ArrayType(StringType)),
+        StructField("properties", MapType(StringType, StringType))))),
+      df(StructType(Seq(
+        StructField("id", StringType),
+        StructField("src", StringType),
+        StructField("dst", StringType),
+        StructField("rel_type", StringType),
+        StructField("properties", MapType(StringType, StringType)),
+        StructField("weight", DoubleType)))))
+  }
+
   /** Build the TPC-H graph projection (FIXTURES.md §4):
     *
     * nodes: Customer, Order, Part, Supplier, Nation, Region

@@ -48,9 +48,18 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
   private val effectiveRbac: Option[ServerAuth.Rbac] =
     rbac.orElse(ServerAuth.Rbac.legacy(token))
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // lazy: when mounted on a shared listener via [[handleExchange]] (the
+  // reference serves /graphql on the main HTTP mux, server_router.go:27)
+  // no socket of its own is ever bound
+  private lazy val server = HttpServer.create(new InetSocketAddress(port), 0)
 
   def boundPort: Int = server.getAddress.getPort
+
+  /** Serve one exchange on an externally-owned listener — the server
+    * entrypoint mounts this at /graphql beside the tx API, mirroring the
+    * reference's single HTTP mux (server_router.go:224).
+    */
+  def handleExchange(ex: HttpExchange): Unit = handle(ex)
 
   def start(): GraphQlServer = {
     server.createContext("/graphql", (ex: HttpExchange) => handle(ex))

@@ -54,7 +54,22 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
     */
   private val mcpDelegate = new McpServer(store, rbac = effectiveRbac)
 
+  /** Extra contexts mounted before start() — the server entrypoint adds
+    * /graphql here so the whole HTTP surface shares one port, like the
+    * reference's single mux (server_router.go:27). Mounted handlers may
+    * hold long-lived SSE streams, so their presence switches the listener
+    * from accept-thread dispatch to a real worker pool.
+    */
+  private val extraContexts =
+    scala.collection.mutable.Buffer.empty[(String, HttpExchange => Unit)]
+  def mount(path: String)(h: HttpExchange => Unit): HttpTxServer = {
+    extraContexts += ((path, h)); this
+  }
+
   def start(): HttpTxServer = {
+    extraContexts.foreach { case (p, h) =>
+      server.createContext(p, rest.counted((ex: HttpExchange) => h(ex)))
+    }
     server.createContext("/db", rest.counted((ex: HttpExchange) => handle(ex)))
     server.createContext("/auth",
       rest.counted((ex: HttpExchange) => handleAuth(ex)))
@@ -71,7 +86,13 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
       if (ex.getRequestURI.getPath == "/mcp/health") rest.handleHealth(ex)
       else mcpDelegate.handleExchange(ex) // per-tool RBAC inside
     })
-    server.setExecutor(null) // accept-thread dispatch; queries run on Spark
+    if (extraContexts.nonEmpty)
+      server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+        (r: Runnable) => {
+          val t = new Thread(r, "http-worker"); t.setDaemon(true); t
+        }))
+    else
+      server.setExecutor(null) // accept-thread dispatch; queries run on Spark
     server.start()
     this
   }

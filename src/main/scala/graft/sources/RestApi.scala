@@ -248,6 +248,22 @@ final class RestApi(store: GraphStore,
     metric("nornicdb_embedding_worker_running",
       "Whether embed worker is active", "gauge",
       if (regenRunning) "1" else "0")
+    // Heimdall cognitive-guardian counters (pkg/heimdall/metrics.go's
+    // collector, exposed Prometheus-style on the shared exposition);
+    // zero when no scheduler is running
+    locally {
+      import graft.streaming.{HeimdallScheduler => H}
+      metric("nornicdb_heimdall_task_runs_total",
+        "Heimdall analysis task runs", "counter", H.taskRuns.get.toString)
+      metric("nornicdb_heimdall_task_errors_total",
+        "Heimdall analysis task errors", "counter", H.taskErrors.get.toString)
+      metric("nornicdb_bifrost_notifications_total",
+        "Bifrost notifications broadcast", "counter",
+        H.notifications.get.toString)
+      metric("nornicdb_bifrost_connected_clients",
+        "Bifrost SSE clients connected", "gauge",
+        H.connectedClients.get.toString)
+    }
     respond(ex, 200, sb.toString, "text/plain; version=0.0.4")
   }
 

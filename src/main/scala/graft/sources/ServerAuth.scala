@@ -91,7 +91,22 @@ object ServerAuth {
     * accepted (auth.go JWT validation — signature, exp, roles).
     */
   final case class Rbac(tokens: Map[String, Role],
-      jwtSecret: Option[Array[Byte]] = None) {
+      jwtSecret: Option[Array[Byte]] = None,
+      maxRole: Option[Role] = None,
+      openRole: Option[Role] = None) {
+
+    /** `maxRole` caps every resolved credential — the server's read-only
+      * mode (NORNICDB_READ_ONLY, config.go:116 "prevents all write
+      * operations") sets Viewer here so admins keep reading but nobody
+      * writes, on every surface that shares this Rbac.
+      */
+    private def cap(r: Role): Role = maxRole match {
+      case Some(m) =>
+        val rank = Map[Role, Int](Role.Admin -> 3, Role.Editor -> 2,
+          Role.Viewer -> 1, Role.NoAccess -> 0)
+        if (rank(r) > rank(m)) m else r
+      case None => r
+    }
 
     /** Resolve a presented credential to a role; None = unauthenticated.
       * Every static token is compared (constant-time, no early exit on
@@ -103,7 +118,12 @@ object ServerAuth {
         if (constantTimeEq(c, t)) found = Some(r)
       }
       found.orElse(jwtSecret.flatMap(validateJwt(_, c)))
-    }
+        .orElse(openRole).map(cap)
+    // openRole: a no-auth server in read-only mode grants every request —
+    // credentialed or not — a capped anonymous role instead of refusing
+    // (the reference's read_only applies with auth "none" too,
+    // config.go:116)
+    }.orElse(openRole.map(cap))
   }
   object Rbac {
     /** Back-compat: a bare server token is an admin credential. */
