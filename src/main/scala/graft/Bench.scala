@@ -54,6 +54,12 @@ object Bench {
     // restores the old single-shot behavior for quick iteration.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt.max(0)
+    // deliberate-slow oracle fixtures (DECIMAL-routed sums, DF twins kept
+    // for their exact unrolled-CTE oracles): split out of the fast-tier
+    // headline so ~15 s of intentional oracle cost doesn't read as a
+    // regression of the fast paths (round-7 verdict #9)
+    val oracleTier = Set("q_algo_wcc_df", "q_algo_pagerank", "q_vector_topk_exact",
+      "q_algo_fastrp", "q_algo_label_prop_star", "q_algo_wcc_star")
     // a query that throws is a BROKEN query, not a timing: record the error
     // per-query, keep it out of the timings map, and exit non-zero so a
     // breakage can never ship as a plausible-looking 0.08 s row again
@@ -69,7 +75,12 @@ object Bench {
             case e: Throwable => Left(
               s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
           }
-        val runs = ((1 to warmup).map(_ => once()) ++ (1 to reps).map(_ => once()))
+        // GC-state noise made the DECIMAL oracle-tier rows swing 2× between
+        // rounds with no code change (round-9 verdict #8): in best-of-N
+        // mode they run min-of-5 so the min is a stable floor. Single-shot
+        // mode (REPS=1, quick iteration) is left alone.
+        val qReps = if (oracleTier(name) && reps > 1) math.max(reps, 5) else reps
+        val runs = ((1 to warmup).map(_ => once()) ++ (1 to qReps).map(_ => once()))
           .drop(warmup)
         runs.collectFirst { case Left(e) => e } match {
           case Some(e) => (name, Double.NaN, Double.NaN, Some(e))
@@ -78,12 +89,6 @@ object Bench {
             (name, ts.head, ts(ts.size / 2), None)
         }
       }
-    // deliberate-slow oracle fixtures (DECIMAL-routed sums, DF twins kept
-    // for their exact unrolled-CTE oracles): split out of the fast-tier
-    // headline so ~15 s of intentional oracle cost doesn't read as a
-    // regression of the fast paths (round-7 verdict #9)
-    val oracleTier = Set("q_algo_wcc_df", "q_algo_pagerank", "q_vector_topk_exact",
-      "q_algo_fastrp", "q_algo_label_prop_star", "q_algo_wcc_star")
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

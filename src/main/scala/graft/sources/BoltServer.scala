@@ -80,7 +80,10 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
     val in = new BufferedInputStream(sock.getInputStream)
     val out = new BufferedOutputStream(sock.getOutputStream)
     try {
-      if (!handshake(in, out)) return
+      val negotiated = handshake(in, out).getOrElse(return)
+      // Bolt 5.0+ entity structs carry element_id fields — the record
+      // encoder switches shape on the negotiated major
+      val v5 = negotiated._1 >= 5
       var lastResult: Option[(Seq[String], Seq[Row])] = None
       var resultIndex = 0
       var failed = false
@@ -206,8 +209,8 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
                       if (n < 0) rows.length
                       else math.min(rows.length, resultIndex + n)
                     while (resultIndex < end) {
-                      writeFramed(out,
-                        PackStream.encodeRecord(rows(resultIndex).toSeq.map(boltValue)))
+                      writeFramed(out, PackStream.encodeRecord(
+                        rows(resultIndex).toSeq.map(boltValue), v5))
                       resultIndex += 1
                     }
                     if (resultIndex < rows.length)
@@ -236,14 +239,39 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
     } finally sock.close()
   }
 
-  private def handshake(in: InputStream, out: OutputStream): Boolean = {
+  /** Versions this server speaks: the 4.x family the reference pins
+    * (server.go:140-144, always answering 4.4) plus the 5.x family —
+    * HELLO/LOGON split, element_id entity structs — so 5.x-only stock
+    * drivers connect.
+    */
+  private val supportedVersions: Set[(Int, Int)] =
+    ((0 to 4).map((4, _)) ++ (0 to 8).map((5, _))).toSet
+
+  /** Negotiate the highest mutually supported version from the client's
+    * four proposals (each word: [reserved, minor-range, minor, major] —
+    * a range word like 00 03 04 05 proposes 5.4 down to 5.1). No common
+    * version → answer 00 00 00 00 and hang up, per the Bolt spec.
+    */
+  private def handshake(in: InputStream, out: OutputStream): Option[(Int, Int)] = {
     val magic = readFully(in, 4)
     if (!(magic(0) == 0x60.toByte && magic(1) == 0x60.toByte &&
-        magic(2) == 0xB0.toByte && magic(3) == 0x17.toByte)) return false
-    readFully(in, 16) // proposed versions; we always answer 4.4
-    out.write(Array[Byte](0x00, 0x00, 0x04, 0x04))
+        magic(2) == 0xB0.toByte && magic(3) == 0x17.toByte)) return None
+    val words = readFully(in, 16)
+    val candidates = (0 until 4).flatMap { i =>
+      val range = words(i * 4 + 1) & 0xFF
+      val minor = words(i * 4 + 2) & 0xFF
+      val major = words(i * 4 + 3) & 0xFF
+      (math.max(0, minor - range) to minor).map((major, _))
+    }
+    val chosen = candidates.filter(supportedVersions).sortBy(identity).lastOption
+    chosen match {
+      case Some((maj, min)) =>
+        out.write(Array[Byte](0x00, 0x00, min.toByte, maj.toByte))
+      case None =>
+        out.write(Array[Byte](0x00, 0x00, 0x00, 0x00))
+    }
     out.flush()
-    true
+    chosen
   }
 
   /** Read one chunk-framed message; None for the empty (no-op) message. */
@@ -327,7 +355,11 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
         PackStream.hashStringToInt64(String.valueOf(r.getAs[Any]("start"))),
         PackStream.hashStringToInt64(String.valueOf(r.getAs[Any]("end"))),
         String.valueOf(r.getAs[Any]("type")),
-        entityProps(r, Set("id", "type", "start", "end", "properties")))
+        entityProps(r, Set("id", "type", "start", "end", "properties")),
+        // 5.x element ids ARE the native string ids the numerics hash from
+        elementId = String.valueOf(r.getAs[Any]("id")),
+        startElementId = String.valueOf(r.getAs[Any]("start")),
+        endElementId = String.valueOf(r.getAs[Any]("end")))
     case r: Row if r.schema != null && {
         val f = r.schema.fieldNames.toSet
         f("id") && f("labels") } =>
@@ -335,7 +367,8 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
         PackStream.hashStringToInt64(String.valueOf(r.getAs[Any]("id"))),
         Option(r.getAs[scala.collection.Seq[String]]("labels")).map(_.toSeq)
           .getOrElse(Nil),
-        entityProps(r, Set("id", "labels", "properties")))
+        entityProps(r, Set("id", "labels", "properties")),
+        elementId = String.valueOf(r.getAs[Any]("id")))
     case s: scala.collection.Seq[_] => s.map(boltValue)
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, mv) => k.toString -> boltValue(mv) }

@@ -21,11 +21,18 @@ import org.apache.spark.sql.types._
   */
 object PackStream {
 
-  /** Bolt Node structure (packstream.go:527 — B3 4E, id, labels, props). */
-  case class BoltNode(id: Long, labels: Seq[String], props: Map[String, Any])
-  /** Bolt Relationship (packstream.go:1219 — B5 52). */
+  /** Bolt Node structure (packstream.go:527 — B3 4E, id, labels, props).
+    * Bolt 5.0+ adds a 4th `element_id` string field (B4 4E) carrying the
+    * native string id the numeric id was hashed from.
+    */
+  case class BoltNode(id: Long, labels: Seq[String], props: Map[String, Any],
+      elementId: String = "")
+  /** Bolt Relationship (packstream.go:1219 — B5 52). Bolt 5.0+ appends
+    * element_id / start_node_element_id / end_node_element_id (B8 52).
+    */
   case class BoltRel(id: Long, start: Long, end: Long, relType: String,
-      props: Map[String, Any])
+      props: Map[String, Any], elementId: String = "",
+      startElementId: String = "", endElementId: String = "")
   /** Bolt Path (packstream.go:1233 — B3 50). */
   case class BoltPath(nodes: Seq[BoltNode], rels: Seq[BoltRel], indices: Seq[Long])
 
@@ -49,7 +56,10 @@ object PackStream {
     out.toByteArray
   }
 
-  def write(out: ByteArrayOutputStream, v: Any): Unit = v match {
+  /** `v5` selects the Bolt 5.0+ entity struct shapes (element_id fields
+    * appended); everything non-entity encodes identically.
+    */
+  def write(out: ByteArrayOutputStream, v: Any, v5: Boolean = false): Unit = v match {
     case null => out.write(0xC0)
     case b: Boolean => out.write(if (b) 0xC3 else 0xC2)
     case i: Byte => writeInt(out, i.toLong)
@@ -62,21 +72,27 @@ object PackStream {
     case s: String => writeString(out, s)
     case bs: Array[Byte] => writeBytes(out, bs)
     case n: BoltNode =>
-      out.write(0xB3); out.write(0x4E)
-      writeInt(out, n.id); write(out, n.labels); write(out, n.props)
+      out.write(if (v5) 0xB4 else 0xB3); out.write(0x4E)
+      writeInt(out, n.id); write(out, n.labels, v5); write(out, n.props, v5)
+      if (v5) writeString(out, n.elementId)
     case r: BoltRel =>
-      out.write(0xB5); out.write(0x52)
+      out.write(if (v5) 0xB8 else 0xB5); out.write(0x52)
       writeInt(out, r.id); writeInt(out, r.start); writeInt(out, r.end)
-      writeString(out, r.relType); write(out, r.props)
+      writeString(out, r.relType); write(out, r.props, v5)
+      if (v5) {
+        writeString(out, r.elementId)
+        writeString(out, r.startElementId)
+        writeString(out, r.endElementId)
+      }
     case p: BoltPath =>
       out.write(0xB3); out.write(0x50)
-      write(out, p.nodes); write(out, p.rels); write(out, p.indices)
+      write(out, p.nodes, v5); write(out, p.rels, v5); write(out, p.indices, v5)
     case m: scala.collection.Map[_, _] =>
       writeMapHeader(out, m.size)
-      m.foreach { case (k, mv) => writeString(out, k.toString); write(out, mv) }
+      m.foreach { case (k, mv) => writeString(out, k.toString); write(out, mv, v5) }
     case xs: Iterable[_] =>
       writeListHeader(out, xs.size)
-      xs.foreach(write(out, _))
+      xs.foreach(write(out, _, v5))
     case other =>
       throw new IllegalArgumentException(s"PackStream: unsupported ${other.getClass}")
   }
@@ -210,14 +226,18 @@ object PackStream {
     val sig = data(off) & 0xFF
     val (fields, o) = readList(data, off + 1, nFields)
     sig match {
-      case 0x4E => // Node (packstream.go:1207)
+      case 0x4E => // Node (packstream.go:1207; 4th field = 5.x element_id)
         (BoltNode(fields(0).asInstanceOf[Long],
           fields(1).asInstanceOf[Seq[Any]].map(_.toString),
-          fields(2).asInstanceOf[Map[String, Any]]), o)
-      case 0x52 => // Relationship (packstream.go:1219)
+          fields(2).asInstanceOf[Map[String, Any]],
+          if (fields.size > 3) fields(3).toString else ""), o)
+      case 0x52 => // Relationship (packstream.go:1219; fields 5-7 = 5.x)
         (BoltRel(fields(0).asInstanceOf[Long], fields(1).asInstanceOf[Long],
           fields(2).asInstanceOf[Long], fields(3).toString,
-          fields(4).asInstanceOf[Map[String, Any]]), o)
+          fields(4).asInstanceOf[Map[String, Any]],
+          if (fields.size > 5) fields(5).toString else "",
+          if (fields.size > 6) fields(6).toString else "",
+          if (fields.size > 7) fields(7).toString else ""), o)
       case 0x50 => // Path (packstream.go:1233)
         (BoltPath(fields(0).asInstanceOf[Seq[Any]].map(_.asInstanceOf[BoltNode]),
           fields(1).asInstanceOf[Seq[Any]].map(_.asInstanceOf[BoltRel]),
@@ -231,11 +251,11 @@ object PackStream {
   // ================================================= RECORD + framing ====
 
   /** RECORD message: B1 71 + list of field values (server.go:1743). */
-  def encodeRecord(fields: Seq[Any]): Array[Byte] = {
+  def encodeRecord(fields: Seq[Any], v5: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(0xB1); out.write(0x71)
     writeListHeader(out, fields.size)
-    fields.foreach(write(out, _))
+    fields.foreach(write(out, _, v5))
     out.toByteArray
   }
 
