@@ -232,9 +232,29 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
 
   /** Target rows per bucket: bucket count adapts to store size (4..64 in
     * local mode; a cluster deployment sizes this to its file-granularity
-    * commit target, e.g. 128 MB of Parquet per bucket).
+    * commit target, e.g. 128 MB of Parquet per bucket). Coarse on purpose:
+    * each bucket materializes as its own job at bucketize time, so many
+    * small buckets cost more up-front than the rewrite granularity buys.
     */
-  private val bucketTargetRows = 25000L
+  private val bucketTargetRows = 200000L
+
+  /** A store splits into real buckets only after this many committed
+    * mutations — one-shot and short write bursts (most analytics queries
+    * that build + mutate a store once) stay on the whole-frame path and
+    * never pay the bucket materialization; long-lived stores (the server,
+    * ingest jobs) cross it immediately and amortize. WAL-replayed stores
+    * resume with their full version count, so a reopened server
+    * bucketizes on its first write.
+    */
+  private val bucketizeAfter = 3L
+  private var bucketizeNodesAt: Long = bucketizeAfter
+  private var bucketizeEdgesAt: Long = bucketizeAfter
+  // committed keyed mutations per side (a delete that touches only nodes
+  // must not push the edge side toward bucketization)
+  private var nodeCommits = 0L
+  private var edgeCommits = 0L
+  private def nodesDeferred: Boolean = nodeCommits < bucketizeNodesAt
+  private def edgesDeferred: Boolean = edgeCommits < bucketizeEdgesAt
 
   @volatile private var nodeBuckets: Option[IndexedSeq[DataFrame]] = None
   @volatile private var edgeBuckets: Option[IndexedSeq[DataFrame]] = None
@@ -254,9 +274,9 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     * localCheckpoint freezes the accumulation — a mutation-heavy session
     * snowballed a 4-bucket store to a 22k-task scan before this bound.
     */
-  private def bucketParts(df: DataFrame): Int = {
+  private def bucketParts(df: DataFrame, nBuckets: Int): Int = {
     val conf = df.sparkSession.sessionState.conf.numShufflePartitions
-    math.max(1, conf / 8)
+    math.max(1, conf / math.max(1, nBuckets))
   }
 
   /** Split `df` into independently materialized hash-buckets: one pass to
@@ -266,7 +286,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val parent = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = parent.count()
     val n = math.max(4L, math.min(64L, (rows + bucketTargetRows - 1) / bucketTargetRows)).toInt
-    val p = bucketParts(df)
+    val p = bucketParts(df, n)
     val out = (0 until n).map(b =>
       parent.filter(bucketColFor(n)(col("id")) === b).coalesce(p)
         .localCheckpoint(true))
@@ -275,20 +295,40 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
   }
 
   private def ensureNodeBuckets(): IndexedSeq[DataFrame] = synchronized {
-    nodeBuckets.getOrElse {
-      val bs = bucketize(current.nodes)
-      nodeDepth = Array.fill(bs.size)(0)
-      nodeBuckets = Some(bs)
-      bs
+    nodeBuckets match {
+      // still under the deferral bound (single whole-frame "bucket"), or
+      // already split — keep as is
+      case Some(bs) if bs.size > 1 || nodesDeferred => bs
+      case Some(bs) => // crossed the bound: split the whole-frame bucket
+        val nbs = bucketize(bs.head)
+        nodeDepth = Array.fill(nbs.size)(0)
+        nodeBuckets = Some(nbs)
+        nbs
+      case None =>
+        val bs =
+          if (nodesDeferred) IndexedSeq(current.nodes)
+          else bucketize(current.nodes)
+        nodeDepth = Array.fill(bs.size)(0)
+        nodeBuckets = Some(bs)
+        bs
     }
   }
 
   private def ensureEdgeBuckets(): IndexedSeq[DataFrame] = synchronized {
-    edgeBuckets.getOrElse {
-      val bs = bucketize(current.edges)
-      edgeDepth = Array.fill(bs.size)(0)
-      edgeBuckets = Some(bs)
-      bs
+    edgeBuckets match {
+      case Some(bs) if bs.size > 1 || edgesDeferred => bs
+      case Some(bs) =>
+        val ebs = bucketize(bs.head)
+        edgeDepth = Array.fill(ebs.size)(0)
+        edgeBuckets = Some(ebs)
+        ebs
+      case None =>
+        val bs =
+          if (edgesDeferred) IndexedSeq(current.edges)
+          else bucketize(current.edges)
+        edgeDepth = Array.fill(bs.size)(0)
+        edgeBuckets = Some(bs)
+        bs
     }
   }
 
@@ -299,7 +339,8 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     * driver read over the (checkpointed, small) key frame.
     */
   private def touchedBuckets(keys: DataFrame, n: Int): Set[Int] =
-    keys.select(bucketColFor(n)(col("id")).as("b")).distinct()
+    if (n == 1) Set(0) // deferral mode: whole frame, skip the driver read
+    else keys.select(bucketColFor(n)(col("id")).as("b")).distinct()
       .collect().map(_.getInt(0)).toSet
 
   /** Union of only the buckets in `touched` — the pruned frame every
@@ -363,11 +404,12 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
           // coalesce BEFORE materializing: layers accumulate partitions
           // (union appends, broadcast joins preserve) and localCheckpoint
           // would freeze the growth unbounded
-          nf.coalesce(bucketParts(nf)).localCheckpoint(true)
+          nf.coalesce(bucketParts(nf, bs.size)).localCheckpoint(true)
         } else nf
       }
     }
     nodeBuckets = Some(nb)
+    nodeCommits += 1
     nb
   }
 
@@ -381,11 +423,12 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
         edgeDepth(b) += 1
         if (edgeDepth(b) >= maxDepth) {
           edgeDepth(b) = 0
-          nf.coalesce(bucketParts(nf)).localCheckpoint(true)
+          nf.coalesce(bucketParts(nf, bs.size)).localCheckpoint(true)
         } else nf
       }
     }
     edgeBuckets = Some(nb)
+    edgeCommits += 1
     nb
   }
 
@@ -393,8 +436,16 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     * outside the bucket committer — drop that side back to unbucketed
     * mode (the next keyed mutation re-buckets).
     */
-  private def invalidateNodeBuckets(): Unit = synchronized { nodeBuckets = None }
-  private def invalidateEdgeBuckets(): Unit = synchronized { edgeBuckets = None }
+  private def invalidateNodeBuckets(): Unit = synchronized {
+    nodeBuckets = None
+    // restart the deferral clock: a store that keeps doing wholesale
+    // rewrites (refactor-heavy sessions) must not thrash re-bucketization
+    bucketizeNodesAt = nodeCommits + bucketizeAfter
+  }
+  private def invalidateEdgeBuckets(): Unit = synchronized {
+    edgeBuckets = None
+    bucketizeEdgesAt = edgeCommits + bucketizeAfter
+  }
 
   /** Optimistic explicit transaction (§2.9 `transaction.go`): `f` runs
     * against a PRIVATE store seeded from the current snapshot; its writes
@@ -594,14 +645,18 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val victims = ids.select("id").localCheckpoint(true)
     val v = victims.withColumnRenamed("id", "vid")
     val incidentCond = col("src") === col("vid") || col("dst") === col("vid")
+    val bs = ensureNodeBuckets()
+    val touched = touchedBuckets(victims, bs.size)
+    val nDel = prunedUnion(bs, touched).join(victims, Seq("id"), "left_semi").count()
+    // nothing matches: no incident validation, no rewrite, no commit —
+    // the upsert pattern (DELETE id; CREATE id) pays one pruned read on
+    // the usually-absent id, never a full edge scan
+    if (nDel == 0) return QueryStats()
     if (!detach) {
       // edges carry their own `id` column — alias the victim ids
       val incident = g.edges.join(v, incidentCond, "left_semi").count()
       require(incident == 0, s"cannot delete nodes with $incident incident edge(s); use DETACH DELETE")
     }
-    val bs = ensureNodeBuckets()
-    val touched = touchedBuckets(victims, bs.size)
-    val nDel = prunedUnion(bs, touched).join(victims, Seq("id"), "left_semi").count()
     val nb = rewriteNodeBuckets(touched)((_, df) =>
       df.join(victims, Seq("id"), "left_anti"))
     // detach: the incident scan is one pass on src/dst (no id-pruning
@@ -664,6 +719,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val ebs = ensureEdgeBuckets()
     val touched = touchedBuckets(victims, ebs.size)
     val eDel = prunedUnion(ebs, touched).join(victims, Seq("id"), "left_semi").count()
+    if (eDel == 0) return QueryStats() // nothing matched: no rewrite, no commit
     val nb = rewriteEdgeBuckets(touched)((_, df) =>
       df.join(victims, Seq("id"), "left_anti"))
     swap(PropertyGraph(g.nodes, unionAll(nb)),
