@@ -55,8 +55,12 @@ object MimirFixture {
         "MATCH (f:File) WHERE f.key <= 3 SET f.embedding = 'test-model'")
       CypherWrite.execute(store,
         "MATCH (c:FileChunk) WHERE c.key <= 106 SET c.embedding = 'test-model'")
-      val g = PropertyGraph(store.snapshot.nodes.localCheckpoint(true),
-        store.snapshot.edges.localCheckpoint(true))
+      // read-only handoff: compact the mutation layers' accumulated
+      // partitions (a 10-row frame frozen at ~86 partitions costs more
+      // task scheduling than the queries it serves)
+      val g = PropertyGraph(
+        store.snapshot.nodes.coalesce(4).localCheckpoint(true),
+        store.snapshot.edges.coalesce(4).localCheckpoint(true))
       cached = Some(g)
       g
     }

@@ -50,8 +50,10 @@ object NorthwindFixture {
         base.edges.filter("false").localCheckpoint(true)),
         registerGlobal = false)
       seed.foreach(CypherWrite.execute(store, _))
-      val g = PropertyGraph(store.snapshot.nodes.localCheckpoint(true),
-        store.snapshot.edges.localCheckpoint(true))
+      // read-only handoff: compact the mutation layers' partitions
+      val g = PropertyGraph(
+        store.snapshot.nodes.coalesce(4).localCheckpoint(true),
+        store.snapshot.edges.coalesce(4).localCheckpoint(true))
       cached = Some(g)
       g
     }

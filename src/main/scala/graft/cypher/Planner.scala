@@ -81,8 +81,11 @@ object Planner {
   /** Seed frame: one row, zero columns, so a leading UNWIND/RETURN
     * produces rows.
     */
+  // one explicit partition: range(1) defaults to defaultParallelism
+  // partitions, and a 1-row 32-partition seed bloats every write's
+  // appended rows (the store accumulated ~30 empty partitions per CREATE)
   def seedFrame(g: PropertyGraph): Frame =
-    Frame(g.nodes.sparkSession.range(1).toDF().drop("id"), Map.empty)
+    Frame(g.nodes.sparkSession.range(0, 1, 1, 1).toDF().drop("id"), Map.empty)
 
   /** Advance the binding frame by one READ clause (MATCH / UNWIND / WITH /
     * RETURN). `first` = no pattern clause consumed yet. Exposed for the
