@@ -86,6 +86,15 @@ class Round10ServerSpec extends AnyFunSuite {
     assert(GraftConfig.durationMs("30s") == 30000L)
     assert(GraftConfig.durationMs("15m") == 15 * 60000L)
     assert(GraftConfig.durationMs("24h") == 24 * 3600000L)
+
+    // the shipped example file loads to the values it documents
+    val ex = GraftConfig.load(path = Some("/root/repo/graft.example.yaml"),
+      env = _ => None)
+    assert(ex.boltPort == 7687 && ex.httpPort == 7474 && ex.host == "127.0.0.1")
+    assert(ex.adminUser.contains(("admin", "password")) && ex.mcpEnabled)
+    assert(ex.pluginsDir == "./plugins" && !ex.readOnly && !ex.qdrantGrpcEnabled)
+    assert(ex.tokenExpirySec == 24 * 3600L && ex.lockoutDurationMs == 15 * 60000L)
+    assert(!ex.heimdallEnabled && ex.heimdallIntervalMs == 3600000L)
   }
 
   // ----------------------------------------------------------- plugins ----
