@@ -217,6 +217,47 @@ object StreamingQueriesImpl {
                      (SELECT COUNT(*) FROM f) - (SELECT COUNT(DISTINCT fp) FROM f)
                        AS n_dupes"""), "2.12"),
 
+    // streaming MinHash-LSH NEAR-dup: band state accumulated across
+    // micro-batches, candidates from the band equi-join, verified by
+    // signature agreement (>= 8/16 components ~ estimated Jaccard >= 0.5);
+    // order-independent (larger doc_id flags), so the batch oracle replays
+    // the exact counts
+    "q_stream_dedup_minhash" -> GQuery(
+      (s, d) => graft.streaming.StreamDedup.nearDupStats(s, d),
+      Some("""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+              sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(ws) >= 3 THEN
+                    list_transform(generate_series(1, len(ws) - 2),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                  ELSE [] END)) AS shingle
+                FROM d),
+              mh AS (
+                SELECT doc_id, s,
+                       MIN(substring(md5(CAST(s // 4 AS VARCHAR) || '_' || shingle),
+                                     (s % 4) * 8 + 1, 8)) AS mn
+                FROM sh CROSS JOIN generate_series(0, 15) t(s)
+                GROUP BY doc_id, s),
+              sig AS (SELECT doc_id, list(mn ORDER BY s) AS sg FROM mh GROUP BY doc_id),
+              bands AS (
+                SELECT doc_id, b,
+                       sg[b*4+1] || '_' || sg[b*4+2] || '_' || sg[b*4+3] || '_' || sg[b*4+4] AS bsig
+                FROM sig CROSS JOIN generate_series(0, 3) t(b)),
+              cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.b = y.b AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+              dup AS (
+                SELECT DISTINCT c.b
+                FROM cand c
+                  JOIN sig sa ON sa.doc_id = c.a
+                  JOIN sig sb ON sb.doc_id = c.b
+                WHERE len(list_filter(generate_series(1, 16),
+                          i -> sa.sg[i] = sb.sg[i])) >= 8)
+              SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM dup) AS n_unique,
+                     (SELECT COUNT(*) FROM dup) AS n_dupes"""), "2.12"),
+
     "q_mutation_merge" -> GQuery(
       (s, d) => {
         val g = GraphQueries.graph(s, d)

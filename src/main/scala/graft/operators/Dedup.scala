@@ -62,6 +62,34 @@ object Dedup {
       .select(col("a"), col("b"), col("jac"))
   }
 
+  /** (doc_id, band, bsig, sig) band rows of the md5 signature tier — the
+    * per-document unit the STREAMING near-dup path keeps as state
+    * ([[graft.streaming.StreamDedup.nearDupStats]]): the full signature
+    * rides along so candidate pairs verify by signature agreement without
+    * the corpus-sized shingle sets. Same hash/band construction as
+    * [[minhashLshPairs]], oracle-replayable in DuckDB.
+    */
+  def minhashBands(docs: DataFrame, shingleN: Int, nHashes: Int,
+      nBands: Int): DataFrame = {
+    require(nHashes % nBands == 0, "nHashes must divide into nBands")
+    val rowsPerBand = nHashes / nBands
+    val sh = shingles(docs, shingleN)
+    val hashed = sh.select(col("doc_id"),
+      array((0 until nHashes).map(j =>
+        substring(md5(concat(lit(s"${j / 4}_"), col("shingle"))),
+          (j % 4) * 8 + 1, 8)): _*).as("hs"))
+    val sig = hashed.groupBy("doc_id").agg(
+      array((0 until nHashes).map(i =>
+        min(element_at(col("hs"), i + 1))): _*).as("sig"))
+    sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bsig"))
+        }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.bsig"), col("sig"))
+  }
+
   /** MinHash signature: for each of `nHashes` seeds, the min over shingles
     * of murmur3(shingle, seed). Banded into `nBands` LSH bands; docs sharing
     * any band bucket are candidates. Candidates are then verified with true
