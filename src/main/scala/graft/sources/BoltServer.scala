@@ -34,7 +34,8 @@ import graft.graph.PropertyGraph
 final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
     token: Option[String] = None,
     store: Option[graft.graph.GraphStore] = None,
-    rbac: Option[ServerAuth.Rbac] = None) {
+    rbac: Option[ServerAuth.Rbac] = None,
+    tls: Option[javax.net.ssl.SSLContext] = None) {
 
   /** Connection RBAC (auth.go:183-188): write statements need `write` →
     * Neo.ClientError.Security.Forbidden. A bare `token` is an admin
@@ -43,7 +44,13 @@ final class BoltServer(graph: () => PropertyGraph, port: Int = 0,
   private val effectiveRbac: Option[ServerAuth.Rbac] =
     rbac.orElse(ServerAuth.Rbac.legacy(token))
 
-  private val server = new ServerSocket(port)
+  // with TLS material the listener speaks bolt+s (the reference's
+  // server.tls config / NORNICDB_BOLT_TLS_ENABLED); the session protocol
+  // above the socket is identical
+  private val server: ServerSocket = tls match {
+    case Some(ctx) => ctx.getServerSocketFactory.createServerSocket(port)
+    case None => new ServerSocket(port)
+  }
   private val running = new AtomicBoolean(false)
   @volatile private var acceptor: Thread = _
 

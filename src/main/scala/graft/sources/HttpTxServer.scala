@@ -28,7 +28,8 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
     maxRows: Int = 10000, token: Option[String] = None,
     rbac: Option[ServerAuth.Rbac] = None,
     authenticator: Option[Authenticator] = None,
-    oauth: Option[OAuthClient] = None) {
+    oauth: Option[OAuthClient] = None,
+    tls: Option[javax.net.ssl.SSLContext] = None) {
 
   /** Per-statement RBAC: write statements need `write`
     * (server_db.go:654-663 → Neo.ClientError.Security.Forbidden in the
@@ -37,7 +38,16 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
   private val effectiveRbac: Option[ServerAuth.Rbac] =
     rbac.orElse(ServerAuth.Rbac.legacy(token))
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // with TLS material this is the HTTPS listener (the reference's
+  // server.https config, nornicdb.example.yaml; same mux either way)
+  private val server = tls match {
+    case Some(ctx) =>
+      val s = com.sun.net.httpserver.HttpsServer.create(
+        new InetSocketAddress(port), 0)
+      s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
+      s
+    case None => HttpServer.create(new InetSocketAddress(port), 0)
+  }
 
   def boundPort: Int = server.getAddress.getPort
 
