@@ -521,11 +521,16 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val nn = newNodes.localCheckpoint(true)
     val bs = ensureNodeBuckets()
     val touched = touchedBuckets(nn, bs.size)
-    val conflicts = nn.join(prunedUnion(bs, touched).select("id"),
-      Seq("id"), "left_semi").count()
+    // one pass computes both the batch size and the duplicate-id count
+    // (two separate jobs cost a driver round-trip each on every CREATE)
+    val existing = prunedUnion(bs, touched).select(col("id"), lit(true).as("_ex"))
+    val counts = nn.join(existing, Seq("id"), "left_outer")
+      .agg(count(lit(1)).as("n"), count(col("_ex")).as("conflicts"))
+      .collect().head
+    val n = counts.getLong(0)
+    val conflicts = counts.getLong(1)
     require(conflicts == 0, s"unique-id constraint violated for $conflicts node(s)")
     enforceUnique(g, nn)
-    val n = nn.count()
     checkNodeLimit(g, n)
     val nnA = conformNodeInsert(nn)
     val nb = rewriteNodeBuckets(touched)((b, df) =>
@@ -547,9 +552,15 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val missing = cand.join(prunedUnion(bs, candBuckets).select("id"),
       Seq("id"), "left_anti").localCheckpoint(true)
     enforceUnique(g, missing)
-    val n = missing.count()
+    // one pass: batch size + the touched-bucket set
+    val stat = missing.agg(count(lit(1)).as("n"),
+      collect_set(bucketColFor(bs.size)(col("id"))).as("bks")).collect().head
+    val n = stat.getLong(0)
     checkNodeLimit(g, n)
-    val touched = if (n > 0) touchedBuckets(missing, bs.size) else Set.empty[Int]
+    val touched =
+      if (n == 0) Set.empty[Int]
+      else if (bs.size == 1) Set(0)
+      else stat.getSeq[Int](1).toSet
     val missA = if (n > 0) conformNodeInsert(missing) else missing
     val nb = rewriteNodeBuckets(touched)((b, df) =>
       df.unionByName(missA.filter(bucketColFor(bs.size)(col("id")) === b)))
