@@ -29,7 +29,7 @@ import graft.functions.{JsonImpls => J}
 final case class HttpEmbedderConfig(provider: String, apiUrl: String,
     apiPath: String, model: String, apiKey: String = "",
     timeoutMs: Long = 30000) {
-  require(provider == "ollama" || provider == "openai",
+  require(provider == "ollama" || provider == "openai" || provider == "llamacpp",
     s"unknown embedding provider: $provider")
 }
 
@@ -106,6 +106,26 @@ object HttpEmbedder {
         row.get("index").asInt() -> vecOf(row.get("embedding"), dim, "openai")
       }.toMap
       texts.indices.map(byIdx)
+    case "llamacpp" =>
+      // llama.cpp's own HTTP server (`llama-server --embedding`), the
+      // self-hosted analog of the reference's in-process GGUF embedding
+      // (`pkg/localllm/llama.go`): POST {apiUrl}{apiPath} with
+      // `{"content": ...}` per text; the response is either
+      // `{"embedding":[...]}` or the list form
+      // `[{"embedding":[[...]]}]` (newer servers batch by rows)
+      texts.map { t =>
+        val body = s"""{"content":${jstr(t)}}"""
+        val n = J.parse(post(cfg, body)).getOrElse(
+          throw new IllegalStateException("llamacpp: unparseable response"))
+        val node =
+          if (n.isArray && n.size() > 0) n.get(0).get("embedding") match {
+            case e if e != null && e.isArray && e.size() > 0 && e.get(0).isArray =>
+              e.get(0) // [[...]] row-batched form
+            case e => e
+          }
+          else n.get("embedding")
+        vecOf(node, dim, "llamacpp")
+      }
   }
 }
 

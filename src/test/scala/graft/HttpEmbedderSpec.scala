@@ -57,6 +57,19 @@ class HttpEmbedderSpec extends AnyFunSuite {
         respond(ex, 200, s"""{"data":[${rows.mkString(",")}]}""")
       }
     })
+    srv.createContext("/embedding", { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val content = """"content"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+        .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+      respond(ex, 200, s"""{"embedding":[${fakeVec(content).mkString(",")}]}""")
+    })
+    srv.createContext("/embedding-list", { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val content = """"content"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+        .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+      respond(ex, 200,
+        s"""[{"index":0,"embedding":[[${fakeVec(content).mkString(",")}]]}]""")
+    })
     srv.start(); srv
   }
 
@@ -96,7 +109,16 @@ class HttpEmbedderSpec extends AnyFunSuite {
       assert(e.getMessage.contains("401") && e.getMessage.contains("no key"))
       // unknown provider refused at construction
       intercept[IllegalArgumentException](
-        HttpEmbedderConfig("llamacpp", base, "/x", "m"))
+        HttpEmbedderConfig("not-a-provider", base, "/x", "m"))
+
+      // llama.cpp server wire form (`llama-server --embedding`): both the
+      // object shape and the newer row-batched list shape parse
+      val llama = new HttpEmbedder(HttpEmbedderConfig(
+        "llamacpp", base, "/embedding", ""), dim = 4)
+      assert(llama.embed("gguf") == fakeVec("gguf"))
+      val llamaList = new HttpEmbedder(HttpEmbedderConfig(
+        "llamacpp", base, "/embedding-list", ""), dim = 4)
+      assert(llamaList.embed("rows") == fakeVec("rows"))
     } finally srv.stop(0)
   }
 
