@@ -102,8 +102,10 @@ object GraftServer {
       // the configured admin password may be shorter than the user-facing
       // policy floor (the reference's default is literally "password");
       // admin bootstrap bypasses the policy like CreateUser in main.go:534
-      a.createUser(user, password.padTo(cfg.minPasswordLength, ' ')
-          .take(password.length.max(cfg.minPasswordLength)), Seq(ServerAuth.Role.Admin))
+      // — the password is stored EXACTLY as configured, never padded, so
+      // login always sees the same bytes the operator wrote down
+      a.createUser(user, password, Seq(ServerAuth.Role.Admin),
+          bypassPolicy = true)
         .left.foreach(e => System.err.println(s"admin user: ${e.message}"))
       a
     }
@@ -129,12 +131,23 @@ object GraftServer {
     // built before HTTP so /api/bifrost mounts on the shared listener
     val heimdall =
       if (!cfg.heimdallEnabled) None
-      else Some(new graft.streaming.HeimdallScheduler(store,
-        intervalMs = cfg.heimdallIntervalMs,
-        anomalyDetection = cfg.heimdallAnomalyDetection,
-        runtimeDiagnosis = cfg.heimdallRuntimeDiagnosis,
-        memoryCuration = cfg.heimdallMemoryCuration,
-        model = cfg.heimdallModel))
+      else {
+        // configured api_url → real chat-completion provider on the
+        // Analyst seam (falls back to the deterministic summary per
+        // request on provider failure); empty → zero-egress stand-in
+        val analyst =
+          if (cfg.heimdallApiUrl.isEmpty) graft.streaming.HeimdallScheduler.DeterministicAnalyst
+          else new graft.streaming.HttpAnalyst(graft.streaming.HttpAnalystConfig(
+            apiUrl = cfg.heimdallApiUrl, model = cfg.heimdallModel,
+            apiKey = cfg.heimdallApiKey))
+        Some(new graft.streaming.HeimdallScheduler(store,
+          intervalMs = cfg.heimdallIntervalMs,
+          anomalyDetection = cfg.heimdallAnomalyDetection,
+          runtimeDiagnosis = cfg.heimdallRuntimeDiagnosis,
+          memoryCuration = cfg.heimdallMemoryCuration,
+          analyst = analyst,
+          model = cfg.heimdallModel))
+      }
 
     // ---- TLS material (server.tls / NORNICDB_TLS_DIR; config.go:218) ----
     val sslCtx =
@@ -142,8 +155,11 @@ object GraftServer {
       else {
         val ctx = ServerTls.fromConfig(cfg.tlsCertFile, cfg.tlsKeyFile,
           cfg.tlsBaseDirectory)
-        if (ctx.isEmpty) System.err.println(
-          "tls: enabled but no loadable cert/key pair — TLS listeners skipped")
+        // fail-fast: an operator who configured encryption must never get
+        // cleartext listeners because the cert silently failed to load
+        if (ctx.isEmpty) throw new IllegalStateException(
+          "tls: enabled but no loadable cert/key pair — refusing to start" +
+            " (fix server.tls cert/key or unset tls/https enabled)")
         ctx
       }
 
@@ -157,7 +173,21 @@ object GraftServer {
       val s = new HttpTxServer(store, port = port, rbac = rbac,
         authenticator = authenticator, oauth = oauth, tls = ctx)
       s.mount("/graphql")(graphql.handleExchange)
-      heimdall.foreach(h => s.mount("/api/bifrost")(h.handleExchange))
+      // the reference wraps /api/bifrost (status, SSE, chat) in withAuth
+      // (server_router.go:211-219): require an authenticated role with
+      // Read permission before any Heimdall data streams out
+      heimdall.foreach(h => s.mount("/api/bifrost") { ex =>
+        ServerAuth.roleOf(ex, rbac) match {
+          case Some(role) if ServerAuth.can(role, ServerAuth.Permission.Read) =>
+            h.handleExchange(ex)
+          case Some(_) =>
+            HttpTxServer.respondStatic(ex, 403,
+              """{"error":"Read permission required"}""")
+          case None =>
+            HttpTxServer.respondStatic(ex, 401,
+              """{"error":"authentication required"}""")
+        }
+      })
       s.start()
     }
     val http =

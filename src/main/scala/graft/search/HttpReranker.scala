@@ -102,9 +102,12 @@ final class HttpReranker(config: HttpRerankerConfig) {
     * to cross = bi (pass-through, rerank.go:152-156).
     */
   def encoder: Rerank.Encoder = (df: DataFrame, query: String) => {
-    val ordered: Array[Row] =
-      df.select("id", "content").orderBy(col("original_rank")).collect()
     try {
+      // inside the try: a Spark failure collecting candidates (missing
+      // column, cancelled job) must degrade to pass-through like any
+      // provider failure, not abort the search (rerank.go:152-156)
+      val ordered: Array[Row] =
+        df.select("id", "content").orderBy(col("original_rank")).collect()
       val scores = score(query, ordered.map(r => String.valueOf(r.get(1))).toSeq)
       val lookup = ordered.map(r => String.valueOf(r.get(0))).zip(scores).toMap
       val spark = df.sparkSession

@@ -70,9 +70,14 @@ final class Authenticator(jwtSecret: Array[Byte],
       .generateSecret(spec).getEncoded
   }
 
-  def createUser(username: String, password: String,
-      roles: Seq[Role]): Either[AuthError, Unit] = {
-    if (password.length < minPasswordLength)
+  /** `bypassPolicy` lets the server bootstrap skip the length floor for
+    * the configured admin account (the reference's main.go CreateUser
+    * path does the same for its default "password"); every user-facing
+    * route keeps the default `false`.
+    */
+  def createUser(username: String, password: String, roles: Seq[Role],
+      bypassPolicy: Boolean = false): Either[AuthError, Unit] = {
+    if (!bypassPolicy && password.length < minPasswordLength)
       return Left(PolicyViolation(
         s"password does not meet minimum length requirement ($minPasswordLength)"))
     if (users.contains(username))

@@ -476,6 +476,17 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
 }
 
 object HttpTxServer {
+  /** JSON response helper for handlers mounted onto this server from the
+    * outside (the entrypoint's auth wrapper around /api/bifrost).
+    */
+  def respondStatic(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
   /** Schema DDL: index/constraint/database management statements — admin
     * territory (PermSchema, auth.go:183-188).
     */

@@ -112,18 +112,23 @@ object ServerAuth {
       * Every static token is compared (constant-time, no early exit on
       * the match) so timing doesn't leak which token prefix matched.
       */
-    def resolve(cred: Option[String]): Option[Role] = cred.flatMap { c =>
-      var found: Option[Role] = None
-      tokens.foreach { case (t, r) =>
-        if (constantTimeEq(c, t)) found = Some(r)
-      }
-      found.orElse(jwtSecret.flatMap(validateJwt(_, c)))
-        .orElse(openRole).map(cap)
-    // openRole: a no-auth server in read-only mode grants every request —
-    // credentialed or not — a capped anonymous role instead of refusing
-    // (the reference's read_only applies with auth "none" too,
-    // config.go:116)
-    }.orElse(openRole.map(cap))
+    def resolve(cred: Option[String]): Option[Role] = cred match {
+      case Some(c) =>
+        var found: Option[Role] = None
+        tokens.foreach { case (t, r) =>
+          if (constantTimeEq(c, t)) found = Some(r)
+        }
+        found.orElse(jwtSecret.flatMap(validateJwt(_, c)))
+          // openRole stands in for a PRESENTED-but-unmatched credential
+          // only when this Rbac has no credential source at all (auth
+          // "none", where Authorization headers are never examined —
+          // config.go:116); a server with real tokens/JWT must refuse an
+          // invalid credential, never downgrade it to the anonymous role
+          .orElse(if (tokens.isEmpty && jwtSecret.isEmpty) openRole else None)
+          .map(cap)
+      // no credential presented: the anonymous role (when configured)
+      case None => openRole.map(cap)
+    }
   }
   object Rbac {
     /** Back-compat: a bare server token is an admin credential. */
