@@ -61,32 +61,77 @@ object Eval {
   }
 
   /** Brute-force ground truth (top-k per query), computed ONCE per
-    * (embedding frame, nQueries, k) and materialized — the eval tiers
-    * (LSH / IVF / HNSW) all rank against the same truth, so the
-    * crossJoin+window only runs for the first tier (the shared-index
-    * cache the GraphX ctx cache provides for the algo family). Keyed by
-    * the frame's canonicalized plan, so different scale factors don't
-    * collide; truth is nQueries·k rows — trivially cacheable.
+    * (embedding frame, nQueries, k), materialized, and — when the frame
+    * reads from files — PERSISTED as a parquet artifact keyed by
+    * (dataset fingerprint, plan, nQueries, k). The eval tiers (LSH / IVF /
+    * HNSW) all rank against the same truth, so within a session the
+    * crossJoin+window runs at most once; across sessions and bench runs
+    * the artifact short-circuits it entirely. At scale this matters more
+    * than the probes themselves: the truth is the only O(|corpus|·q)
+    * term in the eval family, and it's a pure function of the dataset —
+    * recomputing it per run at sf1 was 11.7× of the eval row's cost.
+    * Truth is nQueries·k rows — trivially storable.
     */
   private val truthCache =
     scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), DataFrame]
 
-  private def bruteTruth(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  /** Content fingerprint of the frame's source files (path, length,
+    * mtime) — cheap (pure file-status, no data read) and exactly as
+    * strong as parquet immutability: any rewrite of the dataset changes
+    * the fingerprint and invalidates dependent artifacts. None for
+    * non-file-backed frames (in-memory fixtures), which fall back to the
+    * session cache only.
+    */
+  private def datasetFingerprint(df: DataFrame): Option[String] = {
+    val files = df.inputFiles
+    if (files.isEmpty) None
+    else {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      val parts = files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Some(md.digest(parts.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    }
+  }
+
+  private def computeTruth(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     import graft.functions.VectorFns
-    val key = (emb.queryExecution.analyzed.canonicalized.hashCode,
-      nQueries, k)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", VectorFns.cosineCol(col("embedding"), col("q")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("item_id"))
+  }
+
+  private def bruteTruth(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val planHash = emb.queryExecution.analyzed.canonicalized.hashCode
+    val key = (planHash, nQueries, k)
     truthCache.getOrElseUpdate(key, {
-      val queries = emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
-      emb.crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cos_sim", VectorFns.cosineCol(col("embedding"), col("q")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("vec_id").as("item_id"))
-        .localCheckpoint(true)
+      val spark = emb.sparkSession
+      datasetFingerprint(emb) match {
+        case Some(fp) =>
+          // plan hash joins the key so two different projections of the
+          // same files can't share an artifact
+          val path = s"${graft.Artifacts.root(spark)}/ann_truth/" +
+            f"${fp}_p$planHash%08x_q${nQueries}_k$k"
+          val hconf = spark.sessionState.newHadoopConf()
+          val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+          val fs = success.getFileSystem(hconf)
+          if (!fs.exists(success))
+            computeTruth(emb, nQueries, k).write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case None =>
+          computeTruth(emb, nQueries, k).localCheckpoint(true)
+      }
     })
   }
 

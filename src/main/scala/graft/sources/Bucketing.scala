@@ -21,15 +21,20 @@ object Bucketing {
   private val prepared = new ConcurrentHashMap[String, Boolean]()
 
   /** Idempotently write lineitem + orders bucketed by order key as
-    * external tables under /tmp (one bucketed layout per sf-dir per JVM;
-    * stale layouts from previous JVMs are dropped and rewritten).
+    * external tables (one bucketed layout per sf-dir per JVM; stale
+    * layouts from previous JVMs are dropped and rewritten). The layout
+    * root rides the shared artifact-dir contract
+    * (`spark.graft.artifactDir` / GRAFT_ARTIFACT_DIR, default /tmp) so a
+    * deployment points it at durable shared storage like every other
+    * derived artifact.
     */
   def prepare(spark: SparkSession, sfDir: String, nBuckets: Int = 16): Unit =
     prepared.computeIfAbsent(sfDir, _ => {
       val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = graft.Artifacts.root(spark)
       def write(src: String, table: String, key: String): Unit = {
         spark.sql(s"DROP TABLE IF EXISTS $table")
-        val path = s"/tmp/graft_warehouse/$table"
+        val path = s"$root/graft_warehouse/$table"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
         spark.read.parquet(s"$sfDir/$src.parquet")
           .write.bucketBy(nBuckets, key).sortBy(key)
