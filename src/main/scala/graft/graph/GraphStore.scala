@@ -256,8 +256,29 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
   private def nodesDeferred: Boolean = nodeCommits < bucketizeNodesAt
   private def edgesDeferred: Boolean = edgeCommits < bucketizeEdgesAt
 
-  @volatile private var nodeBuckets: Option[IndexedSeq[DataFrame]] = None
-  @volatile private var edgeBuckets: Option[IndexedSeq[DataFrame]] = None
+  /** Bucket vector: the per-bucket frames plus — after a LAZY conversion —
+    * the frozen pre-conversion parent and the set of buckets still
+    * identical to `parent.filter(bucketCol == b)`. Keeping the pure set
+    * lets (a) every read compose all still-pure buckets as ONE filtered
+    * scan of the parent instead of nBuckets per-bucket scans, and (b) the
+    * conversion skip materializing any bucket up front — a bucket only
+    * materializes once mutations actually stack layers on it. Crossing
+    * the deferral bound therefore costs at most one checkpoint of the
+    * frame the store already holds, never a full-frame × nBuckets
+    * rewrite — at 100 TB the conversion is a metadata event, not a scan.
+    */
+  private final case class BucketVec(parent: Option[DataFrame],
+      pure: Set[Int], bs: IndexedSeq[DataFrame]) {
+    def size: Int = bs.size
+  }
+  private object BucketVec {
+    /** Deferral mode: the whole frame as a single bucket. */
+    def whole(df: DataFrame): BucketVec =
+      BucketVec(None, Set.empty, IndexedSeq(df))
+  }
+
+  @volatile private var nodeBuckets: Option[BucketVec] = None
+  @volatile private var edgeBuckets: Option[BucketVec] = None
   // un-materialized mutation layers stacked per bucket; a bucket
   // re-checkpoints when its depth reaches the bound, so lineage stays flat
   // without ever rewriting untouched buckets
@@ -279,61 +300,83 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     math.max(1, conf / math.max(1, nBuckets))
   }
 
-  /** Split `df` into independently materialized hash-buckets: one pass to
-    * cache the parent, one small job per bucket, parent blocks released.
+  /** A frame whose plan IS a pinned RDD (the product of localCheckpoint):
+    * re-checkpointing it would be a pure copy.
     */
-  private def bucketize(df: DataFrame): IndexedSeq[DataFrame] = {
-    val parent = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def isPinned(df: DataFrame): Boolean =
+    df.queryExecution.logical.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
+  /** Split `df` into hash-buckets INCREMENTALLY: the parent is pinned
+    * (one checkpoint pass, skipped when the frame is already a
+    * checkpoint) and every bucket starts as a lazy filter view over it —
+    * no bucket materializes until mutations later touch it (the pure-set
+    * machinery on [[BucketVec]]).
+    */
+  private def bucketize(df: DataFrame): BucketVec = {
+    val parent =
+      if (isPinned(df)) df
+      else df.coalesce(df.sparkSession.sessionState.conf.numShufflePartitions)
+        .localCheckpoint(true)
     val rows = parent.count()
     val n = math.max(4L, math.min(64L, (rows + bucketTargetRows - 1) / bucketTargetRows)).toInt
-    val p = bucketParts(df, n)
-    val out = (0 until n).map(b =>
-      parent.filter(bucketColFor(n)(col("id")) === b).coalesce(p)
-        .localCheckpoint(true))
-    parent.unpersist(false)
-    out
+    val views = (0 until n).map(b =>
+      parent.filter(bucketColFor(n)(col("id")) === b))
+    BucketVec(Some(parent), (0 until n).toSet, views)
   }
 
-  private def ensureNodeBuckets(): IndexedSeq[DataFrame] = synchronized {
+  private def ensureNodeBuckets(): BucketVec = synchronized {
     nodeBuckets match {
       // still under the deferral bound (single whole-frame "bucket"), or
       // already split — keep as is
-      case Some(bs) if bs.size > 1 || nodesDeferred => bs
-      case Some(bs) => // crossed the bound: split the whole-frame bucket
-        val nbs = bucketize(bs.head)
-        nodeDepth = Array.fill(nbs.size)(0)
-        nodeBuckets = Some(nbs)
-        nbs
+      case Some(v) if v.size > 1 || nodesDeferred => v
+      case Some(v) => // crossed the bound: split the whole-frame bucket
+        val nv = bucketize(v.bs.head)
+        nodeDepth = Array.fill(nv.size)(0)
+        nodeBuckets = Some(nv)
+        nv
       case None =>
-        val bs =
-          if (nodesDeferred) IndexedSeq(current.nodes)
+        val v =
+          if (nodesDeferred) BucketVec.whole(current.nodes)
           else bucketize(current.nodes)
-        nodeDepth = Array.fill(bs.size)(0)
-        nodeBuckets = Some(bs)
-        bs
+        nodeDepth = Array.fill(v.size)(0)
+        nodeBuckets = Some(v)
+        v
     }
   }
 
-  private def ensureEdgeBuckets(): IndexedSeq[DataFrame] = synchronized {
+  private def ensureEdgeBuckets(): BucketVec = synchronized {
     edgeBuckets match {
-      case Some(bs) if bs.size > 1 || edgesDeferred => bs
-      case Some(bs) =>
-        val ebs = bucketize(bs.head)
-        edgeDepth = Array.fill(ebs.size)(0)
-        edgeBuckets = Some(ebs)
-        ebs
+      case Some(v) if v.size > 1 || edgesDeferred => v
+      case Some(v) =>
+        val nv = bucketize(v.bs.head)
+        edgeDepth = Array.fill(nv.size)(0)
+        edgeBuckets = Some(nv)
+        nv
       case None =>
-        val bs =
-          if (edgesDeferred) IndexedSeq(current.edges)
+        val v =
+          if (edgesDeferred) BucketVec.whole(current.edges)
           else bucketize(current.edges)
-        edgeDepth = Array.fill(bs.size)(0)
-        edgeBuckets = Some(bs)
-        bs
+        edgeDepth = Array.fill(v.size)(0)
+        edgeBuckets = Some(v)
+        v
     }
   }
 
-  private def unionAll(bs: Seq[DataFrame]): DataFrame =
-    bs.reduce(_.unionByName(_))
+  /** Full frame of a bucket vector: all still-pure buckets come back as
+    * ONE filtered scan of the parent (an unfiltered scan when every
+    * bucket is pure), only materialized/rewritten buckets union on top.
+    */
+  private def unionAll(v: BucketVec): DataFrame = {
+    val impure = v.bs.indices.filterNot(v.pure).map(v.bs)
+    v.parent match {
+      case Some(p) if v.pure.nonEmpty =>
+        val pureScan =
+          if (v.pure.size == v.size) p
+          else p.filter(bucketColFor(v.size)(col("id")).isInCollection(v.pure))
+        (pureScan +: impure).reduce(_.unionByName(_))
+      case _ => impure.reduce(_.unionByName(_))
+    }
+  }
 
   /** Distinct bucket ids that can contain `keys.id` rows — a ≤nBuckets-int
     * driver read over the (checkpointed, small) key frame.
@@ -345,10 +388,21 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
 
   /** Union of only the buckets in `touched` — the pruned frame every
     * id-equality join on the write path reads instead of the full store.
+    * Touched-and-still-pure buckets read as one filtered parent scan.
     */
-  private def prunedUnion(bs: IndexedSeq[DataFrame], touched: Set[Int]): DataFrame =
-    if (touched.isEmpty) bs.head.limit(0)
-    else unionAll(bs.indices.filter(touched).map(bs))
+  private def prunedUnion(v: BucketVec, touched: Set[Int]): DataFrame =
+    if (touched.isEmpty) v.bs.head.limit(0)
+    else {
+      val pureT = touched.intersect(v.pure)
+      val impure = v.bs.indices.filter(b => touched(b) && !v.pure(b)).map(v.bs)
+      val parts = v.parent match {
+        case Some(p) if pureT.nonEmpty =>
+          p.filter(bucketColFor(v.size)(col("id")).isInCollection(pureT)) +: impure
+        case _ => impure
+      }
+      if (parts.isEmpty) v.bs.head.limit(0)
+      else parts.reduce(_.unionByName(_))
+    }
 
   /** Schema evolution on insert: `rows` may carry hoisted property
     * columns the store has not seen yet (the first CREATE against an
@@ -357,14 +411,18 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     * materialized blocks stay live — and align `rows` to the store-side
     * dtype where both have the column (store wins a type clash).
     */
-  private def widenSchemas(bs: IndexedSeq[DataFrame], rows: DataFrame)
-      : (IndexedSeq[DataFrame], DataFrame) = {
-    val base = bs.head.schema
+  private def widenSchemas(v: BucketVec, rows: DataFrame)
+      : (BucketVec, DataFrame) = {
+    val base = v.bs.head.schema
     val extra = rows.schema.fields.filterNot(f => base.fieldNames.contains(f.name))
     val widened =
-      if (extra.isEmpty) bs
-      else bs.map(df => extra.foldLeft(df)((d, f) =>
-        d.withColumn(f.name, lit(null).cast(f.dataType))))
+      if (extra.isEmpty) v
+      else {
+        def widen(df: DataFrame): DataFrame = extra.foldLeft(df)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+        // the parent widens too: pure buckets read through it
+        BucketVec(v.parent.map(widen), v.pure, v.bs.map(widen))
+      }
     val aligned = base.fields.foldLeft(rows) { (d, f) =>
       if (!d.columns.contains(f.name))
         d.withColumn(f.name, lit(null).cast(f.dataType))
@@ -392,9 +450,9 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     * bound. Returns the new bucket vector (also installed).
     */
   private def rewriteNodeBuckets(touched: Set[Int])(
-      f: (Int, DataFrame) => DataFrame): IndexedSeq[DataFrame] = synchronized {
-    val bs = ensureNodeBuckets()
-    val nb = bs.zipWithIndex.map { case (df, b) =>
+      f: (Int, DataFrame) => DataFrame): BucketVec = synchronized {
+    val v = ensureNodeBuckets()
+    val nb = v.bs.zipWithIndex.map { case (df, b) =>
       if (!touched(b)) df
       else {
         val nf = f(b, df)
@@ -404,32 +462,38 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
           // coalesce BEFORE materializing: layers accumulate partitions
           // (union appends, broadcast joins preserve) and localCheckpoint
           // would freeze the growth unbounded
-          nf.coalesce(bucketParts(nf, bs.size)).localCheckpoint(true)
+          nf.coalesce(bucketParts(nf, v.size)).localCheckpoint(true)
         } else nf
       }
     }
-    nodeBuckets = Some(nb)
+    // a touched bucket is no longer the parent view; once nothing is
+    // pure the parent drops out of the read path entirely
+    val pure2 = v.pure -- touched
+    val nv = BucketVec(if (pure2.isEmpty) None else v.parent, pure2, nb)
+    nodeBuckets = Some(nv)
     nodeCommits += 1
-    nb
+    nv
   }
 
   private def rewriteEdgeBuckets(touched: Set[Int])(
-      f: (Int, DataFrame) => DataFrame): IndexedSeq[DataFrame] = synchronized {
-    val bs = ensureEdgeBuckets()
-    val nb = bs.zipWithIndex.map { case (df, b) =>
+      f: (Int, DataFrame) => DataFrame): BucketVec = synchronized {
+    val v = ensureEdgeBuckets()
+    val nb = v.bs.zipWithIndex.map { case (df, b) =>
       if (!touched(b)) df
       else {
         val nf = f(b, df)
         edgeDepth(b) += 1
         if (edgeDepth(b) >= maxDepth) {
           edgeDepth(b) = 0
-          nf.coalesce(bucketParts(nf, bs.size)).localCheckpoint(true)
+          nf.coalesce(bucketParts(nf, v.size)).localCheckpoint(true)
         } else nf
       }
     }
-    edgeBuckets = Some(nb)
+    val pure2 = v.pure -- touched
+    val nv = BucketVec(if (pure2.isEmpty) None else v.parent, pure2, nb)
+    edgeBuckets = Some(nv)
     edgeCommits += 1
-    nb
+    nv
   }
 
   /** Wholesale rewrites and transaction commits replace a side's frame
