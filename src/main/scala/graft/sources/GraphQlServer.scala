@@ -62,7 +62,8 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
   def handleExchange(ex: HttpExchange): Unit = handle(ex)
 
   def start(): GraphQlServer = {
-    server.createContext("/graphql", (ex: HttpExchange) => handle(ex))
+    server.createContext("/graphql", (ex: HttpExchange) =>
+      RequestValidation.guard(RequestValidation.JsonTypes)(handle)(ex))
     // a real pool, not the dispatch thread: subscription connections are
     // long-lived SSE streams and must not block other requests
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(

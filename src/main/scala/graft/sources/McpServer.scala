@@ -68,7 +68,8 @@ final class McpServer(store: GraphStore, port: Int = 0,
   def handleExchange(ex: HttpExchange): Unit = handle(ex)
 
   def start(): McpServer = {
-    server.createContext("/mcp", (ex: HttpExchange) => handle(ex))
+    server.createContext("/mcp", (ex: HttpExchange) =>
+      RequestValidation.guard(RequestValidation.JsonTypes)(handle)(ex))
     server.setExecutor(null)
     server.start()
     this

@@ -80,14 +80,15 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
   def boundPort: Int = server.getAddress.getPort
 
   def start(): QdrantGrpcServer = {
-    server.createContext("/qdrant.Points", (ex: HttpExchange) => handle(ex))
-    server.createContext("/qdrant.Collections", (ex: HttpExchange) => handle(ex))
-    server.createContext("/qdrant.Snapshots", (ex: HttpExchange) => handle(ex))
+    val guarded = RequestValidation.guard(RequestValidation.GrpcTypes)(handle)
+    server.createContext("/qdrant.Points", (ex: HttpExchange) => guarded(ex))
+    server.createContext("/qdrant.Collections", (ex: HttpExchange) => guarded(ex))
+    server.createContext("/qdrant.Snapshots", (ex: HttpExchange) => guarded(ex))
     // the NornicDB-native search API rides the same endpoint (the
     // reference registers it on the Qdrant gRPC server,
     // server_qdrantgrpc.go:95-103)
     server.createContext("/nornicdb.grpc.v1.NornicSearch",
-      (ex: HttpExchange) => handle(ex))
+      (ex: HttpExchange) => guarded(ex))
     server.setExecutor(null)
     server.start()
     this

@@ -62,7 +62,9 @@ final class RestApi(store: GraphStore,
   def counted(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler = { ex =>
     requests.incrementAndGet()
     active.incrementAndGet()
-    try f(ex)
+    // shared request-validation middleware runs before every handler
+    // (security/middleware.go:44 ValidateRequest wraps all routes)
+    try RequestValidation.guard(RequestValidation.JsonTypes)(f)(ex)
     catch {
       case e: Exception =>
         // best effort: headers may already be sent mid-stream (the 500
