@@ -57,6 +57,11 @@ final case class GraftConfig(
     heimdallRuntimeDiagnosis: Boolean = true,
     heimdallMemoryCuration: Boolean = false,
     heimdallModel: String = "deterministic-standin",
+    // OpenAI-compatible chat endpoint for the real-model analyst
+    // (llama.cpp `llama-server`; scheduler.go:180 Manager.Generate).
+    // Empty = the disclosed deterministic stand-in (zero-egress default).
+    heimdallApiUrl: String = "",
+    heimdallApiKey: String = "",
     environment: String = "development") {
 
   def authEnabled: Boolean = adminUser.isDefined
@@ -276,6 +281,12 @@ object GraftConfig {
         .getOrElse(d.heimdallMemoryCuration),
       heimdallModel = pick("heimdall-model", Seq("NORNICDB_HEIMDALL_MODEL"),
         Seq("heimdall.model")).getOrElse(d.heimdallModel),
+      heimdallApiUrl = pick("heimdall-api-url",
+        Seq("NORNICDB_HEIMDALL_API_URL"), Seq("heimdall.api_url"))
+        .getOrElse(d.heimdallApiUrl),
+      heimdallApiKey = pick("heimdall-api-key",
+        Seq("NORNICDB_HEIMDALL_API_KEY"), Seq("heimdall.api_key"))
+        .getOrElse(d.heimdallApiKey),
       environment = pick("environment", Seq("NORNICDB_ENV"),
         Seq("server.environment")).getOrElse(d.environment))
   }
