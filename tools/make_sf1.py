@@ -15,10 +15,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import os
+import sys
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf1"
-REPLICAS = 10
+# optional overrides: make_sf1.py [replicas] [dst] - e.g. "30 /tmp/sf3"
+# for the sf3-scale probe of the heaviest rows
+REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 OFF = 100_000_000  # even, > any base key: parities and joins preserved
 
 # table -> columns that get the +i*OFF offset
