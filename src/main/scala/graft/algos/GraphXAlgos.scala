@@ -337,13 +337,22 @@ object GraphXAlgos {
       StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
     val outW = base.aggregateMessages[Double](t => t.sendToSrc(t.attr), _ + _)
     var graph = base.outerJoinVertices(outW) { (_, _, ow) => (1.0, ow.getOrElse(0.0)) }
+    // per-round vertex pinning, same residency discipline as [[wcc]]:
+    // without it every aggregateMessages recomputes the full join chain
+    // back to the base (O(iters²) work), and Pregel-style MEMORY_ONLY
+    // accumulation is what degraded under memory pressure at sf1
+    graph.vertices.persist(StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to iters) {
       val msgs = graph.aggregateMessages[Double](
         t => if (t.srcAttr._2 > 0) t.sendToDst(t.srcAttr._1 * t.attr / t.srcAttr._2),
         _ + _)
-      graph = graph.outerJoinVertices(msgs) { case (_, (_, ow), m) =>
+      val next = graph.outerJoinVertices(msgs) { case (_, (_, ow), m) =>
         (0.15 + 0.85 * m.getOrElse(0.0), ow)
       }
+      next.vertices.persist(StorageLevel.MEMORY_AND_DISK)
+      next.vertices.count()
+      graph.vertices.unpersist(false)
+      graph = next
     }
     val rows = graph.vertices.join(c.rev).map { case (_, ((r, _), id)) => Row(id, r) }
     toDf(g, rows, StructType(Seq(
