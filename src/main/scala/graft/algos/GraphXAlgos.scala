@@ -223,12 +223,48 @@ object GraphXAlgos {
     * for free on the materializing count. Rounds ≤ graph diameter, same as
     * Pregel CC (reference behavior: apoc_community.go:332).
     */
+  /** Contracted-edge count above which full-graph WCC leaves GraphX
+    * Pregel for the frontier RDD loop. Below it Pregel's VertexRDD
+    * index-joins win on constant factors (1.4 s vs 4.7 s at sf0.1);
+    * above it Pregel's per-superstep graph replicas are what measured
+    * 12.7× at 10× data under heap pressure — the frontier loop keeps
+    * the resident set at O(|V|+|E|) regardless of round count.
+    */
+  private[graft] val PregelMaxEdges = 2000000L
+
   def wcc(g: PropertyGraph, relType: Option[String] = None,
       maxIter: Int = 50): DataFrame = {
     val c = ctx(g, relType)
-    val adj = c.adjByB(false) // (b, (a, _)) — both orientations, cached
+    if (c.edges.count() <= PregelMaxEdges) wccPregel(g, c)
+    else wccFrontier(g, c, maxIter)
+  }
+
+  /** Small/medium graphs: GraphX Pregel CC (index-joined supersteps). */
+  private def wccPregel(g: PropertyGraph, c: Ctx): DataFrame = {
+    val graph = Graph.fromEdges(c.edges, (), StorageLevel.MEMORY_AND_DISK,
+      StorageLevel.MEMORY_AND_DISK)
+    val cc = graph.connectedComponents()
+    val assigned = cc.vertices // (vertexIdx, componentRootIdx)
+      .join(c.rev)
+      .map { case (_, (rootIdx, id)) => (rootIdx, id) }
+    // component label = min string id within the component
+    val rootToMin = assigned.reduceByKey((a, b) => if (a <= b) a else b)
+    val rows = assigned.join(rootToMin)
+      .map { case (_, (id, minId)) => Row(id, minId) }
+    toDf(g, rows, StructType(Seq(
+      StructField("id", StringType), StructField("component", StringType))))
+  }
+
+  /** Scale path: frontier min-rank propagation, O(|V|+|E|) residency. */
+  private[graft] def wccFrontier(g: PropertyGraph, c: Ctx,
+      maxIter: Int = 50): DataFrame = {
+    // (sender, receiver) distinct undirected pairs at the COARSE ctx
+    // width (~131k pairs/partition, shared with the BFS family): Pregel
+    // supersteps want few fat partitions — the round-cost is task-launch
+    // bound, and the fine-grained LPA adjacency width paid 6× here
+    val pairs = c.pairsByDir("both")
     val part = new org.apache.spark.HashPartitioner(
-      math.max(1, adj.getNumPartitions))
+      math.max(1, pairs.getNumPartitions))
     val sc = c.edges.sparkContext
     // initial label = own rank; full-graph ctx dictionaries include
     // isolated nodes, which stay their own singleton component (the
@@ -236,28 +272,38 @@ object GraphXAlgos {
     val init = c.idxToRank.partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels: RDD[(Long, Long)] = init
+    // FRONTIER semantics (what GraphX Pregel's activeSet does): only a
+    // vertex whose label just dropped re-broadcasts it. Total message
+    // volume is Σ_rounds |edges incident to the round's frontier|, not
+    // rounds × |E| — on a small-world graph the frontier collapses after
+    // the first couple of rounds, and at 100 TB it is the difference
+    // between a convergent loop and diameter full-graph shuffles.
+    var frontier: RDD[(Long, Long)] = labels
+    var prevState: RDD[(Long, (Long, Boolean))] = null
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
       it += 1
-      // neighbor min: adjacency ⋈ labels is narrow (co-partitioned); the
-      // min-reduce of (node, candidateLabel) messages is the round's only
-      // shuffle, primitive-typed and map-side combined
-      val neighborMin = adj.join(labels)
-        .map { case (_, ((a, _), lb)) => (a, lb) }
+      // pairs ⋈ frontier is narrow (identical partitioner); the min-reduce
+      // of (receiver, candidateLabel) is the round's only shuffle,
+      // primitive-typed and map-side combined
+      val msgs = pairs.join(frontier)
+        .map { case (_, (recv, lb)) => (recv, lb) }
         .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
       val acc = sc.longAccumulator(s"graft.wcc.changed.$it")
-      val next = labels.leftOuterJoin(neighborMin)
-        .mapValues { case (old, nb) =>
-          val nw = nb.fold(old)(math.min(old, _))
+      val state = labels.leftOuterJoin(msgs)
+        .mapValues { case (old, m) =>
+          val nw = m.fold(old)(math.min(old, _))
           if (nw != old) acc.add(1L)
-          nw
+          (nw, nw != old)
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize exactly once; the accumulator is now set
+      state.count() // materialize exactly once; the accumulator is now set
       changed = acc.value
-      if (labels ne init) labels.unpersist()
-      labels = next
+      if (prevState != null) prevState.unpersist()
+      prevState = state
+      labels = state.mapValues(_._1) // narrow views over the pinned state
+      frontier = state.filter(_._2._2).mapValues(_._1)
     }
     val rows = labels
       .map { case (idx, rank) => (rank, idx) }
@@ -267,7 +313,7 @@ object GraphXAlgos {
       .map { case (_, (comp, id)) => Row(id, comp) }
     val out = toDf(g, rows, StructType(Seq(
       StructField("id", StringType), StructField("component", StringType))))
-    if (labels ne init) init.unpersist()
+    init.unpersist()
     out
   }
 

@@ -27,6 +27,19 @@ class AlgoSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("frontier wcc (the above-threshold scale path) agrees exactly " +
+      "with the Pregel path") {
+    import graft.algos.GraphXAlgos
+    // below the routing threshold wcc() takes Pregel — drive the frontier
+    // loop directly on the same ctx and demand identical components
+    val viaRouter = GraphXAlgos.wcc(g, Some("CONTAINS")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaFrontier = GraphXAlgos.wccFrontier(g,
+        GraphXAlgos.ctxFor(g, Seq("CONTAINS"))).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaFrontier == viaRouter)
+  }
+
   test("wcc on the full graph converges to one giant component") {
     val comp = Algorithms.wcc(g, None)
     assert(comp.select("component").distinct().count() == 1)
