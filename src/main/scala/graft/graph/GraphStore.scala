@@ -456,7 +456,15 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
       if (!touched(b)) df
       else {
         val nf = f(b, df)
-        nodeDepth(b) += 1
+        // a still-pure bucket materializes on its FIRST touch: its view
+        // lineage re-scans the whole parent on every later read, so one
+        // O(bucket) checkpoint now buys O(bucket) reads from here on —
+        // while buckets never touched stay views and never pay anything
+        // (measured across the write family at sf0.1: this beats both
+        // the defer-to-depth-bound and the materialize-on-second-touch
+        // variants on total wall-clock)
+        if (v.pure(b) && v.size > 1) nodeDepth(b) = maxDepth
+        else nodeDepth(b) += 1
         if (nodeDepth(b) >= maxDepth) {
           nodeDepth(b) = 0
           // coalesce BEFORE materializing: layers accumulate partitions
@@ -482,7 +490,8 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
       if (!touched(b)) df
       else {
         val nf = f(b, df)
-        edgeDepth(b) += 1
+        if (v.pure(b) && v.size > 1) edgeDepth(b) = maxDepth
+        else edgeDepth(b) += 1
         if (edgeDepth(b) >= maxDepth) {
           edgeDepth(b) = 0
           nf.coalesce(bucketParts(nf, v.size)).localCheckpoint(true)
@@ -602,6 +611,30 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     swap(PropertyGraph(unionAll(nb), g.edges), Map("nodes_upserts" -> nnA))
     emitNodes("node_created", nnA)
     QueryStats(nodesCreated = n)
+  }
+
+  /** Keyed REPLACE-or-INSERT: each row lands under its id, replacing any
+    * existing row wholesale — the reference's consent-ledger upsert shape
+    * (db_privacy.go:38-106 RecordConsent). ONE commit and one pruned
+    * bucket rewrite, where delete-then-create pays two probes and two
+    * commits for the same net effect.
+    */
+  def upsertNodes(rows: DataFrame): QueryStats = {
+    val g = current
+    val nn = rows.localCheckpoint(true)
+    val bs = ensureNodeBuckets()
+    val touched = touchedBuckets(nn, bs.size)
+    val n = nn.count()
+    enforceUnique(g, nn)
+    checkNodeLimit(g, n)
+    val nnA = conformNodeInsert(nn)
+    val keys = nnA.select("id")
+    val nb = rewriteNodeBuckets(touched)((b, df) =>
+      df.join(keys, Seq("id"), "left_anti")
+        .unionByName(nnA.filter(bucketColFor(bs.size)(col("id")) === b)))
+    swap(PropertyGraph(unionAll(nb), g.edges), Map("nodes_upserts" -> nnA))
+    emitNodes("node_updated", nnA)
+    QueryStats(propertiesSet = n)
   }
 
   /** MERGE nodes by id: insert the ones that do not exist (ON CREATE);

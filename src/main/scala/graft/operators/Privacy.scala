@@ -63,10 +63,9 @@ object Privacy {
       source: String = "api"): Unit = {
     require(userId.nonEmpty, "user_id is required")
     require(purpose.nonEmpty, "purpose is required")
-    val spark = store.snapshot.nodes.sparkSession
-    import spark.implicits._
-    store.deleteNodes(Seq(consentId(userId, purpose)).toDF("id"), detach = false)
-    store.createNodes(consentRow(store, userId, purpose, given, timestamp, source))
+    // one keyed replace-or-insert commit (the reference's upsert shape),
+    // not delete-then-create — half the probes, half the commits
+    store.upsertNodes(consentRow(store, userId, purpose, given, timestamp, source))
   }
 
   /** given=false / source=revocation, creating the record when absent
