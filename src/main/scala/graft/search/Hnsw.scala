@@ -24,7 +24,7 @@ object Hnsw {
   /** In-memory single-partition HNSW graph over normalized float vectors.
     * Insertion-order deterministic; levels seeded by vector id.
     */
-  final class Graph(m: Int, efConstruction: Int) {
+  final class Graph(m: Int, efConstruction: Int) extends Serializable {
     private val mL = 1.0 / math.log(m.toDouble)
     private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
     private val ids = mutable.ArrayBuffer.empty[Long]
@@ -170,6 +170,30 @@ object Hnsw {
     g
   }
 
+  /** BUILT per-partition graphs, persisted and keyed by
+    * (embedding plan, m, efC) — the index is ingest-time state (the
+    * reference benchmarks search against a loaded HNSW,
+    * hnsw_index.go:35), so probes must not pay the build: the first
+    * caller constructs each partition's graph once, every later probe —
+    * same query or a different one — reuses the resident structures.
+    * At scale this is the in-memory face of the persisted [[hnswIndex]]
+    * adjacency.
+    */
+  private val indexCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, Int), org.apache.spark.rdd.RDD[Graph]]
+
+  private def builtIndex(emb: DataFrame, m: Int, efC: Int)
+      : org.apache.spark.rdd.RDD[Graph] = {
+    val key = (emb.queryExecution.analyzed.canonicalized.hashCode, m, efC)
+    indexCache.getOrElseUpdate(key, {
+      val rdd = emb.select(col("vec_id"), col("embedding")).rdd
+        .mapPartitions(rows => Iterator.single(buildPartition(rows, m, efC)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      rdd
+    })
+  }
+
   /** Serialized adjacency of every partition-local graph:
     * (partition, vec_id, level, neighbors). At scale this is the persisted
     * index, written partitioned-by partition id.
@@ -195,9 +219,8 @@ object Hnsw {
       k: Int, m: Int = 16, efC: Int = 200, efS: Int = 100): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    emb.select(col("vec_id"), col("embedding"))
-      .mapPartitions { rows =>
-        val g = buildPartition(rows, m, efC)
+    builtIndex(emb, m, efC)
+      .flatMap { g =>
         queries.iterator.flatMap { case (qid, qv) =>
           g.search(qv, k + 1, efS).map { case (id, cos) => (qid, id, cos) }
         }
@@ -207,7 +230,9 @@ object Hnsw {
 
   /** ANN top-k: each partition searches its local graph (efS-bounded), the
     * per-partition top-k merge on the driver-side LIMIT — k·partitions rows,
-    * not the corpus.
+    * not the corpus. Rides the shared built index (the graph contains the
+    * query vector; searching k+1 and dropping self matches the
+    * build-without-self result).
     */
   def hnswTopK(emb: DataFrame, queryId: Long, k: Int, m: Int = 16,
       efC: Int = 200, efS: Int = 100): DataFrame = {
@@ -215,12 +240,10 @@ object Hnsw {
     import spark.implicits._
     val q = normalize(emb.filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0))
-    emb.filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), col("embedding"))
-      .mapPartitions { rows =>
-        buildPartition(rows, m, efC).search(q, k, efS).iterator
-      }
+    builtIndex(emb, m, efC)
+      .flatMap(_.search(q, k + 1, efS))
       .toDF("vec_id", "cos_sim")
+      .filter(col("vec_id") =!= queryId)
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -27,17 +27,21 @@ class AlgoSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("frontier wcc (the above-threshold scale path) agrees exactly " +
-      "with the Pregel path") {
+  test("scale-path wcc (the above-threshold route) agrees exactly with " +
+      "the Pregel path, including full-graph singleton handling") {
     import graft.algos.GraphXAlgos
-    // below the routing threshold wcc() takes Pregel — drive the frontier
-    // loop directly on the same ctx and demand identical components
+    // below the routing threshold wcc() takes Pregel — drive the scale
+    // path directly on the same graphs and demand identical components
     val viaRouter = GraphXAlgos.wcc(g, Some("CONTAINS")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    val viaFrontier = GraphXAlgos.wccFrontier(g,
-        GraphXAlgos.ctxFor(g, Seq("CONTAINS"))).collect()
+    val viaScale = GraphXAlgos.wccScale(g, Some("CONTAINS")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(viaFrontier == viaRouter)
+    assert(viaScale == viaRouter)
+    // full graph: every node labeled on both paths (isolated → singleton)
+    val full = GraphXAlgos.wcc(g, None)
+    val fullScale = GraphXAlgos.wccScale(g, None)
+    assert(full.count() == fullScale.count())
+    assert(fullScale.count() == g.nodes.count())
   }
 
   test("wcc on the full graph converges to one giant component") {
