@@ -230,12 +230,22 @@ object GraphXAlgos {
     * 12.7× at 10× data under heap pressure — the frontier loop keeps
     * the resident set at O(|V|+|E|) regardless of round count.
     */
-  private[graft] val PregelMaxEdges = 2000000L
+  private[graft] val PregelMaxEdgesDefault = 20000000L
+
+  /** Deployment-tunable: size this to what comfortably fits the
+    * executors' aggregate memory (Pregel is the fastest plan whenever
+    * its superstep replicas fit; the DF path is the spill-safe fallback
+    * past that).
+    */
+  private[graft] def pregelMaxEdges(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.wcc.pregelMaxEdges")
+      .orElse(sys.env.get("GRAFT_WCC_PREGEL_MAX_EDGES"))
+      .map(_.toLong).getOrElse(PregelMaxEdgesDefault)
 
   def wcc(g: PropertyGraph, relType: Option[String] = None,
       maxIter: Int = 50): DataFrame = {
     val c = ctx(g, relType)
-    if (c.edges.count() <= PregelMaxEdges) wccPregel(g, c)
+    if (c.edges.count() <= pregelMaxEdges(g.nodes.sparkSession)) wccPregel(g, c)
     else wccScale(g, relType)
   }
 
