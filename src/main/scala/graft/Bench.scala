@@ -2,6 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // scale probes run each query in its OWN JVM: one OOM costs one row,
+    // not the run (round-11 sf3 lost all 12 probed rows to one Louvain
+    // OOM because every query shared a SparkContext)
+    if (sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").exists(v => v == "1" || v == "true")) {
+      isolated(); return
+    }
+    inProcess()
+  }
+
+  private def inProcess(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -63,11 +73,19 @@ object Bench {
     // a query that throws is a BROKEN query, not a timing: record the error
     // per-query, keep it out of the timings map, and exit non-zero so a
     // breakage can never ship as a plausible-looking 0.08 s row again
+    // test hook for the isolation harness: the named query allocates until
+    // the heap genuinely OOMs (run the child with -XX:+ExitOnOutOfMemoryError
+    // and this reproduces the sf3 failure mode — abrupt JVM death mid-query)
+    val injectOom = sys.env.get("SPARK_GRAFT_BENCH_INJECT_OOM")
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         def once(): Either[String, Double] =
           try {
+            if (injectOom.contains(name)) {
+              val sink = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+              while (true) sink += new Array[Long](1 << 22)
+            }
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             Right((System.nanoTime() - t0) / 1e9)
@@ -114,6 +132,110 @@ object Bench {
     spark.stop()
     if (errs.nonEmpty) {
       System.err.println(s"[bench] ${errs.size} queries FAILED")
+      sys.exit(1)
+    }
+  }
+
+  // ========================================== per-query JVM isolation ====
+
+  /** Classpath for child benches: this code's classes dir + the unmanaged
+    * Spark jars — buildable from inside sbt, where java.class.path is only
+    * the sbt launcher.
+    */
+  private def childClasspath(): String = {
+    val own = new java.io.File(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+    val sparkJars = sys.env.getOrElse("SPARK_HOME", "/opt/spark") + "/jars/*"
+    s"$own:$sparkJars"
+  }
+
+  private def extract(json: String, key: String): Map[String, String] =
+    (s""""$key":\\{([^}]*)\\}""".r.findFirstMatchIn(json).map(_.group(1)) match {
+      case Some(body) if body.nonEmpty =>
+        // values are numbers or JSON strings with escaped quotes
+        """"((?:[^"\\]|\\.)*)":("(?:[^"\\]|\\.)*"|[^,]+)""".r
+          .findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toSeq
+      case _ => Seq.empty
+    }).toMap
+
+  /** Parent mode: fork one JVM per query (same env, SPARK_GRAFT_BENCH_ONLY
+    * pinned to the query, -XX:+ExitOnOutOfMemoryError so a task OOM kills
+    * the child the way an executor loss would), collect each child's JSON
+    * from a temp file, merge. A child that dies or times out records an
+    * error for ITS query; every other row still gets timed.
+    */
+  private def isolated(): Unit = {
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val xmx = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_XMX", "24g")
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHILD_TIMEOUT_SEC", "1800").toLong
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val medians = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    names.foreach { name =>
+      val out = java.nio.file.Files.createTempFile(s"bench_$name", ".json")
+      val pb = new ProcessBuilder(
+        sys.env.getOrElse("JAVA_HOME", "/usr") + "/bin/java",
+        s"-Xmx$xmx", "-XX:+ExitOnOutOfMemoryError",
+        "--add-exports=java.base/sun.nio.ch=ALL-UNNAMED",
+        "--add-opens=java.base/java.lang=ALL-UNNAMED",
+        "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
+        "--add-opens=java.base/java.util=ALL-UNNAMED",
+        "--add-opens=java.base/java.nio=ALL-UNNAMED",
+        "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED",
+        "--add-opens=java.base/sun.security.action=ALL-UNNAMED",
+        "-cp", childClasspath(), "graft.Bench")
+      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val env = pb.environment()
+      env.remove("SPARK_GRAFT_BENCH_ISOLATE")
+      env.put("SPARK_GRAFT_BENCH_ONLY", name)
+      env.put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      System.err.println(s"[bench-isolate] $name ...")
+      val t0 = System.nanoTime()
+      val proc = pb.start()
+      val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
+        proc.destroyForcibly(); proc.waitFor()
+        errors(name) = jstr(s"timeout after ${timeoutSec}s")
+      } else {
+        val code = proc.exitValue()
+        val json = try java.nio.file.Files.readString(out) catch { case _: Exception => "" }
+        val qs = extract(json, "queries")
+        val md = extract(json, "queries_median")
+        val es = extract(json, "errors")
+        if (qs.contains(name)) {
+          timings(name) = qs(name); md.get(name).foreach(medians(name) = _)
+        } else if (es.contains(name)) errors(name) = es(name)
+        else errors(name) = jstr(s"child exited $code with no result" +
+          (if (code == 3 || code == 137) " (OOM-killed)" else ""))
+        System.err.println(f"[bench-isolate] $name -> " +
+          s"${timings.get(name).orElse(errors.get(name)).getOrElse("?")}" +
+          f" (child ${(System.nanoTime() - t0) / 1e9}%.0f s)")
+      }
+      try java.nio.file.Files.deleteIfExists(out) catch { case _: Exception => () }
+    }
+    val total = timings.values.map(_.toDouble).sum
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val md = medians.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else s""","errors":${errors.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","isolate":true,""" +
+      s""""queries":$qs,"queries_median":$md$errJson,"sf":"$sfDir"}"""
+    println(json)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
+    }
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED (isolated)")
       sys.exit(1)
     }
   }

@@ -144,14 +144,27 @@ object GraphXAlgos {
     */
   private[graft] val AdjEdgesPerPartition = 32768L
 
+  /** Hard ceiling on data-derived widths — a runaway backstop (4096
+    * partitions × 128k edge tuples ≈ half a billion edges), far above any
+    * width this engine derives in practice, NOT a sizing device.
+    */
+  private[graft] val MaxWidth = 4096
+
   /** Partition width for a ctx holding `nEdges` contracted edges: scales
-    * with DATA SIZE, clamped to [1, 2·defaultParallelism]. At cluster scale
-    * the cap dominates (width = cores-derived, the right ceiling); on small
-    * projections the data term dominates (no fixed-width tiny-task tax).
+    * with DATA SIZE so per-partition bytes stay CONSTANT as data grows.
+    * The round-11 version clamped this to 2·defaultParallelism, which
+    * inverted the invariant on a fixed-core box: past the cap every
+    * partition grew linearly with data, and the LPA vote join/tally's
+    * per-partition state OOM'd the sf3 probe (BENCH_r11_sf3). Cores are
+    * the wrong ceiling — Spark schedules any width over any core count;
+    * only per-partition size must stay bounded. Small projections still
+    * collapse toward 1 partition (no fixed-width tiny-task tax), and the
+    * Pregel launch-overhead concern is handled by routing big graphs off
+    * Pregel entirely ([[pregelMaxEdges]]), not by capping width.
     */
   private[graft] def widthFor(nEdges: Long, defaultPar: Int,
       target: Long = EdgesPerPartition): Int =
-    math.max(1L, math.min(2L * defaultPar, nEdges / target + 1)).toInt
+    math.max(1L, math.min(MaxWidth.toLong, nEdges / target + 1)).toInt
 
   private def build(g: PropertyGraph, relTypes: Seq[String]): Ctx = {
     val es = g.edgesByTypes(relTypes)
@@ -224,13 +237,16 @@ object GraphXAlgos {
     * Pregel CC (reference behavior: apoc_community.go:332).
     */
   /** Contracted-edge count above which full-graph WCC leaves GraphX
-    * Pregel for the frontier RDD loop. Below it Pregel's VertexRDD
-    * index-joins win on constant factors (1.4 s vs 4.7 s at sf0.1);
-    * above it Pregel's per-superstep graph replicas are what measured
-    * 12.7× at 10× data under heap pressure — the frontier loop keeps
-    * the resident set at O(|V|+|E|) regardless of round count.
+    * Pregel for the pointer-jumping DataFrame loop. Below it Pregel's
+    * VertexRDD index-joins win on constant factors (1.4 s vs 4.7 s at
+    * sf0.1, ~1.3M pairs); above it Pregel's per-superstep graph replicas
+    * are what measured 12.7-25.4× at 10× data under heap pressure.
+    * 5M sits BELOW the measured degradation point (sf1 ≈ 13M pairs
+    * degraded; sf0.1 ≈ 1.3M was healthy) so the scale route actually
+    * engages at the scale where Pregel was measured degrading — the
+    * round-11 value (20M) sat above it and the routing never fired.
     */
-  private[graft] val PregelMaxEdgesDefault = 20000000L
+  private[graft] val PregelMaxEdgesDefault = 5000000L
 
   /** Deployment-tunable: size this to what comfortably fits the
     * executors' aggregate memory (Pregel is the fastest plan whenever
@@ -245,33 +261,42 @@ object GraphXAlgos {
   def wcc(g: PropertyGraph, relType: Option[String] = None,
       maxIter: Int = 50): DataFrame = {
     val c = ctx(g, relType)
-    if (c.edges.count() <= pregelMaxEdges(g.nodes.sparkSession)) wccPregel(g, c)
-    else wccScale(g, relType)
+    val base =
+      if (c.edges.count() <= pregelMaxEdges(g.nodes.sparkSession)) wccPregel(g, c)
+      else Algorithms.wcc(g, relType)
+    withSingletons(g, relType, base, "component")
   }
 
-  /** Scale path: the pointer-jumping DataFrame min-propagation variant
-    * ([[Algorithms.wcc]] — O(log diameter) rounds, localCheckpoint-bounded
-    * state that spills gracefully). Measured against the alternatives at
-    * 10× data: plain frontier HashMin propagation ran the full diameter
-    * with a frontier that never collapses on a giant component (19.7×),
-    * while Pregel's superstep replicas degraded under heap pressure
-    * (12.7×). Isolated nodes — present in the full-graph ctx dictionary
-    * but absent from the edge-endpoint set the DataFrame variant labels —
-    * come back as their own singleton components, preserving the
-    * contract (the reference labels every node, apoc_community.go:332).
+  /** Every-node contract (apoc_community.go:332 labels every node): both
+    * component algorithms label edge ENDPOINTS; for full-graph runs the
+    * isolated nodes — present in g.nodes but touching no edge — come back
+    * as their own singleton components. Applied identically on every
+    * route so results never depend on which size tier served the query
+    * (round-11 ADVICE: the Pregel route used to skip this). Typed
+    * projections stay endpoint-only (the typed ctx dictionary is
+    * endpoint-only too — a node outside the projection isn't in scope).
+    */
+  private def withSingletons(g: PropertyGraph, relType: Option[String],
+      base: DataFrame, labelCol: String): DataFrame = relType match {
+    case Some(_) => base
+    case None =>
+      val singles = g.nodes.select(col("id"))
+        .join(base.select("id"), Seq("id"), "left_anti")
+        .withColumn(labelCol, col("id"))
+      base.unionByName(singles)
+  }
+
+  /** Scale path (kept callable for specs): the pointer-jumping DataFrame
+    * min-propagation variant ([[Algorithms.wcc]] — O(log diameter)
+    * rounds, checkpoint-bounded state that spills gracefully). Measured
+    * against the alternatives at 10× data: plain frontier HashMin
+    * propagation ran the full diameter with a frontier that never
+    * collapses on a giant component (19.7×), while Pregel's superstep
+    * replicas degraded under heap pressure (12.7×).
     */
   private[graft] def wccScale(g: PropertyGraph,
-      relType: Option[String]): DataFrame = {
-    val base = Algorithms.wcc(g, relType)
-    relType match {
-      case Some(_) => base // typed ctx dictionaries are endpoint-only too
-      case None =>
-        val singles = g.nodes.select(col("id"))
-          .join(base.select("id"), Seq("id"), "left_anti")
-          .withColumn("component", col("id"))
-        base.unionByName(singles)
-    }
-  }
+      relType: Option[String]): DataFrame =
+    withSingletons(g, relType, Algorithms.wcc(g, relType), "component")
 
   /** Small/medium graphs: GraphX Pregel CC (index-joined supersteps). */
   private def wccPregel(g: PropertyGraph, c: Ctx): DataFrame = {
@@ -325,13 +350,36 @@ object GraphXAlgos {
           .as("coefficient"))
   }
 
-  /** Strongly connected components (Tarjan semantics via GraphX's
-    * iterative SCC, `community.go:517`). Returns (id, component) with the
-    * component labeled by its minimum string id, like [[wcc]].
+  /** Contracted-edge count above which SCC leaves GraphX
+    * `stronglyConnectedComponents` for the trim+coloring RDD loop
+    * ([[sccScale]]). GraphX SCC has the same unbounded superstep
+    * residency profile as pre-fix WCC (round-11 sf1: 30.9× at 10× data)
+    * and no internal checkpointing hook, so past this bound the
+    * checkpoint-disciplined loop takes over. Same deployment knob shape
+    * as [[pregelMaxEdges]].
+    */
+  private[graft] def sccMaxEdges(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.scc.graphxMaxEdges")
+      .orElse(sys.env.get("GRAFT_SCC_GRAPHX_MAX_EDGES"))
+      .map(_.toLong).getOrElse(PregelMaxEdgesDefault)
+
+  /** Strongly connected components (Tarjan semantics, `community.go:517`).
+    * Returns (id, component) with the component labeled by its minimum
+    * string id, like [[wcc]]. Small/medium graphs run GraphX's iterative
+    * SCC (index-join constant factors win); past [[sccMaxEdges]] the
+    * bounded-residency [[sccScale]] loop serves.
     */
   def scc(g: PropertyGraph, relType: Option[String] = None,
       numIter: Int = 8): DataFrame = {
     val c = ctx(g, relType)
+    val base =
+      if (c.edges.count() <= sccMaxEdges(g.nodes.sparkSession))
+        sccGraphX(g, c, numIter)
+      else sccScale(g, c)
+    withSingletons(g, relType, base, "component")
+  }
+
+  private def sccGraphX(g: PropertyGraph, c: Ctx, numIter: Int): DataFrame = {
     val graph = Graph.fromEdges(c.edges, (), StorageLevel.MEMORY_AND_DISK,
       StorageLevel.MEMORY_AND_DISK)
     val comp = graph.stronglyConnectedComponents(numIter)
@@ -341,6 +389,147 @@ object GraphXAlgos {
     val rows = assigned.join(rootToMin).map { case (_, (id, minId)) => Row(id, minId) }
     toDf(g, rows, StructType(Seq(
       StructField("id", StringType), StructField("component", StringType))))
+  }
+
+  /** Scale SCC: trim + forward-coloring + backward sweep (the FW-BW/
+    * coloring family — Orzan's coloring as in the distributed-SCC
+    * literature), iterated as co-partitioned RDD joins with the same
+    * residency discipline as [[labelPropagation]]: every superseded round
+    * is unpersisted, resident state stays O(|V|+|E|) no matter how many
+    * rounds run — the property GraphX SCC lacks (round-11 sf1 measured it
+    * 30.9× at 10× data).
+    *
+    * Vertices iterate as order-preserving RANKS ([[Ctx.idxToRank]]) so the
+    * Long mins agree with String mins exactly and the final label — the
+    * color-class root, which is provably the min rank of its SCC — decodes
+    * to the same min-string-id contract as [[sccGraphX]] (spec-asserted on
+    * the cycle fixture).
+    *
+    *  - TRIM: a vertex with no in-edges or no out-edges inside the live
+    *    subgraph is its own SCC; peeling to fixpoint resolves any DAG
+    *    region in depth(DAG) cheap rounds (the TPC-H projection is a DAG,
+    *    so the full q_algo_scc row never reaches coloring).
+    *  - COLOR: propagate min rank FORWARD to fixpoint; v's color = min
+    *    rank that reaches v.
+    *  - SWEEP: for each color root r (color(r)==r), walk BACKWARD inside
+    *    color class r; everything reached is SCC(r) (reaches r AND is
+    *    reached by r through min-color paths). Peel, repeat.
+    *
+    * Each outer round peels ≥1 SCC per color class, and trim collapses
+    * the acyclic residue between rounds, so rounds ≤ SCC-DAG depth.
+    */
+  private[graft] def sccScale(g: PropertyGraph, c: Ctx,
+      maxOuter: Int = 64): DataFrame = {
+    val sc = c.edges.sparkContext
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(c.edges.getNumPartitions, 1))
+    def pin[T](r: RDD[T]): RDD[T] = {
+      val p = r.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+    }
+    // rank-space distinct directed pairs; self-loops drop (a self-loop
+    // never merges components and every vertex is in its own SCC anyway)
+    val rankEdges0 = c.edges.map(e => (e.srcId, e.dstId))
+      .join(c.idxToRank, part).map { case (_, (dst, sr)) => (dst, sr) }
+      .join(c.idxToRank, part).map { case (_, (sr, dr)) => (sr, dr) }
+      .filter { case (a, b) => a != b }
+    var edges = pin(rankEdges0.partitionBy(part))
+    var remaining = pin(c.idxToRank.map(_._2).map((_, ())).partitionBy(part))
+    val done = scala.collection.mutable.Buffer.empty[RDD[(Long, Long)]]
+    var outer = 0
+    while (outer < maxOuter && !remaining.isEmpty()) {
+      outer += 1
+      // ---- trim to fixpoint ----
+      var trimming = true
+      while (trimming && !remaining.isEmpty()) {
+        // distinct BEFORE the join: raw keys/values repeat once per edge,
+        // and joining multisets would square per-vertex degree
+        val alive = pin(edges.keys.distinct().map((_, ()))
+          .join(edges.values.distinct().map((_, ())), part)
+          .mapValues(_ => ()))
+        val trimmed = remaining.subtractByKey(alive, part)
+        if (trimmed.isEmpty()) { alive.unpersist(false); trimming = false }
+        else {
+          done += pin(trimmed.map { case (v, _) => (v, v) })
+          val nextRem = pin(remaining.join(alive, part).mapValues(_ => ()))
+          val nextEdges = pin(edges.join(nextRem, part)
+            .map { case (u, (v, _)) => (v, u) }
+            .join(nextRem, part).map { case (v, (u, _)) => (u, v) }
+            .partitionBy(part))
+          alive.unpersist(false); remaining.unpersist(false); edges.unpersist(false)
+          remaining = nextRem; edges = nextEdges
+        }
+      }
+      if (!remaining.isEmpty()) {
+        // ---- forward min-color propagation to fixpoint ----
+        var colors = pin(remaining.map { case (v, _) => (v, v) }.partitionBy(part))
+        var changed = 1L
+        while (changed > 0) {
+          val acc = sc.longAccumulator
+          val msgs = edges.join(colors, part)
+            .map { case (_, (dst, cl)) => (dst, cl) }
+            .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+          val next = pin(colors.leftOuterJoin(msgs, part).mapValues {
+            case (cur, m) =>
+              val nw = math.min(cur, m.getOrElse(cur))
+              if (nw != cur) acc.add(1)
+              nw
+          })
+          changed = acc.value
+          colors.unpersist(false); colors = next
+        }
+        // ---- backward sweep from color roots within their class ----
+        // edges tagged by color on both ends, kept only same-class; keyed
+        // by DST so the backward frontier join is a single co-partitioned
+        // join per level
+        val classEdges = pin(edges.join(colors, part)
+          .map { case (u, (v, cu)) => (v, (u, cu)) }
+          .join(colors, part)
+          .flatMap { case (v, ((u, cu), cv)) =>
+            if (cu == cv) Some((v, (u, cu))) else None }
+          .partitionBy(part))
+        var frontier = pin(colors.filter { case (v, cl) => v == cl })
+        var inScc = frontier
+        var sweeping = !frontier.isEmpty()
+        while (sweeping) {
+          val next = pin(classEdges.join(frontier, part)
+            .flatMap { case (_, ((u, cu), r)) => if (cu == r) Some((u, r)) else None }
+            .distinct()
+            .subtractByKey(inScc, part))
+          if (next.isEmpty()) { next.unpersist(false); sweeping = false }
+          else {
+            val merged = pin(inScc.union(next).partitionBy(part))
+            if (frontier ne inScc) frontier.unpersist(false)
+            inScc.unpersist(false)
+            inScc = merged; frontier = next
+          }
+        }
+        done += inScc
+        val nextRem = pin(remaining.subtractByKey(inScc, part))
+        val nextEdges = pin(edges.join(nextRem, part)
+          .map { case (u, (v, _)) => (v, u) }
+          .join(nextRem, part).map { case (v, (u, _)) => (u, v) }
+          .partitionBy(part))
+        classEdges.unpersist(false); colors.unpersist(false)
+        remaining.unpersist(false); edges.unpersist(false)
+        remaining = nextRem; edges = nextEdges
+      }
+    }
+    // residue past maxOuter (adversarial depth only): own-id singletons —
+    // same bounded-iteration semantics as GraphX SCC's numIter cutoff
+    val all = (done.toSeq :+ remaining.map { case (v, _) => (v, v) })
+      .reduce(_ union _)
+    val rows = all // (memberRank, rootRank) → decode both to string ids
+      .map { case (v, r) => (r, v) }
+      .join(c.rankToId)
+      .map { case (_, (v, rootId)) => (v, rootId) }
+      .join(c.rankToId)
+      .map { case (_, (rootId, id)) => Row(id, rootId) }
+    val out = toDf(g, rows, StructType(Seq(
+      StructField("id", StringType), StructField("component", StringType))))
+    val pinned = out.localCheckpoint(true) // realize before freeing the parts
+    done.foreach(_.unpersist(false))
+    remaining.unpersist(false); edges.unpersist(false)
+    pinned
   }
 
   /** Static PageRank (same update rule as [[Algorithms.pageRank]]:

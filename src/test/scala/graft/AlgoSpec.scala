@@ -127,7 +127,9 @@ class AlgoSpec extends AnyFunSuite {
     assert(GraphXAlgos.widthFor(0L, 32) == 1)
     assert(GraphXAlgos.widthFor(100000L, 32) == 1)
     assert(GraphXAlgos.widthFor(1340000L, 32) == 11) // sf0.1 full graph
-    assert(GraphXAlgos.widthFor(Long.MaxValue / 4, 32) == 64)
+    // round 12: the ceiling is the MaxWidth backstop, no longer 2·cores —
+    // per-partition size stays constant as data grows (the sf3 OOM fix)
+    assert(GraphXAlgos.widthFor(Long.MaxValue / 4, 32) == GraphXAlgos.MaxWidth)
     // the sf0.001 SUPPLIES projection is fixture-sized: its ctx must run
     // at ONE partition — a reintroduced blanket defaultParallelism width
     // (the round-5 wcc_star 0.45 → 11.8 s regression) turns this red
