@@ -164,14 +164,19 @@ object GraftServer {
       }
 
     // ---- protocol surfaces ----
-    val graphql = new GraphQlServer(store, rbac = rbac)
+    // the production-only SSRF refusals key off the configured environment
+    // (NewSecurityMiddlewareWithConfig, middleware.go) — round-11 ADVICE:
+    // the guard default (dev) must never serve a production config
+    val isDev = graft.sources.RequestValidation.isDev(cfg.environment)
+    val graphql = new GraphQlServer(store, rbac = rbac, isDevelopment = isDev)
     // OAuth activates only with NORNICDB_AUTH_PROVIDER=oauth and a
     // user store to link identities into (oauth.go:99-112)
     val oauth = authenticator.flatMap(a =>
       OAuthConfig.fromEnv().map(c => new OAuthClient(c, a)))
     def buildHttp(port: Int, ctx: Option[javax.net.ssl.SSLContext]) = {
       val s = new HttpTxServer(store, port = port, rbac = rbac,
-        authenticator = authenticator, oauth = oauth, tls = ctx)
+        authenticator = authenticator, oauth = oauth, tls = ctx,
+        isDevelopment = isDev)
       s.mount("/graphql")(graphql.handleExchange)
       // the reference wraps /api/bifrost (status, SSE, chat) in withAuth
       // (server_router.go:211-219): require an authenticated role with
@@ -207,7 +212,8 @@ object GraftServer {
       if (!cfg.qdrantGrpcEnabled) None
       else Some(new QdrantGrpcServer(
         () => store.nodeEmbeddings.selectExpr("entity_id AS vec_id", "embedding"),
-        port = cfg.qdrantGrpcPort, store = Some(store), rbac = rbac).start())
+        port = cfg.qdrantGrpcPort, store = Some(store), rbac = rbac,
+        isDevelopment = isDev).start())
 
     heimdall.foreach(_.start())
 

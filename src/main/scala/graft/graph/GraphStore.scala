@@ -30,6 +30,31 @@ object GraphStore {
       labels: Seq[String] = Nil, relType: Option[String] = None,
       properties: Map[String, String] = Map.empty)
 
+  /** Lineage-bounding pin for every frame the store keeps live.
+    *
+    * Default: `localCheckpoint(true)` — executor-resident pinned blocks,
+    * the fast local-mode choice, but explicitly NOT fault-tolerant: lose
+    * an executor (or, in local mode, hit one task OOM) and the pinned
+    * blocks are unrecoverable — the round-11 sf3 probe's
+    * `"localCheckpoint" action failed` cascade was exactly this.
+    *
+    * With `spark.graft.checkpointDir` set, frames pin through RELIABLE
+    * `checkpoint()` into that directory instead: a scale/production
+    * store then survives executor loss mid-session (pair with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so
+    * superseded checkpoint files are reaped as their frames are GC'd).
+    */
+  private[graft] def pin(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(true)
+    }
+  }
+
   private val cur = new java.util.concurrent.atomic.AtomicReference[GraphStore]()
   private[graph] def registerCurrent(s: GraphStore): Unit = cur.set(s)
   def currentOption: Option[GraphStore] = Option(cur.get)
@@ -214,9 +239,9 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
       if (versionCounter % 6 == 0)
         PropertyGraph(
           if (nodeBuckets.isDefined || (g.nodes eq old.nodes)) g.nodes
-          else g.nodes.localCheckpoint(true),
+          else g.nodes.transform(GraphStore.pin),
           if (edgeBuckets.isDefined || (g.edges eq old.edges)) g.edges
-          else g.edges.localCheckpoint(true))
+          else g.edges.transform(GraphStore.pin))
       else g
   }
 
@@ -316,7 +341,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val parent =
       if (isPinned(df)) df
       else df.coalesce(df.sparkSession.sessionState.conf.numShufflePartitions)
-        .localCheckpoint(true)
+        .transform(GraphStore.pin)
     val rows = parent.count()
     val n = math.max(4L, math.min(64L, (rows + bucketTargetRows - 1) / bucketTargetRows)).toInt
     val views = (0 until n).map(b =>
@@ -470,7 +495,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
           // coalesce BEFORE materializing: layers accumulate partitions
           // (union appends, broadcast joins preserve) and localCheckpoint
           // would freeze the growth unbounded
-          nf.coalesce(bucketParts(nf, v.size)).localCheckpoint(true)
+          nf.coalesce(bucketParts(nf, v.size)).transform(GraphStore.pin)
         } else nf
       }
     }
@@ -494,7 +519,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
         else edgeDepth(b) += 1
         if (edgeDepth(b) >= maxDepth) {
           edgeDepth(b) = 0
-          nf.coalesce(bucketParts(nf, v.size)).localCheckpoint(true)
+          nf.coalesce(bucketParts(nf, v.size)).transform(GraphStore.pin)
         } else nf
       }
     }
@@ -554,8 +579,13 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
   /** Enforce catalog unique constraints against rows about to be added
     * (`pkg/storage/constraint_validation.go` analog): no duplicate values
     * within the new rows, no clashes with existing nodes of the label.
+    * `replacedIds`: for keyed upserts, the rows being REPLACED — they must
+    * not count as clashes, or re-upserting an existing row with an
+    * unchanged constrained property would always refuse (round-11 ADVICE:
+    * recordConsent re-recording consent under a Consent constraint).
     */
-  private def enforceUnique(g: PropertyGraph, newNodes: DataFrame): Unit =
+  private def enforceUnique(g: PropertyGraph, newNodes: DataFrame,
+      replacedIds: Option[DataFrame] = None): Unit =
     catalog.uniqueConstraints.foreach { c =>
       val hoisted = Set("id", "key", "name", "acctbal", "mktsegment")
       // a store that has not evolved a hoisted column yet (empty-server
@@ -575,7 +605,9 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
       val dupWithin = fresh.groupBy("v").count().filter(col("count") > 1).limit(1).count()
       require(dupWithin == 0,
         s"unique constraint ${c.name} (${c.label}.${c.properties.mkString(",")}) violated within created nodes")
-      val existing = g.nodes.filter(array_contains(col("labels"), c.label))
+      val labeled = g.nodes.filter(array_contains(col("labels"), c.label))
+      val existing = replacedIds.fold(labeled)(ids =>
+        labeled.join(ids.select("id"), Seq("id"), "left_anti"))
       val clash = fresh.join(existing.select(valueOf(existing).as("v")), Seq("v"), "left_semi")
         .limit(1).count()
       require(clash == 0,
@@ -591,7 +623,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val g = current
     // pin the rows once: the frame may carry nondeterministic exprs
     // (generated ids) and is read by the check, the router, and the WAL
-    val nn = newNodes.localCheckpoint(true)
+    val nn = newNodes.transform(GraphStore.pin)
     val bs = ensureNodeBuckets()
     val touched = touchedBuckets(nn, bs.size)
     // one pass computes both the batch size and the duplicate-id count
@@ -621,12 +653,20 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     */
   def upsertNodes(rows: DataFrame): QueryStats = {
     val g = current
-    val nn = rows.localCheckpoint(true)
+    val nn = rows.transform(GraphStore.pin)
     val bs = ensureNodeBuckets()
     val touched = touchedBuckets(nn, bs.size)
-    val n = nn.count()
-    enforceUnique(g, nn)
-    checkNodeLimit(g, n)
+    // one pruned probe sizes the batch AND splits it into replaces vs
+    // inserts: replaced rows are excluded from the unique-constraint
+    // clash and don't count toward max_nodes (a pure replace at the
+    // boundary must not refuse — round-11 ADVICE)
+    val existing = prunedUnion(bs, touched).select(col("id"), lit(true).as("_ex"))
+    val counts = nn.join(existing, Seq("id"), "left_outer")
+      .agg(count(lit(1)).as("n"), count(col("_ex")).as("present"))
+      .collect().head
+    val n = counts.getLong(0)
+    enforceUnique(g, nn, replacedIds = Some(nn))
+    checkNodeLimit(g, n - counts.getLong(1))
     val nnA = conformNodeInsert(nn)
     val keys = nnA.select("id")
     val nb = rewriteNodeBuckets(touched)((b, df) =>
@@ -643,11 +683,11 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     */
   def mergeNodes(candidates: DataFrame): QueryStats = {
     val g = current
-    val cand = candidates.localCheckpoint(true)
+    val cand = candidates.transform(GraphStore.pin)
     val bs = ensureNodeBuckets()
     val candBuckets = touchedBuckets(cand, bs.size)
     val missing = cand.join(prunedUnion(bs, candBuckets).select("id"),
-      Seq("id"), "left_anti").localCheckpoint(true)
+      Seq("id"), "left_anti").transform(GraphStore.pin)
     enforceUnique(g, missing)
     // one pass: batch size + the touched-bucket set
     val stat = missing.agg(count(lit(1)).as("n"),
@@ -676,7 +716,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
   def setNodeProperties(updates: DataFrame, property: String): QueryStats = {
     val g = current
     val u = updates.select(col("id"), col("newval")).withColumn("_upd", lit(true))
-      .localCheckpoint(true)
+      .transform(GraphStore.pin)
     val bs = ensureNodeBuckets()
     val touched = touchedBuckets(u, bs.size)
     def transform(bucket: DataFrame): DataFrame = {
@@ -714,7 +754,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     */
   def setNodeProperty(ids: DataFrame, property: String, value: Column): QueryStats = {
     val g = current
-    val keys = ids.select(col("id")).localCheckpoint(true)
+    val keys = ids.select(col("id")).transform(GraphStore.pin)
     val marked = keys.withColumn("_hit", lit(true))
     val bs = ensureNodeBuckets()
     val touched = touchedBuckets(keys, bs.size)
@@ -750,7 +790,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     */
   def deleteNodes(ids: DataFrame, detach: Boolean): QueryStats = {
     val g = current
-    val victims = ids.select("id").localCheckpoint(true)
+    val victims = ids.select("id").transform(GraphStore.pin)
     val v = victims.withColumnRenamed("id", "vid")
     val incidentCond = col("src") === col("vid") || col("dst") === col("vid")
     val bs = ensureNodeBuckets()
@@ -773,7 +813,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val edgeVictims =
       if (detach)
         Some(g.edges.join(v, incidentCond, "left_semi").select("id")
-          .localCheckpoint(true))
+          .transform(GraphStore.pin))
       else None
     val eDel = edgeVictims.map(_.count()).getOrElse(0L)
     val newEdgesFrame = edgeVictims match {
@@ -803,7 +843,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     */
   def updateNodes(ids: DataFrame)(transform: DataFrame => DataFrame): QueryStats = {
     val g = current
-    val keys = ids.select("id").localCheckpoint(true)
+    val keys = ids.select("id").transform(GraphStore.pin)
     val bs = ensureNodeBuckets()
     val touched = touchedBuckets(keys, bs.size)
     val nb = rewriteNodeBuckets(touched)((_, df) =>
@@ -823,7 +863,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     */
   def deleteEdges(ids: DataFrame): QueryStats = {
     val g = current
-    val victims = ids.select("id").localCheckpoint(true)
+    val victims = ids.select("id").transform(GraphStore.pin)
     val ebs = ensureEdgeBuckets()
     val touched = touchedBuckets(victims, ebs.size)
     val eDel = prunedUnion(ebs, touched).join(victims, Seq("id"), "left_semi").count()
@@ -841,7 +881,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     */
   def setEdgeProperty(ids: DataFrame, key: String, value: Column): QueryStats = {
     val g = current
-    val keys = ids.select(col("id")).localCheckpoint(true)
+    val keys = ids.select(col("id")).transform(GraphStore.pin)
     val marked = keys.withColumn("_hit", lit(true))
     val ebs = ensureEdgeBuckets()
     val touched = touchedBuckets(keys, ebs.size)
@@ -896,7 +936,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
   /** CREATE relationships — routed to their id-hash buckets. */
   def createEdges(newEdges: DataFrame): QueryStats = {
     val g = current
-    val ne = newEdges.localCheckpoint(true)
+    val ne = newEdges.transform(GraphStore.pin)
     val n = ne.count()
     checkEdgeLimit(g, n)
     val ebs = ensureEdgeBuckets()
@@ -948,7 +988,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val next = cur.join(rows.select("entity_id", "name"), Seq("entity_id", "name"),
         "left_anti")
       .unionByName(rows)
-    if (embWrites % 6 == 0) next.localCheckpoint(true) else next
+    if (embWrites % 6 == 0) next.transform(GraphStore.pin) else next
   }
 
   // read + upsert + assign under ONE monitor (upsertEmb's synchronized is
@@ -979,9 +1019,9 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val spark = current.nodes.sparkSession
     import spark.implicits._
     val keys = entityIds.map(id => (id, name)).toDF("entity_id", "name")
-      .localCheckpoint(true)
+      .transform(GraphStore.pin)
     nodeEmbs = Some(nodeEmbeddings
-      .join(keys, Seq("entity_id", "name"), "left_anti").localCheckpoint(true))
+      .join(keys, Seq("entity_id", "name"), "left_anti").transform(GraphStore.pin))
     wal.foreach { w =>
       versionCounter += 1
       w.commitDelta(versionCounter, Map("node_embeddings_deletes" -> keys))
@@ -998,10 +1038,10 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     import org.apache.spark.sql.functions.col
     val cur = nodeEmbeddings
     val keys = cur.filter(col("name") === name)
-      .select("entity_id", "name").localCheckpoint(true)
+      .select("entity_id", "name").transform(GraphStore.pin)
     val cleared = keys.select("entity_id").distinct().count()
     if (cleared == 0) return 0L
-    nodeEmbs = Some(cur.filter(col("name") =!= name).localCheckpoint(true))
+    nodeEmbs = Some(cur.filter(col("name") =!= name).transform(GraphStore.pin))
     wal.foreach { w =>
       versionCounter += 1
       w.commitDelta(versionCounter, Map("node_embeddings_deletes" -> keys))

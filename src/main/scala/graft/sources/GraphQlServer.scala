@@ -40,7 +40,8 @@ import graft.graph.GraphStore
   */
 final class GraphQlServer(store: GraphStore, port: Int = 0,
     maxRows: Int = 1000, token: Option[String] = None,
-    rbac: Option[ServerAuth.Rbac] = None) {
+    rbac: Option[ServerAuth.Rbac] = None,
+    isDevelopment: Boolean = true) {
 
   /** Per-operation RBAC (auth.go:183-188): queries need read, mutations
     * write, clearAll admin. A bare `token` is an admin credential.
@@ -63,7 +64,7 @@ final class GraphQlServer(store: GraphStore, port: Int = 0,
 
   def start(): GraphQlServer = {
     server.createContext("/graphql", (ex: HttpExchange) =>
-      RequestValidation.guard(RequestValidation.JsonTypes)(handle)(ex))
+      RequestValidation.guard(RequestValidation.JsonTypes, isDevelopment)(handle)(ex))
     // a real pool, not the dispatch thread: subscription connections are
     // long-lived SSE streams and must not block other requests
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(

@@ -29,7 +29,8 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
     rbac: Option[ServerAuth.Rbac] = None,
     authenticator: Option[Authenticator] = None,
     oauth: Option[OAuthClient] = None,
-    tls: Option[javax.net.ssl.SSLContext] = None) {
+    tls: Option[javax.net.ssl.SSLContext] = None,
+    isDevelopment: Boolean = true) {
 
   /** Per-statement RBAC: write statements need `write`
     * (server_db.go:654-663 → Neo.ClientError.Security.Forbidden in the
@@ -56,13 +57,15 @@ final class HttpTxServer(store: GraphStore, port: Int = 0,
     * self-service) — one implementation, same RBAC.
     */
   val rest = new RestApi(store, effectiveRbac, authenticator,
-    advertisedHttpPort = () => boundPort, oauth = oauth)
+    advertisedHttpPort = () => boundPort, oauth = oauth,
+    isDevelopment = isDevelopment)
 
   /** MCP served beside the transaction API, same port, same RBAC
     * (server_router.go:178-201) — the delegate never binds its own
     * socket.
     */
-  private val mcpDelegate = new McpServer(store, rbac = effectiveRbac)
+  private val mcpDelegate = new McpServer(store, rbac = effectiveRbac,
+    isDevelopment = isDevelopment)
 
   /** Extra contexts mounted before start() — the server entrypoint adds
     * /graphql here so the whole HTTP surface shares one port, like the

@@ -49,7 +49,8 @@ import graft.graph.GraphStore
   */
 final class McpServer(store: GraphStore, port: Int = 0,
     token: Option[String] = None,
-    rbac: Option[ServerAuth.Rbac] = None) {
+    rbac: Option[ServerAuth.Rbac] = None,
+    isDevelopment: Boolean = true) {
 
   private val effectiveRbac: Option[ServerAuth.Rbac] =
     rbac.orElse(ServerAuth.Rbac.legacy(token))
@@ -69,7 +70,7 @@ final class McpServer(store: GraphStore, port: Int = 0,
 
   def start(): McpServer = {
     server.createContext("/mcp", (ex: HttpExchange) =>
-      RequestValidation.guard(RequestValidation.JsonTypes)(handle)(ex))
+      RequestValidation.guard(RequestValidation.JsonTypes, isDevelopment)(handle)(ex))
     server.setExecutor(null)
     server.start()
     this

@@ -55,7 +55,9 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
     embCol: String = "embedding", port: Int = 0, token: Option[String] = None,
     collectionName: String = "embeddings",
     store: Option[graft.graph.GraphStore] = None,
-    rbac: Option[ServerAuth.Rbac] = None) {
+    rbac: Option[ServerAuth.Rbac] = None,
+    isDevelopment: Boolean = true,
+    maxBodyBytes: Long = RequestValidation.GrpcMaxBodyBytes) {
 
   /** Per-method RBAC (qdrantgrpc/server.go:557-601
     * defaultMethodPermissions): searches/reads need `read`, point
@@ -80,7 +82,10 @@ final class QdrantGrpcServer(points: () => DataFrame, idCol: String = "vec_id",
   def boundPort: Int = server.getAddress.getPort
 
   def start(): QdrantGrpcServer = {
-    val guarded = RequestValidation.guard(RequestValidation.GrpcTypes)(handle)
+    // gRPC body cap is the larger MaxRequestSize-style bound: batch vector
+    // upserts legitimately exceed the 10 MB HTTP cap (round-11 ADVICE)
+    val guarded = RequestValidation.guard(RequestValidation.GrpcTypes,
+      isDevelopment, maxBodyBytes)(handle)
     server.createContext("/qdrant.Points", (ex: HttpExchange) => guarded(ex))
     server.createContext("/qdrant.Collections", (ex: HttpExchange) => guarded(ex))
     server.createContext("/qdrant.Snapshots", (ex: HttpExchange) => guarded(ex))

@@ -34,6 +34,23 @@ object RequestValidation {
   val MaxHeaderLength = 4096 // validation.go:15
   val MaxBodyBytes: Long = 10L * 1024 * 1024 // server.go:370
 
+  /** Body cap for the gRPC-Web surface: batch vector upserts routinely
+    * exceed the 10 MB HTTP bound (the reference's LimitReader covers its
+    * HTTP body reads, not gRPC — round-11 ADVICE), so the gRPC mounts get
+    * the reference's MaxRequestSize-style larger bound.
+    */
+  val GrpcMaxBodyBytes: Long = 512L * 1024 * 1024
+
+  /** The reference's NewSecurityMiddlewareWithConfig derives isDevelopment
+    * from the configured environment (middleware.go): development / dev /
+    * empty → dev mode; anything else (production, staging, …) enables the
+    * production-only SSRF refusals in [[validateUrl]].
+    */
+  def isDev(environment: String): Boolean = {
+    val e = Option(environment).getOrElse("").trim.toLowerCase
+    e.isEmpty || e == "development" || e == "dev"
+  }
+
   private val tokenValidChars = "^[a-zA-Z0-9\\-_.~+/=]+$".r
   private val dangerousToken =
     "(?i)[\\r\\n<>'\"&;(){}\\[\\]\\\\]|javascript:|data:|file:|vbscript:".r
@@ -87,17 +104,25 @@ object RequestValidation {
       else None
     } catch { case _: Exception => Some("invalid URL format") }
 
-  private def queryParams(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).map { q =>
-      q.split("&").iterator.flatMap { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => Some(
-            java.net.URLDecoder.decode(k, StandardCharsets.UTF_8) ->
-              java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
-          case _ => None
-        }
-      }.toMap
-    }.getOrElse(Map.empty)
+  /** Left = refusal: malformed percent-encoding must answer 400, never
+    * let IllegalArgumentException escape into a 500 / dropped connection
+    * (round-11 ADVICE; the JDK listener pre-rejects most malformed URIs,
+    * but the middleware must not rely on every mount's transport doing so).
+    */
+  private[graft] def decodeQuery(raw: String): Either[String, Map[String, String]] =
+    try Right(raw.split("&").iterator.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(
+          java.net.URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+            java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
+        case _ => None
+      }
+    }.toMap)
+    catch { case _: IllegalArgumentException => Left("invalid query string") }
+
+  private def queryParams(ex: HttpExchange): Either[String, Map[String, String]] =
+    Option(ex.getRequestURI.getRawQuery)
+      .map(decodeQuery).getOrElse(Right(Map.empty))
 
   private val urlParams = Seq("callback", "redirect", "redirect_uri", "url", "webhook")
   private val bodyMethods = Set("POST", "PUT", "PATCH")
@@ -128,7 +153,10 @@ object RequestValidation {
       }
     }
     // 3. token-shaped + URL-shaped query params (middleware.go:70-88)
-    val params = queryParams(ex)
+    val params = queryParams(ex) match {
+      case Left(msg) => return Some(400 -> msg)
+      case Right(m) => m
+    }
     Seq("token", "api_key").foreach { p =>
       params.get(p).filter(_.nonEmpty).foreach(validateToken(_).foreach(
         msg => return Some(401 -> s"invalid $p parameter: $msg")))
@@ -159,9 +187,10 @@ object RequestValidation {
     } + "\""
 
   /** Wrap a handler: refuse invalid requests before it runs. */
-  def guard(allowedTypes: Seq[String] = Nil, isDevelopment: Boolean = true)(
+  def guard(allowedTypes: Seq[String] = Nil, isDevelopment: Boolean = true,
+      maxBody: Long = MaxBodyBytes)(
       h: HttpExchange => Unit): HttpExchange => Unit = { ex =>
-    check(ex, allowedTypes, isDevelopment) match {
+    check(ex, allowedTypes, isDevelopment, maxBody) match {
       case Some((status, msg)) =>
         // drain the request body (bounded) before refusing: the JDK
         // server otherwise resets the connection mid-request and the
@@ -171,7 +200,7 @@ object RequestValidation {
           val buf = new Array[Byte](65536)
           var drained = 0L
           var n = in.read(buf)
-          while (n >= 0 && drained <= MaxBodyBytes + buf.length) {
+          while (n >= 0 && drained <= maxBody + buf.length) {
             drained += n; n = in.read(buf)
           }
         } catch { case _: Exception => () }

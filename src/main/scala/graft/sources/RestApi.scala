@@ -43,7 +43,8 @@ final class RestApi(store: GraphStore,
     authenticator: Option[Authenticator],
     advertisedBoltPort: Int = 7687,
     advertisedHttpPort: () => Int = () => 7474,
-    oauth: Option[OAuthClient] = None) {
+    oauth: Option[OAuthClient] = None,
+    isDevelopment: Boolean = true) {
 
   import ServerAuth.{Permission, Role}
 
@@ -64,7 +65,7 @@ final class RestApi(store: GraphStore,
     active.incrementAndGet()
     // shared request-validation middleware runs before every handler
     // (security/middleware.go:44 ValidateRequest wraps all routes)
-    try RequestValidation.guard(RequestValidation.JsonTypes)(f)(ex)
+    try RequestValidation.guard(RequestValidation.JsonTypes, isDevelopment)(f)(ex)
     catch {
       case e: Exception =>
         // best effort: headers may already be sent mid-stream (the 500
