@@ -84,6 +84,35 @@ class Round12ScaleSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.wcc.pregelMaxEdges")
   }
 
+  test("wcc scale loop is exact across MULTIPLE ctx partitions (chain + endgame)") {
+    // >131072 contracted edges forces widthFor past one partition, so the
+    // min-label messages must actually cross partitions — the round-12
+    // profile caught a preservesPartitioning lie that silently dropped
+    // every cross-partition message while all single-partition fixtures
+    // stayed green. A chain also has huge diameter, so this exercises the
+    // union-find endgame (boundary pairs ≪ cap) rather than O(n) rounds.
+    val sp = spark
+    import sp.implicits._
+    val n = 150001
+    val nodes = sp.range(0, n).select(format_string("n%07d", col("id")).as("id"))
+      .withColumn("labels", array(lit("N")))
+    val edges = sp.range(0, n - 1)
+      .select(format_string("n%07d", col("id")).as("src"),
+        format_string("n%07d", col("id") + 1).as("dst"))
+      .withColumn("id", concat_ws(":", col("src"), col("dst")))
+      .withColumn("rel_type", lit("E"))
+      .withColumn("properties", map_from_arrays(array(), array()))
+      .withColumn("weight", lit(1.0))
+    val g = PropertyGraph(nodes, edges)
+    spark.conf.set("spark.graft.wcc.pregelMaxEdges", "0") // force the scale loop
+    try {
+      val res = graft.algos.GraphXAlgos.wcc(g)
+      val comps = res.select("component").distinct().collect().map(_.getString(0))
+      assert(comps.toSeq == Seq("n0000000"), s"one chain component, got ${comps.length}")
+      assert(res.count() == n)
+    } finally spark.conf.unset("spark.graft.wcc.pregelMaxEdges")
+  }
+
   test("widthFor grows past 2x cores so per-partition size stays constant") {
     import graft.algos.GraphXAlgos.{widthFor, EdgesPerPartition, MaxWidth}
     assert(widthFor(100L, 32) == 1) // tiny graphs still collapse
