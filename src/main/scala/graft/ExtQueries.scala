@@ -292,6 +292,43 @@ object ExtQueries {
                      CAST(5 AS BIGINT) AS props_set, CAST(5 AS BIGINT) AS deleted"""),
       "2.8"),
 
+    // the same cycle with EVERY store pin routed through reliable
+    // checkpoint() (spark.graft.checkpointDir — the round-12 scale
+    // option): driver-checks the fault-tolerant pin path end-to-end,
+    // which the 276-row corpus otherwise never reaches
+    // (Round12CheckpointSpec covers block-loss survival; this row pins
+    // the QueryStats contract under the reliable route)
+    "q_cypher_write_cycle_ckpt" -> GQuery(
+      (s, d) => {
+        import graft.cypher.CypherWrite
+        import graft.graph.GraphStore
+        val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-q").toString
+        val prev = s.conf.getOption("spark.graft.checkpointDir")
+        s.conf.set("spark.graft.checkpointDir", dir)
+        try {
+          val store = new GraphStore(GraphQueries.graph(s, d), registerGlobal = false)
+          val w1 = CypherWrite.execute(store,
+            "UNWIND [9001, 9002, 9003] AS k CREATE (p:Person {key: k, name: toString(k)})")
+          val w2 = CypherWrite.execute(store,
+            "UNWIND [9001, 9002, 9003, 9004, 9005] AS k MERGE (p:Person {key: k})")
+          val w3 = CypherWrite.execute(store,
+            "MATCH (p:Person) SET p.acctbal = p.key * 2")
+          val w4 = CypherWrite.execute(store,
+            "MATCH (p:Person) DETACH DELETE p")
+          import s.implicits._
+          Seq((w1.nodesCreated, w2.nodesCreated, w3.propertiesSet, w4.nodesDeleted))
+            .toDF("created_1", "created_2", "props_set", "deleted")
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set("spark.graft.checkpointDir", p)
+            case None => s.conf.unset("spark.graft.checkpointDir")
+          }
+        }
+      },
+      Some("""SELECT CAST(3 AS BIGINT) AS created_1, CAST(2 AS BIGINT) AS created_2,
+                     CAST(5 AS BIGINT) AS props_set, CAST(5 AS BIGINT) AS deleted"""),
+      "2.8"),
+
     // the same write pipeline against a WAL-backed store: each statement
     // appends a delta commit of only its touched rows, and recovery
     // (loadWal = newest checkpoint + delta tail) reproduces the state —

@@ -126,6 +126,29 @@ object GraphXAlgos {
     private[algos] def cachedResult(key: String)(f: => DataFrame): DataFrame =
       resultCache.computeIfAbsent(key, _ => f)
 
+    /** Per-partition WEIGHTED CSR of the undirected vote adjacency (one
+      * [[CsrWAdj]] per [[adjByB]] partition, same partitioner) — the LPA
+      * vote loop `zipPartitions` labels against this instead of RDD-joining
+      * [[adjByB]]: the join is a COGROUP that re-materializes the full
+      * adjacency partition into a hash map EVERY round, and its output
+      * shuffles ONE RECORD PER (edge, label) — the term that put
+      * q_algo_louvain/label_prop at 35.7×/34.6× of sf0.1 in the round-12
+      * sf3 probe. The CSR pass tallies votes into a per-partition map
+      * first, so the shuffle carries one record per DISTINCT (dst, label)
+      * per partition (round-13 verdict item #2's "emit votes through the
+      * CSR substrate" option).
+      */
+    private val voteCsrCache = new ConcurrentHashMap[Boolean, RDD[CsrWAdj]]()
+    def voteCsr(weighted: Boolean): RDD[CsrWAdj] =
+      voteCsrCache.computeIfAbsent(weighted, { w =>
+        val rdd = adjByB(w)
+          .mapPartitions(it => Iterator.single(CsrWAdj.build(it)),
+            preservesPartitioning = true)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        rdd.count()
+        rdd
+      })
+
     private val csrCache = new ConcurrentHashMap[String, RDD[CsrAdj]]()
     def csrByDir(dir: String): RDD[CsrAdj] =
       csrCache.computeIfAbsent(dir, { d =>
@@ -187,6 +210,37 @@ object GraphXAlgos {
       }
       offsBuf += arr.length
       new CsrAdj(keysBuf.toArray, offsBuf.toArray, nbrs)
+    }
+  }
+
+  /** [[CsrAdj]] with a parallel edge-weight array — the LPA/Louvain vote
+    * substrate. keys = voters (the `b` side of [[Ctx.adjByB]]), nbrs =
+    * the vote receivers, wts = the contracted edge weight (multiplicity
+    * or weight-sum per the `weighted` flavor).
+    */
+  private[graft] final class CsrWAdj(
+      val keys: Array[Long], val offs: Array[Int],
+      val nbrs: Array[Long], val wts: Array[Double]) extends Serializable {
+    def indexOf(v: Long): Int = java.util.Arrays.binarySearch(keys, v)
+  }
+
+  private[graft] object CsrWAdj {
+    def build(it: Iterator[(Long, (Long, Double))]): CsrWAdj = {
+      val arr = it.toArray.sortBy(_._1)
+      val nbrs = new Array[Long](arr.length)
+      val wts = new Array[Double](arr.length)
+      val keysBuf = new scala.collection.mutable.ArrayBuffer[Long]()
+      val offsBuf = new scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i < arr.length) {
+        val k = arr(i)._1
+        if (keysBuf.isEmpty || keysBuf.last != k) { keysBuf += k; offsBuf += i }
+        nbrs(i) = arr(i)._2._1
+        wts(i) = arr(i)._2._2
+        i += 1
+      }
+      offsBuf += arr.length
+      new CsrWAdj(keysBuf.toArray, offsBuf.toArray, nbrs, wts)
     }
   }
 
@@ -307,7 +361,7 @@ object GraphXAlgos {
     val full = ctxFor(g, Nil)
     full.pairsByDir("out"); full.pairsByDir("both")
     val contains = ctxFor(g, Seq("CONTAINS"))
-    contains.adjByB(false); contains.adjByB(true)
+    contains.voteCsr(false); contains.voteCsr(true)
   }
 
   /** Connected components as min-rank propagation over the cached
@@ -356,10 +410,17 @@ object GraphXAlgos {
     // the delta loop labels every ctx-dict vertex already (the full-graph
     // dict is the whole node table), so only the Pregel route — whose
     // Graph.fromEdges materializes endpoint vertices only — needs the
-    // singleton union
+    // singleton union.
+    // maxIter is a ROUND BUDGET, not a result knob: past it the delta loop
+    // forces the union-find endgame (edge contraction over the current
+    // label regions — exact components from any intermediate state), so
+    // the labeling is identical for every maxIter ≥ 1 and one "wcc" memo
+    // entry serves all callers (round-12 ADVICE: the budget used to be
+    // silently ignored AND a budget exhaustion returned unconverged
+    // labels; both fixed).
     if (c.edges.count() <= pregelMaxEdges(g.nodes.sparkSession))
       withSingletons(g, relType, wccPregel(g, c), "component")
-    else c.cachedResult("wcc")(wccDeltaLoop(g, c))
+    else c.cachedResult("wcc")(wccDeltaLoop(g, c, maxIter))
   }
 
   /** Every-node contract (apoc_community.go:332 labels every node): both
@@ -405,6 +466,21 @@ object GraphXAlgos {
     c.cachedResult("wcc")(wccDeltaLoop(g, c))
   }
 
+  /** Honest-loop twins for the bench/oracle rows: ALWAYS run the
+    * bounded-residency scale loops — no small-graph GraphX route, no
+    * per-ctx result memo — so (a) sf0.01 oracle rows pin the scale
+    * machinery's contract (the routed rows never reach it below the
+    * routing thresholds), and (b) scale sweeps track the real algorithmic
+    * cost alongside the legitimate memoized number (round-12 verdict #3:
+    * "the bench needs an honest-loop twin row").
+    */
+  def wccLoopFresh(g: PropertyGraph, relType: Option[String] = None): DataFrame =
+    wccDeltaLoop(g, ctx(g, relType))
+
+  /** See [[wccLoopFresh]] — the SCC trim+FW-BW coloring loop, unrouted. */
+  def sccLoopFresh(g: PropertyGraph, relType: Option[String] = None): DataFrame =
+    sccScale(g, ctx(g, relType))
+
   private[graft] def wccDeltaLoop(g: PropertyGraph, c: Ctx,
       maxIter: Int = 50): DataFrame = {
     val sc = c.edges.sparkContext
@@ -427,6 +503,83 @@ object GraphXAlgos {
     val totalV = changed
     var lastEndgameTry = -100
     var iter = 0
+    // ONE message pass collects the distinct boundary label pairs, a
+    // driver union-find closes them transitively, and a broadcast relabel
+    // finishes in one narrow pass. Exact from ANY intermediate labeling
+    // (it is edge contraction over the current label regions). `force`
+    // ignores EndgamePairCap — the convergence path of last resort.
+    def endgame(force: Boolean): Unit = {
+      val t1 = System.nanoTime()
+      val lbls = state.mapValues(_._1)
+      // same source-side prune as the round messages: for a true
+      // boundary pair at least one direction has lbl(from) < to (both
+      // filtered would force lbl(u)=lbl(v) by the ≤-chain), so pair
+      // detection is lossless
+      val offered = csr.zipPartitions(lbls, preservesPartitioning = false) {
+        (cit, lit) =>
+          if (cit.hasNext) {
+            val adj = cit.next()
+            lit.flatMap { case (v, l) => adj.emit(v, l).filter(_._1 > l) }
+          } else Iterator.empty
+      }.partitionBy(part)
+      // per-partition dedup before the distinct shuffle; the global
+      // distinct matters — a local-dedup count overestimated 5× on the
+      // CONTAINS graph and wrongly skipped a viable endgame
+      val boundary = offered.zipPartitions(state,
+        preservesPartitioning = false) { (mit, sit) =>
+          val lbl = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+          sit.foreach { case (v, (l, _)) => lbl.put(v, l) }
+          val seen = new java.util.HashSet[(Long, Long)]()
+          mit.flatMap { case (to, lf) =>
+            val lt = lbl.get(to)
+            if (lt == null || lt.longValue() == lf) Iterator.empty
+            else {
+              val p = (math.min(lf, lt.longValue()), math.max(lf, lt.longValue()))
+              if (seen.add(p)) Iterator.single(p) else Iterator.empty
+            }
+          }
+      }.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      val nPairs = boundary.count()
+      if (nPairs <= EndgamePairCap || force) {
+        val parentMap = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while ({ val p = parentMap.get(r); p != null && p.longValue() != r }) r = parentMap.get(r)
+          var c2 = x // path compression
+          while (c2 != r) { val p = parentMap.get(c2); parentMap.put(c2, r); c2 = p.longValue() }
+          r
+        }
+        // forced runs stream partition-at-a-time so the driver never holds
+        // the whole pair set AND its collect buffer together
+        val pairIt =
+          if (nPairs <= EndgamePairCap) boundary.collect().iterator
+          else boundary.toLocalIterator
+        pairIt.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+            parentMap.put(hi, lo)
+          }
+        }
+        // resolve every mentioned label to its root once, then broadcast
+        val resolved = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        val it2 = parentMap.keySet().iterator()
+        while (it2.hasNext) { val k = it2.next(); resolved.put(k, find(k.longValue())) }
+        val bc = sc.broadcast(resolved)
+        val finalState = pin(state.mapPartitions(_.map { case (v, (l, _)) =>
+          val r = bc.value.get(l)
+          (v, (if (r != null) r.longValue() else l, false))
+        }, preservesPartitioning = true))
+        if (prev != null) { prev.unpersist(false); prev = null }
+        state.unpersist(false)
+        state = finalState
+        changed = 0
+        if (debug) System.err.println(
+          f"[wccDelta] endgame: $nPairs boundary pairs, ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      } else if (debug) System.err.println(
+        f"[wccDelta] endgame skipped: $nPairs pairs > cap, ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      boundary.unpersist(false)
+    }
     while (changed > 0 && iter < maxIter) {
       iter += 1
       val t0 = System.nanoTime()
@@ -490,72 +643,22 @@ object GraphXAlgos {
           (iter - lastEndgameTry >= 6 || changed * 8 < totalV) &&
           iter - lastEndgameTry >= 2) {
         lastEndgameTry = iter
-        val t1 = System.nanoTime()
-        val lbls = state.mapValues(_._1)
-        // same source-side prune as the round messages: for a true
-        // boundary pair at least one direction has lbl(from) < to (both
-        // filtered would force lbl(u)=lbl(v) by the ≤-chain), so pair
-        // detection is lossless
-        val offered = csr.zipPartitions(lbls, preservesPartitioning = false) {
-          (cit, lit) =>
-            if (cit.hasNext) {
-              val adj = cit.next()
-              lit.flatMap { case (v, l) => adj.emit(v, l).filter(_._1 > l) }
-            } else Iterator.empty
-        }.partitionBy(part)
-        // per-partition dedup before the distinct shuffle; the global
-        // distinct matters — a local-dedup count overestimated 5× on the
-        // CONTAINS graph and wrongly skipped a viable endgame
-        val boundary = offered.zipPartitions(state,
-          preservesPartitioning = false) { (mit, sit) =>
-            val lbl = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-            sit.foreach { case (v, (l, _)) => lbl.put(v, l) }
-            val seen = new java.util.HashSet[(Long, Long)]()
-            mit.flatMap { case (to, lf) =>
-              val lt = lbl.get(to)
-              if (lt == null || lt.longValue() == lf) Iterator.empty
-              else {
-                val p = (math.min(lf, lt.longValue()), math.max(lf, lt.longValue()))
-                if (seen.add(p)) Iterator.single(p) else Iterator.empty
-              }
-            }
-        }.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-        val nPairs = boundary.count()
-        if (nPairs <= EndgamePairCap) {
-          val parentMap = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-          def find(x: Long): Long = {
-            var r = x
-            while ({ val p = parentMap.get(r); p != null && p.longValue() != r }) r = parentMap.get(r)
-            var c2 = x // path compression
-            while (c2 != r) { val p = parentMap.get(c2); parentMap.put(c2, r); c2 = p.longValue() }
-            r
-          }
-          boundary.collect().foreach { case (a, b) =>
-            val ra = find(a); val rb = find(b)
-            if (ra != rb) {
-              val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
-              parentMap.put(hi, lo)
-            }
-          }
-          // resolve every mentioned label to its root once, then broadcast
-          val resolved = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-          val it2 = parentMap.keySet().iterator()
-          while (it2.hasNext) { val k = it2.next(); resolved.put(k, find(k.longValue())) }
-          val bc = sc.broadcast(resolved)
-          val finalState = pin(state.mapPartitions(_.map { case (v, (l, _)) =>
-            val r = bc.value.get(l)
-            (v, (if (r != null) r.longValue() else l, false))
-          }, preservesPartitioning = true))
-          if (prev != null) { prev.unpersist(false); prev = null }
-          state.unpersist(false)
-          state = finalState
-          changed = 0
-          if (debug) System.err.println(
-            f"[wccDelta] endgame: $nPairs boundary pairs, ${(System.nanoTime() - t1) / 1e9}%.1f s")
-        } else if (debug) System.err.println(
-          f"[wccDelta] endgame skipped: $nPairs pairs > cap, ${(System.nanoTime() - t1) / 1e9}%.1f s")
-        boundary.unpersist(false)
+        endgame(force = false)
       }
+    }
+    // Round budget exhausted with labels still moving (diameter > maxIter
+    // and every capped attempt skipped — e.g. a huge grid/mesh whose
+    // boundary stays over EndgamePairCap): force the endgame. Union-find
+    // over the boundary label-pair graph is EDGE CONTRACTION, exact from
+    // ANY intermediate labeling, so this converges correctly where the
+    // pre-round-13 code returned partially-propagated labels as final
+    // components (round-12 ADVICE, medium). The chunked toLocalIterator
+    // collect bounds the driver to one partition batch at a time; the
+    // warning records that an adversarial topology pushed past the cap.
+    if (changed > 0) {
+      System.err.println(s"[wccDelta] WARNING: unconverged after $maxIter " +
+        "rounds; forcing union-find endgame past EndgamePairCap")
+      endgame(force = true)
     }
     // decode: labels are idx REPRESENTATIVES; the output contract is the
     // component's min STRING id. Non-singleton components are few (the
@@ -568,30 +671,29 @@ object GraphXAlgos {
       .map(_._2._1).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nLabels = nontrivial.count()
-    var fallbackPin: RDD[(Long, String)] = null
+    // ONE pinned state⋈rev co-partitioned pass serves both the min-map
+    // build and the output rows (round-12 ADVICE: the broadcast branch
+    // ran the decode join twice, doubling the pass over |V|)
+    val decoded = pin(state.join(c.rev, part)
+      .map { case (_, ((lbl, _), id)) => (lbl, id) })
     val rows =
       if (nLabels <= EndgamePairCap) {
         val ntSet = new java.util.HashSet[java.lang.Long]()
         nontrivial.collect().foreach(l => ntSet.add(l))
         val bcSet = sc.broadcast(ntSet)
         val minMap = new java.util.HashMap[java.lang.Long, String]()
-        state.join(c.rev, part).mapPartitions(_.flatMap {
-          case (_, ((l, _), id)) =>
-            if (bcSet.value.contains(l)) Iterator.single((l, id)) else Iterator.empty
-        }).reduceByKey((a: String, b: String) => if (a <= b) a else b)
+        decoded.mapPartitions(_.filter { case (l, _) => bcSet.value.contains(l) })
+          .reduceByKey((a: String, b: String) => if (a <= b) a else b)
           .collect().foreach { case (l, s) => minMap.put(l, s) }
         val bcMin = sc.broadcast(minMap)
-        state.join(c.rev, part).map { case (_, ((l, _), id)) =>
+        decoded.map { case (l, id) =>
           val m = bcMin.value.get(l)
           Row(id, if (m != null) m else id)
         }
       } else {
-        val memberId = pin(state.join(c.rev, part)
-          .map { case (_, ((lbl, _), id)) => (lbl, id) })
-        fallbackPin = memberId
-        val minByLbl = memberId
+        val minByLbl = decoded
           .reduceByKey(part, (a: String, b: String) => if (a <= b) a else b)
-        memberId.join(minByLbl, part)
+        decoded.join(minByLbl, part)
           .map { case (_, (id, minId)) => Row(id, minId) }
       }
     val out = toDf(g, rows, StructType(Seq(
@@ -599,7 +701,7 @@ object GraphXAlgos {
     val pinned = out.localCheckpoint(true) // realize before freeing the parts
     if (prev != null) prev.unpersist(false)
     state.unpersist(false); nontrivial.unpersist(false)
-    if (fallbackPin != null) fallbackPin.unpersist(false)
+    decoded.unpersist(false)
     pinned
   }
 
@@ -974,33 +1076,100 @@ object GraphXAlgos {
     val c = ctx(g, relType)
     // undirected contraction: both orientations of every directed pair,
     // votes = weight-sum or multiplicity (matches the DataFrame und build)
-    val adjByB = c.adjByB(weighted)
+    val csr = c.voteCsr(weighted)
+    val debug = sys.env.get("GRAFT_ALGO_DEBUG").exists(v => v == "1" || v == "true")
 
-    // Two shuffle disciplines keep the rounds cheap: (1) labels are
-    // co-partitioned with the cached adjacency, so both per-round joins
-    // (adjacency⋈labels for votes, labels⋈tally for the update) are
-    // narrow — only the vote reduceByKeys shuffle; (2) labels are
-    // order-preserving Long RANKS of the string ids (c.idxToRank), so the
-    // shuffled keys/values are primitive and the (weight, label) argmax
-    // compares Longs while agreeing with the String tie-break exactly.
+    // Round structure (round-13 rework — the sf3 probe measured the old
+    // adjByB.join(labels) + two reduceByKeys at 35.7×/34.6× of sf0.1):
+    //  (1) labels are co-partitioned with the pinned CSR adjacency, so
+    //      the vote pass is a zipPartitions — no per-round cogroup
+    //      re-materialization of the adjacency, no shuffle of edge data;
+    //  (2) votes are tallied into a per-partition (dst, label) → weight
+    //      map BEFORE the shuffle, so the one shuffle per round carries
+    //      per-partition-distinct aggregates, not one record per edge —
+    //      and its volume COLLAPSES as labels converge;
+    //  (3) the receiver merges partial tallies per dst and takes the
+    //      argmax by (weight, label) — labels are order-preserving Long
+    //      RANKS of the string ids (c.idxToRank), so the Long tie-break
+    //      agrees with the String tie-break exactly;
+    //  (4) the label update is a zipPartitions against the (small) tally,
+    //      not a cogroup over the full label set.
     val part = new org.apache.spark.HashPartitioner(
-      math.max(1, adjByB.getNumPartitions))
+      math.max(1, csr.getNumPartitions))
     val init = c.idxToRank.partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK) // initial label = own rank
     var labels: RDD[(Long, Long)] = init
-    for (_ <- 1 to iters) {
-      val tally = adjByB.join(labels)
-        .map { case (_, ((a, ew), lb)) => ((a, lb), ew) }
-        .reduceByKey(_ + _)
-        .map { case ((a, lb), w) => (a, (w, lb)) }
+    for (round <- 1 to iters) {
+      val t0 = System.nanoTime()
+      val votes: RDD[(Long, (Long, Double))] =
+        csr.zipPartitions(labels, preservesPartitioning = false) { (cit, lit) =>
+          if (!cit.hasNext) Iterator.empty
+          else {
+            val adj = cit.next()
+            val acc = new java.util.HashMap[(Long, Long), Array[Double]]()
+            lit.foreach { case (b, lb) =>
+              val i = adj.indexOf(b)
+              if (i >= 0) {
+                var j = adj.offs(i); val end = adj.offs(i + 1)
+                while (j < end) {
+                  val k = (adj.nbrs(j), lb)
+                  val cur = acc.get(k)
+                  if (cur == null) acc.put(k, Array(adj.wts(j)))
+                  else cur(0) += adj.wts(j)
+                  j += 1
+                }
+              }
+            }
+            import scala.jdk.CollectionConverters._
+            acc.entrySet().iterator().asScala
+              .map(e => (e.getKey._1, (e.getKey._2, e.getValue()(0))))
+          }
+        }
+      // single label-keyed shuffle: merge the partial (label → weight)
+      // tallies per dst, then argmax. mapSideCombine=false — the
+      // zipPartitions pass above IS the map-side combine, over primitive
+      // CSR arrays instead of the shuffle writer's boxed machinery.
+      type LMap = java.util.HashMap[java.lang.Long, java.lang.Double]
+      val tally: RDD[(Long, Long)] = votes.combineByKeyWithClassTag[LMap](
+        (v: (Long, Double)) => { val m = new LMap; m.put(v._1, v._2); m },
+        (m: LMap, v: (Long, Double)) => {
+          val c0 = m.get(v._1)
+          m.put(v._1, if (c0 == null) v._2 else c0 + v._2); m
+        },
+        (m1: LMap, m2: LMap) => {
+          val (big, sm) = if (m1.size >= m2.size) (m1, m2) else (m2, m1)
+          val it = sm.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next(); val c0 = big.get(e.getKey)
+            big.put(e.getKey,
+              if (c0 == null) e.getValue else c0 + e.getValue)
+          }
+          big
+        },
+        part, mapSideCombine = false
+      ).mapValues { m =>
         // same argmax as max(struct(w, nl)): weight first, then label
-        .reduceByKey(part, (x, y) =>
-          if (x._1 > y._1 || (x._1 == y._1 && x._2 > y._2)) x else y)
-        .mapValues(_._2)
-      val next = labels.leftOuterJoin(tally)
-        .mapValues { case (old, nw) => nw.getOrElse(old) }
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        var bw = Double.NegativeInfinity; var bl = Long.MinValue
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val w = e.getValue.doubleValue(); val l = e.getKey.longValue()
+          if (w > bw || (w == bw && l > bl)) { bw = w; bl = l }
+        }
+        bl
+      }
+      val next = labels.zipPartitions(tally, preservesPartitioning = true) {
+        (lit, tit) =>
+          val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+          tit.foreach { case (v, lb) => m.put(v, lb) }
+          lit.map { case (v, old) =>
+            val nw = m.get(v)
+            (v, if (nw != null) nw.longValue() else old)
+          }
+      }.persist(StorageLevel.MEMORY_AND_DISK)
       next.count()
+      if (debug) System.err.println(
+        f"[lpa] round $round: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (labels ne init) labels.unpersist()
       labels = next
     }
