@@ -69,7 +69,11 @@ object Bench {
     // headline so ~15 s of intentional oracle cost doesn't read as a
     // regression of the fast paths (round-7 verdict #9)
     val oracleTier = Set("q_algo_wcc_df", "q_algo_pagerank", "q_vector_topk_exact",
-      "q_algo_fastrp", "q_algo_label_prop_star", "q_algo_wcc_star")
+      "q_algo_fastrp", "q_algo_label_prop_star", "q_algo_wcc_star",
+      // deliberate-slow durability fixture: every store pin is an EAGER
+      // reliable checkpoint() to disk — the row exists to drive that
+      // path under oracle check, not to race the in-memory write cycle
+      "q_cypher_write_cycle_ckpt")
     // a query that throws is a BROKEN query, not a timing: record the error
     // per-query, keep it out of the timings map, and exit non-zero so a
     // breakage can never ship as a plausible-looking 0.08 s row again

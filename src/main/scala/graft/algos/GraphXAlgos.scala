@@ -48,8 +48,8 @@ object GraphXAlgos {
         // it wants all cores busy (finer target), while Pregel supersteps
         // want few fat partitions (launch overhead × ~20 rounds).
         val part = new org.apache.spark.HashPartitioner(
-          GraphXAlgos.widthFor(2L * edges.count(), // both orientations
-            edges.sparkContext.defaultParallelism, GraphXAlgos.AdjEdgesPerPartition))
+          GraphXAlgos.adjWidthFor(2L * edges.count(), // both orientations
+            edges.sparkContext.defaultParallelism))
         val rdd = edges
           .flatMap { e =>
             val ew = if (w) e.attr._2 else e.attr._1
@@ -277,11 +277,42 @@ object GraphXAlgos {
   private[graft] val EdgesPerPartition = 131072L
 
   /** Finer width target for the LPA/Louvain undirected adjacency: its
-    * per-round join+tally is compute-bound per row (not launch-bound like
+    * per-round vote pass is compute-bound per row (not launch-bound like
     * Pregel supersteps), so ~32k rows per partition keeps every core busy
     * on the sf0.1 CONTAINS graph while fixtures still collapse to 1.
+    * This is the FLOOR target only — see [[adjWidthFor]]: applied
+    * unclamped it put the sf3 vote adjacency at 2384 partitions, and the
+    * per-round label shuffle's 2384×2384 ≈ 5.7M shuffle blocks were the
+    * dominant cost of the 35.7×/34.6× probe rows (measured round 13:
+    * with per-partition CSR tallies replacing the join, rounds STILL ran
+    * 43-53 s — the work wasn't in the tally at all).
     */
   private[graft] val AdjEdgesPerPartition = 32768L
+
+  /** Bytes ceiling for one vote-adjacency partition (~100 MB of CSR
+    * arrays + tally map at 24-ish bytes/edge). The width never drops
+    * below what keeps partitions under this, no matter the core count —
+    * the round-12 lesson that cores are the wrong ceiling, preserved.
+    */
+  private[graft] val AdjMaxEdgesPerPartition = 1L << 22
+
+  /** Scale-aware width for the LPA vote adjacency: fine-grained
+    * (32k/partition) while that stays under ~4 waves per core — small
+    * graphs keep every core busy — but capped at 4·parallelism once the
+    * graph is large enough that per-round real work saturates the cores
+    * anyway, because shuffle-block count grows QUADRATICALLY in width
+    * (M maps × R reduces) and dominated the sf3 rounds. The bytes bound
+    * overrides the cap so per-partition size stays constant at any
+    * scale: at 100× sf3 (7.8 G vote edges) the width is back up to
+    * ~1860, each partition still ≤ [[AdjMaxEdgesPerPartition]].
+    */
+  private[graft] def adjWidthFor(nEdges: Long, defaultPar: Int): Int = {
+    val fine = nEdges / AdjEdgesPerPartition + 1
+    val coarseCap = math.max(1L, 4L * defaultPar)
+    val bytesFloor = nEdges / AdjMaxEdgesPerPartition + 1
+    math.min(MaxWidth.toLong,
+      math.max(bytesFloor, math.min(fine, coarseCap))).toInt
+  }
 
   /** Hard ceiling on data-derived widths — a runaway backstop (4096
     * partitions × 128k edge tuples ≈ half a billion edges), far above any
