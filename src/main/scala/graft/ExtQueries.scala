@@ -12,6 +12,21 @@ import OracleSafe._
   */
 object ExtQueries {
 
+  /** Recursively delete a per-query temp directory (checkpoint/WAL
+    * payloads are not auto-cleaned by Spark, and bench reps would
+    * otherwise leak unbounded /tmp data — round-13 verdict item #4).
+    */
+  private[graft] def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      val stream = java.nio.file.Files.walk(root)
+      try {
+        stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } finally stream.close()
+    }
+  }
+
   /** Quality floors for the ANN eval verdict rows — set with margin below
     * the measured sf0.001/sf0.01 macros (raw values asserted in
     * SearchPipelineSpec); a tier regressing under its floor turns the
@@ -319,10 +334,13 @@ object ExtQueries {
           Seq((w1.nodesCreated, w2.nodesCreated, w3.propertiesSet, w4.nodesDeleted))
             .toDF("created_1", "created_2", "props_set", "deleted")
         } finally {
+          // single-threaded bench/verify runner makes this conf swap safe;
+          // concurrent queries in one session would race on the shared key
           prev match {
             case Some(p) => s.conf.set("spark.graft.checkpointDir", p)
             case None => s.conf.unset("spark.graft.checkpointDir")
           }
+          deleteRecursively(dir)
         }
       },
       Some("""SELECT CAST(3 AS BIGINT) AS created_1, CAST(2 AS BIGINT) AS created_2,
@@ -339,6 +357,7 @@ object ExtQueries {
         import graft.cypher.CypherWrite
         import graft.graph.{DeltaLog, GraphStore, PropertyGraph}
         val dir = java.nio.file.Files.createTempDirectory("graft-wal-q").toString
+        try {
         val base = GraphQueries.graph(s, d)
         val store = new GraphStore(PropertyGraph(
           base.nodes.filter("false").localCheckpoint(true),
@@ -361,6 +380,9 @@ object ExtQueries {
             .collect()(0).getDouble(0)))
           .toDF("created_1", "created_2", "props_set",
             "delta_commits", "checkpoints", "replayed_nodes", "replayed_acct_sum")
+        // all reads above are eager (count/collect), so the WAL dir is
+        // no longer referenced by the returned driver-local frame
+        } finally deleteRecursively(dir)
       },
       Some("""SELECT CAST(3 AS BIGINT) AS created_1, CAST(2 AS BIGINT) AS created_2,
                      CAST(5 AS BIGINT) AS props_set, CAST(3 AS BIGINT) AS delta_commits,
