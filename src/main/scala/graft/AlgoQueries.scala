@@ -171,6 +171,28 @@ object AlgoQueries {
       s"\nSELECT lb AS label, COUNT(*) AS n_nodes FROM l$rounds GROUP BY lb"
   }
 
+  /** Edge counts spanning adjWidthFor's regimes at par = 32: fine region,
+    * last-width-before-cap, cap crossover, coarse plateau (10×), bytes
+    * floor, and the 100×-sf3 figure from the adjWidthFor doc-comment.
+    */
+  private val adjWidthProbePoints: Seq[Long] = Seq(
+    1000L, 3L * 32768L, 126L * 32768L, 128L * 32768L, 1280L * 32768L,
+    165L * 4194304L, 7800000000L)
+
+  /** [[lpaUnrolledSql]] (weighted) extended with the vote-adjacency
+    * partition count — fine-regime width over the `und` edge count, which
+    * is exactly 2× the contracted pair count the Scala side feeds to
+    * adjWidthFor.
+    */
+  private def lpaWeightedCsrSql(rounds: Int): String =
+    lpaUnrolledSql(rounds, weighted = true).replace(
+      s"\nSELECT lb AS label, COUNT(*) AS n_nodes FROM l$rounds GROUP BY lb",
+      s""",
+       parts AS (SELECT CAST(2 * COUNT(*) // 32768 + 1 AS BIGINT) AS n_adj_partitions FROM e)
+       SELECT lb AS label, COUNT(*) AS n_nodes,
+              (SELECT n_adj_partitions FROM parts) AS n_adj_partitions
+       FROM l$rounds GROUP BY lb""")
+
   /** Iterative k-core peeling on the co-occurrence graph — replays
     * [[graft.algos.Algorithms.kCore]] (drop nodes with degree < k, repeat
     * to fixpoint; the k-core is order-independent). Converges in ≤2
@@ -383,6 +405,50 @@ object AlgoQueries {
         comms.groupBy("label").agg(count(lit(1)).as("n_nodes"))
       },
       Some(lpaUnrolledSql(3, weighted = true)), "2.11"),
+
+    // weighted CSR-vote LPA with the vote-adjacency PARTITION COUNT under
+    // the hash check (round-13 verdict item #8): the per-partition tally +
+    // one-shuffle combine must be exact across ≥2 partitions with real
+    // weights, and the row goes red if a width-constant drift ever
+    // collapses the sf0.01 adjacency to one partition (the multi-partition
+    // path would then silently stop being oracle-covered). The DuckDB side
+    // recomputes the width independently: at sf0.01 the fine regime binds
+    // (2|E| ≈ 110k edges → fine = 2|E|/32768+1 = 4; the 4·par coarse cap
+    // ≥ 4 for any par ≥ 1 and the 4M bytes floor = 1 never bind), so the
+    // oracle formula needs no parallelism input.
+    "q_algo_lpa_weighted_csr" -> GQuery(
+      (s, d) => {
+        val g = GraphQueries.graph(s, d)
+        val comms = graft.algos.GraphXAlgos.labelPropagation(
+          g, 2, Some("CONTAINS"), weighted = true)
+          .groupBy("label").agg(count(lit(1)).as("n_nodes"))
+        val nParts = graft.algos.GraphXAlgos.ctxFor(g, Seq("CONTAINS"))
+          .voteCsr(true).getNumPartitions
+        comms.withColumn("n_adj_partitions", lit(nParts.toLong))
+      },
+      Some(lpaWeightedCsrSql(2)), "2.11"),
+
+    // adjWidthFor's three regimes pinned as data (round-13 verdict item
+    // #8): the fine→coarse crossover at 4·par waves, the coarse plateau
+    // (10× more data, same width — per-round shuffle blocks stay bounded),
+    // and the bytes-floor override past cap·4M edges (incl. the 100×-sf3
+    // doc-comment arithmetic: 7.8G vote edges → 1860 partitions). The
+    // DuckDB oracle evaluates the width formula INDEPENDENTLY; par is
+    // fixed at 32 on both sides (the width RULE is the contract here, not
+    // the session's core count).
+    "q_algo_adj_width" -> GQuery(
+      (s, d) => {
+        import s.implicits._
+        adjWidthProbePoints
+          .map(n => (n, graft.algos.GraphXAlgos.adjWidthFor(n, 32).toLong))
+          .toDF("n_edges", "width")
+      },
+      Some(s"""SELECT n_edges,
+                      LEAST(4096, GREATEST(n_edges // 4194304 + 1,
+                                           LEAST(n_edges // 32768 + 1, 128))) AS width
+               FROM (VALUES ${adjWidthProbePoints
+                 .map(n => s"(CAST($n AS BIGINT))").mkString(", ")}) t(n_edges)"""),
+      "2.11"),
 
     // GraphX Pregel WCC oracle twin on the PLACED star fixture (bounded to
     // 1000 customers — these rows prove ALGORITHM correctness with a

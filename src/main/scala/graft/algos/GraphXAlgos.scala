@@ -97,8 +97,14 @@ object GraphXAlgos {
           case "in"  => base.map(_.swap)
           case _     => base.union(base.map(_.swap)).distinct()
         }
+        // scale-aware width, NOT the ctx edge width: the BFS loops shuffle
+        // a frontier against this every level, and shuffle-block count
+        // grows as maps × reducers — the round-13 LPA lesson applies to
+        // every per-round shuffle (round-13 verdict item #6)
         val part = new org.apache.spark.HashPartitioner(
-          math.max(1, edges.getNumPartitions))
+          GraphXAlgos.adjWidthFor(
+            (if (d == "both") 2L else 1L) * edges.count(),
+            edges.sparkContext.defaultParallelism))
         val rdd = oriented.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
         rdd.count()
         rdd
@@ -159,8 +165,15 @@ object GraphXAlgos {
           case "in"  => base.map(_.swap)
           case _     => base.union(base.map(_.swap)).distinct()
         }
+        // scale-aware width (round-13 verdict item #6): the WCC delta loop
+        // and SCC trim/FW-BW rounds shuffle state at THIS width every
+        // round; the flat ctx edge width put sf10 at ~1000 partitions →
+        // ~1M shuffle blocks per round (maps × reducers), the exact term
+        // that dominated the round-12 sf3 LPA probe
         val part = new org.apache.spark.HashPartitioner(
-          math.max(1, edges.getNumPartitions))
+          GraphXAlgos.adjWidthFor(
+            (if (d == "both") 2L else 1L) * edges.count(),
+            edges.sparkContext.defaultParallelism))
         val rdd = oriented.partitionBy(part)
           .mapPartitions(it => Iterator.single(CsrAdj.build(it)),
             preservesPartitioning = true)
@@ -295,6 +308,21 @@ object GraphXAlgos {
     * the round-12 lesson that cores are the wrong ceiling, preserved.
     */
   private[graft] val AdjMaxEdgesPerPartition = 1L << 22
+
+  /** Per-task entry cap for the LPA vote tally map — ~512k boxed
+    * (dst,label)→weight entries ≈ 60-100 MB of heap, flushed to the
+    * shuffle and restarted when exceeded (the downstream combineByKey
+    * merges partials, so chunking is exact). Bounds vote-pass heap
+    * independently of [[AdjMaxEdgesPerPartition]], whose ~24 bytes/edge
+    * sizing is right for the CSR arrays but 5× low for the tally map
+    * (round-13 ADVICE item 2).
+    */
+  private[graft] def TallyFlushEntries: Int =
+    // system-property override is TEST plumbing (forces chunking on small
+    // graphs so the exactness spec doesn't need a 512k-edge fixture);
+    // local-mode executors share the driver JVM so the property is seen
+    sys.props.get("graft.test.tallyFlushEntries").map(_.toInt)
+      .getOrElse(1 << 19)
 
   /** Scale-aware width for the LPA vote adjacency: fine-grained
     * (32k/partition) while that stays under ~4 waves per core — small
@@ -1137,23 +1165,41 @@ object GraphXAlgos {
           if (!cit.hasNext) Iterator.empty
           else {
             val adj = cit.next()
-            val acc = new java.util.HashMap[(Long, Long), Array[Double]]()
-            lit.foreach { case (b, lb) =>
-              val i = adj.indexOf(b)
-              if (i >= 0) {
-                var j = adj.offs(i); val end = adj.offs(i + 1)
-                while (j < end) {
-                  val k = (adj.nbrs(j), lb)
-                  val cur = acc.get(k)
-                  if (cur == null) acc.put(k, Array(adj.wts(j)))
-                  else cur(0) += adj.wts(j)
-                  j += 1
+            // tally in bounded chunks: early rounds (all labels distinct)
+            // hold ~one boxed (dst,label)→weight entry PER EDGE, well over
+            // 100 bytes each — unchunked, a 4M-edge partition's map can
+            // reach several hundred MB per concurrent task (round-13
+            // ADVICE). Flushing at TallyFlushEntries keeps per-task heap
+            // bounded; the downstream combineByKey merges partial tallies,
+            // so chunked emission is exact. A chunk can overshoot by the
+            // max degree of its last source vertex — fine, the cap is a
+            // heap bound, not a contract.
+            import scala.jdk.CollectionConverters._
+            val flushCap = TallyFlushEntries // hoisted off the hot loop
+            def chunks(): Iterator[(Long, (Long, Double))] = {
+              if (!lit.hasNext) Iterator.empty
+              else {
+                val acc = new java.util.HashMap[(Long, Long), Array[Double]]()
+                while (lit.hasNext && acc.size < flushCap) {
+                  val (b, lb) = lit.next()
+                  val i = adj.indexOf(b)
+                  if (i >= 0) {
+                    var j = adj.offs(i); val end = adj.offs(i + 1)
+                    while (j < end) {
+                      val k = (adj.nbrs(j), lb)
+                      val cur = acc.get(k)
+                      if (cur == null) acc.put(k, Array(adj.wts(j)))
+                      else cur(0) += adj.wts(j)
+                      j += 1
+                    }
+                  }
                 }
+                acc.entrySet().iterator().asScala
+                  .map(e => (e.getKey._1, (e.getKey._2, e.getValue()(0)))) ++
+                  chunks() // lazy RHS: next chunk builds only when reached
               }
             }
-            import scala.jdk.CollectionConverters._
-            acc.entrySet().iterator().asScala
-              .map(e => (e.getKey._1, (e.getKey._2, e.getValue()(0))))
+            chunks()
           }
         }
       // single label-keyed shuffle: merge the partial (label → weight)
