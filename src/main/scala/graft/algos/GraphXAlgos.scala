@@ -351,9 +351,24 @@ object GraphXAlgos {
   /** Max boundary label pairs the WCC union-find endgame will collect to
     * the driver (~100 MB boxed at this bound). Above it — early rounds,
     * or adversarially fragmented graphs at cluster scale — the loop just
-    * keeps running distributed rounds instead.
+    * keeps running distributed rounds instead. (sys-prop override is
+    * TEST plumbing, mirroring [[TallyFlushEntries]].)
     */
-  private[graft] val EndgamePairCap = 2000000L
+  private[graft] def EndgamePairCap: Long =
+    sys.props.get("graft.test.endgamePairCap").map(_.toLong)
+      .getOrElse(2000000L)
+
+  /** When the FORCED endgame (round budget exhausted, labels still
+    * moving) sees more than this multiple of [[EndgamePairCap]] boundary
+    * pairs, it closes the label-pair graph DISTRIBUTED (pointer-jumping
+    * min-propagation, O(log n) rounds, no driver state) instead of
+    * streaming the pairs through a driver union-find — whose parent map
+    * grows with every distinct label mentioned and is then broadcast,
+    * a driver-OOM risk on adversarial topologies far past the cap
+    * (round-13 ADVICE item 3). Near-cap forced runs keep the driver
+    * path: one machine-local pass beats ~15 extra shuffle rounds.
+    */
+  private[graft] val EndgameDistributedFactor = 4L
 
   /** Partition width for a ctx holding `nEdges` contracted edges: scales
     * with DATA SIZE so per-partition bytes stay CONSTANT as data grows.
@@ -599,7 +614,61 @@ object GraphXAlgos {
           }
       }.distinct().persist(StorageLevel.MEMORY_AND_DISK)
       val nPairs = boundary.count()
-      if (nPairs <= EndgamePairCap || force) {
+      if (force && nPairs > EndgameDistributedFactor * EndgamePairCap) {
+        // ---- distributed closure (no driver state) ----
+        // Pointer-jumping min-propagation over the boundary label-pair
+        // graph: parent(x) ← min(parent(x), parents of neighbors), then
+        // parent(x) ← parent(parent(x)) — halves remaining depth per
+        // round, so O(log n) rounds close any topology. Exact for the
+        // same reason as the union-find: this is edge contraction over
+        // the current label regions. Relabeling joins on the OLD labels
+        // (region representatives — many, roughly balanced), so the
+        // giant-component key-skew of a label-keyed shuffle never forms.
+        val pairW = new org.apache.spark.HashPartitioner(
+          adjWidthFor(2L * nPairs, sc.defaultParallelism))
+        val bothDir = boundary
+          .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+          .partitionBy(pairW).persist(StorageLevel.MEMORY_AND_DISK)
+        var parent: RDD[(Long, Long)] = bothDir
+          .reduceByKey(pairW, (a: Long, b: Long) => math.min(a, b))
+          .map { case (x, m) => (x, math.min(x, m)) }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var movedRows = 1L
+        var pjRound = 0
+        while (movedRows > 0) {
+          pjRound += 1
+          val viaNbr = bothDir.join(parent, pairW)
+            .map { case (_, (nbr, p)) => (nbr, p) }
+          val prop = parent.union(viaNbr).reduceByKey(pairW, (a: Long, b: Long) => math.min(a, b))
+          val jumped = prop.map(_.swap).join(prop, pairW)
+            .map { case (_, (x, pp)) => (x, pp) }
+            .reduceByKey(pairW, (a: Long, b: Long) => math.min(a, b))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val accPj = sc.longAccumulator
+          jumped.join(parent, pairW).foreach { case (_, (nw, old)) =>
+            if (nw != old) accPj.add(1)
+          }
+          movedRows = accPj.value
+          parent.unpersist(false)
+          parent = jumped
+          if (debug) System.err.println(
+            f"[wccDelta] endgame-dist round $pjRound: moved=$movedRows")
+        }
+        val roots = parent.filter { case (x, p) => p != x }
+        val finalState = pin(state
+          .map { case (v, (l, _)) => (l, v) }
+          .leftOuterJoin(roots, pairW)
+          .map { case (l, (v, r)) => (v, (r.getOrElse(l), false)) }
+          .partitionBy(part))
+        parent.unpersist(false); bothDir.unpersist(false)
+        if (prev != null) { prev.unpersist(false); prev = null }
+        state.unpersist(false)
+        state = finalState
+        changed = 0
+        if (debug) System.err.println(
+          f"[wccDelta] endgame (distributed): $nPairs boundary pairs, " +
+            f"$pjRound rounds, ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      } else if (nPairs <= EndgamePairCap || force) {
         val parentMap = new java.util.HashMap[java.lang.Long, java.lang.Long]()
         def find(x: Long): Long = {
           var r = x

@@ -82,6 +82,24 @@ class Round14ScaleSpec extends AnyFunSuite {
     assert(c.pairsByDir("out").getNumPartitions == wOne)
   }
 
+  test("forced endgame goes DISTRIBUTED past the pair cap and stays exact") {
+    // endgamePairCap=0 makes every capped endgame attempt skip and the
+    // forced endgame take the pointer-jumping branch (driver union-find
+    // unreachable: force && nPairs > 4·0 for any non-empty boundary), so
+    // this pins the distributed closure end-to-end: a 60-chain with a
+    // 3-round budget is nowhere near converged when the loop forces it.
+    sys.props("graft.test.endgamePairCap") = "0"
+    try {
+      val g = chainGraph(60)
+      val c = GraphXAlgos.ctxFor(g, Nil)
+      val out = GraphXAlgos.wccDeltaLoop(g, c, maxIter = 3)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out.size == 60)
+      assert(out.values.toSet == Set("n0000000"), // one component, min id
+        s"expected a single fully-closed component, got ${out.values.toSet}")
+    } finally sys.props.remove("graft.test.endgamePairCap")
+  }
+
   test("chunked vote-tally flush is exact (forced tiny cap, weighted + unweighted)") {
     val g = chainGraph(40000)
     val baseline = GraphXAlgos.labelPropagation(g, 3, None, weighted = true)
