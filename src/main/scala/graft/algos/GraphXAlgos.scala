@@ -100,11 +100,16 @@ object GraphXAlgos {
         // scale-aware width, NOT the ctx edge width: the BFS loops shuffle
         // a frontier against this every level, and shuffle-block count
         // grows as maps × reducers — the round-13 LPA lesson applies to
-        // every per-round shuffle (round-13 verdict item #6)
+        // every per-round shuffle (round-13 verdict item #6). Fine target
+        // = the COARSE 128k/partition: a frontier pass does trivial work
+        // per row (launch-bound, like Pregel supersteps), so the vote
+        // pass's 32k target just multiplied task launches — measured
+        // +35-120% on the sf0.1 BFS rows before this was split out.
         val part = new org.apache.spark.HashPartitioner(
           GraphXAlgos.adjWidthFor(
             (if (d == "both") 2L else 1L) * edges.count(),
-            edges.sparkContext.defaultParallelism))
+            edges.sparkContext.defaultParallelism,
+            fineTarget = GraphXAlgos.EdgesPerPartition))
         val rdd = oriented.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
         rdd.count()
         rdd
@@ -169,11 +174,14 @@ object GraphXAlgos {
         // and SCC trim/FW-BW rounds shuffle state at THIS width every
         // round; the flat ctx edge width put sf10 at ~1000 partitions →
         // ~1M shuffle blocks per round (maps × reducers), the exact term
-        // that dominated the round-12 sf3 LPA probe
+        // that dominated the round-12 sf3 LPA probe. Fine target = the
+        // coarse 128k/partition (delta passes are launch-bound — see
+        // pairsByDir); the 4·par cap and 4M bytes floor do the scale work.
         val part = new org.apache.spark.HashPartitioner(
           GraphXAlgos.adjWidthFor(
             (if (d == "both") 2L else 1L) * edges.count(),
-            edges.sparkContext.defaultParallelism))
+            edges.sparkContext.defaultParallelism,
+            fineTarget = GraphXAlgos.EdgesPerPartition))
         val rdd = oriented.partitionBy(part)
           .mapPartitions(it => Iterator.single(CsrAdj.build(it)),
             preservesPartitioning = true)
@@ -334,8 +342,9 @@ object GraphXAlgos {
     * scale: at 100× sf3 (7.8 G vote edges) the width is back up to
     * ~1860, each partition still ≤ [[AdjMaxEdgesPerPartition]].
     */
-  private[graft] def adjWidthFor(nEdges: Long, defaultPar: Int): Int = {
-    val fine = nEdges / AdjEdgesPerPartition + 1
+  private[graft] def adjWidthFor(nEdges: Long, defaultPar: Int,
+      fineTarget: Long = AdjEdgesPerPartition): Int = {
+    val fine = nEdges / fineTarget + 1
     val coarseCap = math.max(1L, 4L * defaultPar)
     val bytesFloor = nEdges / AdjMaxEdgesPerPartition + 1
     math.min(MaxWidth.toLong,

@@ -62,17 +62,25 @@ class Round14ScaleSpec extends AnyFunSuite {
   }
 
   test("every loop substrate derives its width from adjWidthFor") {
-    val n = 40000 // chain: 39999 contracted directed pairs, 79998 oriented
+    val n = 300000 // chain: 299999 contracted pairs, 599998 oriented —
+    // past BOTH fine targets (32k vote / 128k frontier) so every
+    // substrate lands multi-partition
     val g = chainGraph(n)
     val c = GraphXAlgos.ctxFor(g, Nil)
     val par = spark.sparkContext.defaultParallelism
     val e = c.edges.count()
     assert(e == n - 1)
-    val wBoth = GraphXAlgos.adjWidthFor(2L * e, par)
-    val wOne = GraphXAlgos.adjWidthFor(e, par)
-    assert(wBoth > 1, "fixture must exercise the multi-partition path")
+    // compute-bound vote pass: fine 32k target
+    val wVote = GraphXAlgos.adjWidthFor(2L * e, par)
+    // launch-bound frontier/delta passes: coarse 128k fine target
+    val wBoth = GraphXAlgos.adjWidthFor(2L * e, par,
+      fineTarget = GraphXAlgos.EdgesPerPartition)
+    val wOne = GraphXAlgos.adjWidthFor(e, par,
+      fineTarget = GraphXAlgos.EdgesPerPartition)
+    assert(wVote > wBoth && wBoth > 1,
+      "fixture must split the two fine targets and be multi-partition")
     // LPA vote adjacency (round-13 rework) — both orientations
-    assert(c.voteCsr(false).getNumPartitions == wBoth)
+    assert(c.voteCsr(false).getNumPartitions == wVote)
     // WCC delta loop + SCC trim/coloring substrate
     assert(c.csrByDir("both").getNumPartitions == wBoth)
     assert(c.csrByDir("out").getNumPartitions == wOne)
