@@ -24,6 +24,12 @@ object Bench {
       // SQL shuffles use UnsafeRow regardless; this speeds the RDD family
       // (GraphX ctx, BFS point queries)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // compress RDD blocks when they serialize (disk spill of the
+      // MEMORY_AND_DISK graph/ctx caches): the round-14 sf10 probe
+      // measured a child spilling tens of GB of uncompressed boxed-long
+      // blocks into an 80 GB /tmp — lz4 shrinks exactly those 3-6×, and
+      // at cluster scale the same flag bounds per-executor spill dirs
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -184,9 +190,16 @@ object Bench {
       } + "\""
     names.foreach { name =>
       val out = java.nio.file.Files.createTempFile(s"bench_$name", ".json")
+      // per-child spark.local.dir, deleted by THIS parent after the child
+      // exits: an OOM-killed or ENOSPC-killed child cannot clean its own
+      // blockmgr/spill dirs, and the round-14 sf10 probe showed one dead
+      // child's 64 GB of leaked spill poisoning every later child with
+      // "No space left on device"
+      val localDir = java.nio.file.Files.createTempDirectory(s"bench_local_$name")
       val pb = new ProcessBuilder(
         sys.env.getOrElse("JAVA_HOME", "/usr") + "/bin/java",
         s"-Xmx$xmx", "-XX:+ExitOnOutOfMemoryError",
+        s"-Dspark.local.dir=$localDir",
         "--add-exports=java.base/sun.nio.ch=ALL-UNNAMED",
         "--add-opens=java.base/java.lang=ALL-UNNAMED",
         "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
@@ -224,6 +237,12 @@ object Bench {
           f" (child ${(System.nanoTime() - t0) / 1e9}%.0f s)")
       }
       try java.nio.file.Files.deleteIfExists(out) catch { case _: Exception => () }
+      try { // recursive delete of the child's spill dir, children first
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(localDir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
     }
     val total = timings.values.map(_.toDouble).sum
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

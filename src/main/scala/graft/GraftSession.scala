@@ -24,6 +24,10 @@ object GraftSession {
       // Cypher/APOC map semantics: duplicate keys resolve to the LAST
       // value (Go map overwrite), not an ANSI error
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // compress serialized RDD blocks (disk spill of the MEMORY_AND_DISK
+      // graph/ctx caches): boxed-long graph RDDs shrink 3-6× under lz4,
+      // bounding per-executor spill dirs at scale (round-14 sf10 lesson)
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

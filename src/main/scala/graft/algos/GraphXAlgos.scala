@@ -357,6 +357,58 @@ object GraphXAlgos {
     */
   private[graft] val MaxWidth = 4096
 
+  /** Lineage hygiene for the hand-rolled iterative loops (round-14).
+    *
+    * Two distinct failure modes share one cause — per-round RDDs keep the
+    * whole loop history reachable through their lineage:
+    *
+    *  1. Every per-round shuffle (LPA vote tallies, WCC delta messages,
+    *     SCC color/sweep rounds) leaves its shuffle FILES on executor
+    *     disk until the driver GC collects the ShuffleDependency, and
+    *     while the chain is reachable nothing is collectable: disk grows
+    *     linearly in rounds × shuffle volume. Invisible at sf0.1
+    *     (megabytes); the round-14 sf10 probe measured one
+    *     label-propagation child writing 64 GB of blockmgr files before
+    *     dying of disk exhaustion (ENOSPC inside DiskStore.put).
+    *  2. DAGScheduler walks the lineage graph when planning each round's
+    *     jobs; loops whose round RDD references the previous round MORE
+    *     THAN ONCE (the SCC sweep's `union` + `subtractByKey` both reach
+    *     back to `inScc`) make that walk grow super-linearly with depth —
+    *     a 40-round sweep froze the scheduler event loop for over half an
+    *     hour of CPU on a 120-vertex fixture.
+    *
+    * So every pinned round RDD is `localCheckpoint()`-ed UNCONDITIONALLY:
+    * the mark is placed before the round's own materializing count(), the
+    * truncation happens inside that same job (no extra job — all
+    * partitions are freshly cached), and the superseded chain becomes
+    * unreachable. localCheckpoint trades executor-loss re-computability
+    * for it — acceptable: the loops' source CSRs stay cached, a lost
+    * round restarts the query, and the reliable-checkpoint alternative
+    * is the deployment knob a cluster operator flips via the store's
+    * checkpointDir.
+    *
+    * The `System.gc()` nudge that lets ContextCleaner reap the dead
+    * shuffles NOW (a large driver heap may never full-GC on its own) is
+    * the only part with a real cost, so it is gated: every
+    * [[LoopCkptEvery]]-th round on graphs past [[LoopCkptMinEdges]]
+    * oriented edges. Small graphs never pay it.
+    */
+  private[graft] val LoopCkptEvery = 3
+  private[graft] def LoopCkptMinEdges: Long =
+    // system-property override is TEST plumbing (forces the GC-nudge
+    // cadence on fixture-sized graphs so the engaged path is spec-checked
+    // without a 32M-edge fixture); local-mode executors share the driver
+    // JVM so the property is seen
+    sys.props.get("graft.test.loopCkptMinEdges").map(_.toLong)
+      .getOrElse(1L << 25) // 32M oriented edges
+
+  /** True on the rounds where the loop should GC-nudge. */
+  private[graft] def hygieneRound(round: Int, nEdges: Long): Boolean =
+    nEdges >= LoopCkptMinEdges && round % LoopCkptEvery == 0
+
+  private[graft] def loopGc(round: Int, nEdges: Long): Unit =
+    if (hygieneRound(round, nEdges)) System.gc()
+
   /** Max boundary label pairs the WCC union-find endgame will collect to
     * the driver (~100 MB boxed at this bound). Above it — early rounds,
     * or adversarially fragmented graphs at cluster scale — the loop just
@@ -569,8 +621,15 @@ object GraphXAlgos {
     val sc = c.edges.sparkContext
     val csr = c.csrByDir("both") // per-partition CSR, pinned once per ctx
     val part = new org.apache.spark.HashPartitioner(csr.getNumPartitions)
+    // lineage hygiene (see the [[LoopCkptEvery]] scaladoc): every pinned
+    // round RDD truncates its lineage inside its own count() job — blocks
+    // are freshly cached, so truncation is free; only the GC nudge that
+    // lets ContextCleaner reap the dead shuffles runs on a gated cadence
+    val nEdges = 2L * c.edges.count()
     def pin[T](r: RDD[T]): RDD[T] = {
-      val p = r.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+      val p = r.persist(StorageLevel.MEMORY_AND_DISK)
+      p.localCheckpoint()
+      p.count(); p
     }
     val debug = sys.env.get("GRAFT_ALGO_DEBUG").exists(v => v == "1" || v == "true")
     // labels are the vertex's own dense idx — a deterministic component
@@ -759,6 +818,7 @@ object GraphXAlgos {
             (v, (nw, nw != cur))
           }
       })
+      loopGc(iter, nEdges)
       changed = acc.value
       if (debug) System.err.println(
         f"[wccDelta] round $iter: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -983,8 +1043,17 @@ object GraphXAlgos {
     val outCsr = c.csrByDir("out")
     val inCsr = c.csrByDir("in")
     val part = new org.apache.spark.HashPartitioner(outCsr.getNumPartitions)
+    // lineage hygiene (see the [[LoopCkptEvery]] scaladoc): every pinned
+    // round RDD truncates — the `done` buffer would otherwise retain
+    // every trim/sweep round's upstream shuffles until the final union,
+    // and the sweep loop's double back-reference to `inScc` (union +
+    // subtractByKey) makes the un-truncated DAG walk super-linear in depth
+    val nEdges = 2L * c.edges.count()
+    val engaged = nEdges >= LoopCkptMinEdges
     def pin[T](r: RDD[T]): RDD[T] = {
-      val p = r.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+      val p = r.persist(StorageLevel.MEMORY_AND_DISK)
+      p.localCheckpoint()
+      p.count(); p
     }
     val debug = sys.env.get("GRAFT_ALGO_DEBUG").exists(v => v == "1" || v == "true")
     val done = scala.collection.mutable.Buffer.empty[RDD[(Long, Long)]]
@@ -1049,6 +1118,7 @@ object GraphXAlgos {
         })
         if (debug) System.err.println(
           f"[sccTrim] round $trimRound ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        loopGc(trimRound, nEdges)
         dead.unpersist(false); deg.unpersist(false)
         deg = next
       }
@@ -1095,7 +1165,9 @@ object GraphXAlgos {
         // ---- forward min-color propagation to fixpoint ----
         var colors = pin(remaining.map { case (v, _) => (v, v) }.partitionBy(part))
         var changed = 1L
+        var colorRound = 0
         while (changed > 0) {
+          colorRound += 1
           val acc = sc.longAccumulator
           val msgs = edges.join(colors, part)
             .map { case (_, (dst, cl)) => (dst, cl) }
@@ -1107,6 +1179,7 @@ object GraphXAlgos {
               nw
           })
           changed = acc.value
+          loopGc(colorRound, nEdges)
           colors.unpersist(false); colors = next
         }
         // ---- backward sweep from color roots within their class ----
@@ -1122,11 +1195,14 @@ object GraphXAlgos {
         var frontier = pin(colors.filter { case (v, cl) => v == cl })
         var inScc = frontier
         var sweeping = !frontier.isEmpty()
+        var sweepRound = 0
         while (sweeping) {
+          sweepRound += 1
           val next = pin(classEdges.join(frontier, part)
             .flatMap { case (_, ((u, cu), r)) => if (cu == r) Some((u, r)) else None }
             .distinct()
             .subtractByKey(inScc, part))
+          loopGc(sweepRound, nEdges)
           if (next.isEmpty()) { next.unpersist(false); sweeping = false }
           else {
             val merged = pin(inScc.union(next).partitionBy(part))
@@ -1144,6 +1220,7 @@ object GraphXAlgos {
         classEdges.unpersist(false); colors.unpersist(false)
         remaining.unpersist(false); edges.unpersist(false)
         remaining = nextRem; edges = nextEdges
+        if (engaged) System.gc() // reap the outer round's dead shuffles
       }
     }
     // residue past maxOuter (adversarial depth only): own-id singletons —
@@ -1233,6 +1310,9 @@ object GraphXAlgos {
     //      not a cogroup over the full label set.
     val part = new org.apache.spark.HashPartitioner(
       math.max(1, csr.getNumPartitions))
+    // lineage-hygiene gate: both orientations of the contracted edge set
+    // (edges is pinned, so the count is a cached-RDD count)
+    val nVoteEdges = 2L * c.edges.count()
     val init = c.idxToRank.partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK) // initial label = own rank
     var labels: RDD[(Long, Long)] = init
@@ -1322,7 +1402,9 @@ object GraphXAlgos {
             (v, if (nw != null) nw.longValue() else old)
           }
       }.persist(StorageLevel.MEMORY_AND_DISK)
+      next.localCheckpoint() // lineage hygiene: see [[LoopCkptEvery]]
       next.count()
+      loopGc(round, nVoteEdges)
       if (debug) System.err.println(
         f"[lpa] round $round: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       if (labels ne init) labels.unpersist()
