@@ -62,6 +62,22 @@ def main():
                 continue  # driver-written round artifact
             errors.append(f"{md}: cites {name} which does not exist in the repo")
 
+    # 1b. dangling citations inside committed bench JSONs themselves —
+    # round 14's failed-probe artifact cited its successor
+    # ("the successful re-probe ... is BENCH_r14_sf10.json") in a "note"
+    # field, which the .md-only scan missed.
+    for jf in tracked_files(root, ".json"):
+        base = os.path.basename(jf)
+        if not (base.startswith("BENCH_") or base.startswith("CORRECTNESS_")):
+            continue
+        text = open(os.path.join(root, jf), encoding="utf-8").read()
+        for name in sorted(set(CITE_RE.findall(text))):
+            if name == base or os.path.exists(os.path.join(root, name)):
+                continue
+            if FUTURE_OK_RE.match(name):
+                continue
+            errors.append(f"{jf}: cites {name} which does not exist in the repo")
+
     # 2. bench JSON internal consistency
     for name in sorted(os.listdir(root)):
         if not (name.startswith("BENCH_") and name.endswith(".json")):
