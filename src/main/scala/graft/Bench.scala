@@ -183,6 +183,11 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val medians = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-child wall clock (JVM + session + warm + query): child_wall −
+    // query time is the per-row isolation overhead the round-13 verdict
+    // item #7 calibration needs, recorded in the JSON so the evidence is
+    // self-contained instead of parsed out of stderr
+    val walls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -199,6 +204,15 @@ object Bench {
       val pb = new ProcessBuilder(
         sys.env.getOrElse("JAVA_HOME", "/usr") + "/bin/java",
         s"-Xmx$xmx", "-XX:+ExitOnOutOfMemoryError",
+        // the first sf10 shared-context probe died to SPURIOUS OOMs:
+        // "Retried waiting for GCLocker too often allocating 4 words" on
+        // an 80 GB heap — lz4 JNI critical sections (shuffle + the new
+        // spark.rdd.compress cache blocks) across 32 task threads starve
+        // tiny allocations during GCLocker drains; the stock retry count
+        // (2) gives up while the heap is nearly empty. Raising it is the
+        // standard remedy; on a real cluster these flags belong in
+        // spark.executor.extraJavaOptions for the same reason.
+        "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=100",
         s"-Dspark.local.dir=$localDir",
         "--add-exports=java.base/sun.nio.ch=ALL-UNNAMED",
         "--add-opens=java.base/java.lang=ALL-UNNAMED",
@@ -232,6 +246,7 @@ object Bench {
         } else if (es.contains(name)) errors(name) = es(name)
         else errors(name) = jstr(s"child exited $code with no result" +
           (if (code == 3 || code == 137) " (OOM-killed)" else ""))
+        walls(name) = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench-isolate] $name -> " +
           s"${timings.get(name).orElse(errors.get(name)).getOrElse("?")}" +
           f" (child ${(System.nanoTime() - t0) / 1e9}%.0f s)")
@@ -251,8 +266,9 @@ object Bench {
     val errJson =
       if (errors.isEmpty) ""
       else s""","errors":${errors.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}"""
+    val wj = walls.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","isolate":true,""" +
-      s""""queries":$qs,"queries_median":$md$errJson,"sf":"$sfDir"}"""
+      s""""queries":$qs,"queries_median":$md,"child_wall":$wj$errJson,"sf":"$sfDir"}"""
     println(json)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
