@@ -106,23 +106,36 @@ object Algorithms {
     * sensitivity. One row out: (modularity).
     */
   def modularity(pairs: DataFrame, communities: DataFrame): DataFrame = {
+    // the pair set feeds THREE aggregates (m, intra, dc2 via deg), so it
+    // is cached — and because the result is a single scalar, the function
+    // realizes it EAGERLY (one action over the broadcast-combined
+    // aggregates) so the cache can be unpersisted deterministically
+    // instead of pinning one CacheManager entry per invocation for the
+    // session's lifetime. The emitted literal is the computed double,
+    // bit-identical to the lazy plan's output.
+    val spark = pairs.sparkSession
     val e = pairs.select(least(col("a"), col("b")).as("a"),
       greatest(col("a"), col("b")).as("b")).distinct().cache()
-    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
-    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
-    val mDf = e.agg(count(lit(1)).as("m"))
-    val dc2 = deg.join(communities, "id")
-      .groupBy("component").agg(sum("deg").as("dc"))
-      .agg(sum(col("dc") * col("dc")).as("sum_dc2"))
-    val intra = e
-      .join(communities.toDF("a", "ca"), "a")
-      .join(communities.toDF("b", "cb"), "b")
-      .filter(col("ca") === col("cb"))
-      .agg(count(lit(1)).as("intra"))
-    mDf.crossJoin(intra).crossJoin(dc2)
-      .select((col("intra").cast("double") / col("m") -
-        col("sum_dc2").cast("double") / (lit(4.0) * col("m") * col("m")))
-        .as("modularity"))
+    try {
+      val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      val mDf = e.agg(count(lit(1)).as("m"))
+      val dc2 = deg.join(communities, "id")
+        .groupBy("component").agg(sum("deg").as("dc"))
+        .agg(sum(col("dc") * col("dc")).as("sum_dc2"))
+      val intra = e
+        .join(communities.toDF("a", "ca"), "a")
+        .join(communities.toDF("b", "cb"), "b")
+        .filter(col("ca") === col("cb"))
+        .agg(count(lit(1)).as("intra"))
+      val q = mDf.crossJoin(intra).crossJoin(dc2)
+        .select((col("intra").cast("double") / col("m") -
+          col("sum_dc2").cast("double") / (lit(4.0) * col("m") * col("m")))
+          .as("modularity"))
+        .head.getDouble(0)
+      import spark.implicits._
+      Seq(q).toDF("modularity")
+    } finally e.unpersist()
   }
 
   /** k-core of an undirected pair graph (`community.go:605`): iteratively

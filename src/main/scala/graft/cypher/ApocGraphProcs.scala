@@ -31,6 +31,25 @@ object ApocGraphProcs {
       d.withColumn(n, lit(v)) }.drop("_one")
   }
 
+  /** Global 1-based rank by (score desc, first-other-column asc) WITHOUT a
+    * single-partition window: `orderBy` range-partitions the total order,
+    * `zipWithIndex` numbers rows with one count job + broadcast partition
+    * offsets — every partition stays parallel, so an unbounded subquery
+    * result cannot funnel through one task. Same values as
+    * `row_number() OVER (ORDER BY score DESC, tie ASC)` for any ordering
+    * that is total on (score, tie); ties beyond that are arbitrary in both.
+    */
+  private def rankByScore(df: DataFrame, sc: String): DataFrame = {
+    val tie = df.columns.filterNot(_ == sc).map(col).head
+    val sorted = df.orderBy(col(sc).desc, tie)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "rank", org.apache.spark.sql.types.IntegerType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   private val pairsCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[PropertyGraph,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
@@ -351,23 +370,28 @@ object ApocGraphProcs {
     }),
 
     // ---- apoc.scoring.rank / topK (scoring.go:362-393): score-descending
-    // rank over (id, score) rows from a Cypher subquery
+    // rank over (id, score) rows from a Cypher subquery. The subquery
+    // result is unbounded, so the rank is NOT a global row_number window
+    // (single-partition at scale): [[rankByScore]] range-sorts and numbers
+    // partition-locally off broadcast partition offsets.
     "apoc.scoring.rank" -> ((g, args) => {
       val df = Cypher.run(g, args(0).toString)
       val sc = df.columns.find(_.equalsIgnoreCase("score")).getOrElse(
         throw new IllegalArgumentException("apoc.scoring.rank needs a score column"))
-      df.withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(
-          col(sc).desc, df.columns.filterNot(_ == sc).map(col).head)))
+      rankByScore(df, sc)
     }),
     "apoc.scoring.topk" -> ((g, args) => {
       val df = Cypher.run(g, args(0).toString)
       val sc = df.columns.find(_.equalsIgnoreCase("score")).getOrElse(
         throw new IllegalArgumentException("apoc.scoring.topK needs a score column"))
-      df.withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(
-          col(sc).desc, df.columns.filterNot(_ == sc).map(col).head)))
-        .limit(argInt(args, 1, 10))
+      val k = argInt(args, 1, 10)
+      // bound FIRST (TakeOrdered — no global shuffle), then the window runs
+      // over ≤ k rows: the Hybrid/Rerank candidate-list pattern
+      df.orderBy(col(sc).desc, df.columns.filterNot(_ == sc).map(col).head)
+        .limit(k)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(
+            col(sc).desc, df.columns.filterNot(_ == sc).map(col).head)))
     }),
 
     // ---- apoc.load/import/export file formats over Spark IO. External

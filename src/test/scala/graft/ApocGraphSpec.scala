@@ -97,6 +97,15 @@ class ApocGraphSpec extends AnyFunSuite {
     assert(r == Seq(Seq("Person:5", 1), Seq("Person:4", 2)))
   }
 
+  test("scoring rank: full ranking matches row_number semantics without a global window") {
+    // the scalable sort+zipWithIndex path must produce exactly
+    // row_number() OVER (ORDER BY score DESC, id ASC) — every node ranked
+    val r = rows("""CALL apoc.scoring.rank('MATCH (p:Person) RETURN p.id AS id, toFloat(p.key) AS score')
+                    YIELD id, rank RETURN id, rank ORDER BY rank""")
+    assert(r == Seq(Seq("Person:5", 1), Seq("Person:4", 2), Seq("Person:3", 3),
+      Seq("Person:2", 4), Seq("Person:1", 5)))
+  }
+
   test("load/export file formats round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graftio").toString
     // csv export → csvstream load
