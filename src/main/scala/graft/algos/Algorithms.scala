@@ -46,7 +46,11 @@ object Algorithms {
       ranks.unpersist()
       ranks = next
     }
-    edges.unpersist(); outdeg.unpersist()
+    // nodes too: the per-round unpersist above only ever saw derived
+    // frames (a no-op), so the cached id table outlived every call —
+    // after the loop the surviving ranks frame is localCheckpoint-pinned
+    // (or, at iters=0, a trivial re-select), so releasing it is safe
+    edges.unpersist(); outdeg.unpersist(); nodes.unpersist()
     // cross-engine double→DECIMAL conversions drift in the last bits; a
     // 6-decimal rank is far beyond PageRank's meaningful precision and
     // makes the result hash-stable

@@ -444,11 +444,16 @@ object Expand {
         .withColumn("length", lit(depth))
         .cache()
       val n = fresh.count()
-      if (n == 0) done = true
+      if (n == 0) { done = true; fresh.unpersist() }
       else {
         val nv = visited.unionByName(fresh).cache()
         nv.count()
         visited.unpersist()
+        // the superseded round frontier too (round 1's frontier IS the
+        // initial visited, already released above): without this every
+        // round's fresh-pair cache outlived the loop — at 100 TB each
+        // round pins a frontier-sized frame for the session's lifetime
+        if (frontier ne visited) frontier.unpersist()
         frontier = fresh
         visited = nv
       }
