@@ -53,13 +53,27 @@ object Dedup {
       .join(sh.toDF("b", "shingle2"), col("shingle") === col("shingle2"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.toDF("a", "sza"), "a")
       .join(sizes.toDF("b", "szb"), "b")
       .withColumn("jac", col("inter").cast("double") /
         (col("sza") + col("szb") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), col("jac"))
+    pinAndRelease(out, sh)
+  }
+
+  /** Deterministic release for the shingle caches: the pair result is tiny
+    * (dup pairs only), so realize it eagerly and drop the corpus-sized
+    * shingle cache — a lazily-owned cache() here could never be
+    * unpersisted and pinned one CacheManager entry per invocation for the
+    * session's lifetime (same defect class as the round-14 pageRank /
+    * shortest-paths fixes).
+    */
+  private def pinAndRelease(out: DataFrame, sh: DataFrame): DataFrame = {
+    val pinned = out.localCheckpoint(true)
+    sh.unpersist()
+    pinned
   }
 
   /** (doc_id, band, bsig, sig) band rows of the md5 signature tier — the
@@ -130,7 +144,7 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
 
-    pairJaccard(cand, sh, threshold)
+    pinAndRelease(pairJaccard(cand, sh, threshold), sh)
   }
 
   /** Throughput twin of [[minhashLshPairs]]: signatures from the repo's
@@ -164,7 +178,7 @@ object Dedup {
         col("band") === col("band2") && col("bsig") === col("bsig2"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    pairJaccard(cand, sh, threshold)
+    pinAndRelease(pairJaccard(cand, sh, threshold), sh)
   }
 
   /** Cluster resolution over near-dup pairs — the pipeline step AFTER pair
