@@ -11,6 +11,39 @@ object Bench {
     inProcess()
   }
 
+  /** Compact machine-readable summary, printed as the LAST stdout line by
+    * BOTH bench modes. The full per-query JSON line is ~25 KB (281 rows ×
+    * 3 maps) and a harness that keeps only a bounded stdout tail cannot
+    * parse it — round 14's driver kept a 2000-char tail and parsed null in
+    * every run. This line carries the totals and metadata only (no
+    * per-query maps), so it survives a 2000-char tail by construction
+    * (length is spec-asserted in BenchSummarySpec); the full JSON is still
+    * printed above it and written to SPARK_GRAFT_BENCH_OUT.
+    */
+  def summaryLine(total: Double, fastTotal: Double, nQueries: Int,
+      nErrors: Int, cpus: Int, sfDir: String, isolate: Boolean): String = {
+    val sf = sfDir.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    s"""{"metric":"total","value":$total,"unit":"sec","summary":true,""" +
+      s""""value_fast_tier":$fastTotal,"value_oracle_tier":${total - fastTotal},""" +
+      s""""n_queries":$nQueries,"n_errors":$nErrors,"cpus":$cpus,""" +
+      s""""isolate":$isolate,"sf":"$sf"}"""
+  }
+
+  private def envCpus(): Int =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toIntOption.getOrElse(-1)
+
+  // deliberate-slow oracle fixtures (DECIMAL-routed sums, DF twins kept
+  // for their exact unrolled-CTE oracles): split out of the fast-tier
+  // headline so ~15 s of intentional oracle cost doesn't read as a
+  // regression of the fast paths (round-7 verdict #9)
+  private val oracleTier = Set("q_algo_wcc_df", "q_algo_pagerank", "q_vector_topk_exact",
+    "q_algo_fastrp", "q_algo_label_prop_star", "q_algo_wcc_star",
+    // deliberate-slow durability fixture: every store pin is an EAGER
+    // reliable checkpoint() to disk — the row exists to drive that
+    // path under oracle check, not to race the in-memory write cycle
+    "q_cypher_write_cycle_ckpt")
+
   private def inProcess(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,16 +103,6 @@ object Bench {
     // restores the old single-shot behavior for quick iteration.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt.max(0)
-    // deliberate-slow oracle fixtures (DECIMAL-routed sums, DF twins kept
-    // for their exact unrolled-CTE oracles): split out of the fast-tier
-    // headline so ~15 s of intentional oracle cost doesn't read as a
-    // regression of the fast paths (round-7 verdict #9)
-    val oracleTier = Set("q_algo_wcc_df", "q_algo_pagerank", "q_vector_topk_exact",
-      "q_algo_fastrp", "q_algo_label_prop_star", "q_algo_wcc_star",
-      // deliberate-slow durability fixture: every store pin is an EAGER
-      // reliable checkpoint() to disk — the row exists to drive that
-      // path under oracle check, not to race the in-memory write cycle
-      "q_cypher_write_cycle_ckpt")
     // a query that throws is a BROKEN query, not a timing: record the error
     // per-query, keep it out of the timings map, and exit non-zero so a
     // breakage can never ship as a plausible-looking 0.08 s row again
@@ -136,6 +159,8 @@ object Bench {
       s""""value_fast_tier":$fastTotal,"value_oracle_tier":${total - fastTotal},""" +
       s""""queries":$qs,"queries_median":$med,"tier":$tiers$errJson,"sf":"$sfDir"}"""
     println(json)
+    println(summaryLine(total, fastTotal, results.size, errs.size,
+      envCpus(), sfDir, isolate = false))
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
     }
@@ -270,6 +295,10 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","isolate":true,""" +
       s""""queries":$qs,"queries_median":$md,"child_wall":$wj$errJson,"sf":"$sfDir"}"""
     println(json)
+    val fastTotal = timings.collect {
+      case (k, v) if !oracleTier(k) => v.toDouble }.sum
+    println(summaryLine(total, fastTotal, timings.size, errors.size,
+      envCpus(), sfDir, isolate = true))
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
     }

@@ -132,11 +132,21 @@ object Algorithms {
         .join(communities.toDF("b", "cb"), "b")
         .filter(col("ca") === col("cb"))
         .agg(count(lit(1)).as("intra"))
-      val q = mDf.crossJoin(intra).crossJoin(dc2)
-        .select((col("intra").cast("double") / col("m") -
-          col("sum_dc2").cast("double") / (lit(4.0) * col("m") * col("m")))
+      val row = mDf.crossJoin(intra).crossJoin(dc2)
+        // m = 0 must short-circuit to null: under ANSI (the Spark 4
+        // default) the division would otherwise THROW, and CASE WHEN is
+        // the one construct that skips evaluating the division entirely.
+        // For m > 0 the otherwise-branch is the identical expression.
+        .select(when(col("m") === 0, lit(null).cast("double"))
+          .otherwise(col("intra").cast("double") / col("m") -
+            col("sum_dc2").cast("double") / (lit(4.0) * col("m") * col("m")))
           .as("modularity"))
-        .head.getDouble(0)
+        .head
+      // degenerate inputs (m = 0 above; a communities table disjoint from
+      // the pair ids makes sum_dc2 null) must keep the historical
+      // one-row-with-null shape, not NPE in an eager getDouble
+      val q: java.lang.Double =
+        if (row.isNullAt(0)) null else java.lang.Double.valueOf(row.getDouble(0))
       import spark.implicits._
       Seq(q).toDF("modularity")
     } finally e.unpersist()

@@ -459,6 +459,10 @@ object Expand {
       }
     }
     adj.unpersist()
+    // both loop exits (converged with n==0, and depth==maxHops with fresh
+    // rows) leave the last round's frontier cached — release it here; the
+    // returned `visited` is independently cached and materialized
+    if (frontier ne visited) frontier.unpersist()
     visited
   }
 }

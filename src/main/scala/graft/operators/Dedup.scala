@@ -43,6 +43,14 @@ object Dedup {
 
   /** Candidate pairs by n-gram Jaccard ≥ threshold (ids filtered first to
     * bound the quadratic part; the shingle equi-join buckets the work).
+    *
+    * EAGER/PINNED: the returned frame is computed at call time and pinned
+    * via `localCheckpoint` (see [[pinAndRelease]]) so the corpus-sized
+    * shingle cache can be released deterministically. Consequences for
+    * callers: downstream filters do not push into the pair pipeline (the
+    * pair set is tiny — dup pairs only — so there is nothing to win), the
+    * result is not recomputable after an executor loss, and each call pins
+    * one pair-sized checkpoint RDD until the caller's reference is GC'd.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       maxId: Long): DataFrame = {
@@ -109,6 +117,10 @@ object Dedup {
     * any band bucket are candidates. Candidates are then verified with true
     * Jaccard. (MinHash/LSH per Broder; the banding join is the distributed
     * scale path — candidates only, never all pairs.)
+    *
+    * EAGER/PINNED: computed at call time and `localCheckpoint`-pinned so
+    * the shingle cache releases deterministically — see
+    * [[ngramJaccardPairs]] for the caller-visible consequences.
     */
   def minhashLshPairs(docs: DataFrame, shingleN: Int, nHashes: Int,
       nBands: Int, threshold: Double): DataFrame = {
@@ -155,6 +167,10 @@ object Dedup {
     * the apoc.hashing rows; the spec additionally asserts pair-set
     * equality with the md5 variant at the test threshold. Use this tier
     * for production runs.
+    *
+    * EAGER/PINNED: computed at call time and `localCheckpoint`-pinned so
+    * the shingle cache releases deterministically — see
+    * [[ngramJaccardPairs]] for the caller-visible consequences.
     */
   def minhashLshPairsFast(docs: DataFrame, shingleN: Int, nHashes: Int,
       nBands: Int, threshold: Double): DataFrame = {

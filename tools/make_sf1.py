@@ -38,11 +38,22 @@ FLAGS = [a for a in sys.argv[1:] if a.startswith("--")]
 REPLICAS = int(ARGS[0]) if len(ARGS) > 0 else 10
 DST = ARGS[1] if len(ARGS) > 1 else "/tmp/sf1"
 PERTURB = None  # None = byte-identical replicas (legacy behavior)
+# --skew[=frac] (round-14 verdict item #4): redirect `frac` (default 0.3)
+# of the fact-table foreign keys to ONE hot key — the base corpus's min
+# key — so one node/key holds ~frac of all edges/join rows (the
+# single-giant-key shape AQE skew-join and the width/endgame logic must
+# survive). Deterministic per (table, column, replica); replicated keys
+# still point at the BASE hot key, so the hub grows with REPLICAS.
+SKEW = None
 for f in FLAGS:
     if f == "--perturb":
         PERTURB = 0.1
     elif f.startswith("--perturb="):
         PERTURB = float(f.split("=", 1)[1])
+    elif f == "--skew" or f == "--skew=zipf":
+        SKEW = 0.3
+    elif f.startswith("--skew="):
+        SKEW = float(f.split("=", 1)[1])
 OFF = 100_000_000  # even, > any base key: parities and joins preserved
 
 
@@ -71,6 +82,38 @@ OFFSETS = {
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
+
+
+# fact-table FK columns the --skew mode collapses onto one hot key, and
+# the (table, key) the hot value is read from. l_partkey -> one hot Part
+# is the CONTAINS-edge hub (WCC/LPA/adjacency); l_orderkey -> one hot
+# Order skews the orders-lineitem sort-merge join; o_custkey / user_id
+# skew PLACED edges and the event aggregations.
+SKEW_COLS = {
+    "lineitem": {"l_orderkey": ("orders", "o_orderkey"),
+                 "l_partkey": ("part", "p_partkey")},
+    "orders": {"o_custkey": ("customer", "c_custkey")},
+    "events": {"user_id": ("events", "user_id")},
+}
+
+
+def apply_skew(t, table, replica):
+    if SKEW is None or table not in SKEW_COLS:
+        return t
+    import numpy as np
+    for k, (ht, hk) in SKEW_COLS[table].items():
+        hot = pc.min(pq.read_table(f"{SRC}/{ht}.parquet", columns=[hk])
+                     .column(hk)).as_py()
+        idx = t.schema.get_field_index(k)
+        col = t.column(k).to_numpy(zero_copy_only=False)
+        seed = int.from_bytes(
+            hashlib.sha256(f"skew:{table}:{k}:{replica}".encode()).digest()[:8],
+            "big")
+        mask = np.random.default_rng(seed).random(len(col)) < SKEW
+        col = np.where(mask, hot, col)
+        t = t.set_column(idx, t.schema.field(idx),
+                         pa.array(col, type=t.schema.field(idx).type))
+    return t
 
 
 def main():
@@ -107,6 +150,9 @@ def main():
                     t = t.set_column(ci, t.schema.field(ci),
                                      pa.array([len(x) for x in new],
                                               type=pa.int64()))
+            # skew AFTER the offsets so every replica's masked rows point
+            # at the BASE hot key (one global hub, not one per replica)
+            t = apply_skew(t, table, i)
             parts.append(t)
         out = pa.concat_tables(parts)
         pq.write_table(out, f"{DST}/{table}.parquet")
