@@ -271,7 +271,16 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     * resume with their full version count, so a reopened server
     * bucketizes on its first write.
     */
-  private val bucketizeAfter = 3L
+  private val bucketizeAfter =
+    sys.props.get("graft.store.bucketizeAfter").map(_.toLong).getOrElse(3L)
+
+  /** First-touch materialization policy for still-pure buckets (see the
+    * comment in [[rewriteNodeBuckets]]); `graft.store.firstTouchLazy=true`
+    * switches a first touch to a plain +1 depth layer — an A/B flag for
+    * the round-15 write-family measurements.
+    */
+  private val firstTouchEager =
+    !sys.props.get("graft.store.firstTouchLazy").contains("true")
   private var bucketizeNodesAt: Long = bucketizeAfter
   private var bucketizeEdgesAt: Long = bucketizeAfter
   // committed keyed mutations per side (a delete that touches only nodes
@@ -488,7 +497,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
         // (measured across the write family at sf0.1: this beats both
         // the defer-to-depth-bound and the materialize-on-second-touch
         // variants on total wall-clock)
-        if (v.pure(b) && v.size > 1) nodeDepth(b) = maxDepth
+        if (v.pure(b) && v.size > 1 && firstTouchEager) nodeDepth(b) = maxDepth
         else nodeDepth(b) += 1
         if (nodeDepth(b) >= maxDepth) {
           nodeDepth(b) = 0
@@ -515,7 +524,7 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
       if (!touched(b)) df
       else {
         val nf = f(b, df)
-        if (v.pure(b) && v.size > 1) edgeDepth(b) = maxDepth
+        if (v.pure(b) && v.size > 1 && firstTouchEager) edgeDepth(b) = maxDepth
         else edgeDepth(b) += 1
         if (edgeDepth(b) >= maxDepth) {
           edgeDepth(b) = 0
@@ -656,17 +665,26 @@ final class GraphStore(initial: PropertyGraph, registerGlobal: Boolean = true,
     val nn = rows.transform(GraphStore.pin)
     val bs = ensureNodeBuckets()
     val touched = touchedBuckets(nn, bs.size)
-    // one pruned probe sizes the batch AND splits it into replaces vs
+    // One pruned probe sizes the batch AND splits it into replaces vs
     // inserts: replaced rows are excluded from the unique-constraint
     // clash and don't count toward max_nodes (a pure replace at the
-    // boundary must not refuse — round-11 ADVICE)
-    val existing = prunedUnion(bs, touched).select(col("id"), lit(true).as("_ex"))
-    val counts = nn.join(existing, Seq("id"), "left_outer")
-      .agg(count(lit(1)).as("n"), count(col("_ex")).as("present"))
-      .collect().head
-    val n = counts.getLong(0)
-    enforceUnique(g, nn, replacedIds = Some(nn))
-    checkNodeLimit(g, n - counts.getLong(1))
+    // boundary must not refuse — round-11 ADVICE). With NO unique
+    // constraints and NO node limit the replace/insert split is consumed
+    // by nothing — only the batch size is needed, and that is one count
+    // of the tiny pinned batch instead of a store-sized probe join (the
+    // round-15 lifecycle profile measured one full-store scan per
+    // consent upsert spent entirely on this probe).
+    val n =
+      if (maxNodes == 0 && catalog.uniqueConstraints.isEmpty) nn.count()
+      else {
+        val existing = prunedUnion(bs, touched).select(col("id"), lit(true).as("_ex"))
+        val counts = nn.join(existing, Seq("id"), "left_outer")
+          .agg(count(lit(1)).as("n"), count(col("_ex")).as("present"))
+          .collect().head
+        enforceUnique(g, nn, replacedIds = Some(nn))
+        checkNodeLimit(g, counts.getLong(0) - counts.getLong(1))
+        counts.getLong(0)
+      }
     val nnA = conformNodeInsert(nn)
     val keys = nnA.select("id")
     val nb = rewriteNodeBuckets(touched)((b, df) =>
